@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship query (smoke check, sf0.001).
+``queries``    — SURVEY.md §2 declared-operator inventory
+                 (pgstream_spark.inventory).
+``oracle_sql`` — DuckDB-equivalent SQL for every hash-checkable entry.
 """
 
 from __future__ import annotations
@@ -12,27 +11,64 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001.
+
+    Mirrors the reference's example workload
+    (`/root/reference/Example.hs:22-40`): multi-table inner join with a
+    range predicate inside the join condition, epoch extraction, grouped
+    aggregation and multi-key ordered limit — every [E]-evidence operator
+    of SURVEY §2 in one statement.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    from pgstream_spark.inventory import dsum
+    from pgstream_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & F.col("c_acctbal").between(0, 5000),
+        )
+        .filter(
+            F.col("o_orderdate").between("1995-01-01", "1997-12-31")
+            & (F.col("c_mktsegment") == "BUILDING")
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.min(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+                ).cast("bigint")
+                * 86400
+            ).alias("first_epoch_s"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pgstream_spark.inventory import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column aliases)."""
+    from pgstream_spark.inventory import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,1353 @@
+"""Declared query inventory — the testable contract of SURVEY.md §2.
+
+Every entry pairs a Spark-native implementation (DataFrame API, built-ins,
+or a custom operator from ``operators/``) with the equivalent ANSI SQL the
+DuckDB oracle runs on the same parquet bytes.  The driver hash-compares
+them at sf0.01 (CORRECTNESS_r{N}.json); ``tests/test_oracle.py`` runs the
+same comparison locally at sf0.001.
+
+Determinism rules (SURVEY §5.3), applied uniformly:
+
+* every aggregate over DOUBLE goes through DECIMAL(38,10) so the sum is
+  exact and associative — bit-identical in any execution order on both
+  engines — then casts back to DOUBLE for a stable output type;
+* averages are written ``exact_sum / count`` (double ÷ long), never the
+  engines' own ``avg`` whose internal rounding differs;
+* libm-dependent functions (ln/exp) and cross-engine float reductions are
+  rounded to 6 decimals on BOTH sides;
+* ``events.ts`` (nanosecond parquet) is normalized to microsecond naive
+  timestamps on both engines (see ``sources/parquet.load_events`` and the
+  ``_EV`` CTE below);
+* queries with LIMIT carry a total ORDER BY ending in a unique key;
+* columns are identically aliased on both sides (driver sorts by name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators import (
+    asof_join,
+    brute_force_top_k,
+    exact_dedup,
+    interval_join,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    top_k_per_group,
+)
+from pgstream_spark.operators.textstats import document_fingerprint, language_id
+from pgstream_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    """Register a declared query (and its oracle SQL, if expressible)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Exact, associative sum of a DOUBLE column, bit-identical across engines:
+# scale to integer ten-thousandths (one double rounding, same on both
+# sides), sum exactly as BIGINT, convert back with a single division.
+# Every intermediate stays below 2^53, so the int→double conversion is
+# exact and the final division is the only rounding — IEEE-identical
+# everywhere.  (A DECIMAL(38,10) sum is exact too, but DuckDB's
+# decimal→double cast is off by 1 ulp for scaled magnitudes above 2^53.)
+_SCALE = 10_000
+
+
+def dsum(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * _SCALE).cast("bigint")).cast("double") / float(_SCALE)
+
+
+# DuckDB spelling of the same thing.
+def _dsum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}.0"
+    )
+
+
+# Oracle-side CTE normalizing events.ts to microsecond naive timestamps
+# (same truncation load_events performs on the Spark side).
+_EV = (
+    "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+# =====================================================================
+# Scans / sources (S-*)
+# =====================================================================
+
+@q("s1_scan_count", "SELECT count(*) AS n FROM lineitem")
+def s1(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "s3_paged_fetch",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_orderkey ASC LIMIT 100",
+)
+def s3(spark, sf_dir):
+    # The cursor/FETCH FORWARD analogue: deterministic key-ordered page.
+    # Engine.stream() delivers the same rows iteratively (tested in pytest).
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# =====================================================================
+# Projections / filters / predicates (P-*)
+# =====================================================================
+
+@q(
+    "p1_project_alias",
+    "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+    "l_quantity * l_extendedprice AS gross FROM lineitem",
+)
+def p1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross"),
+    )
+
+
+@q(
+    "p2_cast",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int, "
+    "CAST(l_orderkey AS DOUBLE) AS ok_dbl FROM lineitem",
+)
+def p2(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("double").alias("ok_dbl"),
+    )
+
+
+@q(
+    "p3_filter_eq",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'",
+)
+def p3(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@q(
+    "p4_between",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice BETWEEN 50000 AND 100000 "
+    "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'",
+)
+def p4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 100000)
+        & F.col("o_orderdate").between("1995-01-01", "1997-12-31")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "p5_boolean_logic",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE (l_returnflag = 'R' AND l_linestatus = 'F') "
+    "OR NOT (l_discount < 0.05)",
+)
+def p5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        | ~(F.col("l_discount") < 0.05)
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "p6_null_predicates",
+    "SELECT count(*) AS n_total, "
+    "count(CASE WHEN value IS NULL THEN 1 END) AS n_null, "
+    "count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_not_null "
+    "FROM events",
+)
+def p6(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_not_null"),
+    )
+
+
+@q(
+    "p7_in_subquery",
+    "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN "
+    "(SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE'))",
+)
+def p7(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    # IN (subquery) == left-semi join in relational terms.
+    return n.join(
+        r.select(F.col("r_regionkey").alias("n_regionkey")), "n_regionkey", "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+@q(
+    "p8_like_regex",
+    "SELECT p_partkey, p_type FROM part "
+    "WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[aeiou]')",
+)
+def p8(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[aeiou]")
+    ).select("p_partkey", "p_type")
+
+
+@q(
+    "p9_param_binding",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice BETWEEN 1000.0 AND 80000.0 AND o_orderstatus = 'F'",
+)
+def p9(spark, sf_dir):
+    # The reference's {n}-hole templating (QueryBuilder.hs:170-177) bound
+    # through our injection-safe renderer, executed via spark.sql.
+    from pgstream_spark.engine import Engine
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pg_orders")
+    eng = Engine(spark)
+    return eng.query(
+        "SELECT o_orderkey, o_totalprice FROM __pg_orders "
+        "WHERE o_totalprice BETWEEN {1} AND {2} AND o_orderstatus = {3}",
+        (1000.0, 80000.0, "F"),
+    )
+
+
+# =====================================================================
+# Joins (J-*)
+# =====================================================================
+
+@q(
+    "j1_inner_equi",
+    "SELECT c_nationkey, count(*) AS n_orders, "
+    + _dsum("o_totalprice")
+    + " AS sum_price FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_nationkey",
+)
+def j1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@q(
+    "j2_multikey_equi",
+    "SELECT count(*) AS n, " + _dsum("l.l_extendedprice") + " AS sum_price "
+    "FROM lineitem l JOIN lineitem l2 "
+    "ON l.l_orderkey = l2.l_orderkey AND l.l_linenumber = l2.l_linenumber",
+)
+def j2(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("l"), li.alias("l2")
+    return (
+        a.join(
+            b,
+            (F.col("l.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l.l_linenumber") == F.col("l2.l_linenumber")),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l.l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@q(
+    "j3_theta_join",
+    "SELECT s_suppkey, count(*) AS n_cust FROM supplier "
+    "JOIN customer ON s_nationkey = c_nationkey "
+    "AND c_acctbal BETWEEN 0 AND 5000 GROUP BY s_suppkey",
+)
+def j3(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & c.c_acctbal.between(0, 5000),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@q(
+    "j4_broadcast_join",
+    "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+    "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def j4(spark, sf_dir):
+    # Same semantics as a plain join; the explicit broadcast hint pins the
+    # physical strategy (dimension side ships to every executor — no
+    # shuffle of the fact table).
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "j5_outer_join",
+    "SELECT count(*) AS n_rows, "
+    "count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_orders "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
+)
+def j5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_no_orders"),
+    )
+
+
+@q(
+    "j6_semi_anti",
+    "SELECT "
+    "(SELECT count(*) FROM customer WHERE EXISTS "
+    " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders, "
+    "(SELECT count(*) FROM customer WHERE NOT EXISTS "
+    " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders",
+)
+def j6(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(o, "c_custkey", "left_semi").count()
+    anti = c.join(o, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders bigint, n_without_orders bigint"
+    )
+
+
+@q("j7_cross_join", "SELECT count(*) AS n FROM region CROSS JOIN nation")
+def j7(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "j8_asof_join",
+    "WITH " + _EV + ", ord AS (SELECT o_custkey, o_orderdate, "
+    "max(o_orderkey) AS o_orderkey, max(o_totalprice) AS max_price "
+    "FROM orders GROUP BY o_custkey, o_orderdate) "
+    "SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey, "
+    "o.max_price AS matched_price "
+    "FROM ev e ASOF JOIN ord o "
+    "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate",
+)
+def j8(spark, sf_dir):
+    # For each event: the latest order of the same key at-or-before the
+    # event time.  Right side pre-deduped to one row per (key, ts) so the
+    # as-of match is well defined (ties would be ambiguous in any engine).
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ordd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev, ordd, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        direction="backward",
+    )
+    return joined.filter(F.col("o_orderdate_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_r").alias("matched_orderkey"),
+        F.col("max_price_r").alias("matched_price"),
+    )
+
+
+@q(
+    "j9_interval_join",
+    "WITH " + _EV + " "
+    "SELECT p.event_id, i.event_id AS err_event_id "
+    "FROM ev p JOIN ev i ON p.user_id = i.user_id "
+    "AND i.event_type = 'error' "
+    "AND p.ts >= i.ts - INTERVAL 1 HOUR AND p.ts <= i.ts + INTERVAL 1 HOUR",
+)
+def j9(spark, sf_dir):
+    # All events within ±1 hour of an error event of the same user —
+    # bucketed range join (see operators/interval.py), no nested loop.
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            F.col("user_id"),
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+    )
+    out = interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_seconds=3600,
+        extra_on=["user_id"],
+    )
+    return out.select("event_id", "err_event_id")
+
+
+# =====================================================================
+# Aggregations (G-*)
+# =====================================================================
+
+@q(
+    "g1_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    + _dsum("l_quantity") + " AS sum_qty, "
+    + _dsum("l_extendedprice") + " AS sum_base_price, "
+    + _dsum("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, "
+    + _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS sum_charge, "
+    + _dsum("l_quantity") + " / count(*) AS avg_qty, "
+    + _dsum("l_extendedprice") + " / count(*) AS avg_price, "
+    + _dsum("l_discount") + " / count(*) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def g1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_extendedprice") / n).alias("avg_price"),
+        (dsum("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@q(
+    "g2_global_agg",
+    "SELECT " + _dsum("o_totalprice") + " AS total, count(*) AS n, "
+    "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+    "FROM orders",
+)
+def g2(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        dsum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@q(
+    "g3_count_distinct",
+    "SELECT count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps, "
+    "count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+)
+def g3(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@q("g4_approx_distinct")  # approximate — sketch values differ per engine
+def g4(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@q(
+    "g5_rollup",
+    "SELECT r_name, n_name, count(*) AS n FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP (r_name, n_name)",
+)
+def g5(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "g6_having",
+    "SELECT l_orderkey, " + _dsum("l_quantity") + " AS sum_qty "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING " + _dsum("l_quantity") + " > 150",
+)
+def g6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+
+
+@q(
+    "g7_filtered_agg",
+    "SELECT l_returnflag, "
+    + _dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")
+    + " AS high_disc_price, "
+    "count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def g7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+            "high_disc_price"
+        ),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+    )
+
+
+@q(
+    "g8_stats_agg",
+    # Two-pass centered moments: the means are bit-identical (exact scaled
+    # sums ÷ count), so per-row centered products are IEEE-identical on
+    # both engines; those are again summed exactly as scaled integers.
+    # Numerically superior to the one-pass sum-of-squares formula (no
+    # catastrophic cancellation) AND deterministic.  Built-in
+    # stddev_samp/var_samp/corr are pytest-checked with tolerance.
+    "WITH m AS (SELECT " + _dsum("l_extendedprice") + " / count(*) AS mx, "
+    + _dsum("l_discount") + " / count(*) AS my FROM lineitem), "
+    "s AS (SELECT count(*) AS n, "
+    "SUM(CAST(round((l_extendedprice - mx) * (l_extendedprice - mx) * 10) AS BIGINT)) AS sxx, "
+    "SUM(CAST(round((l_discount - my) * (l_discount - my) * 1000000000000) AS BIGINT)) AS syy, "
+    "SUM(CAST(round((l_extendedprice - mx) * (l_discount - my) * 100000000) AS BIGINT)) AS sxy "
+    "FROM lineitem, m) "
+    "SELECT CAST(sxx AS DOUBLE) / 10 / (n - 1) AS var_price, "
+    "sqrt(CAST(sxx AS DOUBLE) / 10 / (n - 1)) AS stddev_price, "
+    "(CAST(sxy AS DOUBLE) / 100000000) / "
+    "(sqrt(CAST(sxx AS DOUBLE) / 10) * sqrt(CAST(syy AS DOUBLE) / 1000000000000)) "
+    "AS corr_price_disc FROM s",
+)
+def g8(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("mx"),
+        (dsum("l_discount") / F.count(F.lit(1))).alias("my"),
+    )
+    centered = li.crossJoin(F.broadcast(m))
+    cx = F.col("l_extendedprice") - F.col("mx")
+    cy = F.col("l_discount") - F.col("my")
+    s = centered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(cx * cx * 1e1).cast("bigint")).alias("sxx"),
+        F.sum(F.round(cy * cy * 1e12).cast("bigint")).alias("syy"),
+        F.sum(F.round(cx * cy * 1e8).cast("bigint")).alias("sxy"),
+    )
+    n = F.col("n")
+    sxx = F.col("sxx").cast("double") / 1e1
+    syy = F.col("syy").cast("double") / 1e12
+    sxy = F.col("sxy").cast("double") / 1e8
+    return s.select(
+        (sxx / (n - 1)).alias("var_price"),
+        F.sqrt(sxx / (n - 1)).alias("stddev_price"),
+        (sxy / (F.sqrt(sxx) * F.sqrt(syy))).alias("corr_price_disc"),
+    )
+
+
+@q(
+    "g9_array_agg_ordered",
+    "SELECT l_orderkey, "
+    "string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers "
+    "FROM lineitem GROUP BY l_orderkey",
+)
+def g9(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")), ","
+        ).alias("linenumbers")
+    )
+
+
+# =====================================================================
+# Window functions (W-*)
+# =====================================================================
+
+@q(
+    "w1_rank",
+    "SELECT o_custkey, o_orderkey, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn, "
+    "rank() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderpriority ASC) AS prio_rank "
+    "FROM orders",
+)
+def w1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_prio = Window.partitionBy("o_custkey").orderBy(F.col("o_orderpriority").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_price).alias("rn"),
+        F.rank().over(w_prio).alias("prio_rank"),
+    )
+
+
+@q(
+    "w2_lag_lead",
+    "WITH " + _EV + " "
+    "SELECT event_id, user_id, "
+    "value - lag(value) OVER w AS delta, "
+    "lead(event_id) OVER w AS next_event "
+    "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)",
+)
+def w2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@q(
+    "w3_moving_window",
+    # 7-row moving average per customer, integer-cents-exact in the frame.
+    "SELECT o_custkey, o_orderkey, "
+    f"CAST(SUM(CAST(round(o_totalprice * {_SCALE}) AS BIGINT)) OVER w AS DOUBLE) "
+    f"/ {_SCALE}.0 / COUNT(*) OVER w AS moving_avg "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)",
+)
+def w3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, 0)
+    )
+    scaled = F.round(F.col("o_totalprice") * _SCALE).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(scaled).over(w).cast("double") / float(_SCALE)
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@q(
+    "w4_running_total",
+    "SELECT o_custkey, o_orderkey, "
+    f"CAST(SUM(CAST(round(o_totalprice * {_SCALE}) AS BIGINT)) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / {_SCALE}.0 "
+    "AS running_total FROM orders",
+)
+def w4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = F.round(F.col("o_totalprice") * _SCALE).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(scaled).over(w).cast("double") / float(_SCALE)).alias(
+            "running_total"
+        ),
+    )
+
+
+# =====================================================================
+# Sorts / limits / top-k (O-*)
+# =====================================================================
+
+@q(
+    "o1_multikey_sort",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_custkey ASC NULLS FIRST, o_totalprice DESC NULLS LAST, "
+    "o_orderkey ASC LIMIT 200",
+)
+def o1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(
+            F.col("o_custkey").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(200)
+    )
+
+
+@q(
+    "o2_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+)
+def o2(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "o3_topk_per_group",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+    "WHERE rn <= 3",
+)
+def o3(spark, sf_dir):
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@q(
+    "o4_offset_pagination",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_orderkey ASC LIMIT 20 OFFSET 20",
+)
+def o4(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Set operations (U-*)
+# =====================================================================
+
+@q(
+    "u1_union",
+    "SELECT n_nationkey FROM nation WHERE n_regionkey = 0 "
+    "UNION SELECT n_nationkey FROM nation WHERE n_nationkey < 10",
+)
+def u1(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    b = n.filter(F.col("n_nationkey") < 10).select("n_nationkey")
+    return a.unionByName(b).distinct()
+
+
+@q(
+    "u2_intersect",
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "INTERSECT SELECT o_custkey FROM orders",
+)
+def u2(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey"))
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@q(
+    "u3_except",
+    "SELECT c_custkey FROM customer "
+    "EXCEPT SELECT o_custkey FROM orders",
+)
+def u3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select("c_custkey").subtract(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+# =====================================================================
+# Scalar functions (F-*)
+# =====================================================================
+
+@q(
+    "f1_f2_epoch_roundtrip",
+    # Epoch extraction and back — written tz-free on both sides so the
+    # result is independent of either engine's session timezone.
+    "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, "
+    "TIMESTAMP '1970-01-01' + CAST(epoch(o_orderdate) AS BIGINT) * INTERVAL 1 SECOND "
+    "AS ts_back FROM orders",
+)
+def f1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    epoch_s = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint") * 86400
+        + F.hour("o_orderdate") * 3600
+        + F.minute("o_orderdate") * 60
+        + F.second("o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        epoch_s.alias("epoch_s"),
+        F.expr(
+            "timestampadd(SECOND, "
+            "(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') * 86400"
+            " + hour(o_orderdate) * 3600 + minute(o_orderdate) * 60"
+            " + second(o_orderdate)), "
+            "CAST(DATE'1970-01-01' AS TIMESTAMP_NTZ))"
+        ).alias("ts_back"),
+    )
+
+
+@q(
+    "f3_date_parts",
+    "SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, "
+    "CAST(month(o_orderdate) AS INTEGER) AS mo, count(*) AS n_orders "
+    "FROM orders GROUP BY 1, 2",
+)
+def f3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "f4_string_fns",
+    "SELECT p_partkey, lower(p_type) AS type_lc, upper(p_brand) AS brand_uc, "
+    "substr(p_name, 1, 5) AS name5, trim(concat(p_brand, ' ', p_type)) AS brand_type, "
+    "length(p_name) AS name_len, replace(p_type, ' ', '_') AS type_us, "
+    "string_split(p_type, ' ')[1] AS type_tok1 FROM part",
+)
+def f4(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type"))).alias(
+            "brand_type"
+        ),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_tok1"),
+    )
+
+
+@q(
+    "f5_math_fns",
+    # Only bit-deterministic operations (IEEE-exact sqrt, integer-ish
+    # floor/ceil/abs/mod, x*x); ln/exp live in pytest with tolerance.
+    "SELECT o_orderkey, abs(o_totalprice) AS abs_p, "
+    "CAST(floor(o_totalprice) AS BIGINT) AS floor_p, "
+    "CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p, "
+    "sqrt(o_totalprice) AS sqrt_p, o_totalprice * o_totalprice AS sq_p, "
+    "o_orderkey % 7 AS mod7, round(o_totalprice, 1) AS round1 FROM orders",
+)
+def f5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs("o_totalprice").alias("abs_p"),
+        F.floor("o_totalprice").cast("bigint").alias("floor_p"),
+        F.ceil("o_totalprice").cast("bigint").alias("ceil_p"),
+        F.sqrt("o_totalprice").alias("sqrt_p"),
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("sq_p"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.round("o_totalprice", 1).alias("round1"),
+    )
+
+
+@q(
+    "f6_case_coalesce",
+    "SELECT o_orderkey, "
+    "CASE WHEN o_totalprice < 50000 THEN 'low' "
+    "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS price_band, "
+    "coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_norm, "
+    "greatest(o_totalprice, 100000.0) AS at_least_100k, "
+    "least(CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT)) AS min_key "
+    "FROM orders",
+)
+def f6(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_orderkey"), F.col("o_custkey")).alias("min_key"),
+    )
+
+
+@q(
+    "f7_array_fns",
+    "SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val, "
+    "embedding[len(embedding)] AS last_val, "
+    "len(list_filter(embedding, x -> x > 0)) AS n_positive FROM embeddings",
+)
+def f7(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", F.size("embedding")).alias("last_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+@q(
+    "f8_map_fns",
+    "WITH " + _EV + " "
+    "SELECT event_id, (map {'k': json_extract_string(props, '$.k')})['k'][1] AS k_val, "
+    "cardinality(map {'k': json_extract_string(props, '$.k')}) AS n_keys FROM ev",
+)
+def f8(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+@q(
+    "f9_json_access",
+    "WITH " + _EV + " "
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_val, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num FROM ev",
+)
+def f9(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        k.cast("bigint").alias("k_num"),
+    )
+
+
+@q("f10_uuid")  # nondeterministic by definition — format asserted in pytest
+def f10(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "region")
+        .select("r_regionkey", F.expr("uuid()").alias("row_uuid"))
+    )
+
+
+@q(
+    "f11_money_arithmetic",
+    "SELECT o_orderstatus, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents, "
+    "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS sum_dollars "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def f11(spark, sf_dir):
+    # The reference's money discipline: integer cents on the wire, ÷100 at
+    # the edge (FromRow.hs:281-293).  Integer sums are exact by nature.
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(cents).alias("sum_cents"),
+        (F.sum(cents) / 100).alias("sum_dollars"),
+    )
+
+
+# =====================================================================
+# Streaming-shape operators, batch-mode oracle (T-*)
+# =====================================================================
+
+@q(
+    "t4_tumbling_window",
+    "WITH " + _EV + " "
+    "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
+    + _dsum("value") + " AS sum_value FROM ev GROUP BY 1",
+)
+def t4(spark, sf_dir):
+    from pgstream_spark.streaming.windows import tumbling_windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_windowed_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")],
+    )
+    return out.drop("window_end")
+
+
+@q(
+    "t5_session_window",
+    "WITH " + _EV + ", lagged AS ("
+    "SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)), "
+    "sess AS (SELECT user_id, ts, SUM(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS sid "
+    "FROM lagged) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "count(*) AS n_events FROM sess GROUP BY user_id, sid",
+)
+def t5(spark, sf_dir):
+    from pgstream_spark.streaming.windows import session_windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windowed_agg(
+        ev, "ts", "30 minutes",
+        [F.count(F.lit(1)).alias("n_events")],
+        group_cols=["user_id"],
+    )
+
+
+@q(
+    "t7_stateful_dedup",
+    "WITH " + _EV + " "
+    "SELECT count(*) AS n_after_dedup, count(DISTINCT event_id) AS n_distinct "
+    "FROM (SELECT DISTINCT ON (event_id) * FROM ev ORDER BY event_id)",
+)
+def t7(spark, sf_dir):
+    from pgstream_spark.streaming.windows import stateful_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    d = stateful_dedup(ev, ["event_id"])
+    return d.agg(
+        F.count(F.lit(1)).alias("n_after_dedup"),
+        F.count_distinct("event_id").alias("n_distinct"),
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators (L-*) over documents / embeddings
+# =====================================================================
+
+@q(
+    "l1_exact_dedup",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def l1(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], keep_order_col="doc_id").select("doc_id")
+
+
+@q(
+    "l2_ngram_jaccard",
+    # Exact 3-gram-shingle Jaccard similarity join, threshold 0.6.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard "
+    "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6",
+)
+def l2(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("l2b_minhash_lsh")  # approximate candidates → exact verify; rows-only check
+def l2b(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_perm=128)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=4)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return cands.join(
+        exact, (cands.id_a == exact.id_a) & (cands.id_b == exact.id_b), "inner"
+    ).select(exact.id_a, exact.id_b, F.round(exact.jaccard, 6).alias("jaccard"))
+
+
+@q("l2c_simhash")  # signature values engine-specific; distribution checked in pytest
+def l2c(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d, "doc_id", "text", n=2)
+
+
+@q(
+    "l3_vector_topk",
+    # Brute-force cosine top-5 for the first 10 vectors.  Unit-norm data →
+    # cosine == dot; both sides fold float→double products in index order.
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos_raw "
+    "FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id) "
+    "SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM ("
+    "SELECT query_id, neighbor_id, cos_raw, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank "
+    "FROM scored) WHERE rank <= 5",
+)
+def l3(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = brute_force_top_k(
+        e.filter(F.col("vec_id") < 10), e, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@q("l3b_lsh_topk")  # approximate ANN — recall vs brute force checked in pytest
+def l3b(spark, sf_dir):
+    from pgstream_spark.operators.similarity import lsh_bucketed_top_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_top_k(
+        e.filter(F.col("vec_id") < 10), e, k=5, m_bits=6, tables=6, dim=64
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@q(
+    "l4_text_stats",
+    "SELECT doc_id, length(text) AS n_chars_calc, n_chars AS n_chars_stored, "
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) "
+    "AS n_tokens FROM documents",
+)
+def l4(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.col("n_chars").alias("n_chars_stored"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+@q(
+    "l4b_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+    "AS fingerprint FROM documents",
+)
+def l4b(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return document_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@q(
+    "l4c_language_id",
+    # Stopword-vote language ID; ties resolved toward the lexicographically
+    # greatest language code (mirrors Spark's struct max ordering).
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "scores AS (SELECT doc_id, "
+    "len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en, "
+    "len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS s_es, "
+    "len(list_filter(t, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de, "
+    "len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','du','que'], x))) AS s_fr, "
+    "len(list_filter(t, x -> list_contains(['il','di','che','la','e','per','un','in','del','con'], x))) AS s_it "
+    "FROM toks) "
+    "SELECT doc_id, CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_it) = 0 THEN 'und' "
+    "WHEN s_it = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'it' "
+    "WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'fr' "
+    "WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'es' "
+    "WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'en' "
+    "ELSE 'de' END AS lang_pred FROM scores",
+)
+def l4c(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+# =====================================================================
+# UDF / UDAF / UDTF surface (X-*) — the Arrow/pandas kernel path
+# =====================================================================
+
+@q(
+    "x1_pandas_kernel",
+    "SELECT vec_id, "
+    "round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs, "
+    "round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS l1_norm "
+    "FROM embeddings",
+)
+def x1(spark, sf_dir):
+    # Arrow-vectorized pandas_udf — the idiomatic replacement for the
+    # reference's C array kernels (array_conversion.c:68-149).
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def max_abs(v: pd.Series) -> pd.Series:
+        return v.map(lambda a: float(np.max(np.abs(np.asarray(a, dtype="float64")))))
+
+    @pandas_udf("double")
+    def l1_norm(v: pd.Series) -> pd.Series:
+        return v.map(lambda a: float(np.sum(np.abs(np.asarray(a, dtype="float64")))))
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(max_abs("embedding"), 6).alias("max_abs"),
+        F.round(l1_norm("embedding"), 6).alias("l1_norm"),
+    )
+
+
+@q(
+    "x3_grouped_map",
+    "WITH " + _EV + ", st AS (SELECT user_id, count(*) AS n, "
+    "avg(value) AS mu, stddev_pop(value) AS sigma FROM ev GROUP BY user_id) "
+    "SELECT e.event_id, round((e.value - st.mu) / st.sigma, 6) AS zscore "
+    "FROM ev e JOIN st USING (user_id) WHERE st.n >= 2 AND st.sigma > 0",
+)
+def x3(spark, sf_dir):
+    # applyInPandas grouped-map: per-user z-score computed by a pandas
+    # kernel; rounding absorbs numpy-vs-SQL accumulation-order noise.
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"event_id": [], "zscore": []})
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=0)
+        if sigma == 0:
+            return pd.DataFrame({"event_id": [], "zscore": []})
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "zscore": ((pdf["value"] - mu) / sigma).round(6)}
+        )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, zscore double"
+    )
+
+
+@q(
+    "x4_udaf_weighted_mean",
+    "SELECT l_returnflag, "
+    "round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS weighted_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def x4(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(x: pd.Series, w: pd.Series) -> float:
+        return float(np.sum(x.values * w.values) / np.sum(w.values))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 6).alias(
+            "weighted_price"
+        )
+    )
+
+
+@q(
+    "x5_udtf_explode",
+    "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
+    "unnest(embedding) AS val FROM embeddings WHERE vec_id < 3",
+)
+def x5(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "val")
+

@@ -1,0 +1,48 @@
+"""Custom DataFrame-level operators.
+
+Everything Spark SQL lacks a single primitive for, implemented as
+compositions of built-in operators (shuffle-aware, codegen-friendly) —
+never as driver-side loops.
+"""
+
+from pgstream_spark.operators.asof import asof_join
+from pgstream_spark.operators.interval import interval_join
+from pgstream_spark.operators.topk import top_k_per_group
+from pgstream_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    embedding_neardup_pairs,
+)
+from pgstream_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_bucketed_top_k,
+    with_cosine,
+)
+from pgstream_spark.operators.textstats import (
+    with_text_stats,
+    language_id,
+    quality_score,
+    document_fingerprint,
+)
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "top_k_per_group",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "brute_force_top_k",
+    "lsh_bucketed_top_k",
+    "with_cosine",
+    "with_text_stats",
+    "language_id",
+    "quality_score",
+    "document_fingerprint",
+]

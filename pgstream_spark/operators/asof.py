@@ -1,0 +1,129 @@
+"""As-of (nearest-prior) join — SURVEY §2 J-8.
+
+The reference's domain is exactly this shape — per-security time series of
+deltas/prices joined on (sid, day) (`/root/reference/Example.hs:25-33`) —
+but Postgres made the authors express it with equi-joins on pre-aligned
+days.  A real as-of join ("for each left row, the latest right row with
+``right.ts <= left.ts``") has no single Spark primitive; this implements
+the **union + partitioned-window carry-forward** strategy:
+
+1. tag both sides and union them on (keys, ts) with each other's payload
+   columns as NULL;
+2. one window per key ordered by (ts, side) computes
+   ``last(payload, ignoreNulls=True)`` — the carried-forward most recent
+   right payload at every position;
+3. keep only left rows.
+
+Cost model at scale: ONE shuffle (hash by key) + ONE in-partition sort —
+identical shape to a sort-merge join, with no range-explosion and no
+driver involvement.  This beats the naive "join on key, filter t_r <= t_l,
+window max" plan, which multiplies |left| × |right-per-key| rows before
+filtering.  Skewed keys degrade to a big single-partition sort; mitigate
+upstream by salting the key and as-of-joining per salt on a pre-bucketed
+right side (documented, not automatic).
+
+``direction='backward'`` matches the classic as-of (≤); ``'forward'`` gives
+the earliest right row ≥ left ts.  ``tolerance`` (seconds) drops matches
+further than the tolerance from the left timestamp.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per key.
+
+    Right payload columns are suffixed with ``suffix``; the matched right
+    timestamp comes back as ``<right_ts><suffix>`` (NULL when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+    lcols = [c for c in left.columns if c not in keys]
+
+    # Build the union frame: keys, event time, side marker, left payload,
+    # suffixed right payload.
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_payload],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(c + suffix) for c in right_payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => "at or before".
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    carried = unioned.select(
+        *keys,
+        "__ts",
+        "__is_left",
+        *lcols,
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in right_payload
+        ],
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__matched_ts"),
+    )
+
+    out = carried.filter(F.col("__is_left") == 1)
+
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.col("__ts").cast("double") - F.col("__matched_ts").cast("double")
+        )
+        within = F.col("__matched_ts").isNotNull() & (delta <= F.lit(tolerance_seconds))
+        out = out.select(
+            *keys,
+            "__ts",
+            *lcols,
+            *[
+                F.when(within, F.col(c + suffix)).alias(c + suffix)
+                for c in right_payload
+            ],
+            F.when(within, F.col("__matched_ts")).alias("__matched_ts"),
+        )
+
+    return out.withColumnRenamed("__ts", left_ts).withColumnRenamed(
+        "__matched_ts", right_ts + suffix
+    ).drop("__is_left")

@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five tiers, all expressed with JVM-side built-ins (no Python UDF in any
+hot path):
+
+* ``exact_dedup``            — hash-groupBy on normalized text (L-1);
+* ``ngram_jaccard_pairs``    — exact token-shingle Jaccard similarity
+  join (the verification oracle for the approximate tiers);
+* ``minhash_signatures`` / ``minhash_lsh_candidates`` — MinHash + LSH
+  banding (L-2): signatures computed *per-row* with nested higher-order
+  functions (zero shuffle), candidates via a band-bucket self-join;
+* ``simhash_signatures``     — 64-bit SimHash per document, again pure
+  per-row HOF arithmetic;
+* ``embedding_neardup_pairs``— cosine-threshold near-dup over an
+  embedding column.
+
+Scale notes: signature computation is embarrassingly parallel (map-only).
+The only shuffles are (a) the band-bucket exchange — bounded by
+``bands × |docs|`` rows of (id, hash64) — and (b) the token-join in the
+exact verifier, which is why verification runs only on LSH candidates at
+scale.  Mega-frequent shingles (stop-shingles) skew the exact token join;
+``ngram_jaccard_pairs`` can drop shingles above a document-frequency cap
+for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "shingles_col",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens; empty strings filtered out."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (space-joined).
+
+    Documents shorter than ``n`` tokens yield their full token string as a
+    single shingle so they still participate.
+    """
+    joined = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    return F.array_distinct(joined)
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], keep_order_col: str | None = None
+) -> DataFrame:
+    """Exact deduplication on ``cols`` (L-1).
+
+    With ``keep_order_col`` the survivor is the row with the smallest value
+    of that column (deterministic, oracle-friendly); otherwise Spark's
+    ``dropDuplicates`` keeps an arbitrary row (cheaper — partial
+    aggregation before the shuffle).
+    """
+    if keep_order_col is None:
+        return df.dropDuplicates(cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs (a < b) with
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold``.
+
+    Classic set-similarity join: explode shingles, self-join on the
+    shingle, count per pair, combine with per-doc set sizes.  ``df_cap``
+    drops shingles appearing in more than that many documents (stop-shingle
+    skew guard for the 100 TB path; candidates lost this way would have had
+    mostly-stopword overlap).
+
+    Returns ``(id_a, id_b, jaccard)``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
+    )
+    if df_cap is not None:
+        freq = sh.groupBy("__sh").agg(F.count_distinct("__id").alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= df_cap).select("__sh"), "__sh")
+
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))  # shingles are distinct per doc
+
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="__sh")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__sza") + F.col("__szb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """MinHash signature per document, computed map-side only.
+
+    Instead of materializing ``num_perm`` permutations, each "permutation"
+    is ``xxhash64(shingle, j)`` for seed column j — the standard one-hash-
+    family trick.  The whole signature is one nested higher-order
+    expression (``transform`` over seeds of ``array_min`` over shingle
+    hashes): no explode, no shuffle, stays in whole-stage codegen.
+
+    Returns ``(id, sig: array<bigint> length num_perm)``.
+    """
+    tokens = tokens_col(F.col(text_col))
+    sh = shingles_col(tokens, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, j))
+        ),
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs (id_a < id_b).
+
+    Each signature is cut into ``bands`` bands of ``rows_per_band`` values;
+    a pair is a candidate iff some band hashes equal.  The band exchange
+    shuffles ``bands × |docs|`` small rows; the self-join groups by
+    (band index, band hash) so only same-bucket docs meet.
+
+    Collision probability for true Jaccard s: 1 - (1 - s^r)^b — with the
+    default (b=32, r=4) the S-curve crosses 50% near s ≈ 0.4 and is ≈ 1
+    above s ≈ 0.8.
+    """
+    b, r = bands, rows_per_band
+    buckets = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                lambda i: F.xxhash64(F.slice("sig", i * r + 1, r), i),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return cand
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document (near-dup ≈ small Hamming distance).
+
+    For each bit position, sum +1/-1 votes of every shingle's hash bit and
+    take the sign; pack signs into one BIGINT.  Pure per-row higher-order
+    arithmetic, map-only.
+
+    Returns ``(id, simhash: bigint)``.
+    """
+    sh = shingles_col(tokens_col(F.col(text_col)), n)
+    # One per-row aggregate per bit, extracting the bit with an AND mask
+    # (mask arithmetic is lambda-variable-safe); pure map-side column
+    # arithmetic, no shuffle.
+    def _voter(m: int):
+        # closure factory: PySpark requires the lambda arity to be exactly 2
+        return lambda acc, s: acc + F.when(
+            F.xxhash64(s).bitwiseAND(F.lit(m)) != 0, 1
+        ).otherwise(-1)
+
+    packed = F.lit(0).cast("long")
+    for bpos in range(bits):
+        mask = -(1 << 63) if bpos == 63 else (1 << bpos)
+        vote = F.aggregate(sh, F.lit(0).cast("long"), _voter(mask))
+        packed = packed.bitwiseOR(
+            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return docs.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (a < b) whose embedding cosine similarity ≥ threshold.
+
+    Brute-force O(n²) comparison via self-join — correct baseline; at
+    corpus scale swap the self-join for
+    ``similarity.lsh_bucketed_top_k``-style hyperplane bucketing, which
+    bounds candidates per bucket.
+    """
+    from pgstream_spark.operators.similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

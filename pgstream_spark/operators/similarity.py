@@ -1,0 +1,154 @@
+"""Vector similarity search — SURVEY §2 L-3.
+
+Cosine/dot arithmetic stays JVM-side via higher-order functions
+(``zip_with`` + ``aggregate`` folding in DOUBLE); no Python in the
+per-pair path.  Two search strategies:
+
+* ``brute_force_top_k`` — broadcast the (small) query set against the
+  corpus, exact top-k per query via ``row_number``.  This is the correct
+  baseline and, with Spark's rank-limit pushdown, the shuffle carries only
+  k rows per (partition, query).  Cost O(|Q|·|C|) similarity evaluations,
+  perfectly parallel — the right plan whenever |Q| is dimension-sized.
+* ``lsh_bucketed_top_k`` — random-hyperplane LSH: L independent tables of
+  m sign-bits each; query and corpus vectors land in buckets, candidates
+  are same-bucket pairs, exact cosine re-ranks.  Evaluations drop to
+  |Q|·E[bucket size]·L at a recall cost governed by (m, L).  Hyperplanes
+  are generated deterministically (numpy, fixed seed) and shipped as
+  literal arrays — dimension-sized, broadcast-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators.topk import top_k_per_group
+
+__all__ = ["dot_expr", "norm_expr", "cosine_expr", "with_cosine",
+           "brute_force_top_k", "lsh_bucketed_top_k"]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays, folded in DOUBLE, index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, cosine_expr(F.col(a), F.col(b)))
+
+
+def brute_force_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self-matches by
+    id are excluded).  Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _hyperplanes(dim: int, m_bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, m_bits, dim))
+
+
+def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of ``vec`` for one table's hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        sign = F.when(dot_expr(vec, lit_plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits.append(sign)
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("long")
+
+
+def lsh_bucketed_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m_bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Each vector gets ``tables`` bucket ids; query/corpus equi-join on
+    (table, bucket) generates candidates, exact cosine ranks them.  The
+    join shuffles on (table, bucket) — no cross join anywhere, so this is
+    the 100 TB path.  Recall rises with ``tables`` and falls with
+    ``m_bits``; defaults suit ~unit-scale random embeddings.
+    """
+    planes = _hyperplanes(dim, m_bits, tables, seed)
+
+    def bucketed(df: DataFrame, idc: str, vecc: str, id_out: str) -> DataFrame:
+        table_buckets = F.array(
+            *[_bucket_col(F.col(vecc), planes[t]) for t in range(tables)]
+        )
+        return df.select(
+            F.col(idc).alias(id_out),
+            F.col(vecc).alias(f"__{id_out}_v"),
+            F.posexplode(table_buckets).alias("table", "bucket"),
+        )
+
+    qb = bucketed(queries, query_id, query_vec, "query_id")
+    cb = bucketed(corpus, corpus_id, corpus_vec, "neighbor_id")
+
+    cand = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+        .withColumn(
+            "cosine", cosine_expr(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+        )
+    )
+    return top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cosine", "rank")

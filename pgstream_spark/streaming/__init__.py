@@ -1,0 +1,18 @@
+"""Structured Streaming layer — the reference's core competency mapped to
+Spark (SURVEY §2 T-1..T-8)."""
+
+from pgstream_spark.streaming.delivery import stream_query
+from pgstream_spark.streaming.windows import (
+    session_windowed_agg,
+    tumbling_windowed_agg,
+    stateful_dedup,
+)
+from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
+
+__all__ = [
+    "stream_query",
+    "tumbling_windowed_agg",
+    "session_windowed_agg",
+    "stateful_dedup",
+    "idempotent_parquet_sink",
+]

@@ -1,0 +1,139 @@
+"""Local differential gate: run every inventory query on Spark AND DuckDB,
+compare row count + canonicalized values — a local mirror of the driver's
+CORRECTNESS check.  Usage:
+
+    python scripts/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(v):
+    """Canonicalize a value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def rowset(columns, rows):
+    """(sorted-by-name column order, multiset of canonicalized tuples)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    names = tuple(columns[i] for i in order)
+    data = sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t),
+    )
+    return names, data
+
+
+def compare(name, sdf, con, sql):
+    srows = sdf.collect()
+    scols = sdf.columns
+    ores = con.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+
+    sn, sd = rowset(scols, srows)
+    on, od = rowset(ocols, orows)
+    problems = []
+    if sn != on:
+        problems.append(f"columns differ: spark={sn} oracle={on}")
+    if len(sd) != len(od):
+        problems.append(f"row count: spark={len(sd)} oracle={len(od)}")
+    if not problems and sd != od:
+        for i, (a, b) in enumerate(zip(sd, od)):
+            if a != b:
+                problems.append(f"first diff at sorted row {i}:\n  spark : {a}\n  oracle: {b}")
+                break
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("diffcheck")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pgstream_spark.inventory import ORACLE, QUERIES
+
+    con = connect_duckdb(sf_dir)
+    passed = failed = skipped = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name not in ORACLE:
+            # rows-only check: just verify the query runs
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  ~ {name}: rows-only, {n} rows")
+                skipped += 1
+            except Exception as e:
+                print(f"  ✗ {name}: EXEC FAIL {type(e).__name__}: {str(e)[:300]}")
+                failed += 1
+            continue
+        try:
+            problems = compare(name, fn(spark, sf_dir), con, ORACLE[name])
+        except Exception as e:
+            print(f"  ✗ {name}: ERROR {type(e).__name__}: {str(e)[:500]}")
+            failed += 1
+            continue
+        if problems:
+            print(f"  ✗ {name}:")
+            for p in problems:
+                print(f"      {p}")
+            failed += 1
+        else:
+            passed += 1
+            print(f"  ✓ {name}")
+    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
