@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes through ``.write.format("noop")`` — full computation
+on executors, no driver-side collect cost — mirroring how a cluster sink
+would consume it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Representative slice of the inventory: scan, hash-agg, distinct, joins
+# (broadcast + shuffled + as-of + interval), windows, top-k, session
+# windows, text/dedup/similarity pipeline, and the Arrow UDF path.
+HEADLINE = [
+    "s1_scan_count",
+    "g1_tpch_q1",
+    "g3_count_distinct",
+    "j1_inner_equi",
+    "j4_broadcast_join",
+    "j8_asof_join",
+    "j9_interval_join",
+    "w1_rank",
+    "o3_topk_per_group",
+    "t4_tumbling_window",
+    "t5_session_window",
+    "l2b_minhash_lsh",
+    "l3_vector_topk",
+    "l4b_fingerprint",
+    "x1_pandas_kernel",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("pgstream_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata tables are single smallish files; without this, map-only
+        # operators over documents/embeddings run as ONE task.  8 MB splits
+        # give every core work — the local stand-in for the many-file
+        # layout a real 100 TB table would have.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pgstream_spark.inventory import QUERIES
+
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    only = set(sys.argv[1:])
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if only and name not in only:
+            continue
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_inventory_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

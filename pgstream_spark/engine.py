@@ -124,9 +124,10 @@ class Engine:
     # -- debug (reference Stream.hs:286-288) --------------------------------
 
     def explain(self, sql: str, args: Any = None, mode: str = "formatted") -> str:
-        return self.query(sql, args)._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            self.query(sql, args)._jdf.queryExecution(), mode
-        )
+        """Physical-plan text for a bound query (the engine's ``printSQL``)."""
+        from pgstream_spark.plans.explain import explain_string
+
+        return explain_string(self.query(sql, args), mode)
 
 
 def connect(

@@ -1154,13 +1154,15 @@ def l2(spark, sf_dir):
 
 @q("l2b_minhash_lsh")  # approximate candidates → exact verify; rows-only check
 def l2b(spark, sf_dir):
+    from pgstream_spark.operators.dedup import verify_candidate_pairs
+
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_perm=128)
-    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=4)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
-    return cands.join(
-        exact, (cands.id_a == exact.id_a) & (cands.id_b == exact.id_b), "inner"
-    ).select(exact.id_a, exact.id_b, F.round(exact.jaccard, 6).alias("jaccard"))
+    # signatures feed BOTH sides of the band-bucket self-join; without a
+    # cache the whole signature stage would execute twice.
+    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_perm=96).cache()
+    cands = minhash_lsh_candidates(sigs, bands=12, rows_per_band=8)
+    verified = verify_candidate_pairs(cands, d, "doc_id", "text", n=3, threshold=0.8)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @q("l2c_simhash")  # signature values engine-specific; distribution checked in pytest

@@ -140,33 +140,63 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_perm: int = 128,
+    num_perm: int = 96,
+    seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document, computed map-side only.
+    """MinHash signature per document.
 
-    Instead of materializing ``num_perm`` permutations, each "permutation"
-    is ``xxhash64(shingle, j)`` for seed column j — the standard one-hash-
-    family trick.  The whole signature is one nested higher-order
-    expression (``transform`` over seeds of ``array_min`` over shingle
-    hashes): no explode, no shuffle, stays in whole-stage codegen.
+    Classic affine-permutation family: ONE ``xxhash64`` per shingle,
+    folded to 31 bits, then ``num_perm`` permutations ``a_j·h + b_j``
+    with 31-bit coefficients — products stay < 2^62, so the arithmetic is
+    overflow-free even under ANSI mode.  Implementation: explode shingles,
+    aggregate ``num_perm`` ``min()`` columns; partial aggregation combines
+    map-side, so the exchange carries one signature row per document, not
+    the exploded shingles.
+
+    Engineering notes (measured, not guessed): a nested higher-order-
+    function formulation bypasses whole-stage codegen (HOF lambdas are
+    interpreted) and runs ~100× slower; per-permutation ``xxhash64(s, j)``
+    re-hashes the string num_perm times; and >100 aggregate columns trips
+    ``spark.sql.codegen.maxFields``, silently de-codegening the whole
+    aggregate — hence one hash + cheap affine mixing and the default of 96
+    permutations.
 
     Returns ``(id, sig: array<bigint> length num_perm)``.
     """
-    tokens = tokens_col(F.col(text_col))
-    sh = shingles_col(tokens, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, j))
-        ),
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+    # Spread documents across all cores before the hash-heavy stage: a
+    # single-row-group input file otherwise pins the work to one task, and
+    # AQE would coalesce a size-based repartition of small input right
+    # back to one partition — so the count is explicit.  On a many-file
+    # 100 TB table the scan is already split and this is a cheap exchange.
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    h = F.xxhash64("__sh").bitwiseAND(F.lit((1 << 31) - 1)).alias("__h")
+    hashed = sh.select("id", h)
+    mins = [
+        F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame,
-    bands: int = 32,
-    rows_per_band: int = 4,
+    bands: int = 12,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs (id_a < id_b).
 
@@ -175,9 +205,11 @@ def minhash_lsh_candidates(
     shuffles ``bands × |docs|`` small rows; the self-join groups by
     (band index, band hash) so only same-bucket docs meet.
 
-    Collision probability for true Jaccard s: 1 - (1 - s^r)^b — with the
-    default (b=32, r=4) the S-curve crosses 50% near s ≈ 0.4 and is ≈ 1
-    above s ≈ 0.8.
+    Collision probability for true Jaccard s: 1 - (1 - s^r)^b.  The
+    default (b=12, r=8) targets the near-duplicate regime: ≈ 0.1% at
+    s = 0.3, 18% at s = 0.6, 99.9% at s = 0.9 — long bands keep shared-
+    vocabulary corpora from exploding the candidate set (every candidate
+    pair costs an exact verification downstream).
     """
     b, r = bands, rows_per_band
     buckets = signatures.select(
@@ -197,6 +229,41 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return cand
+
+
+def verify_candidate_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id_a, id_b).
+
+    Joins each side's (distinct) shingle array onto the pair and computes
+    ``|∩| / |∪|`` per row with array built-ins — cost is O(candidates),
+    not O(n²), which is the whole point of LSH: generate cheaply, verify
+    narrowly.  Returns pairs with ``jaccard >= threshold``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__vid"),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("__vsh"),
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
+        .withColumnRenamed("__vsh", "__sha")
+        .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
+        .withColumnRenamed("__vsh", "__shb")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sha", "__shb"))
+            / F.size(F.array_union("__sha", "__shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
 
 
 def simhash_signatures(

@@ -1,0 +1,152 @@
+"""Engine API: templating, binding, errors, schema/NULL discipline,
+streaming delivery — the reference's library surface (SURVEY §2.A)."""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+import pytest
+from pyspark.sql import types as T
+
+import pgstream_spark as pg
+from pgstream_spark.querybuilder import SQL, Identifier, format_query, render_literal
+from pgstream_spark.schema import assert_non_null, assert_schema
+
+
+class TestRenderLiteral:
+    # ToField semantics (reference QueryBuilder.hs:40-100)
+
+    def test_numbers_plain(self):
+        assert render_literal(42) == "42"
+        assert render_literal(4.5) == "4.5"
+
+    def test_none_is_null(self):
+        assert render_literal(None) == "null"
+
+    def test_bool_lowercase(self):
+        assert render_literal(True) == "true"
+        assert render_literal(False) == "false"
+
+    def test_string_quoted_and_escaped(self):
+        assert render_literal("abc") == "'abc'"
+        assert render_literal("o'brien") == "'o\\'brien'"
+
+    def test_uuid_quoted(self):
+        u = uuid.UUID("12345678-1234-5678-1234-567812345678")
+        assert render_literal(u) == f"'{u}'"
+
+    def test_sql_fragment_raw(self):
+        # the reference splices "LIMIT 100000" raw (Example.hs:55)
+        assert render_literal(SQL("LIMIT 100000")) == "LIMIT 100000"
+
+    def test_identifier_backquoted(self):
+        assert render_literal(Identifier("my table")) == "`my table`"
+
+    def test_datetime(self):
+        d = datetime.datetime(2024, 1, 2, 3, 4, 5)
+        assert render_literal(d) == "TIMESTAMP '2024-01-02 03:04:05'"
+
+    def test_array(self):
+        assert render_literal([1, 2, 3]) == "array(1, 2, 3)"
+
+
+class TestFormatQuery:
+    def test_positional_holes(self):
+        assert format_query("a={1} b={2}", (1, "x")) == "a=1 b='x'"
+
+    def test_single_arg_only_style(self):
+        assert format_query("a={1}", 5) == "a=5"
+
+    def test_named_params(self):
+        assert format_query("a=:a b=:b", {"a": 1, "b": "y"}) == "a=1 b='y'"
+
+    def test_arity_mismatch_raises(self):
+        with pytest.raises(pg.QueryError):
+            format_query("a={1} b={2}", (1,))
+
+    def test_excess_args_raise(self):
+        with pytest.raises(pg.QueryError):
+            format_query("a={1}", (1, 2))
+
+    def test_binding_never_alters_semantics(self, engine):
+        # P-9: bound vs manually inlined give identical results
+        bound = engine.rows(
+            "SELECT count(*) AS n FROM orders WHERE o_totalprice BETWEEN {1} AND {2}",
+            (1000.0, 80000.0),
+        )
+        inlined = engine.rows(
+            "SELECT count(*) AS n FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 80000.0"
+        )
+        assert bound == inlined
+
+    def test_injection_via_value_is_inert(self, engine):
+        rows = engine.rows(
+            "SELECT count(*) AS n FROM customer WHERE c_name = {1}",
+            ("x' OR '1'='1",),
+        )
+        assert rows[0].n == 0
+
+
+class TestErrors:
+    def test_query_error_carries_sql(self, engine):
+        with pytest.raises(pg.QueryError) as ei:
+            engine.query("SELECT nope FROM nowhere")
+        assert "nowhere" in str(ei.value)
+
+    def test_incompatible_schema(self, engine):
+        df = engine.query("SELECT c_custkey FROM customer")
+        with pytest.raises(pg.Incompatible):
+            assert_schema(df, {"c_custkey": T.StringType()})
+
+    def test_widening_allowed(self, engine):
+        # int may be declared bigint (reference FromRow.hs:142-146)
+        df = engine.query("SELECT n_nationkey FROM nation")
+        assert_schema(df, {"n_nationkey": T.LongType()})
+
+    def test_unexpected_null(self, engine):
+        df = engine.query(
+            "SELECT CASE WHEN c_custkey = 3 THEN NULL ELSE c_custkey END AS k "
+            "FROM customer"
+        )
+        with pytest.raises(pg.UnexpectedNull) as ei:
+            assert_non_null(df, ["k"])
+        assert ei.value.column == "k"
+
+    def test_non_null_passes_clean(self, engine):
+        df = engine.query("SELECT c_custkey FROM customer")
+        assert assert_non_null(df, ["c_custkey"]) is df
+
+
+class TestStreamDelivery:
+    # the reference's cursor-batch semantics (Stream.hs:244-284)
+
+    def test_stream_equals_one_shot(self, engine):
+        sql = "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+        streamed = [r for batch in engine.stream(sql, batch_size=400) for r in batch]
+        assert streamed == engine.rows(sql)
+
+    def test_batch_size_respected(self, engine):
+        batches = list(
+            engine.stream("SELECT o_orderkey FROM orders", batch_size=400)
+        )
+        assert all(len(b) <= 400 for b in batches)
+        assert sum(len(b) for b in batches) == 1500
+
+    def test_empty_stream_terminates(self, engine):
+        out = list(engine.stream("SELECT * FROM orders WHERE o_orderkey < 0"))
+        assert out == []
+
+
+class TestExecute:
+    def test_ddl_dml_roundtrip(self, engine):
+        # S-5: CREATE ... AS SELECT / INSERT / SELECT back
+        engine.execute("DROP VIEW IF EXISTS t_s5")
+        engine.execute(
+            "CREATE TEMPORARY VIEW t_s5 AS "
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 10"
+        )
+        n = engine.rows("SELECT count(*) AS n FROM t_s5")[0].n
+        assert n == engine.rows(
+            "SELECT count(*) AS n FROM orders WHERE o_orderkey < 10"
+        )[0].n

@@ -1,0 +1,118 @@
+"""Column functions: array kernels (null compaction), money semantics,
+epoch conversions, plus tolerance-checked builtin stats (the inventory's
+g8 uses exact formulas; here the builtins are validated against them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgstream_spark.functions.arrays import array_dot, array_mean, compact_array
+from pgstream_spark.functions.datetime import epoch_seconds, from_epoch_seconds
+from pgstream_spark.functions.money import cents_to_money, money_to_cents
+
+
+class TestArrayKernels:
+    def test_null_compaction_matches_c_kernel_semantics(self, spark):
+        # reference kernels skip NULL elements and compact
+        # (array_conversion.c:83-90)
+        df = spark.createDataFrame(
+            [(1, [1, None, 3, None, 5])], "id int, a array<int>"
+        )
+        out = df.select(compact_array(F.col("a")).alias("c")).first()
+        assert out.c == [1, 3, 5]
+
+    def test_dot_product(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+            "id int, a array<double>, b array<double>",
+        )
+        assert df.select(array_dot(F.col("a"), F.col("b")).alias("d")).first().d == 32.0
+
+    def test_array_mean_ignores_nulls(self, spark):
+        df = spark.createDataFrame([(1, [2.0, None, 4.0])], "id int, a array<double>")
+        assert df.select(array_mean(F.col("a")).alias("m")).first().m == 3.0
+
+    def test_array_mean_empty_is_null(self, spark):
+        df = spark.createDataFrame([(1, [])], "id int, a array<double>")
+        assert df.select(array_mean(F.col("a")).alias("m")).first().m is None
+
+
+class TestMoney:
+    def test_cents_roundtrip_exact(self, spark):
+        # F-11: int8 cents ÷ 100 (reference FromRow.hs:281-293)
+        df = spark.createDataFrame([(1, 12345), (2, -99)], "id int, cents long")
+        out = df.select(
+            "cents", cents_to_money(F.col("cents")).alias("m")
+        ).withColumn("back", money_to_cents(F.col("m")))
+        for r in out.collect():
+            assert r.back == r.cents
+        vals = {r.cents: str(r.m) for r in out.collect()}
+        assert vals[12345] == "123.45"
+        assert vals[-99] == "-0.99"
+
+    def test_money_sum_is_exact(self, spark):
+        # 0.1 + 0.2 style drift cannot happen in DECIMAL
+        rows = [(i, 1) for i in range(1000)]  # 1000 × $0.01
+        df = spark.createDataFrame(rows, "id int, cents long")
+        total = df.select(cents_to_money(F.col("cents")).alias("m")).agg(
+            F.sum("m").alias("s")
+        ).first().s
+        assert str(total) == "10.00"
+
+
+class TestEpoch:
+    def test_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-03-01 12:34:56")], "id int, s string"
+        ).select("id", F.col("s").cast("timestamp").alias("ts"))
+        out = df.select(
+            epoch_seconds(F.col("ts")).alias("e")
+        ).select("e", from_epoch_seconds(F.col("e")).alias("back"))
+        r = out.first()
+        assert r.e == 1709296496
+        assert str(r.back).startswith("2024-03-01 12:34:56")
+
+
+class TestBuiltinStatsAgainstExactFormulas:
+    # The inventory's g8 computes stats via exact two-pass formulas for
+    # oracle hash parity; here Spark's builtins are checked against the
+    # same numbers with float tolerance (SURVEY §5.3).
+
+    def test_stddev_var_corr(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+        from pgstream_spark.inventory import QUERIES
+
+        exact = QUERIES["g8_stats_agg"](spark, sf_dir).first()
+        li = load_table(spark, sf_dir, "lineitem")
+        builtin = li.agg(
+            F.var_samp("l_extendedprice").alias("v"),
+            F.stddev_samp("l_extendedprice").alias("s"),
+            F.corr("l_extendedprice", "l_discount").alias("c"),
+        ).first()
+        assert builtin.v == pytest.approx(exact.var_price, rel=1e-9)
+        assert builtin.s == pytest.approx(exact.stddev_price, rel=1e-9)
+        assert builtin.c == pytest.approx(exact.corr_price_disc, rel=1e-6)
+
+    def test_ln_exp_against_duckdb(self, spark, sf_dir, duck):
+        # libm functions: tolerance-checked, never hash-checked
+        from pgstream_spark.sources.parquet import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        s = o.agg(
+            F.sum(F.log("o_totalprice")).alias("sum_ln")
+        ).first().sum_ln
+        d = duck.execute("SELECT SUM(ln(o_totalprice)) FROM orders").fetchone()[0]
+        assert s == pytest.approx(d, rel=1e-12)
+
+
+class TestApproxDistinct:
+    def test_hll_within_tolerance(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        r = li.agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+            F.count_distinct("l_partkey").alias("e"),
+        ).first()
+        assert r.a == pytest.approx(r.e, rel=0.1)

@@ -1,0 +1,308 @@
+"""Custom operators: as-of join, interval join, dedup tiers, similarity,
+text stats, multimodal plumbing — correctness against small in-memory
+fixtures and NumPy/brute-force oracles."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators import (
+    asof_join,
+    brute_force_top_k,
+    exact_dedup,
+    interval_join,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    top_k_per_group,
+)
+from pgstream_spark.operators.similarity import lsh_bucketed_top_k
+from pgstream_spark.operators.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    with_text_stats,
+)
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 10:00:00"), "a"),
+                (1, ts("2024-01-01 12:00:00"), "b"),
+                (1, ts("2024-01-01 09:00:00"), "early"),
+                (2, ts("2024-01-01 10:30:00"), "c"),
+                (3, ts("2024-01-01 10:00:00"), "nokey"),
+            ],
+            "k int, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 09:30:00"), 100.0),
+                (1, ts("2024-01-01 11:00:00"), 200.0),
+                (2, ts("2024-01-01 10:30:00"), 300.0),
+            ],
+            "k int, t timestamp, px double",
+        )
+        return left, right
+
+    def test_backward(self, frames):
+        left, right = frames
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="t")
+        got = {r.tag: r.px_r for r in out.collect()}
+        assert got == {
+            "early": None,      # no prior price
+            "a": 100.0,         # 09:30 price
+            "b": 200.0,         # 11:00 price
+            "c": 300.0,         # equal timestamps match (at-or-before)
+            "nokey": None,      # key absent from right
+        }
+
+    def test_forward(self, frames):
+        left, right = frames
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", direction="forward"
+        )
+        got = {r.tag: r.px_r for r in out.collect()}
+        assert got["early"] == 100.0   # next price at 09:30
+        assert got["a"] == 200.0       # next at 11:00
+        assert got["b"] is None        # nothing after 12:00
+        assert got["c"] == 300.0       # equal ts matches
+
+    def test_tolerance(self, frames):
+        left, right = frames
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            tolerance_seconds=1800,
+        )
+        got = {r.tag: r.px_r for r in out.collect()}
+        assert got["a"] == 100.0       # 30 min gap, inside tolerance
+        assert got["b"] is None        # 60 min gap, outside
+
+    def test_preserves_left_count(self, frames):
+        left, right = frames
+        assert asof_join(left, right, "k", "t", "t").count() == left.count()
+
+
+class TestIntervalJoin:
+    def test_matches_naive_range_join(self, spark):
+        points = spark.createDataFrame(
+            [(i, float(i * 37 % 1000)) for i in range(200)], "pid int, x double"
+        )
+        intervals = spark.createDataFrame(
+            [(j, float(j * 91 % 900), float(j * 91 % 900 + 50)) for j in range(40)],
+            "iid int, lo double, hi double",
+        )
+        fast = interval_join(
+            points, intervals, point_ts="x", start_ts="lo", end_ts="hi",
+            bucket_seconds=64,
+        )
+        naive = points.join(
+            intervals,
+            (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")),
+        )
+        assert sorted((r.pid, r.iid) for r in fast.collect()) == sorted(
+            (r.pid, r.iid) for r in naive.collect()
+        )
+
+    def test_no_duplicate_pairs(self, spark):
+        # an interval spanning many buckets must still yield one row per match
+        points = spark.createDataFrame([(1, 500.0)], "pid int, x double")
+        intervals = spark.createDataFrame(
+            [(1, 0.0, 1000.0)], "iid int, lo double, hi double"
+        )
+        out = interval_join(points, intervals, "x", "lo", "hi", bucket_seconds=10)
+        assert out.count() == 1
+
+
+class TestTopK:
+    def test_matches_sql_window(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        out = top_k_per_group(
+            o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+        )
+        counts = out.groupBy("o_custkey").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
+        # best row per customer == max totalprice
+        best = {r.o_custkey: r.o_totalprice for r in out.filter("rn = 1").collect()}
+        true_max = {
+            r.o_custkey: r.mx
+            for r in o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("mx")).collect()
+        }
+        assert best == true_max
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the park today"),
+    (2, "the quick brown fox jumps over the lazy dog in the park tonight"),  # near-dup of 1
+    (3, "completely different text about spark sql engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog in the park today"),    # exact dup of 1
+    (5, "spark sql engines need shuffles and partitions for scale"),
+]
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_exact_dedup_keeps_min_id(self, docs):
+        out = exact_dedup(docs, ["text"], keep_order_col="doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 5]
+
+    def test_exact_jaccard_finds_near_dup(self, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got          # near-dup pair recovered
+        assert (1, 4) in got          # exact dup → jaccard 1.0
+        assert (1, 3) not in got
+
+    def test_minhash_lsh_recall_on_exact_dups(self, docs):
+        sigs = minhash_signatures(docs, num_perm=64)
+        cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+        got = {(r.id_a, r.id_b) for r in cands.collect()}
+        assert (1, 4) in got          # identical docs always collide
+        assert (1, 2) in got          # 1-token difference: near-certain collision
+
+    def test_minhash_signature_shape(self, docs):
+        row = minhash_signatures(docs, num_perm=32).first()
+        assert len(row.sig) == 32
+
+    def test_simhash_near_dup_hamming(self, docs):
+        rows = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+        def hamming(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert rows[1] == rows[4]                      # identical text
+        assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+    def test_jaccard_df_cap_drops_stop_shingles(self, docs):
+        # with a df cap of 1 every shared shingle is dropped → no pairs
+        pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=1)
+        assert pairs.count() == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.default_rng(7)
+        data = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)]
+        return data, spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+    def test_brute_force_matches_numpy(self, vecs):
+        data, df = vecs
+        out = brute_force_top_k(df.filter("vec_id < 3"), df, k=4)
+        got = {
+            q: [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)]
+            for q, rows in _group(out.collect(), "query_id").items()
+        }
+        # float32 storage: replicate Spark's cast-to-float-then-double
+        M = np.array([np.asarray(v, dtype="float32") for _, v in data], dtype="float64")
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Mn.T
+        for q in range(3):
+            order = sorted(
+                (i for i in range(len(data)) if i != q),
+                key=lambda i: (-sims[q, i], i),
+            )[:4]
+            assert got[q] == order, f"query {q}"
+
+    def test_lsh_recall(self, vecs):
+        data, df = vecs
+        exact = brute_force_top_k(df.filter("vec_id < 10"), df, k=3)
+        approx = lsh_bucketed_top_k(
+            df.filter("vec_id < 10"), df, k=3, m_bits=4, tables=8, dim=16
+        )
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+class TestTextStats:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "The quick brown fox, and it is that good!"),
+                (2, "el que de la y en un por 12345 !!!"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_stats_columns(self, docs):
+        row = with_text_stats(docs).filter("doc_id = 1").first()
+        assert row.n_chars == len(DOC1 := "The quick brown fox, and it is that good!")
+        assert row.n_tokens == 9
+        assert 0 < row.stopword_ratio < 1
+        assert 0 < row.punct_ratio < 0.2
+
+    def test_quality_in_unit_interval(self, docs):
+        for r in quality_score(docs).collect():
+            assert 0.0 <= r.quality <= 1.0
+
+    def test_language_id(self, docs):
+        got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+        assert got[1] == "en"
+        assert got[2] == "es"
+        assert got[3] == "und"
+
+    def test_fingerprint_normalizes_whitespace_and_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.fingerprint for r in document_fingerprint(df).collect()}
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from pgstream_spark.operators.multimodal import (
+            attach_media_meta,
+            extract_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"fake-jpeg-bytes")), (2, bytearray(b""))],
+            "asset_id long, payload binary",
+        )
+        meta = attach_media_meta(df, "payload").select("asset_id", "media_meta").collect()
+        sizes = {r.asset_id: r.media_meta.size_bytes for r in meta}
+        assert sizes == {1: 15, 2: 0}
+
+        feats = extract_features(df, "payload", "asset_id").collect()
+        by_id = {r.id: r.features for r in feats}
+        assert len(by_id[1]) == 8
+        assert all(0.0 <= v <= 1.0 for v in by_id[1])
+        # deterministic across runs
+        feats2 = extract_features(df, "payload", "asset_id").collect()
+        assert {r.id: r.features for r in feats2} == by_id
+
+    def test_real_decode_is_explicit_stub(self, spark):
+        from pgstream_spark.operators.multimodal import extract_features
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
+        with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary wrapped
+            extract_features(df, "payload", "asset_id", decode_stub=False).collect()

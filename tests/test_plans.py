@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties that matter at 100 TB —
+predicate pushdown, column pruning, broadcast joins, codegen — pinned as
+tests so regressions are loud (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgstream_spark.plans import (
+    pushed_filters,
+    scan_columns,
+    uses_broadcast_join,
+    wholestage_codegen_ids,
+)
+from pgstream_spark.sources.parquet import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 1000
+    ).select("o_orderkey")
+    filters = pushed_filters(df)
+    assert any("o_totalprice" in f for f in filters), filters
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = scan_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    df = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert uses_broadcast_join(df)
+
+
+def test_aggregation_uses_codegen(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    assert wholestage_codegen_ids(df), "aggregate fell out of codegen"
+
+
+def test_inventory_scan_heavy_queries_push_filters(spark, sf_dir):
+    # p4_between filters on both columns it scans — both must push down
+    from pgstream_spark.inventory import QUERIES
+
+    df = QUERIES["p4_between"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("o_totalprice" in f for f in filters)
+    assert any("o_orderdate" in f for f in filters)
+
+
+def test_engine_explain_returns_plan(engine):
+    text = engine.explain("SELECT count(*) AS n FROM orders", mode="formatted")
+    assert "Physical Plan" in text or "AdaptiveSparkPlan" in text
+
+
+def test_jdbc_reader_configuration(spark):
+    # S-2: plan-construction layer only — no live Postgres in the test env
+    from pgstream_spark.sources.jdbc import PostgresSource
+
+    src = PostgresSource(host="db.example", database="invest", user="u")
+    assert src.url == "jdbc:postgresql://db.example:5432/invest"
+    reader = src.reader(
+        spark, "deltas", partition_column="sid", lower_bound=0,
+        upper_bound=100_000, num_partitions=16,
+    )
+    assert reader is not None
+    import pytest
+
+    with pytest.raises(ValueError):
+        src.reader(spark, "deltas", partition_column="sid")

@@ -1,0 +1,193 @@
+"""Structured Streaming semantics (SURVEY §2 T-*): batch==stream
+equivalence, exactly-once restart, windows, watermark late-drop."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgstream_spark.sources.parquet import load_events
+from pgstream_spark.streaming.delivery import run_available_now, stream_query
+from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
+from pgstream_spark.streaming.windows import (
+    session_windowed_agg,
+    stateful_dedup,
+    tumbling_windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_chunks_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 chronological parquet chunks (FIXTURES B.3)."""
+    base = tmp_path_factory.mktemp("events_replay")
+    ev = load_events(spark, sf_dir).orderBy("ts")
+    rows = ev.collect()
+    n = len(rows)
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(base / f"chunk={i}"))
+    # flatten: file source wants a flat dir of parquet files
+    flat = tmp_path_factory.mktemp("events_flat")
+    idx = 0
+    for f in sorted(glob.glob(str(base / "chunk=*" / "*.parquet"))):
+        shutil.copy(f, flat / f"part-{idx:04d}.parquet")
+        idx += 1
+    return str(flat), ev.schema
+
+
+class TestBatchStreamEquivalence:
+    # T-1: union of micro-batch outputs == one-shot batch query
+
+    def test_file_stream_counts_match_batch(self, spark, events_chunks_dir, tmp_path):
+        src, schema = events_chunks_dir
+        agg = lambda df: df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+        sdf = stream_query(
+            spark, src, schema, transform=None, max_files_per_trigger=1
+        )
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(sink)
+        batch = spark.read.parquet(src)
+        assert streamed.count() == batch.count()
+        a = {(r.event_type, r.n) for r in agg(streamed).collect()}
+        b = {(r.event_type, r.n) for r in agg(batch).collect()}
+        assert a == b
+
+    def test_restart_no_dupes_no_loss(self, spark, events_chunks_dir, tmp_path):
+        # T-3: run the stream twice over the same checkpoint — the second
+        # run must add nothing (exactly-once over restart).
+        src, schema = events_chunks_dir
+        sink = str(tmp_path / "sink2")
+        ckpt = str(tmp_path / "ckpt2")
+
+        def run_once():
+            sdf = stream_query(spark, src, schema, max_files_per_trigger=2)
+            q = (
+                sdf.writeStream.foreachBatch(idempotent_parquet_sink(sink))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        n1 = spark.read.parquet(sink).count()
+        run_once()  # "restart": same checkpoint, no new input
+        n2 = spark.read.parquet(sink).count()
+        total = spark.read.parquet(src).count()
+        assert n1 == total
+        assert n2 == total  # no duplicates after restart
+
+
+class TestWindows:
+    def test_tumbling_batch_matches_manual_trunc(self, spark, sf_dir):
+        ev = load_events(spark, sf_dir)
+        out = tumbling_windowed_agg(
+            ev, "ts", "1 hour", [F.count(F.lit(1)).alias("n")]
+        )
+        manual = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        a = {(r.window_start, r.n) for r in out.collect()}
+        b = {(r.h, r.n) for r in manual.collect()}
+        assert a == b
+
+    def test_sliding_window_covers_each_row_twice(self, spark, sf_dir):
+        ev = load_events(spark, sf_dir)
+        out = tumbling_windowed_agg(
+            ev, "ts", "2 hours", [F.count(F.lit(1)).alias("n")], slide="1 hour"
+        )
+        total = sum(r.n for r in out.collect())
+        assert total == 2 * ev.count()  # every event in exactly 2 sliding windows
+
+    def test_session_window_end_is_last_plus_gap(self, spark):
+        import datetime
+
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+            (1, datetime.datetime(2024, 1, 1, 10, 10, 0)),   # same session
+            (1, datetime.datetime(2024, 1, 1, 11, 30, 0)),   # new session
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+        out = session_windowed_agg(
+            df, "ts", "30 minutes", [F.count(F.lit(1)).alias("n")], ["user_id"]
+        ).orderBy("session_start").collect()
+        assert len(out) == 2
+        assert out[0].n == 2
+        assert out[0].session_end == datetime.datetime(2024, 1, 1, 10, 40, 0)
+        assert out[1].n == 1
+
+    def test_watermark_drops_late_rows_in_stream(self, spark, tmp_path):
+        # T-6: a row 2 hours older than the watermark horizon must be
+        # dropped by a streaming window aggregate (semantic test).
+        import datetime
+
+        schema = "user_id int, ts timestamp"
+        src = str(tmp_path / "wm_src")
+        os.makedirs(src)
+        on_time = [
+            (1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+            (1, datetime.datetime(2024, 1, 1, 12, 0, 0)),  # advances watermark to 11:50
+        ]
+        late = [(1, datetime.datetime(2024, 1, 1, 9, 0, 0))]  # < watermark → dropped
+        spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(
+            src + "/a.parquet"
+        )
+        spark.createDataFrame(late, schema).coalesce(1).write.parquet(
+            src + "/b.parquet"
+        )
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sink = str(tmp_path / "wm_sink")
+        ckpt = str(tmp_path / "wm_ckpt")
+        q = (
+            sdf.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        files = glob.glob(sink + "/*.parquet")
+        emitted = (
+            spark.read.parquet(sink).collect() if files else []
+        )
+        # append mode emits only finalized windows; the 09:00 window must
+        # never contain the late row
+        for r in emitted:
+            if r.window.start == datetime.datetime(2024, 1, 1, 9, 0, 0):
+                pytest.fail("late row was not dropped")
+
+    def test_stateful_dedup_batch(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+        )
+        assert stateful_dedup(df, ["k"]).count() == 2
