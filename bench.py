@@ -80,6 +80,7 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()  # drop per-query caches (e.g. LSH signatures)
 
     total = round(sum(timings.values()), 3)
     print(

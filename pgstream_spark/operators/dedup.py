@@ -6,11 +6,13 @@ hot path):
 * ``exact_dedup``            — hash-groupBy on normalized text (L-1);
 * ``ngram_jaccard_pairs``    — exact token-shingle Jaccard similarity
   join (the verification oracle for the approximate tiers);
-* ``minhash_signatures`` / ``minhash_lsh_candidates`` — MinHash + LSH
-  banding (L-2): signatures computed *per-row* with nested higher-order
-  functions (zero shuffle), candidates via a band-bucket self-join;
-* ``simhash_signatures``     — 64-bit SimHash per document, again pure
-  per-row HOF arithmetic;
+* ``minhash_signatures`` / ``minhash_lsh_candidates`` /
+  ``verify_candidate_pairs`` — MinHash + LSH banding (L-2): one hash per
+  shingle + affine permutations under codegen'd min-aggregates,
+  candidates via a band-bucket self-join, exact verification on
+  candidates only;
+* ``simhash_signatures``     — 64-bit SimHash per document via per-row
+  column arithmetic;
 * ``embedding_neardup_pairs``— cosine-threshold near-dup over an
   embedding column.
 
@@ -35,6 +37,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "verify_candidate_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
 ]
