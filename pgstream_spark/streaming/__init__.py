@@ -8,6 +8,7 @@ from pgstream_spark.streaming.windows import (
     stateful_dedup,
 )
 from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
+from pgstream_spark.streaming.stateful import gap_change_detector, running_totals
 
 __all__ = [
     "stream_query",
@@ -15,4 +16,6 @@ __all__ = [
     "session_windowed_agg",
     "stateful_dedup",
     "idempotent_parquet_sink",
+    "running_totals",
+    "gap_change_detector",
 ]

@@ -38,6 +38,24 @@ def sf_dir():
     return SF_DIR
 
 
+def write_flat_parquet(spark, rows, schema, dest_file):
+    """Write rows as ONE parquet FILE (not a directory) — the shape the
+    file-stream source expects when files are dropped into a watched dir
+    (non-partition subdirectories are ignored by the source)."""
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        staging + "/out"
+    )
+    part = glob.glob(staging + "/out/part-*.parquet")[0]
+    os.makedirs(os.path.dirname(dest_file), exist_ok=True)
+    shutil.copy(part, dest_file)
+    shutil.rmtree(staging)
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

