@@ -1491,3 +1491,56 @@ def l4d(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return quality_score(d).select("doc_id", "quality")
+
+
+# =====================================================================
+# Hypertable-style rollup + UDTF (T/X extensions)
+# =====================================================================
+
+@q(
+    "t9_time_rollup",
+    # Multi-resolution continuous-aggregate rollup.  Values ride as scaled
+    # integers so sum-of-sums (the stacked tiers) is bit-equal to the
+    # oracle's direct per-resolution sums.
+    "WITH " + _EV + ", v AS (SELECT ts, "
+    f"CAST(round(value * {_SCALE}) AS BIGINT) AS sv FROM ev) "
+    "SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket_start, "
+    "count(sv) AS n, " + f"CAST(SUM(sv) AS DOUBLE) / {_SCALE}.0 AS sum_value, "
+    f"CAST(MIN(sv) AS DOUBLE) / {_SCALE}.0 AS min_value, "
+    f"CAST(MAX(sv) AS DOUBLE) / {_SCALE}.0 AS max_value "
+    "FROM v GROUP BY 2 "
+    "UNION ALL SELECT 'hour', date_trunc('hour', ts), count(sv), "
+    f"CAST(SUM(sv) AS DOUBLE) / {_SCALE}.0, CAST(MIN(sv) AS DOUBLE) / {_SCALE}.0, "
+    f"CAST(MAX(sv) AS DOUBLE) / {_SCALE}.0 FROM v GROUP BY 2 "
+    "UNION ALL SELECT 'day', date_trunc('day', ts), count(sv), "
+    f"CAST(SUM(sv) AS DOUBLE) / {_SCALE}.0, CAST(MIN(sv) AS DOUBLE) / {_SCALE}.0, "
+    f"CAST(MAX(sv) AS DOUBLE) / {_SCALE}.0 FROM v GROUP BY 2",
+)
+def t9(spark, sf_dir):
+    from pgstream_spark.operators.rollup_time import time_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * _SCALE).cast("bigint").alias("sv")
+    )
+    out = time_rollup(ev, "ts", "sv", resolutions=("minute", "hour", "day"))
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "n",
+        (F.col("sum_value").cast("double") / float(_SCALE)).alias("sum_value"),
+        (F.col("min_value").cast("double") / float(_SCALE)).alias("min_value"),
+        (F.col("max_value").cast("double") / float(_SCALE)).alias("max_value"),
+    )
+
+
+@q("x5b_python_udtf")  # Python UDTF — rows-only (no SQL-portable oracle)
+def x5b(spark, sf_dir):
+    from pgstream_spark.functions.udtf_fns import register_tokenize_udtf
+
+    register_tokenize_udtf(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("__pg_docs_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token, t.rolling_hash "
+        "FROM __pg_docs_udtf d, LATERAL tokenize(d.doc_id, d.text) t"
+    )

@@ -21,6 +21,8 @@ from pgstream_spark.operators.similarity import (
     lsh_bucketed_top_k,
     with_cosine,
 )
+from pgstream_spark.operators.rollup_time import time_rollup
+from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.textstats import (
     with_text_stats,
     language_id,
@@ -41,6 +43,8 @@ __all__ = [
     "brute_force_top_k",
     "lsh_bucketed_top_k",
     "with_cosine",
+    "time_rollup",
+    "salted_agg",
     "with_text_stats",
     "language_id",
     "quality_score",

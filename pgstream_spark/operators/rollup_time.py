@@ -1,0 +1,83 @@
+"""Hypertable-style time rollups — continuous-aggregate shape.
+
+Time-series stores expose "continuous aggregates": the same measure
+pre-aggregated at several resolutions (minute/hour/day).  The Spark-native
+shape is a single scan feeding a stacked rollup: aggregate once at the
+finest resolution, then re-aggregate coarser tiers FROM the finer tier —
+at 100 TB the raw table is read exactly once, and each coarser tier costs
+an aggregation over the (tiny) finer tier instead of another scan.
+
+Works in batch (oracle-checkable) and, per-tier, in streaming mode with a
+watermark (each tier is an ordinary windowed aggregate).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["time_rollup"]
+
+_RES_SECONDS = {
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    resolutions: Sequence[str] = ("minute", "hour", "day"),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stacked (count, sum, min, max) rollups of ``value_col`` at each
+    resolution.
+
+    Output: ``(resolution, bucket_start, *group_cols, n, sum_value,
+    min_value, max_value)``.  Tiers beyond the first are computed from the
+    previous tier (sum-of-sums, min-of-mins…), so the input scan happens
+    once.  Resolutions must be coarsening multiples (minute→hour→day→week).
+    """
+    ordered = sorted(resolutions, key=lambda r: _RES_SECONDS[r])
+    gcols = list(group_cols)
+
+    finest = ordered[0]
+    tier = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"), *gcols
+        )
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    tiers = [tier.withColumn("resolution", F.lit(finest))]
+
+    for res in ordered[1:]:
+        tier = (
+            tier.groupBy(
+                F.date_trunc(res, F.col("bucket_start")).alias("bucket_start"),
+                *gcols,
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        tiers.append(tier.withColumn("resolution", F.lit(res)))
+
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.select(
+        "resolution", "bucket_start", *gcols, "n", "sum_value", "min_value", "max_value"
+    )

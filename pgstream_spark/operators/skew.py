@@ -1,0 +1,54 @@
+"""Skew-mitigation helpers.
+
+AQE's skew-join splitting handles joins; skewed *aggregations* (one key
+holding a large fraction of all rows) still funnel that key's rows into a
+single reducer.  ``salted_agg`` is the standard two-stage fix: aggregate
+on (key, salt) first — spreading the hot key across ``salt_buckets``
+reducers — then combine the partials.  Correct only for algebraic
+aggregates (sum/count/min/max), which is what it exposes.
+
+At 100 TB this is the difference between one straggler task processing
+10⁹ rows and ``salt_buckets`` tasks processing 10⁹/N each.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg"]
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage (salted) grouped aggregation for skewed keys.
+
+    Returns one row per group with ``count(*) AS n`` (if ``count``) and
+    ``sum(<c>) AS sum_<c>`` per ``sum_cols`` — identical semantics to the
+    direct groupBy, different shuffle shape.
+    """
+    gcols = list(group_cols)
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+
+    stage1_aggs = []
+    if count:
+        stage1_aggs.append(F.count(F.lit(1)).alias("__n"))
+    for c in sum_cols:
+        stage1_aggs.append(F.sum(c).alias(f"__s_{c}"))
+
+    partial = df.withColumn("__salt", salt).groupBy(*gcols, "__salt").agg(*stage1_aggs)
+
+    stage2_aggs = []
+    if count:
+        stage2_aggs.append(F.sum("__n").alias("n"))
+    for c in sum_cols:
+        stage2_aggs.append(F.sum(f"__s_{c}").alias(f"sum_{c}"))
+
+    return partial.groupBy(*gcols).agg(*stage2_aggs)

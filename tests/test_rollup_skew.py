@@ -1,0 +1,107 @@
+"""Hypertable rollup, skew-salted aggregation, Python UDTF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators.rollup_time import time_rollup
+from pgstream_spark.operators.skew import salted_agg
+from pgstream_spark.sources.parquet import load_events
+
+
+class TestTimeRollup:
+    def test_tiers_consistent(self, spark, sf_dir):
+        ev = load_events(spark, sf_dir).select(
+            "ts", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+        out = time_rollup(ev, "ts", "v", resolutions=("minute", "hour", "day")).cache()
+
+        totals = {
+            r.resolution: (r.n, r.s)
+            for r in out.groupBy("resolution")
+            .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("s"))
+            .collect()
+        }
+        # every tier preserves total count and total sum
+        assert totals["minute"] == totals["hour"] == totals["day"]
+
+        # hour tier equals a direct hourly aggregation of the raw data
+        direct = {
+            (r.b, ): (r.n, r.s, r.mn, r.mx)
+            for r in ev.groupBy(F.date_trunc("hour", "ts").alias("b"))
+            .agg(
+                F.count("v").alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        tier = {
+            (r.bucket_start, ): (r.n, r.sum_value, r.min_value, r.max_value)
+            for r in out.filter("resolution = 'hour'").collect()
+        }
+        assert tier == direct
+        out.unpersist()
+
+    def test_grouped_rollup(self, spark, sf_dir):
+        ev = load_events(spark, sf_dir).select(
+            "ts", "event_type", F.round(F.col("value")).cast("bigint").alias("v")
+        )
+        out = time_rollup(
+            ev, "ts", "v", resolutions=("hour", "day"), group_cols=["event_type"]
+        )
+        day = out.filter("resolution = 'day'")
+        direct = ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+        ).agg(F.sum("v").alias("s"))
+        a = {(r.bucket_start, r.event_type, r.sum_value) for r in day.collect()}
+        b = {(r.bucket_start, r.event_type, r.s) for r in direct.collect()}
+        assert a == b
+
+
+class TestSaltedAgg:
+    def test_equals_direct_groupby(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.round(F.col("l_quantity")).cast("bigint").alias("q")
+        )
+        salted = salted_agg(li, ["l_returnflag"], sum_cols=["q"], salt_buckets=8)
+        direct = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q")
+        )
+        a = {(r.l_returnflag, r.n, r.sum_q) for r in salted.collect()}
+        b = {(r.l_returnflag, r.n, r.sum_q) for r in direct.collect()}
+        assert a == b
+
+    def test_salt_spreads_hot_key(self, spark):
+        # a single-key frame must occupy multiple salt buckets
+        df = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id"))
+        salt = (F.rand(seed=42) * 8).cast("int")
+        n_buckets = df.withColumn("s", salt).select("s").distinct().count()
+        assert n_buckets == 8
+
+
+class TestPythonUDTF:
+    def test_tokenize_rows_and_hash_prefix_property(self, spark):
+        from pgstream_spark.functions.udtf_fns import register_tokenize_udtf
+
+        register_tokenize_udtf(spark)
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta DELTA"), (3, None)],
+            "doc_id long, text string",
+        ).createOrReplaceTempView("__udtf_docs")
+        rows = spark.sql(
+            "SELECT t.doc_id, t.pos, t.token, t.rolling_hash "
+            "FROM __udtf_docs d, LATERAL tokenize(d.doc_id, d.text) t"
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, {})[r.pos] = (r.token, r.rolling_hash)
+        assert 3 not in by_doc  # NULL text yields no rows
+        assert [by_doc[1][i][0] for i in range(3)] == ["alpha", "beta", "gamma"]
+        # shared 2-token prefix → equal rolling hashes at pos 0 and 1,
+        # diverging at pos 2
+        assert by_doc[1][0][1] == by_doc[2][0][1]
+        assert by_doc[1][1][1] == by_doc[2][1][1]
+        assert by_doc[1][2][1] != by_doc[2][2][1]
