@@ -25,6 +25,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # windows, text/dedup/similarity pipeline, and the Arrow UDF path.
 HEADLINE = [
     "s1_scan_count",
+    "x1_pandas_kernel",
     "g1_tpch_q1",
     "g3_count_distinct",
     "j1_inner_equi",
@@ -38,7 +39,10 @@ HEADLINE = [
     "l2b_minhash_lsh",
     "l3_vector_topk",
     "l4b_fingerprint",
-    "x1_pandas_kernel",
+    "l4d_quality_score",
+    "g10_tpch_q3_shipping",
+    "g11_tpch_q5_local_supplier",
+    "t9_time_rollup",
 ]
 
 
@@ -81,6 +85,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
         spark.catalog.clearCache()  # drop per-query caches (e.g. LSH signatures)
+        spark.sparkContext._jvm.System.gc()  # isolate queries from prior-query garbage
 
     total = round(sum(timings.values()), 3)
     print(

@@ -33,12 +33,34 @@ from typing import Any, Iterator, Mapping, Sequence
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
 
-from pgstream_spark.errors import QueryError
+from pgstream_spark.errors import ConversionError, QueryError
 from pgstream_spark.querybuilder import format_query
 from pgstream_spark.schema import assert_non_null, assert_schema
 from pgstream_spark.sources.parquet import register_views
 
 __all__ = ["Engine", "connect"]
+
+# Spark error classes that correspond to the reference's ConversionError
+# (a VALUE failed to decode/convert) rather than a query-level failure.
+_CONVERSION_MARKERS = (
+    "CAST_INVALID_INPUT",
+    "CAST_OVERFLOW",
+    "NUMERIC_VALUE_OUT_OF_RANGE",
+    "ARITHMETIC_OVERFLOW",
+    "CANNOT_PARSE",
+    "INVALID_FRACTION_OF_SECOND",
+    "DATETIME_OVERFLOW",
+)
+
+
+def _wrap_runtime_error(exc: Exception, sql: str) -> Exception:
+    if isinstance(exc, (QueryError, ConversionError)):
+        return exc
+    msg = str(exc)
+    first_line = msg.splitlines()[0] if msg else type(exc).__name__
+    if any(m in msg for m in _CONVERSION_MARKERS):
+        return ConversionError(first_line)
+    return QueryError(first_line, sql)
 
 
 class Engine:
@@ -79,8 +101,18 @@ class Engine:
         return df
 
     def rows(self, sql: str, args: Any = None, **kw: Any) -> list[Row]:
-        """Eager variant — the reference's ``query :: … -> IO [r]``."""
-        return self.query(sql, args, **kw).collect()
+        """Eager variant — the reference's ``query :: … -> IO [r]``.
+
+        Runtime failures keep the typed envelope too (A-20): value-level
+        cast/overflow errors (ANSI mode) surface as ``ConversionError`` —
+        the reference's decode-failure class — and anything else as
+        ``QueryError`` carrying the SQL.
+        """
+        df = self.query(sql, args, **kw)
+        try:
+            return df.collect()
+        except Exception as exc:
+            raise _wrap_runtime_error(exc, self.bind(sql, args)) from exc
 
     # -- execute path (reference Stream.hs:122-145) ------------------------
 
@@ -113,11 +145,16 @@ class Engine:
         """
         df = self.query(sql, args)
         batch: list[Row] = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            batch.append(row)
-            if len(batch) >= batch_size:
-                yield batch
-                batch = []
+        try:
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                batch.append(row)
+                if len(batch) >= batch_size:
+                    yield batch
+                    batch = []
+        except Exception as exc:
+            # abort the whole stream atomically, typed — the analogue of
+            # the reference's rollback-on-error (Stream.hs:263-270)
+            raise _wrap_runtime_error(exc, self.bind(sql, args)) from exc
         if batch:
             yield batch
 
@@ -153,7 +190,9 @@ def connect(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays at Spark's default (true in 4.x): closest to the
+        # Postgres semantics the reference delegated to — overflow and bad
+        # casts error instead of silently wrapping/nulling.
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

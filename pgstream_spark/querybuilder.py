@@ -82,10 +82,12 @@ def render_literal(value: Any) -> str:
         return str(value)
     if isinstance(value, float):
         if math.isnan(value):
-            return "float('nan')"
+            return "double('nan')"
         if math.isinf(value):
-            return "float('inf')" if value > 0 else "float('-inf')"
-        return repr(value)
+            return "double('inf')" if value > 0 else "double('-inf')"
+        # the D suffix forces DOUBLE: a bare decimal literal is parsed as
+        # exact DECIMAL under ANSI mode, silently changing the type
+        return repr(value) + "D"
     if isinstance(value, Decimal):
         return f"CAST('{value}' AS DECIMAL(38,18))"
     if isinstance(value, _uuid.UUID):

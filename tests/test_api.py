@@ -19,7 +19,9 @@ class TestRenderLiteral:
 
     def test_numbers_plain(self):
         assert render_literal(42) == "42"
-        assert render_literal(4.5) == "4.5"
+        # floats carry the D suffix: a bare decimal literal would be
+        # parsed as exact DECIMAL under ANSI mode
+        assert render_literal(4.5) == "4.5D"
 
     def test_none_is_null(self):
         assert render_literal(None) == "null"

@@ -75,3 +75,47 @@ def test_jdbc_reader_configuration(spark):
 
     with pytest.raises(ValueError):
         src.reader(spark, "deltas", partition_column="sid")
+
+
+def test_asof_join_plan_shape(spark, sf_dir):
+    # SCALE.md claim: as-of join = one shuffle + ONE in-partition sort,
+    # never a nested loop or a range-exploded join.
+    from pgstream_spark.operators import asof_join
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_events, load_table
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    ordd = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    j = asof_join(ev, ordd, on="user_id", left_ts="ts", right_ts="o_orderdate")
+    txt = explain_string(j, "simple")
+    assert "NestedLoop" not in txt
+    assert txt.count("Sort") == 1, txt  # the single window sort
+    assert "Join" not in txt  # no join operator at all — union+window
+
+
+def test_interval_join_plan_shape(spark, sf_dir):
+    # SCALE.md claim: bucketed range join plans as an equi hash/merge join
+    # with a residual filter — never BroadcastNestedLoopJoin.
+    from pgstream_spark.operators import interval_join
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    ij = interval_join(
+        ev.select("event_id", "user_id", "ts"), intervals,
+        "ts", "s", "e", bucket_seconds=3600, extra_on=["user_id"],
+    )
+    txt = explain_string(ij, "simple")
+    assert "NestedLoop" not in txt
+    assert ("HashJoin" in txt) or ("SortMergeJoin" in txt)
