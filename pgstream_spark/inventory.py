@@ -1544,3 +1544,14 @@ def x5b(spark, sf_dir):
         "SELECT t.doc_id, t.pos, t.token, t.rolling_hash "
         "FROM __pg_docs_udtf d, LATERAL tokenize(d.doc_id, d.text) t"
     )
+
+
+@q("l3d_ivf_topk")  # IVF ANN — approximate; recall vs brute force in pytest
+def l3d(spark, sf_dir):
+    from pgstream_spark.operators.ivf import ivf_top_k, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_lists=16, sample_size=1024)
+    return ivf_top_k(
+        e.filter(F.col("vec_id") < 10), e, cents, k=5, n_probes=4
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")

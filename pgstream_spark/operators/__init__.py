@@ -21,6 +21,7 @@ from pgstream_spark.operators.similarity import (
     lsh_bucketed_top_k,
     with_cosine,
 )
+from pgstream_spark.operators.ivf import assign_buckets, ivf_top_k, train_centroids
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.textstats import (
@@ -43,6 +44,9 @@ __all__ = [
     "brute_force_top_k",
     "lsh_bucketed_top_k",
     "with_cosine",
+    "train_centroids",
+    "assign_buckets",
+    "ivf_top_k",
     "time_rollup",
     "salted_agg",
     "with_text_stats",

@@ -1,0 +1,155 @@
+"""IVF (inverted-file) approximate nearest neighbor — the centroid-bucket
+scale path for vector search (SURVEY §2 L-3 extension).
+
+Pipeline (all deterministic, seed-fixed):
+
+1. **Train**: k-means on a driver-side SAMPLE of the corpus (sampling a
+   few thousand vectors from 10¹¹ is the standard IVF recipe — training
+   never touches the full data).
+2. **Assign**: each corpus vector's nearest centroid, computed JVM-side —
+   the centroid matrix ships as a broadcast-sized literal array and the
+   argmin is a higher-order fold.  Map-only; persists as a `bucket`
+   column, which at scale you'd write back partitioned-by-bucket.
+3. **Search**: a query probes its ``n_probes`` nearest centroids and
+   ranks exact cosine over only those buckets — the candidate equi-join
+   on ``bucket`` replaces the full scan, cutting evaluations by
+   ~``n_lists / n_probes``.
+
+Compared to the hyperplane LSH in ``similarity.py``: IVF adapts to the
+data distribution (centroids follow density), costs one training pass,
+and gives a tunable recall/probe dial; LSH is data-independent and
+zero-training.  Both share the same bucketed join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators.similarity import cosine_expr
+from pgstream_spark.operators.topk import top_k_per_group
+
+__all__ = ["train_centroids", "assign_buckets", "ivf_top_k"]
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means centroids from a bounded sample (Lloyd's algorithm, numpy).
+
+    The sample is the ONLY driver-side materialization — ``sample_size``
+    rows regardless of corpus size.  Returns (n_lists, dim) float64.
+    """
+    frac_rows = corpus.select(vec_col).limit(sample_size * 4).collect()
+    rng = np.random.default_rng(seed)
+    take = min(sample_size, len(frac_rows))
+    idx = rng.choice(len(frac_rows), size=take, replace=False)
+    X = np.array([frac_rows[i][0] for i in idx], dtype="float64")
+
+    centroids = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroid_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Index of the max-dot-product centroid, as a JVM-side expression.
+
+    One dot product per centroid (higher-order fold over a literal array),
+    argmax via a struct-max over (score, index) — no Python in the path.
+    """
+    scored = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored.append(F.struct(dot.alias("score"), F.lit(i).alias("idx")))
+    return F.array_max(F.array(*scored))["idx"]
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append each vector's IVF bucket (nearest centroid index)."""
+    return corpus.withColumn(
+        bucket_col, _nearest_centroid_col(F.col(vec_col), centroids)
+    )
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probes: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF probing.
+
+    Corpus vectors live in 1 bucket each; every query fans out to its
+    ``n_probes`` nearest buckets (posexplode of the per-query centroid
+    ranking), candidates come from the equi-join on ``bucket``, exact
+    cosine ranks them.  Returns (query_id, neighbor_id, cosine, rank).
+    """
+    bucketed = assign_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        ),
+        centroids,
+        vec_col="__cv",
+    )
+
+    # per-query ranking of ALL centroids, keep the n_probes best
+    scored = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("__qv"), lit_c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored.append(F.struct(dot.alias("score"), F.lit(i).alias("idx")))
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*scored))), 1, n_probes
+    )
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+        .withColumn("__probe", F.explode(probes))
+        .select("query_id", "__qv", F.col("__probe")["idx"].alias("bucket"))
+    )
+
+    cand = (
+        q.join(bucketed, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+    )
+    return top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cosine", "rank")

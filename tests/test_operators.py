@@ -306,3 +306,40 @@ class TestMultimodal:
         df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
         with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary wrapped
             extract_features(df, "payload", "asset_id", decode_stub=False).collect()
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+
+        return load_table(spark, sf_dir, "embeddings")
+
+    def test_training_is_bounded_and_deterministic(self, corpus):
+        from pgstream_spark.operators.ivf import train_centroids
+
+        c1 = train_centroids(corpus, n_lists=8, sample_size=256)
+        c2 = train_centroids(corpus, n_lists=8, sample_size=256)
+        assert c1.shape == (8, 64)
+        assert np.allclose(c1, c2)  # seed-fixed
+
+    def test_assignment_covers_all_buckets_reasonably(self, corpus):
+        from pgstream_spark.operators.ivf import assign_buckets, train_centroids
+
+        cents = train_centroids(corpus, n_lists=8, sample_size=256)
+        b = assign_buckets(corpus, cents)
+        counts = {r.bucket: r.n for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) <= set(range(8))
+        assert len(counts) >= 4  # centroids actually spread the data
+
+    def test_recall_vs_brute_force(self, corpus):
+        from pgstream_spark.operators.ivf import ivf_top_k, train_centroids
+
+        cents = train_centroids(corpus, n_lists=8, sample_size=256)
+        queries = corpus.filter("vec_id < 10")
+        exact = brute_force_top_k(queries, corpus, k=3)
+        approx = ivf_top_k(queries, corpus, cents, k=3, n_probes=4)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
