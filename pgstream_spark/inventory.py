@@ -1159,8 +1159,8 @@ def l2b(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # signatures feed BOTH sides of the band-bucket self-join; without a
     # cache the whole signature stage would execute twice.
-    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_perm=96).cache()
-    cands = minhash_lsh_candidates(sigs, bands=12, rows_per_band=8)
+    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_perm=64).cache()
+    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=8)
     verified = verify_candidate_pairs(cands, d, "doc_id", "text", n=3, threshold=0.8)
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1555,3 +1555,81 @@ def l3d(spark, sf_dir):
     return ivf_top_k(
         e.filter(F.col("vec_id") < 10), e, cents, k=5, n_probes=4
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@q(
+    "g12_tpch_q6_forecast",
+    "SELECT " + _dsum("l_extendedprice * l_discount") + " AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+)
+def g12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@q(
+    "g13_tpch_q14_promo",
+    # promo-share shape: percentage of revenue from a part-type class.
+    # Both ratio terms are exact scaled sums, so the division is one
+    # identical double op on both engines.
+    "SELECT 100.0 * "
+    + _dsum("CASE WHEN p_type LIKE '%BRASS%' THEN l_extendedprice * (1 - l_discount) END")
+    + " / " + _dsum("l_extendedprice * (1 - l_discount)") + " AS promo_share "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-07-01'",
+)
+def g13(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type").like("%BRASS%"), rev))
+                / dsum(rev)
+            ).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "g14_tpch_q18_large_orders",
+    "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING " + _dsum("l_quantity") + " > 140) "
+    "SELECT c_custkey, o_orderkey, o_totalprice, "
+    + _dsum("l_quantity") + " AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM big) "
+    "GROUP BY c_custkey, o_orderkey, o_totalprice",
+)
+def g14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("__tq"))
+        .filter(F.col("__tq") > 140)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
