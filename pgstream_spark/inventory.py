@@ -1633,3 +1633,18 @@ def g14(spark, sf_dir):
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
     )
+
+
+@q(
+    "l4e_bpe_token_count",
+    # lookahead-free GPT-2-style boundary classes: same regex semantics in
+    # Java regex (Spark) and RE2 (DuckDB)
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) "
+    "AS n_tokens_bpe FROM documents",
+)
+def l4e(spark, sf_dir):
+    from pgstream_spark.operators.textstats import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return token_count_bpe(d).select("doc_id", "n_tokens_bpe")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames"]
 
 # Typed metadata for an opaque media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -103,6 +103,110 @@ def extract_features(
                     [b / 255.0 for b in digest[:_FEATURE_DIM]]
                 )
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "features": feats})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize stage: (id, payload) → (id, payload, width, height).
+
+    Real implementation belongs at the marked point (PIL/libvips); the
+    stub emits a deterministic pseudo-payload of the right conceptual
+    shape (truncated/padded bytes) so downstream schema/partitioning
+    logic is testable.  Arrow-batched; peak memory = one batch.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    target = width * height // 64 + 16  # stub size model
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires an imaging library (PIL/libvips); "
+                    "replace this branch"
+                )
+            outs = []
+            for raw in pdf[payload_col]:
+                b = bytes(raw or b"")
+                h = hashlib.sha256(b).digest()
+                outs.append((b + h * (target // 32 + 1))[:target])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "payload": outs,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame-sampling stage: one row per sampled frame
+    (id, frame_index, frame_payload).
+
+    The stub treats the payload as a concatenation of fixed-size pseudo
+    frames; a real implementation decodes with pyav/ffmpeg at the marked
+    point.  Row-expanding output keeps frames independent rows, so
+    downstream per-frame featurization parallelizes freely.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame_payload", T.BinaryType(), False),
+        ]
+    )
+    FRAME = 16  # stub frame width in bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires a video decoder (pyav/ffmpeg); "
+                    "replace this branch"
+                )
+            ids, idxs, frames = [], [], []
+            for asset_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw or b"")
+                n_frames = max(len(b) // FRAME, 0)
+                taken = 0
+                for fi in range(0, n_frames, every_nth):
+                    if taken >= max_frames:
+                        break
+                    ids.append(int(asset_id))
+                    idxs.append(fi)
+                    frames.append(b[fi * FRAME : (fi + 1) * FRAME])
+                    taken += 1
+            yield pd.DataFrame(
+                {"id": ids, "frame_index": idxs, "frame_payload": frames}
+            )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema=out_schema

@@ -343,3 +343,57 @@ class TestIVF:
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
         recall = len(e & a) / len(e)
         assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+class TestMultimodalStages:
+    @pytest.fixture(scope="class")
+    def assets(self, spark):
+        payloads = [(i, bytearray(bytes(range(256)) * (i + 1))) for i in range(3)]
+        return spark.createDataFrame(payloads, "asset_id long, payload binary")
+
+    def test_resize_stub_shape(self, assets):
+        from pgstream_spark.operators.multimodal import resize_images
+
+        out = resize_images(assets, "payload", "asset_id", width=64, height=64)
+        rows = out.collect()
+        assert {r.id for r in rows} == {0, 1, 2}
+        expect = 64 * 64 // 64 + 16
+        assert all(len(r.payload) == expect for r in rows)
+        assert all((r.width, r.height) == (64, 64) for r in rows)
+
+    def test_frame_sampling_expands_rows(self, assets):
+        from pgstream_spark.operators.multimodal import sample_frames
+
+        out = sample_frames(assets, "payload", "asset_id", every_nth=4, max_frames=3)
+        rows = out.collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.id, []).append(r.frame_index)
+        # asset 0: 256 bytes = 16 pseudo-frames → indexes 0,4,8 (max 3)
+        assert sorted(by_id[0]) == [0, 4, 8]
+        assert all(len(r.frame_payload) == 16 for r in rows)
+
+    def test_real_decode_paths_are_explicit_stubs(self, assets):
+        from pgstream_spark.operators.multimodal import resize_images, sample_frames
+
+        with pytest.raises(Exception):
+            resize_images(assets, "payload", "asset_id", 8, 8, decode_stub=False).collect()
+        with pytest.raises(Exception):
+            sample_frames(assets, "payload", "asset_id", decode_stub=False).collect()
+
+
+class TestBpeTokenCount:
+    def test_counts_boundary_classes(self, spark):
+        from pgstream_spark.operators.textstats import token_count_bpe
+
+        df = spark.createDataFrame(
+            [
+                (1, "hello world"),            # 2
+                (2, "don't stop"),             # don + 't + stop = 3
+                (3, "x123456y!!"),             # x + 123 + 456 + y + !! = 5
+                (4, ""),                       # 0
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df).collect()}
+        assert got == {1: 2, 2: 3, 3: 5, 4: 0}
