@@ -1648,3 +1648,51 @@ def l4e(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return token_count_bpe(d).select("doc_id", "n_tokens_bpe")
+
+
+@q(
+    "g15_percentiles",
+    # exact interpolated quantiles over doubles; identical (n-1)p rank
+    # interpolation in both engines, rounded to absorb ulp noise
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+    "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99, "
+    "round(quantile_disc(l_extendedprice, 0.5), 4) AS p50_disc "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def g15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.round(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ),
+            4,
+        ).alias("p50_disc"),
+    )
+
+
+@q(
+    "g16_histogram",
+    # equi-width histogram via explicit floor arithmetic (DuckDB v1.0 has
+    # no width_bucket; floor division is portable and boundary-exact)
+    "SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, "
+    "count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+    "FROM orders GROUP BY 1",
+)
+def g16(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -90,11 +90,14 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    # Session timezone is configurable so the gate can prove the queries
+    # are tz-independent (the driver's session tz is unknown to us).
+    tz = os.environ.get("DIFFCHECK_TZ", "UTC")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("diffcheck")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
