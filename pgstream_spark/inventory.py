@@ -1696,3 +1696,33 @@ def g16(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@q(
+    "t10_funnel_conversion",
+    # signup→purchase conversion within 1 hour, per user: the forward
+    # as-of join with tolerance IS the funnel-step operator.
+    "WITH " + _EV + ", s AS (SELECT user_id, ts FROM ev WHERE event_type = 'signup'), "
+    "p AS (SELECT DISTINCT user_id, ts FROM ev WHERE event_type = 'purchase') "
+    "SELECT s.user_id, count(*) AS n_signups, "
+    "count(CASE WHEN EXISTS (SELECT 1 FROM p WHERE p.user_id = s.user_id "
+    "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR) THEN 1 END) "
+    "AS n_converted FROM s GROUP BY s.user_id",
+)
+def t10(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumnRenamed("ts", "p_ts")
+    )
+    stepped = asof_join(
+        signups, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        direction="forward", tolerance_seconds=3600,
+    )
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count(F.when(F.col("p_ts_r").isNotNull(), 1)).alias("n_converted"),
+    )

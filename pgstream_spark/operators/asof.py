@@ -109,9 +109,23 @@ def asof_join(
     out = carried.filter(F.col("__is_left") == 1)
 
     if tolerance_seconds is not None:
-        delta = F.abs(
-            F.col("__ts").cast("double") - F.col("__matched_ts").cast("double")
-        )
+        # timezone-free, microsecond-exact epoch seconds: TIMESTAMP_NTZ
+        # cannot cast to DOUBLE, and instant-casts would be session-tz-
+        # dependent.  extract(SECOND) keeps the fractional part.
+        ts_dtype = dict(out.dtypes)["__ts"]
+
+        def _secs(name: str) -> F.Column:
+            c = F.col(name)
+            if ts_dtype.startswith("timestamp"):
+                return (
+                    F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+                    .cast("long") * 86400
+                    + F.hour(c) * 3600
+                    + F.minute(c) * 60
+                ).cast("double") + F.expr(f"extract(SECOND FROM {name})").cast("double")
+            return c.cast("double")
+
+        delta = F.abs(_secs("__ts") - _secs("__matched_ts"))
         within = F.col("__matched_ts").isNotNull() & (delta <= F.lit(tolerance_seconds))
         out = out.select(
             *keys,
