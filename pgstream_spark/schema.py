@@ -41,15 +41,23 @@ _WIDENING: dict[str, tuple[str, ...]] = {
 }
 
 
-def widens_to(actual: T.DataType, declared: T.DataType) -> bool:
+def _as_datatype(dtype: T.DataType | str) -> T.DataType:
+    """Accept a DataType or a DDL type string ("int", "decimal(19,2)")."""
+    if isinstance(dtype, T.DataType):
+        return dtype
+    return T.DataType.fromDDL(dtype)
+
+
+def widens_to(actual: T.DataType, declared: T.DataType | str) -> bool:
     """True if ``actual`` may be implicitly widened to ``declared``."""
+    declared = _as_datatype(declared)
     if actual == declared:
         return True
     allowed = _WIDENING.get(declared.simpleString(), ())
     return actual.simpleString() in allowed
 
 
-def assert_schema(df: DataFrame, expected: T.StructType | Mapping[str, T.DataType]) -> DataFrame:
+def assert_schema(df: DataFrame, expected: T.StructType | Mapping[str, T.DataType | str]) -> DataFrame:
     """Check ``df``'s schema against a declared one; raise ``Incompatible``
     on arity, name, or (widening-aware) type mismatch.
 
@@ -59,7 +67,7 @@ def assert_schema(df: DataFrame, expected: T.StructType | Mapping[str, T.DataTyp
     if isinstance(expected, T.StructType):
         pairs = [(f.name, f.dataType) for f in expected.fields]
     else:
-        pairs = list(expected.items())
+        pairs = [(name, _as_datatype(dtype)) for name, dtype in expected.items()]
 
     actual = df.schema.fields
     if len(actual) != len(pairs):

@@ -29,11 +29,18 @@ def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(v):
-    """Canonicalize a value for cross-engine comparison."""
+    """Canonicalize a value for cross-engine comparison.
+
+    Deliberately type-preserving: the driver's hash is typed (round-1
+    f11 lesson — DuckDB HUGEINT vs Spark BIGINT hashed differently while
+    float(v) made them look identical locally).  Decimals stay Decimal
+    (normalized so equal values sort identically); int stays int; a
+    cross-engine int-vs-Decimal-vs-float divergence must FAIL here.
+    """
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        return v.normalize()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -76,6 +83,16 @@ def compare(name, sdf, con, sql):
         problems.append(f"columns differ: spark={sn} oracle={on}")
     if len(sd) != len(od):
         problems.append(f"row count: spark={len(sd)} oracle={len(od)}")
+    # Per-column Python-type signature: catches typed-hash divergence
+    # (int vs Decimal vs float) even when the numeric values are equal.
+    if not problems:
+        for ci, cname in enumerate(sn):
+            st = {type(r[ci]).__name__ for r in sd if r[ci] is not None}
+            ot = {type(r[ci]).__name__ for r in od if r[ci] is not None}
+            if st != ot:
+                problems.append(
+                    f"type mismatch on '{cname}': spark={sorted(st)} oracle={sorted(ot)}"
+                )
     if not problems and sd != od:
         for i, (a, b) in enumerate(zip(sd, od)):
             if a != b:
