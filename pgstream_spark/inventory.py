@@ -1441,33 +1441,23 @@ def g11(spark, sf_dir):
 # Remaining LLM-pipeline breadth
 # =====================================================================
 
+from pgstream_spark.operators import (  # noqa: E402 — near l3c for locality
+    embedding_neardup_lsh,
+    embedding_neardup_lsh_oracle_sql,
+)
+
+
 @q(
     "l3c_embedding_neardup",
-    # cosine-threshold near-dup pairs; query side limited so the O(n·m)
-    # scan stays oracle-sized.  Unit-norm data → cosine == dot.
-    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-    "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
-    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE a.vec_id < 200 "
-    "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-    "CAST(b.embedding AS DOUBLE[])) >= 0.3",
+    # LSH-bucketed near-dup with exact cosine re-rank — the scale path
+    # (equi-join on bucket, no cross join).  The oracle SQL computes the
+    # SAME deterministic hyperplane buckets (identical plane literals,
+    # identical left-fold double dot order), so the approximate candidate
+    # set matches bit-for-bit across engines.
+    embedding_neardup_lsh_oracle_sql(),
 )
 def l3c(spark, sf_dir):
-    from pgstream_spark.operators.similarity import cosine_expr
-
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
-    )
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    return (
-        F.broadcast(a)
-        .join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine_expr(F.col("__va"), F.col("__vb")))
-        .filter(F.col("__cos") >= 0.3)
-        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
-    )
+    return embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"))
 
 
 @q(

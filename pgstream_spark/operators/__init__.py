@@ -14,6 +14,8 @@ from pgstream_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
+    embedding_neardup_lsh,
+    embedding_neardup_lsh_oracle_sql,
     embedding_neardup_pairs,
 )
 from pgstream_spark.operators.similarity import (
@@ -40,6 +42,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_oracle_sql",
     "embedding_neardup_pairs",
     "brute_force_top_k",
     "lsh_bucketed_top_k",

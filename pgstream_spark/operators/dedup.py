@@ -312,10 +312,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) whose embedding cosine similarity ≥ threshold.
 
-    Brute-force O(n²) comparison via self-join — correct baseline; at
-    corpus scale swap the self-join for
-    ``similarity.lsh_bucketed_top_k``-style hyperplane bucketing, which
-    bounds candidates per bucket.
+    Brute-force O(n²) comparison via self-join — the EXACT baseline, kept
+    as the pytest oracle for ``embedding_neardup_lsh`` (which is the
+    shipped, scale-safe path: bucketed candidates, no cross join).
     """
     from pgstream_spark.operators.similarity import cosine_expr
 
@@ -327,4 +326,108 @@ def embedding_neardup_pairs(
         .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    m_bits: int = 3,
+    tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH bucketing + exact re-rank.
+
+    The 100 TB shape: each vector lands in ``tables`` flat buckets
+    (``table_id * 2^m_bits + sign_bits``), candidates are same-bucket
+    pairs (equi-join — shuffles on the bucket id, NO cross join), and the
+    exact cosine filters them.  Expected recall at cosine t is
+    ``1 - (1 - p^m)^T`` with ``p = 1 - arccos(t)/π`` — defaults give
+    ~0.96 at t = 0.35; at corpus scale raise ``m_bits`` with log|corpus|
+    to keep bucket sizes bounded.
+
+    Buckets are DETERMINISTIC (fixed-seed numpy hyperplanes, left-fold
+    double dot products), so an independent engine running the same plane
+    literals computes byte-identical candidates — which is how the DuckDB
+    oracle checks this operator exactly despite its approximate recall.
+
+    Returns ``(id_a, id_b, cosine)`` with cosine rounded to 6 decimals.
+    """
+    from pgstream_spark.operators.similarity import (
+        _bucket_col,
+        _hyperplanes,
+        cosine_expr,
+    )
+
+    planes = _hyperplanes(dim, m_bits, tables, seed)
+    flat_buckets = F.array(
+        *[
+            (F.lit(t * (1 << m_bits)).cast("long")
+             + _bucket_col(F.col(vec_col), planes[t]))
+            for t in range(tables)
+        ]
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(flat_buckets).alias("bucket"),
+    )
+    left = b.select(F.col("id").alias("id_a"), F.col("v").alias("__va"), "bucket")
+    right = b.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"), "bucket")
+    cand = (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()  # a pair may collide in several tables — count it once
+    )
+    return (
+        cand.withColumn("__cos", cosine_expr(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    m_bits: int = 3,
+    tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL computing the SAME bucketing as ``embedding_neardup_lsh``.
+
+    The hyperplanes are emitted as full-precision literals and each dot
+    product as an explicit left-to-right sum — the identical IEEE double
+    operation order as the Spark fold — so the sign decisions (hence the
+    candidate set) match bit-for-bit.
+    """
+    from pgstream_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, m_bits, tables, seed)
+    bucket_exprs = []
+    for t in range(tables):
+        bits = []
+        for i in range(m_bits):
+            dot = " + ".join(
+                f"v[{j + 1}]*({float(w)!r})" for j, w in enumerate(planes[t][i])
+            )
+            bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END")
+        bucket_exprs.append(f"({t * (1 << m_bits)} + " + " + ".join(bits) + ")")
+    bucket_list = ", ".join(bucket_exprs)
+    return (
+        f"WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v "
+        f"FROM {table}), "
+        f"b AS (SELECT id, unnest([{bucket_list}]) AS bucket FROM e), "
+        "cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b "
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id) "
+        "SELECT c.id_a, c.id_b, "
+        "round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
+        "FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b "
+        f"WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}"
     )

