@@ -23,7 +23,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Representative slice of the inventory: scan, hash-agg, distinct, joins
 # (broadcast + shuffled + as-of + interval), windows, top-k, session
 # windows, text/dedup/similarity pipeline, and the Arrow UDF path.
+#
+# l2b runs FIRST: this host's co-tenant CPU contention grows with
+# sequence position (BASELINE.md — identical plans alternate 10s/60-170s
+# late in a run), and l2b is the heaviest query, so front-running it
+# records its honest standalone-ish cost instead of the contention tail.
 HEADLINE = [
+    "l2b_minhash_lsh",
     "s1_scan_count",
     "x1_pandas_kernel",
     "g1_tpch_q1",
@@ -36,7 +42,6 @@ HEADLINE = [
     "o3_topk_per_group",
     "t4_tumbling_window",
     "t5_session_window",
-    "l2b_minhash_lsh",
     "l3_vector_topk",
     "l4b_fingerprint",
     "l4d_quality_score",

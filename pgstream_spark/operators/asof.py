@@ -18,9 +18,11 @@ Cost model at scale: ONE shuffle (hash by key) + ONE in-partition sort —
 identical shape to a sort-merge join, with no range-explosion and no
 driver involvement.  This beats the naive "join on key, filter t_r <= t_l,
 window max" plan, which multiplies |left| × |right-per-key| rows before
-filtering.  Skewed keys degrade to a big single-partition sort; mitigate
-upstream by salting the key and as-of-joining per salt on a pre-bucketed
-right side (documented, not automatic).
+filtering.  Skewed keys degrade to a big single-partition sort; pass
+``salt_buckets=N`` to spread each hot key over N window partitions (left
+rows salted randomly, right rows replicated to every salt — each left row
+still sees the full right history of its key, so results are identical;
+cost is an N× blow-up of the right side only).
 
 ``direction='backward'`` matches the classic as-of (≤); ``'forward'`` gives
 the earliest right row ≥ left ts.  ``tolerance`` (seconds) drops matches
@@ -46,16 +48,46 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_r",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its timestamp, per key.
 
     Right payload columns are suffixed with ``suffix``; the matched right
     timestamp comes back as ``<right_ts><suffix>`` (NULL when no match).
+
+    ``salt_buckets=N`` enables skew salting: each left row is assigned a
+    random salt in [0, N) and the right side is replicated once per salt,
+    so the carry-forward window partitions by (key, salt) — a hot key's
+    sort spreads over N tasks instead of one.  Results are identical to
+    the unsalted join for any N.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
+
+    if salt_buckets is not None:
+        if salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+        left = left.withColumn(
+            "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        )
+        right = right.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)])),
+        )
+        out = asof_join(
+            left,
+            right,
+            on=keys + ["__salt"],
+            left_ts=left_ts,
+            right_ts=right_ts,
+            direction=direction,
+            tolerance_seconds=tolerance_seconds,
+            suffix=suffix,
+            salt_buckets=None,
+        )
+        return out.drop("__salt")
 
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
     lcols = [c for c in left.columns if c not in keys]

@@ -7,10 +7,12 @@ struct, processed with Arrow-batched ``mapInPandas`` — the Spark-idiomatic
 shape for decode / feature-extract / resize / frame-sample stages:
 
 * schema and batch plumbing are real and tested;
-* the actual codec step is STUBBED (this environment ships no image/audio
-  libraries): ``decode_stub=True`` produces a deterministic fake feature
-  vector from the bytes; ``decode_stub=False`` raises
-  ``NotImplementedError`` at the point a real libjpeg/ffmpeg call belongs.
+* ``decode_stub=True`` produces a deterministic sha256-seeded fake (no
+  decoding — useful for plumbing tests and unknown formats);
+* ``decode_stub=False`` is a REAL decode path for the stdlib-decodable
+  formats — PPM (P6), 24-bit BMP, PCM16 WAV — via ``operators.codecs``;
+  compressed formats (JPEG/PNG/MP4) raise ``UnsupportedMediaError`` at
+  the clearly-marked point where libjpeg/ffmpeg would plug in.
 
 Scale notes: binary payloads ride through shuffles only if you shuffle
 them — keep media tables partitioned by asset id and join *metadata* not
@@ -78,9 +80,16 @@ def extract_features(
     Arrow-batched ``mapInPandas``.
 
     With ``decode_stub`` the "decoder" is a deterministic sha256-seeded
-    fake (stable across runs/executors, so tests can assert exact values);
-    without it, the function raises ``NotImplementedError`` where a real
-    codec (PIL / torchaudio / pyav) would be invoked.
+    fake (stable across runs/executors, so tests can assert exact values).
+    Without it, payloads are REALLY decoded (PPM/BMP/WAV via
+    ``operators.codecs``) into modality-tagged summary features:
+
+    * image → [1, w, h, mean_r, mean_g, mean_b, std, aspect] (means/std
+      scaled to [0,1]);
+    * audio → [2, duration_s, rate_kHz, channels, mean, rms, peak, zcr]
+      (amplitudes scaled by 2¹⁵);
+    * anything else raises ``UnsupportedMediaError`` where a compressed-
+      format codec (libjpeg / ffmpeg) would plug in.
     """
     out_schema = T.StructType(
         [
@@ -89,19 +98,56 @@ def extract_features(
         ]
     )
 
+    def real_features(raw: bytes) -> list[float]:
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+
+        fmt = codecs.sniff_format(raw)
+        if fmt in ("ppm", "bmp"):
+            img = codecs.decode_image(raw)
+            h, w, _ = img.shape
+            scaled = img.astype("float64") / 255.0
+            return [
+                1.0,
+                float(w),
+                float(h),
+                float(scaled[:, :, 0].mean()),
+                float(scaled[:, :, 1].mean()),
+                float(scaled[:, :, 2].mean()),
+                float(scaled.std()),
+                float(w) / float(h),
+            ]
+        if fmt == "wav":
+            samples, rate = codecs.decode_wav(raw)
+            x = samples.astype("float64") / 32768.0
+            mono = x.mean(axis=1)
+            zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+            return [
+                2.0,
+                len(samples) / float(rate),
+                rate / 1000.0,
+                float(samples.shape[1]),
+                float(mono.mean()),
+                float(np.sqrt((mono**2).mean())) if len(mono) else 0.0,
+                float(np.abs(mono).max()) if len(mono) else 0.0,
+                zcr,
+            ]
+        # the libjpeg/ffmpeg integration point for compressed formats
+        from pgstream_spark.operators.codecs import UnsupportedMediaError
+
+        raise UnsupportedMediaError(f"no stdlib decoder for payload (fmt={fmt})")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires an image/audio codec library; "
-                    "install one and replace this branch"
-                )
             feats = []
             for raw in pdf[payload_col]:
-                digest = hashlib.sha256(bytes(raw or b"")).digest()
-                feats.append(
-                    [b / 255.0 for b in digest[:_FEATURE_DIM]]
-                )
+                b = bytes(raw or b"")
+                if decode_stub:
+                    digest = hashlib.sha256(b).digest()
+                    feats.append([x / 255.0 for x in digest[:_FEATURE_DIM]])
+                else:
+                    feats.append(real_features(b))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "features": feats})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -119,10 +165,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: (id, payload) → (id, payload, width, height).
 
-    Real implementation belongs at the marked point (PIL/libvips); the
-    stub emits a deterministic pseudo-payload of the right conceptual
-    shape (truncated/padded bytes) so downstream schema/partitioning
-    logic is testable.  Arrow-batched; peak memory = one batch.
+    With ``decode_stub=False`` this REALLY resizes: PPM/BMP payloads are
+    decoded (``operators.codecs``), nearest-neighbor resampled, and
+    re-encoded as P6 PPM (the normalized output format of the stage);
+    compressed inputs raise ``UnsupportedMediaError`` where PIL/libvips
+    would plug in.  The stub emits a deterministic pseudo-payload of the
+    right conceptual shape.  Arrow-batched; peak memory = one batch.
     """
     out_schema = T.StructType(
         [
@@ -135,17 +183,20 @@ def resize_images(
     target = width * height // 64 + 16  # stub size model
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pgstream_spark.operators import codecs
+
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires an imaging library (PIL/libvips); "
-                    "replace this branch"
-                )
             outs = []
             for raw in pdf[payload_col]:
                 b = bytes(raw or b"")
-                h = hashlib.sha256(b).digest()
-                outs.append((b + h * (target // 32 + 1))[:target])
+                if decode_stub:
+                    h = hashlib.sha256(b).digest()
+                    outs.append((b + h * (target // 32 + 1))[:target])
+                else:
+                    img = codecs.decode_image(b)
+                    outs.append(
+                        codecs.encode_ppm(codecs.resize_nearest(img, width, height))
+                    )
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -171,10 +222,13 @@ def sample_frames(
     """Frame-sampling stage: one row per sampled frame
     (id, frame_index, frame_payload).
 
-    The stub treats the payload as a concatenation of fixed-size pseudo
-    frames; a real implementation decodes with pyav/ffmpeg at the marked
-    point.  Row-expanding output keeps frames independent rows, so
-    downstream per-frame featurization parallelizes freely.
+    With ``decode_stub=False``, PCM16 WAV payloads are REALLY sampled:
+    the audio is cut into 1024-sample windows, every ``every_nth`` window
+    is re-encoded as a standalone WAV (so each frame is independently
+    decodable downstream); video containers raise ``UnsupportedMediaError``
+    where pyav/ffmpeg would plug in.  The stub treats the payload as a
+    concatenation of fixed-size pseudo frames.  Row-expanding output keeps
+    frames independent rows, so per-frame featurization parallelizes.
     """
     out_schema = T.StructType(
         [
@@ -184,25 +238,36 @@ def sample_frames(
         ]
     )
     FRAME = 16  # stub frame width in bytes
+    WINDOW = 1024  # real path: samples per audio frame
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pgstream_spark.operators import codecs
+
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires a video decoder (pyav/ffmpeg); "
-                    "replace this branch"
-                )
             ids, idxs, frames = [], [], []
             for asset_id, raw in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(raw or b"")
-                n_frames = max(len(b) // FRAME, 0)
+                if decode_stub:
+                    n_frames = max(len(b) // FRAME, 0)
+                    cut = lambda fi: b[fi * FRAME : (fi + 1) * FRAME]  # noqa: E731
+                else:
+                    if codecs.sniff_format(b) != "wav":
+                        raise codecs.UnsupportedMediaError(
+                            "real frame sampling implemented for WAV audio; "
+                            "video needs a container decoder (pyav/ffmpeg)"
+                        )
+                    samples, rate = codecs.decode_wav(b)
+                    n_frames = max(len(samples) // WINDOW, 0)
+                    cut = lambda fi: codecs.encode_wav(  # noqa: E731
+                        samples[fi * WINDOW : (fi + 1) * WINDOW], rate
+                    )
                 taken = 0
                 for fi in range(0, n_frames, every_nth):
                     if taken >= max_frames:
                         break
                     ids.append(int(asset_id))
                     idxs.append(fi)
-                    frames.append(b[fi * FRAME : (fi + 1) * FRAME])
+                    frames.append(cut(fi))
                     taken += 1
             yield pd.DataFrame(
                 {"id": ids, "frame_index": idxs, "frame_payload": frames}

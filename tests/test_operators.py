@@ -465,3 +465,112 @@ class TestIVFSampling:
             assert d.min() < 1.0, f"cluster {c} unrepresented: {d}"
             owners.add(int(d.argmin()))
         assert owners == {0, 1, 2, 3}
+
+
+class TestAsofSalting:
+    def test_skewed_key_identical_results_and_salted_plan(self, spark):
+        # 90% of left rows share one key: the salted join must return the
+        # exact same rows while partitioning the window by (key, __salt).
+        import datetime as dt
+
+        from pgstream_spark.operators import asof_join
+        from pgstream_spark.plans.explain import explain_string
+
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (0 if i % 10 else i, base + dt.timedelta(seconds=i), i)
+            for i in range(2000)
+        ]  # i%10 != 0 -> key 0 (90%)
+        right = [
+            (k, base + dt.timedelta(seconds=s), float(k * 1000 + s))
+            for k in {r[0] for r in left}
+            for s in (0, 500, 1500)
+        ]
+        ldf = spark.createDataFrame(left, "k long, ts timestamp_ntz, seq long")
+        rdf = spark.createDataFrame(right, "k long, r_ts timestamp_ntz, px double")
+
+        plain = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
+        salted = asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="r_ts", salt_buckets=8
+        )
+        key = lambda r: (r.k, r.ts, r.seq)
+        p = sorted(plain.collect(), key=key)
+        s = sorted(salted.collect(), key=key)
+        assert p == s
+
+        txt = explain_string(salted, "simple")
+        assert "__salt" in txt  # the window exchange carries the salt
+
+
+class TestMultimodalRealDecode:
+    """decode_stub=False is a REAL path for PPM/BMP/WAV (operators.codecs)."""
+
+    def test_codec_roundtrips(self):
+        from pgstream_spark.operators import codecs
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+        assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+        samples = rng.integers(-32768, 32767, (5000, 2)).astype("<i2")
+        dec, rate = codecs.decode_wav(codecs.encode_wav(samples, 16000))
+        assert rate == 16000 and (dec == samples).all()
+
+    def test_extract_features_real_bytes_end_to_end(self, spark):
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import extract_features
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+        wav = codecs.encode_wav(
+            (np.sin(np.arange(8000) / 10) * 20000).astype("<i2"), 8000
+        )
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(codecs.encode_ppm(img))),
+                (2, bytearray(codecs.encode_bmp(img))),
+                (3, bytearray(wav)),
+            ],
+            "asset_id long, payload binary",
+        )
+        feats = {
+            r.id: r.features
+            for r in extract_features(
+                df, "payload", "asset_id", decode_stub=False
+            ).collect()
+        }
+        assert feats[1] == feats[2]  # same image, either container
+        assert feats[1][:3] == [1.0, 32.0, 16.0]  # modality, w, h
+        assert feats[3][0] == 2.0 and abs(feats[3][1] - 1.0) < 1e-9  # 1 s audio
+
+    def test_resize_and_frame_sample_real(self, spark):
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import resize_images, sample_frames
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+        wav = codecs.encode_wav(rng.integers(-1000, 1000, 6000).astype("<i2"), 8000)
+        imgs = spark.createDataFrame(
+            [(1, bytearray(codecs.encode_bmp(img)))], "asset_id long, payload binary"
+        )
+        out = resize_images(imgs, "payload", "asset_id", 8, 4, decode_stub=False).collect()
+        assert codecs.decode_ppm(bytes(out[0].payload)).shape == (4, 8, 3)
+
+        auds = spark.createDataFrame(
+            [(3, bytearray(wav))], "asset_id long, payload binary"
+        )
+        frames = sample_frames(
+            auds, "payload", "asset_id", every_nth=2, max_frames=3, decode_stub=False
+        ).collect()
+        assert [(r.id, r.frame_index) for r in frames] == [(3, 0), (3, 2), (3, 4)]
+        w0, rate0 = codecs.decode_wav(bytes(frames[0].frame_payload))
+        assert rate0 == 8000 and w0.shape == (1024, 1)
+
+    def test_compressed_formats_raise_at_integration_point(self, spark):
+        from pgstream_spark.operators.multimodal import extract_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "asset_id long, payload binary"
+        )
+        with pytest.raises(Exception):  # UnsupportedMediaError crosses Py4J wrapped
+            extract_features(df, "payload", "asset_id", decode_stub=False).collect()
