@@ -18,6 +18,11 @@ Everything here is built on public PySpark APIs only.
 """
 
 from pgstream_spark.engine import Engine, connect
+from pgstream_spark.transaction import (
+    IsolationLevel,
+    ReadWriteMode,
+    TransactionMode,
+)
 from pgstream_spark.errors import (
     ConversionError,
     Incompatible,
@@ -34,6 +39,9 @@ __all__ = [
     "ConversionError",
     "UnexpectedNull",
     "Incompatible",
+    "IsolationLevel",
+    "ReadWriteMode",
+    "TransactionMode",
 ]
 
 __version__ = "0.1.0"

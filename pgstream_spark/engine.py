@@ -158,6 +158,17 @@ class Engine:
         if batch:
             yield batch
 
+    # -- transactions (reference Stream.hs:166-231) -------------------------
+
+    def transaction(self, mode: "TransactionMode | None" = None):
+        """``withTransactionMode`` bracket: snapshot-restore semantics on
+        managed tables — rollback on exception, commit on normal exit.
+        See ``pgstream_spark.transaction`` for the precise guarantees.
+        """
+        from pgstream_spark.transaction import transaction
+
+        return transaction(self, mode)
+
     # -- debug (reference Stream.hs:286-288) --------------------------------
 
     def explain(self, sql: str, args: Any = None, mode: str = "formatted") -> str:
@@ -190,6 +201,10 @@ def connect(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIME (time-of-day) is feature-flagged in Spark 4.1; the
+        # reference decodes Postgres time/timetz (FromRow.hs:244-278),
+        # so the engine turns it on.
+        .config("spark.sql.timeType.enabled", "true")
         # ANSI stays at Spark's default (true in 4.x): closest to the
         # Postgres semantics the reference delegated to — overflow and bad
         # casts error instead of silently wrapping/nulling.

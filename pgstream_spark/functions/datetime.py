@@ -20,10 +20,31 @@ __all__ = ["epoch_seconds", "from_epoch_seconds"]
 
 def epoch_seconds(ts: Column) -> Column:
     """Seconds since the epoch of a timestamp/timestamp_ntz column,
-    interpreting NTZ values as UTC (DuckDB ``epoch(ts)`` parity)."""
-    return F.unix_timestamp(F.to_utc_timestamp(ts, "UTC"))
+    interpreting NTZ values as UTC (DuckDB ``epoch(ts)`` parity).
+
+    Computed with timezone-FREE field arithmetic (day diff + time-of-day,
+    the same formula ``operators/asof.py`` uses): for TIMESTAMP_NTZ the
+    result is identical under ANY session timezone — an implicit
+    NTZ→instant cast through ``unix_timestamp`` would shift by the
+    session offset.  For TIMESTAMP (instant) the fields render in the
+    session tz, so this equals the true epoch exactly when the session is
+    UTC — which ``connect()`` always sets.
+    """
+    return (
+        F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+        * 86400
+        + F.hour(ts).cast("bigint") * 3600
+        + F.minute(ts).cast("bigint") * 60
+        + F.second(ts).cast("bigint")
+    )
 
 
-def from_epoch_seconds(n: Column) -> Column:
-    """Inverse of ``epoch_seconds`` (`timestamp_seconds`)."""
+def from_epoch_seconds(n: Column, ntz: bool = False) -> Column:
+    """Inverse of ``epoch_seconds``: ``timestamp_seconds`` (instant) by
+    default; ``ntz=True`` rebuilds a TIMESTAMP_NTZ with tz-free
+    arithmetic, session-timezone-independent."""
+    if ntz:
+        return F.expr("CAST(DATE'1970-01-01' AS TIMESTAMP_NTZ)") + F.make_dt_interval(
+            secs=n.cast("double")
+        )
     return F.timestamp_seconds(n)

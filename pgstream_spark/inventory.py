@@ -1725,6 +1725,93 @@ def t10(spark, sf_dir):
 
 
 # =====================================================================
+# Round-2 breadth: multimodal stub oracle, distribution windows,
+# correlated-subquery shape, regexp table function
+# =====================================================================
+
+@q(
+    "l5_multimodal_features",
+    # L-5's Arrow mapInPandas plumbing, driver-gated with a FULL oracle:
+    # the stub featurizer is sha256-based, which DuckDB computes
+    # identically (byte j of the digest / 255.0, bit-exact doubles).
+    "SELECT doc_id AS id, list_transform(range(8), j -> "
+    "CAST(('0x' || substr(sha256(text), j*2+1, 2)) AS INT) / 255.0) AS features "
+    "FROM documents",
+)
+def l5(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(d, "payload", "doc_id", decode_stub=True)
+
+
+@q(
+    "w5_distribution_ranks",
+    # ntile / percent_rank / cume_dist — the distribution third of the
+    # window family (W-1 covered rank/dense_rank).  Unique-key ORDER BY
+    # keeps every function deterministic.
+    "SELECT o_orderkey, "
+    "ntile(4) OVER w AS quartile, "
+    "round(percent_rank() OVER w, 6) AS pr, "
+    "round(cume_dist() OVER w, 6) AS cd "
+    "FROM orders WHERE o_orderkey <= 2000 "
+    "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)",
+)
+def w5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@q(
+    "g17_correlated_subquery",
+    # TPC-H Q2/Q17 shape: row vs per-group aggregate of its own group.
+    # The oracle states it as a correlated scalar subquery; the Spark plan
+    # is the equivalent agg + broadcast-back join.  The group average uses
+    # the exact integer-scaled sum so the > boundary is identical.
+    "WITH a AS (SELECT o_custkey, "
+    + _dsum("o_totalprice")
+    + " / count(*) AS avg_tp FROM orders GROUP BY o_custkey) "
+    "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice "
+    "FROM orders o JOIN a ON a.o_custkey = o.o_custkey "
+    "WHERE o.o_totalprice > 2 * a.avg_tp",
+)
+def g17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avgs = o.groupBy("o_custkey").agg(
+        (dsum("o_totalprice") / F.count(F.lit(1))).alias("avg_tp")
+    )
+    return (
+        o.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_tp"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@q(
+    "f12_regexp_extract_all",
+    # regexp table-function shape: all long words per document, in order,
+    # plus their count — list-valued column parity across engines.
+    "SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS long_words, "
+    "len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long "
+    "FROM documents WHERE doc_id < 1000",
+)
+def f12(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    words = F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")
+    return d.select(
+        "doc_id", words.alias("long_words"), F.size(words).alias("n_long")
+    )
+
+
+# =====================================================================
 # Driver-gate registration order
 # =====================================================================
 # The driver's CORRECTNESS gate evaluates queries in registration order
@@ -1792,7 +1879,8 @@ _GATE_ORDER = [
     "o3_topk_per_group",
     "u2_intersect",
     "f8_map_fns",
-    "f9_json_access",
+    # -- round-2 additions that need a first hard-signal row ----------
+    "l5_multimodal_features",
 ]
 
 

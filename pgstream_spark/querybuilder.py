@@ -131,7 +131,9 @@ def format_query(template: str, args: Sequence[Any] | dict[str, Any] | None) -> 
         args = (args,)  # `Only`-style single argument (reference Types.hs:73-75)
 
     holes = {int(m) for m in _HOLE_RE.findall(template)}
-    if holes and holes != set(range(1, len(args) + 1)):
+    # strict both ways: missing args for holes AND args without holes
+    # (the documented excess-argument contract) raise
+    if holes != set(range(1, len(args) + 1)):
         raise QueryError(
             f"template holes {sorted(holes)} do not match {len(args)} args",
             template,

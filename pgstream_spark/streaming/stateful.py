@@ -24,6 +24,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["running_totals", "gap_change_detector"]
@@ -53,9 +54,17 @@ def running_totals(
         state.update((n, total))
         yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
 
+    # key column keeps ITS OWN type (string ids work, not just bigint)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
     return sdf.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="key long, n long, total double",
+        outputStructType=out_schema,
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -104,9 +113,17 @@ def gap_change_detector(
             }
         )
 
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("prev_value", T.DoubleType()),
+            T.StructField("jump", T.DoubleType()),
+        ]
+    )
     return sdf.groupBy(key_col).applyInPandasWithState(
         detect,
-        outputStructType="key long, value double, prev_value double, jump double",
+        outputStructType=out_schema,
         stateStructType="prev double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -152,3 +152,68 @@ class TestExecute:
         assert n == engine.rows(
             "SELECT count(*) AS n FROM orders WHERE o_orderkey < 10"
         )[0].n
+
+
+class TestTransactions:
+    """A-17 — reference Stream.hs:166-231: bracket semantics on managed tables."""
+
+    def test_commit_keeps_writes(self, engine):
+        engine.execute("DROP TABLE IF EXISTS txn_t1")
+        engine.execute("CREATE TABLE txn_t1 (k BIGINT, v STRING)")
+        engine.execute("INSERT INTO txn_t1 VALUES (1, 'a')")
+        with engine.transaction() as txn:
+            txn.execute("INSERT INTO txn_t1 VALUES (2, 'b')")
+            # read-your-writes inside the bracket
+            assert txn.rows("SELECT count(*) AS n FROM txn_t1")[0].n == 2
+        assert engine.rows("SELECT count(*) AS n FROM txn_t1")[0].n == 2
+        # no backup tables left behind
+        assert not [t for t in engine.spark.catalog.listTables() if t.name.startswith("__txn_")]
+        engine.execute("DROP TABLE txn_t1")
+
+    def test_rollback_restores_table_and_drops_created(self, engine):
+        from pgstream_spark.errors import QueryError
+
+        engine.execute("DROP TABLE IF EXISTS txn_t2")
+        engine.execute("CREATE TABLE txn_t2 (k BIGINT)")
+        engine.execute("INSERT INTO txn_t2 VALUES (1)")
+        with pytest.raises(RuntimeError):
+            with engine.transaction() as txn:
+                txn.execute("INSERT INTO txn_t2 VALUES (2)")
+                txn.execute("CREATE TABLE txn_t3 AS SELECT 99 AS x")
+                assert txn.rows("SELECT count(*) AS n FROM txn_t2")[0].n == 2
+                raise RuntimeError("boom")
+        rows = engine.rows("SELECT k FROM txn_t2")
+        assert [r.k for r in rows] == [1]  # insert rolled back
+        assert not engine.spark.catalog.tableExists("txn_t3")  # create rolled back
+        assert not [t for t in engine.spark.catalog.listTables() if t.name.startswith("__txn_")]
+        engine.execute("DROP TABLE txn_t2")
+
+    def test_rollback_restores_dropped_table(self, engine):
+        engine.execute("DROP TABLE IF EXISTS txn_t4")
+        engine.execute("CREATE TABLE txn_t4 AS SELECT 7 AS x")
+        with pytest.raises(ValueError):
+            with engine.transaction() as txn:
+                txn.execute("DROP TABLE txn_t4")
+                raise ValueError("abort")
+        assert engine.rows("SELECT x FROM txn_t4")[0].x == 7
+        engine.execute("DROP TABLE txn_t4")
+
+    def test_read_only_mode_rejects_writes(self, engine):
+        import pgstream_spark as pg
+        from pgstream_spark.errors import QueryError
+
+        engine.execute("DROP TABLE IF EXISTS txn_t5")
+        engine.execute("CREATE TABLE txn_t5 (k BIGINT)")
+        mode = pg.TransactionMode(read_write=pg.ReadWriteMode.READ_ONLY)
+        with pytest.raises(QueryError):
+            with engine.transaction(mode) as txn:
+                txn.execute("INSERT INTO txn_t5 VALUES (1)")
+        assert engine.rows("SELECT count(*) AS n FROM txn_t5")[0].n == 0
+        engine.execute("DROP TABLE txn_t5")
+
+    def test_stricter_isolation_levels_accepted(self, engine):
+        import pgstream_spark as pg
+
+        mode = pg.TransactionMode(isolation=pg.IsolationLevel.SERIALIZABLE)
+        with engine.transaction(mode) as txn:
+            assert txn.rows("SELECT 1 AS one")[0].one == 1

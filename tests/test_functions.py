@@ -116,3 +116,28 @@ class TestApproxDistinct:
             F.count_distinct("l_partkey").alias("e"),
         ).first()
         assert r.a == pytest.approx(r.e, rel=0.1)
+
+
+class TestEpochTzIndependence:
+    def test_ntz_epoch_is_session_tz_independent(self, spark):
+        # the ADVICE item: under a non-UTC session tz, the NTZ epoch must
+        # not shift (tz-free field arithmetic, not an implicit cast)
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        df = spark.createDataFrame(
+            [(1, "2024-03-01 12:34:56")], "id int, s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        try:
+            vals = []
+            for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                vals.append(df.select(epoch_seconds(F.col("ts")).alias("e")).first().e)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert vals == [1709296496] * 3
+
+    def test_from_epoch_ntz_roundtrip(self, spark):
+        df = spark.createDataFrame([(1709296496,)], "e long")
+        r = df.select(from_epoch_seconds(F.col("e"), ntz=True).alias("back")).first()
+        assert str(r.back) == "2024-03-01 12:34:56"
+        out_type = df.select(from_epoch_seconds(F.col("e"), ntz=True)).dtypes[0][1]
+        assert out_type == "timestamp_ntz"

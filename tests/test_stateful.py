@@ -92,3 +92,24 @@ def test_gap_change_detector_crosses_batch_boundary(spark, tmp_path, two_batch_s
     # detecting it REQUIRES state carried across the batch boundary
     jumps = [(r.key, r.prev_value, r.value) for r in rows]
     assert jumps == [(1, 20.0, 100.0)]
+
+
+def test_running_totals_string_keys(spark, tmp_path):
+    # output "key" column derives its type from the input key column —
+    # string user ids must work, not just bigint
+    from tests.conftest import write_flat_parquet
+
+    from pgstream_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src_str")
+    schema = "user_id string, value double, seq long"
+    write_flat_parquet(
+        spark, [("alice", 10.0, 1), ("bob", 5.0, 2), ("alice", 2.5, 3)], schema,
+        src + "/b1.parquet",
+    )
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_totals(sdf, "user_id", "value")
+    assert out.schema["key"].dataType.simpleString() == "string"
+    name = _run(out, tmp_path, "rt_str", mode="update")
+    got = {r.key: (r.n, r.total) for r in spark.table(name).collect()}
+    assert got == {"alice": (2, 12.5), "bob": (1, 5.0)}

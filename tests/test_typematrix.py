@@ -34,6 +34,11 @@ def matrix_path(spark, tmp_path_factory):
             T.StructField("c_bool", T.BooleanType(), True),
             T.StructField("c_date", T.DateType(), True),
             T.StructField("c_ts_ntz", T.TimestampNTZType(), True),
+            # FromRow.hs:244-278 decode rows: timestamptz (instant),
+            # time-of-day, and interval
+            T.StructField("c_ts_tz", T.TimestampType(), True),
+            T.StructField("c_time", T.TimeType(), True),
+            T.StructField("c_interval", T.DayTimeIntervalType(), True),
             T.StructField("c_epoch_s", T.LongType(), True),
             T.StructField("c_arr_i32", T.ArrayType(T.IntegerType(), True), True),
             T.StructField("c_arr_f32", T.ArrayType(T.FloatType(), True), True),
@@ -60,6 +65,11 @@ def matrix_path(spark, tmp_path_factory):
             i % 2 == 0,
             datetime.date(2020, 1, 1) + datetime.timedelta(days=i % 1000),
             datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i * 977),
+            datetime.datetime(
+                2024, 6, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(seconds=i * 733, microseconds=i),
+            datetime.time(i % 24, (i * 7) % 60, (i * 13) % 60, (i * 101) % 1_000_000),
+            datetime.timedelta(days=i % 30, seconds=i % 86400, microseconds=i % 1000),
             1700000000 + i,
             [i, None, i + 2],
             [float(i), None, float(i) / 3],
@@ -121,3 +131,52 @@ def test_array_null_compaction(spark, matrix_path):
     df = spark.read.parquet(path).filter("id = 1")
     out = df.select(compact_array(F.col("c_arr_f32")).alias("c")).first()
     assert out.c == [1.0, pytest.approx(1 / 3)]
+
+
+def test_temporal_types_roundtrip(spark, matrix_path):
+    # FromRow.hs:244-278 — timestamptz (instant), time-of-day, interval
+    path, _ = matrix_path
+    back = spark.read.parquet(path).orderBy("id").collect()
+    r3 = back[3]
+    # collect() renders instants as NAIVE datetimes in the session tz
+    # (UTC here), so the expected value is the naive UTC wall time
+    assert r3.c_ts_tz == datetime.datetime(2024, 6, 1) + datetime.timedelta(
+        seconds=3 * 733, microseconds=3
+    )
+    assert r3.c_time == datetime.time(3, 21, 39, 303)
+    assert r3.c_interval == datetime.timedelta(days=3, seconds=3, microseconds=3)
+
+
+def test_temporal_sql_functions(spark, matrix_path):
+    path, _ = matrix_path
+    df = spark.read.parquet(path)
+    r = (
+        df.filter("id = 3")
+        .select(
+            F.hour("c_time").alias("h"),
+            F.minute("c_time").alias("m"),
+            (F.col("c_ts_tz") + F.col("c_interval")).alias("shifted"),
+        )
+        .first()
+    )
+    assert (r.h, r.m) == (3, 21)
+    assert r.shifted == (
+        datetime.datetime(2024, 6, 1)
+        + datetime.timedelta(seconds=3 * 733, microseconds=3)
+        + datetime.timedelta(days=3, seconds=3, microseconds=3)
+    )
+
+
+def test_duckdb_reads_temporal_types(matrix_path, duck):
+    # instant lands as UTC TIMESTAMP, TIME is native, interval surfaces as
+    # raw BIGINT microseconds in DuckDB's parquet reader — all checkable
+    path, _ = matrix_path
+    ts, t, iv = duck.execute(
+        f"SELECT c_ts_tz, c_time, c_interval FROM '{path}/*.parquet' WHERE id = 3"
+    ).fetchone()
+    assert ts == datetime.datetime(2024, 6, 1) + datetime.timedelta(
+        seconds=3 * 733, microseconds=3
+    )
+    assert t == datetime.time(3, 21, 39, 303)
+    expected = datetime.timedelta(days=3, seconds=3, microseconds=3)
+    assert iv == int(expected.total_seconds() * 1_000_000)
