@@ -200,6 +200,7 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 12,
     rows_per_band: int = 8,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs (id_a < id_b).
 
@@ -213,6 +214,15 @@ def minhash_lsh_candidates(
     s = 0.3, 18% at s = 0.6, 99.9% at s = 0.9 — long bands keep shared-
     vocabulary corpora from exploding the candidate set (every candidate
     pair costs an exact verification downstream).
+
+    ``bucket_cap`` is the STOP-BUCKET guard (the banding analogue of the
+    Jaccard join's ``df_cap`` stop-shingle guard): buckets holding more
+    than this many docs are vocabulary artifacts whose pair count grows
+    quadratically — a measured 33× cost at 10× data on a shared-vocab
+    corpus — so they are dropped whole.  Genuine near-dup clusters are
+    small and keep colliding in their other, unsaturated bands; recall
+    loss hits only pairs whose EVERY matching band is saturated.  Set
+    ``None`` to disable.
     """
     b, r = bands, rows_per_band
     buckets = signatures.select(
@@ -224,6 +234,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        # one extra map-side-combinable count; drops the quadratic tail
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        buckets = buckets.join(
+            sizes.filter(F.col("__bn") <= bucket_cap).select("band", "bucket"),
+            on=["band", "bucket"],
+        )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bucket"])

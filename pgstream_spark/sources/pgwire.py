@@ -1,0 +1,296 @@
+"""Pure-Python Postgres wire-protocol (v3) source — SURVEY §2 S-2.
+
+The reference IS a Postgres wire client (libpq bindings —
+`/root/reference/src/Database/PostgreSQL/Stream/Connection.hs:49-75`,
+`Stream.hs:97`).  This module speaks the same public protocol directly
+(startup / simple-query / text-format rows, per the PostgreSQL frontend/
+backend protocol documentation), so the live-database edge needs no JDBC
+driver jar:
+
+* ``PgWireClient`` — one socket: startup, trust or cleartext auth,
+  ``simple_query`` returning (fields, rows) with text-format values
+  decoded by type OID.
+* ``read_table`` — driver-side fetch → ``createDataFrame`` with the
+  schema mapped from the RowDescription OIDs.  For control-plane-sized
+  reads (dimension tables, watermarks).
+* ``read_partitioned`` — the scale path: key-range slices executed by
+  ``mapInPandas``, each task opening its OWN connection and reading one
+  ``[lo, hi)`` slice — Spark-JDBC's partitioned-read model implemented on
+  the reference's own protocol (its pool + cursor batching,
+  `Connection.hs:29-47`, generalized to one connection per task).
+
+Protocol scope: simple-query, text result format, trust/cleartext auth.
+SCRAM/TLS/binary-format belong to a real driver; the point here is a
+working, contract-tested client for the protocol surface the reference
+exercises, not a libpq replacement.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Any, Callable, Iterator, Sequence
+
+from pgstream_spark.errors import QueryError
+
+__all__ = ["ConnSettings", "PgWireClient", "read_table", "read_partitioned"]
+
+
+@dataclass
+class ConnSettings:
+    """Connection.hs:49-54 — host/dbname/user/password (+ port)."""
+
+    host: str
+    dbname: str
+    user: str
+    password: str | None = None
+    port: int = 5432
+
+
+# type OID → (python decoder, Spark DDL type)
+def _pg_date(s: str):
+    import datetime
+
+    return datetime.date.fromisoformat(s)
+
+
+def _pg_timestamp(s: str):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def _pg_bool(s: str) -> bool:
+    return s == "t"
+
+
+def _pg_bytea(s: str) -> bytes:
+    if s.startswith("\\x"):
+        return bytes.fromhex(s[2:])
+    return s.encode("latin1")  # legacy escape format fallback
+
+
+_OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
+    16: (_pg_bool, "boolean"),
+    17: (_pg_bytea, "binary"),
+    18: (str, "string"),  # "char"
+    20: (int, "bigint"),
+    21: (int, "smallint"),
+    23: (int, "int"),
+    25: (str, "string"),  # text
+    700: (float, "float"),
+    701: (float, "double"),
+    1042: (str, "string"),  # bpchar
+    1043: (str, "string"),  # varchar
+    1082: (_pg_date, "date"),
+    1114: (_pg_timestamp, "timestamp_ntz"),
+    1700: (Decimal, "decimal(38,18)"),
+}
+
+
+class PgWireClient:
+    """Minimal v3-protocol client: startup → auth → simple queries."""
+
+    def __init__(self, settings: ConnSettings, timeout: float = 30.0):
+        self.settings = settings
+        self._sock = socket.create_connection(
+            (settings.host, settings.port), timeout=timeout
+        )
+        self._buf = b""
+        self._startup()
+
+    # -- wire primitives -------------------------------------------------
+
+    def _send(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise QueryError("server closed connection", "<wire>")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!i", self._recv_exact(4))
+        return tag, self._recv_exact(length - 4)
+
+    # -- session ----------------------------------------------------------
+
+    def _startup(self) -> None:
+        s = self.settings
+        params = f"user\x00{s.user}\x00database\x00{s.dbname}\x00\x00".encode()
+        body = struct.pack("!i", 196608) + params  # protocol 3.0
+        self._send(struct.pack("!i", len(body) + 4) + body)
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"R":
+                (auth,) = struct.unpack_from("!i", payload)
+                if auth == 0:  # AuthenticationOk
+                    continue
+                if auth == 3:  # cleartext password
+                    pw = (self.settings.password or "").encode() + b"\x00"
+                    self._send(b"p" + struct.pack("!i", len(pw) + 4) + pw)
+                    continue
+                raise QueryError(f"unsupported auth method {auth}", "<startup>")
+            if tag == b"E":
+                raise QueryError(self._error_text(payload), "<startup>")
+            if tag == b"Z":  # ReadyForQuery
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData: informational
+
+    @staticmethod
+    def _error_text(payload: bytes) -> str:
+        parts = {}
+        for field in payload.split(b"\x00"):
+            if len(field) > 1:
+                parts[chr(field[0])] = field[1:].decode("utf-8", "replace")
+        return parts.get("M", "unknown server error")
+
+    # -- queries ----------------------------------------------------------
+
+    def simple_query(
+        self, sql: str
+    ) -> tuple[list[tuple[str, int]], list[tuple[Any, ...]]]:
+        """Run one simple-protocol query; return ([(name, oid)], rows)."""
+        q = sql.encode() + b"\x00"
+        self._send(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        fields: list[tuple[str, int]] = []
+        decoders: list[Callable[[str], Any]] = []
+        rows: list[tuple[Any, ...]] = []
+        error: str | None = None
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"T":  # RowDescription
+                (nfields,) = struct.unpack_from("!h", payload)
+                off = 2
+                fields, decoders = [], []
+                for _ in range(nfields):
+                    end = payload.index(b"\x00", off)
+                    name = payload[off:end].decode()
+                    off = end + 1
+                    _tbl, _att, oid, _len, _mod, _fmt = struct.unpack_from(
+                        "!ihihih", payload, off
+                    )
+                    off += 18
+                    fields.append((name, oid))
+                    decoders.append(_OID_DECODE.get(oid, (str, "string"))[0])
+            elif tag == b"D":  # DataRow
+                (ncols,) = struct.unpack_from("!h", payload)
+                off = 2
+                vals: list[Any] = []
+                for i in range(ncols):
+                    (vlen,) = struct.unpack_from("!i", payload, off)
+                    off += 4
+                    if vlen == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(decoders[i](payload[off : off + vlen].decode()))
+                        off += vlen
+                rows.append(tuple(vals))
+            elif tag == b"E":
+                error = self._error_text(payload)
+            elif tag == b"Z":  # ReadyForQuery — statement finished
+                if error is not None:
+                    raise QueryError(error, sql)
+                return fields, rows
+            # 'C' CommandComplete / 'N' NoticeResponse: informational
+
+    def close(self) -> None:
+        try:
+            self._send(b"X" + struct.pack("!i", 4))
+        finally:
+            self._sock.close()
+
+    def __enter__(self) -> "PgWireClient":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+def _spark_schema(fields: Sequence[tuple[str, int]]) -> str:
+    return ", ".join(
+        f"{name} {_OID_DECODE.get(oid, (str, 'string'))[1]}" for name, oid in fields
+    )
+
+
+def read_table(spark, settings: ConnSettings, sql: str):
+    """Driver-side fetch of one query → DataFrame (schema from OIDs).
+
+    Bounded by driver memory — use for dimension-table-sized reads; bulk
+    extraction belongs to ``read_partitioned``.
+    """
+    with PgWireClient(settings) as c:
+        fields, rows = c.simple_query(sql)
+    return spark.createDataFrame(rows, _spark_schema(fields))
+
+
+def read_partitioned(
+    spark,
+    settings: ConnSettings,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 8,
+    columns: str = "*",
+):
+    """Parallel key-range read: one connection per Spark task.
+
+    Slices ``[lower_bound, upper_bound]`` into ``num_partitions``
+    half-open ranges on ``partition_column`` (Spark-JDBC semantics: first
+    slice unbounded below, last unbounded above, so rows outside the
+    stated bounds are not lost).  Schema comes from a LIMIT 0 driver
+    probe; each executor task then opens its own wire connection and
+    fetches exactly one slice.
+    """
+    import pandas as pd
+
+    with PgWireClient(settings) as c:
+        fields, _ = c.simple_query(f"SELECT {columns} FROM {table} LIMIT 0")
+    schema = _spark_schema(fields)
+    names = [n for n, _ in fields]
+
+    span = max(upper_bound - lower_bound, 1)
+    step = span / num_partitions
+    bounds = []
+    for i in range(num_partitions):
+        lo = None if i == 0 else int(lower_bound + round(i * step))
+        hi = None if i == num_partitions - 1 else int(lower_bound + round((i + 1) * step))
+        bounds.append((i, lo, hi))
+    bdf = spark.createDataFrame(bounds, "pid int, lo bigint, hi bigint").repartition(
+        num_partitions, "pid"
+    )
+
+    host, port, db, user, pw = (
+        settings.host,
+        settings.port,
+        settings.dbname,
+        settings.user,
+        settings.password,
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, brow in pdf.iterrows():
+                preds = []
+                if not pd.isna(brow.lo):
+                    preds.append(f"{partition_column} >= {int(brow.lo)}")
+                if not pd.isna(brow.hi):
+                    preds.append(f"{partition_column} < {int(brow.hi)}")
+                where = f" WHERE {' AND '.join(preds)}" if preds else ""
+                with PgWireClient(
+                    ConnSettings(host, db, user, pw, port)
+                ) as c:
+                    _, rows = c.simple_query(
+                        f"SELECT {columns} FROM {table}{where}"
+                    )
+                yield pd.DataFrame(rows, columns=names)
+
+    return bdf.mapInPandas(fetch, schema)

@@ -1,0 +1,176 @@
+"""In-process Postgres wire-protocol stub server for S-2 contract tests.
+
+Speaks the server side of the v3 protocol (startup, optional cleartext
+auth, simple query, text-format rows) and executes the SQL against an
+embedded DuckDB connection — i.e. a "Postgres-speaking DuckDB".  This is
+TEST INFRASTRUCTURE: it exists so ``pgstream_spark.sources.pgwire`` can be
+driven end-to-end (auth, row decode, NULLs, errors, partitioned parallel
+reads) without a Postgres server in the environment.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+from typing import Any
+
+import duckdb
+
+# DuckDB type name → Postgres type OID (text format)
+_TYPE_OID = {
+    "BOOLEAN": 16,
+    "BLOB": 17,
+    "BIGINT": 20,
+    "SMALLINT": 21,
+    "INTEGER": 23,
+    "VARCHAR": 25,
+    "FLOAT": 700,
+    "REAL": 700,
+    "DOUBLE": 701,
+    "DATE": 1082,
+    "TIMESTAMP": 1114,
+}
+
+
+def _oid_for(duck_type: str) -> int:
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return 1700
+    return _TYPE_OID.get(t, 25)
+
+
+def _render(v: Any) -> bytes | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    return str(v).encode()
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def _msg(self, tag: bytes, payload: bytes = b"") -> None:
+        self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
+
+    def _ready(self) -> None:
+        self._msg(b"Z", b"I")
+
+    def _error(self, text: str) -> None:
+        body = b"SERROR\x00C42601\x00M" + text.encode() + b"\x00\x00"
+        self._msg(b"E", body)
+
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._rbuf) < n:
+            chunk = self.request.recv(65536)
+            if not chunk:
+                raise ConnectionError("client gone")
+            self._rbuf += chunk
+        out, self._rbuf = self._rbuf[:n], self._rbuf[n:]
+        return out
+
+    def handle(self) -> None:
+        self._rbuf = b""
+        try:
+            self._handshake()
+            self._query_loop()
+        except (ConnectionError, OSError):
+            pass
+
+    def _handshake(self) -> None:
+        (length,) = struct.unpack("!i", self._recv_exact(4))
+        body = self._recv_exact(length - 4)
+        (proto,) = struct.unpack_from("!i", body)
+        if proto != 196608:
+            self._error(f"unsupported protocol {proto}")
+            raise ConnectionError
+        kv = body[4:].split(b"\x00")
+        params = dict(zip(kv[0::2], kv[1::2]))
+        user = params.get(b"user", b"").decode()
+
+        if self.server.password:  # cleartext auth round-trip
+            self._msg(b"R", struct.pack("!i", 3))
+            tag = self._recv_exact(1)
+            (plen,) = struct.unpack("!i", self._recv_exact(4))
+            pw = self._recv_exact(plen - 4).rstrip(b"\x00").decode()
+            if tag != b"p" or pw != self.server.password:
+                self._error("password authentication failed for user " + user)
+                raise ConnectionError
+        self._msg(b"R", struct.pack("!i", 0))  # AuthenticationOk
+        self._msg(b"S", b"server_version\x0016.0 (duckdb stub)\x00")
+        self._ready()
+
+    def _query_loop(self) -> None:
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            if tag == b"X":
+                return
+            if tag != b"Q":
+                self._error(f"unsupported message {tag!r}")
+                self._ready()
+                continue
+            sql = payload.rstrip(b"\x00").decode()
+            try:
+                # per-connection cursor on the shared db (thread-safe);
+                # the relation API exposes REAL DuckDB types (the PEP-249
+                # description only has generic 'NUMBER'/'STRING')
+                rel = self.server.db.cursor().sql(sql)
+                if rel is None:  # DDL/DML — no result set
+                    self._msg(b"C", b"OK\x00")
+                    self._ready()
+                    continue
+                cols = list(zip(rel.columns, [str(t) for t in rel.types]))
+                rows = rel.fetchall()
+            except Exception as exc:  # surface as ErrorResponse
+                self._error(str(exc).splitlines()[0])
+                self._ready()
+                continue
+
+            # RowDescription
+            desc = struct.pack("!h", len(cols))
+            for i, (name, duck_type) in enumerate(cols):
+                desc += name.encode() + b"\x00"
+                desc += struct.pack("!ihihih", 0, i + 1, _oid_for(duck_type), -1, -1, 0)
+            self._msg(b"T", desc)
+            # DataRows
+            for row in rows:
+                body = struct.pack("!h", len(row))
+                for v in row:
+                    r = _render(v)
+                    if r is None:
+                        body += struct.pack("!i", -1)
+                    else:
+                        body += struct.pack("!i", len(r)) + r
+                self._msg(b"D", body)
+            done = f"SELECT {len(rows)}".encode() + b"\x00"
+            self._msg(b"C", done)
+            self._ready()
+
+
+class PgStubServer(socketserver.ThreadingTCPServer):
+    """Threaded so partitioned reads can open concurrent connections."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, db: duckdb.DuckDBPyConnection, password: str | None = None):
+        self.db = db
+        self.password = password
+        super().__init__(("127.0.0.1", 0), _Handler)  # ephemeral port
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    def __enter__(self) -> "PgStubServer":
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.shutdown()
+        self.server_close()

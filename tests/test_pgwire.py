@@ -1,0 +1,106 @@
+"""S-2 contract tests: the pure-Python wire client against a protocol-
+speaking stub server (tests/pg_stub.py) — auth, typed decode, NULLs,
+errors, and partitioned parallel reads with per-task connections."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from tests.pg_stub import PgStubServer
+
+
+@pytest.fixture(scope="module")
+def stub_db():
+    db = duckdb.connect(":memory:")
+    db.execute(
+        "CREATE TABLE t AS SELECT "
+        "range AS k, "
+        "CAST(range * 1.5 AS DOUBLE) AS v, "
+        "'row-' || range AS s, "
+        "range % 3 = 0 AS flag, "
+        "CASE WHEN range % 10 = 0 THEN NULL ELSE range * 7 END AS maybe, "
+        "CAST(DATE '2024-01-01' + INTERVAL (range) DAY AS DATE) AS d, "
+        "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (range) HOUR AS ts "
+        "FROM range(1000)"
+    )
+    return db
+
+
+def _settings(server, password=None):
+    from pgstream_spark.sources.pgwire import ConnSettings
+
+    return ConnSettings(
+        host="127.0.0.1", dbname="stub", user="tester",
+        password=password, port=server.port,
+    )
+
+
+class TestWireClient:
+    def test_simple_query_typed_decode(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                fields, rows = c.simple_query(
+                    "SELECT k, v, s, flag, maybe, d, ts FROM t WHERE k < 3 ORDER BY k"
+                )
+        assert [f[0] for f in fields] == ["k", "v", "s", "flag", "maybe", "d", "ts"]
+        assert rows[0] == (
+            0, 0.0, "row-0", True, None,
+            datetime.date(2024, 1, 1), datetime.datetime(2024, 1, 1),
+        )
+        assert rows[2][1] == 3.0 and rows[2][4] == 14
+
+    def test_cleartext_auth(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, password="sekrit") as srv:
+            with PgWireClient(_settings(srv, password="sekrit")) as c:
+                _, rows = c.simple_query("SELECT count(*) AS n FROM t")
+                assert rows == [(1000,)]
+            with pytest.raises(QueryError, match="authentication"):
+                PgWireClient(_settings(srv, password="wrong"))
+
+    def test_server_error_is_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                with pytest.raises(QueryError):
+                    c.simple_query("SELECT * FROM does_not_exist")
+                # connection stays usable after an error (ReadyForQuery)
+                _, rows = c.simple_query("SELECT 1 AS one")
+                assert rows == [(1,)]
+
+
+class TestSparkReads:
+    def test_read_table_driver_side(self, spark, stub_db):
+        from pgstream_spark.sources.pgwire import read_table
+
+        with PgStubServer(stub_db) as srv:
+            df = read_table(
+                spark, _settings(srv), "SELECT k, v, s FROM t WHERE k < 50"
+            )
+            assert df.schema.simpleString() == "struct<k:bigint,v:double,s:string>"
+            assert df.count() == 50
+
+    def test_read_partitioned_matches_full_read(self, spark, stub_db):
+        from pgstream_spark.sources.pgwire import read_partitioned
+
+        with PgStubServer(stub_db) as srv:
+            df = read_partitioned(
+                spark, _settings(srv), "t",
+                partition_column="k", lower_bound=0, upper_bound=1000,
+                num_partitions=5, columns="k, v, maybe",
+            )
+            assert df.rdd.getNumPartitions() == 5
+            got = df.collect()
+        assert len(got) == 1000  # no slice gaps/overlaps
+        assert sum(r.k for r in got) == 499500
+        assert sum(1 for r in got if r.maybe is None) == 100
