@@ -1812,6 +1812,133 @@ def f12(spark, sf_dir):
 
 
 # =====================================================================
+# Round-2 breadth II: dedup clustering, deterministic sampling, Q7
+# =====================================================================
+
+@q(
+    "l8_dedup_clusters",
+    # Connected components over the EXACT jaccard pairs (l2's oracle-
+    # proven pair set at the same threshold): near-dup families with the
+    # min doc_id as canonical representative.  The oracle computes the
+    # same closure with a recursive CTE.
+    "WITH RECURSIVE toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a) "
+    "SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node",
+)
+def l8(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return dedup_clusters(pairs)
+
+
+@q(
+    "l6_hash_sample",
+    # Deterministic hash-based sampling — the train/test-split primitive
+    # of a data pipeline.  md5 is identical across engines, so the sample
+    # membership (first 8 hex digits mod 100 < 10) matches exactly;
+    # map-only, scan-speed, reproducible forever.
+    "SELECT doc_id, lang FROM documents "
+    "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "% 100 < 10",
+)
+def l6(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.filter(bucket < 10).select("doc_id", "lang")
+
+
+@q(
+    "l7_stratified_sample",
+    # Per-stratum deterministic pseudo-random top-k (equal docs per
+    # language) — md5 as the shuffle key makes the "random" choice
+    # reproducible and oracle-identical.
+    "SELECT lang, doc_id, rn FROM ("
+    "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 5",
+)
+def l7(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@q(
+    "g18_tpch_q7_nation_volume",
+    # TPC-H Q7 shape: shipping volume between two nations by year —
+    # the 6-table join with two roles for nation.  Dimension chains
+    # broadcast; the fact join shuffles once on orderkey.
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS INT) AS l_year, "
+    + _dsum("l_extendedprice * (1 - l_discount)")
+    + " AS volume "
+    "FROM lineitem "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+    "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "GROUP BY supp_nation, cust_nation, l_year",
+)
+def g18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+# =====================================================================
 # Driver-gate registration order
 # =====================================================================
 # The driver's CORRECTNESS gate evaluates queries in registration order
@@ -1867,20 +1994,20 @@ _GATE_ORDER = [
     "s3_paged_fetch",
     "p7_in_subquery",
     "j1_inner_equi",
-    "j5_outer_join",
     "j6_semi_anti",
     "j9_interval_join",
     "g1_tpch_q1",
     "g5_rollup",
-    "g8_stats_agg",
     "g9_array_agg_ordered",
     "w3_moving_window",
-    "w4_running_total",
     "o3_topk_per_group",
     "u2_intersect",
-    "f8_map_fns",
     # -- round-2 additions that need a first hard-signal row ----------
     "l5_multimodal_features",
+    "l6_hash_sample",
+    "l7_stratified_sample",
+    "l8_dedup_clusters",
+    "g18_tpch_q7_nation_volume",
 ]
 
 

@@ -288,6 +288,63 @@ def verify_candidate_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(node, cluster)``.
+
+    Groups pairwise matches into duplicate FAMILIES (the step after any
+    pair generator: keep one canonical doc per cluster).  Min-label
+    propagation: every node starts labeled with itself; each round takes
+    the min label across its neighborhood; converges in O(graph diameter)
+    rounds — near-dup families are dense little cliques, so 2-3 rounds in
+    practice.  Each round is one shuffle (join + min-agg); the driver only
+    evaluates the converged? count, never the data.  ``cluster`` is the
+    smallest node id in the component — deterministic canonical choice.
+
+    At extreme scale swap the plain propagation for the large-star/
+    small-star variant (alternating rounds bound intermediate degrees);
+    the loop scaffold and convergence check stay identical.
+    """
+    # symmetrize once; self-loops make every node its own neighbor so
+    # labels(node) is always defined
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .union(
+            pairs.select(F.col("id_a"), F.col("id_a"))
+            .union(pairs.select(F.col("id_b"), F.col("id_b")))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels.persist()
+    labels.count()  # materialize before the loop
+    for _ in range(max_iterations):
+        new_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def simhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -574,3 +574,16 @@ class TestMultimodalRealDecode:
         )
         with pytest.raises(Exception):  # UnsupportedMediaError crosses Py4J wrapped
             extract_features(df, "payload", "asset_id", decode_stub=False).collect()
+
+
+class TestDedupClusters:
+    def test_known_graph_components(self, spark):
+        from pgstream_spark.operators.dedup import dedup_clusters
+
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long",
+        )
+        got = {r.node: r.cluster for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
