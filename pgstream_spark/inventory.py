@@ -1201,14 +1201,27 @@ def l3(spark, sf_dir):
     )
 
 
-@q("l3b_lsh_topk")  # approximate ANN — recall vs brute force checked in pytest
+def _l3b_oracle() -> str:
+    from pgstream_spark.operators.similarity import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(query_filter="vec_id < 10", k=5, m_bits=6, tables=6)
+
+
+@q(
+    "l3b_lsh_topk",
+    # approximate ANN, yet hash-gated: the oracle re-derives the SAME
+    # deterministic hyperplane buckets (l3c trick) and ranks on the
+    # 6-decimal-rounded cosine so both engines order identically.
+    _l3b_oracle(),
+)
 def l3b(spark, sf_dir):
     from pgstream_spark.operators.similarity import lsh_bucketed_top_k
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_top_k(
-        e.filter(F.col("vec_id") < 10), e, k=5, m_bits=6, tables=6, dim=64
-    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        e.filter(F.col("vec_id") < 10), e, k=5, m_bits=6, tables=6, dim=64,
+        round_rank_decimals=6,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 @q(
@@ -1529,7 +1542,26 @@ def t9(spark, sf_dir):
     )
 
 
-@q("x5b_python_udtf")  # Python UDTF — rows-only (no SQL-portable oracle)
+@q(
+    "x5b_python_udtf",
+    # The UDTF is deterministic, so it CAN be oracled: the rolling hash
+    # of the token stream equals the polynomial hash of the space-joined
+    # token prefix (separator == ord(' ')), computed here with HUGEINT
+    # modular arithmetic via list_reduce — matches the Python UDTF
+    # bit-for-bit (functions/udtf_fns.py).
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents WHERE doc_id < 20), "
+    "idx AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks), "
+    "tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token, "
+    "array_to_string(t[1:i], ' ') || ' ' AS prefix FROM idx) "
+    "SELECT doc_id, pos, token, "
+    "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(range(1, length(prefix) + 1), "
+    "j -> CAST(ascii(substr(prefix, CAST(j AS INT), 1)) AS HUGEINT))), "
+    "(a, b) -> (a * 257 + b) % 2305843009213693951) AS BIGINT) AS rolling_hash "
+    "FROM tok",
+)
 def x5b(spark, sf_dir):
     from pgstream_spark.functions.udtf_fns import register_tokenize_udtf
 

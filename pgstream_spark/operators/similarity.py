@@ -112,6 +112,7 @@ def lsh_bucketed_top_k(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    round_rank_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -145,6 +146,10 @@ def lsh_bucketed_top_k(
             "cosine", cosine_expr(F.col("__query_id_v"), F.col("__neighbor_id_v"))
         )
     )
+    # ranking on the ROUNDED cosine makes the order reproducible across
+    # engines whose float summation differs in the last ulp (oracle mode)
+    if round_rank_decimals is not None:
+        cand = cand.withColumn("cosine", F.round("cosine", round_rank_decimals))
     return top_k_per_group(
         cand,
         ["query_id"],
@@ -152,3 +157,48 @@ def lsh_bucketed_top_k(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+    m_bits: int = 6,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    decimals: int = 6,
+) -> str:
+    """DuckDB SQL computing the SAME hyperplane buckets + top-k re-rank
+    as ``lsh_bucketed_top_k`` (full-precision plane literals, identical
+    left-fold dot order — see ``dedup.embedding_neardup_lsh_oracle_sql``).
+    """
+    planes = _hyperplanes(dim, m_bits, tables, seed)
+    bucket_exprs = []
+    for t in range(tables):
+        bits = []
+        for i in range(m_bits):
+            dot = " + ".join(
+                f"v[{j + 1}]*({float(w)!r})" for j, w in enumerate(planes[t][i])
+            )
+            bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END")
+        bucket_exprs.append(f"({t * (1 << m_bits)} + " + " + ".join(bits) + ")")
+    bucket_list = ", ".join(bucket_exprs)
+    return (
+        f"WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v "
+        f"FROM {table}), "
+        f"b AS (SELECT id, unnest([{bucket_list}]) AS bucket FROM e), "
+        f"qb AS (SELECT * FROM b WHERE {query_filter.replace(id_col, 'id')}), "
+        "cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id "
+        "FROM qb q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"round(list_cosine_similarity(eq.v, ec.v), {decimals}) AS cosine "
+        "FROM cand JOIN e eq ON eq.id = query_id JOIN e ec ON ec.id = neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked "
+        f"WHERE rank <= {k}"
+    )
