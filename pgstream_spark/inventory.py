@@ -1970,6 +1970,203 @@ def g18(spark, sf_dir):
     )
 
 
+@q(
+    "l4f_repetition_stats",
+    # Gopher-style repetition filters: type-token ratio + top-bigram
+    # share.  Bigrams are parallel-unnest zipped slices in DuckDB and
+    # zip_with-ed slices in Spark; the ratios are single IEEE divisions
+    # of small exact integers, identical on both engines.
+    "WITH base AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd "
+    "FROM base WHERE len(t) >= 2), "
+    "bi AS (SELECT doc_id, n, nd, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2 "
+    "FROM sized), "
+    "cnt AS (SELECT doc_id, any_value(n) AS n, any_value(nd) AS nd, "
+    "w1 || ' ' || w2 AS bg, count(*) AS c FROM bi GROUP BY doc_id, bg) "
+    "SELECT doc_id, CAST(any_value(nd) AS DOUBLE) / any_value(n) AS ttr, "
+    "CAST(max(c) AS DOUBLE) / (any_value(n) - 1) AS top_bigram_frac "
+    "FROM cnt GROUP BY doc_id",
+)
+def l4f(spark, sf_dir):
+    from pgstream_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "l4g_pii_scrub",
+    # PII redaction parity probe: the corpus has no PII, so a contact
+    # string is synthesized deterministically from doc_id on BOTH
+    # engines, then scrubbed — this differentially tests the regex
+    # semantics (Java regex vs RE2) of the exact patterns the operator
+    # ships.  md5 of the scrubbed text is the value-level check.
+    "WITH aug AS (SELECT doc_id, 'reach user' || doc_id || '@example.com or +1 "
+    "(555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' re: ' || text AS t "
+    "FROM documents), "
+    "scrub AS (SELECT doc_id, "
+    "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+    "AS n_emails, "
+    "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+    "'<EMAIL>', 'g') AS t1 FROM aug), "
+    "scrub2 AS (SELECT doc_id, n_emails, "
+    "len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS n_phones, "
+    "regexp_replace(t1, '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS t2 "
+    "FROM scrub) "
+    "SELECT doc_id, n_emails, n_phones, md5(t2) AS clean_md5 FROM scrub2",
+)
+def l4g(spark, sf_dir):
+    from pgstream_spark.operators.textstats import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" re: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(d).select(
+        "doc_id", "n_emails", "n_phones", F.md5(F.col("text_clean")).alias("clean_md5")
+    )
+
+
+@q(
+    "g19_tpch_q10_returns",
+    # TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
+    # The LIMIT is made deterministic with a c_custkey tiebreak.
+    "SELECT c_custkey, c_name, n_name, "
+    + _dsum("l_extendedprice * (1 - l_discount)") + " AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01' AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def g19(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "g20_tpch_q19_disjunctive",
+    # TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    # the classic disjunctive-pushdown test (each branch constrains
+    # part AND lineitem columns, so it can only be applied post-join).
+    "SELECT " + _dsum("l_extendedprice * (1 - l_discount)") + " AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+    "       AND l_quantity BETWEEN 1 AND 11) "
+    "   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30 "
+    "       AND l_quantity BETWEEN 10 AND 20) "
+    "   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50 "
+    "       AND l_quantity BETWEEN 20 AND 30)",
+)
+def g20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "g21_tpch_q22_dormant",
+    # TPC-H Q22 shape adapted to this schema (every customer has orders,
+    # so "never ordered" is re-cut as "no single order above 300"):
+    # scalar AVG subquery + correlated NOT EXISTS anti-join.  The
+    # average is an exact scaled sum over an exact count, so the
+    # threshold double is bit-identical on both engines.
+    "WITH ab AS (SELECT " + _dsum("c_acctbal") + " / count(*) AS avg_bal "
+    "FROM customer WHERE c_acctbal > 0.0) "
+    "SELECT c_mktsegment, count(*) AS n_cust, "
+    + _dsum("c_acctbal") + " AS total_bal "
+    "FROM customer, ab WHERE c_acctbal > avg_bal "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_totalprice > 300.0) "
+    "GROUP BY c_mktsegment",
+)
+def g21(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("*")).alias("avg_bal")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 300.0).select("o_custkey").distinct()
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+@q(
+    "g22_tpch_q4_priority",
+    # TPC-H Q4 shape (no commitdate in this schema → "late" is re-cut as
+    # shipped more than 60 days after the order date): correlated EXISTS
+    # semi-join into a priority rollup.
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority",
+)
+def g22(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -22,7 +22,11 @@ __all__ = [
     "quality_score",
     "language_id",
     "document_fingerprint",
+    "repetition_stats",
+    "pii_scrub",
     "STOPWORDS",
+    "EMAIL_RE",
+    "PHONE_RE",
 ]
 
 # Tiny public-knowledge stopword lexicons (top function words per language).
@@ -120,6 +124,82 @@ def document_fingerprint(
     detection via fingerprints is oracle-checkable."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out, F.md5(norm))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality features, per document:
+
+    * ``ttr``             — type-token ratio (distinct tokens / tokens);
+    * ``top_bigram_frac`` — share of all bigrams taken by the most
+      frequent bigram.
+
+    Low TTR or a dominant bigram is the standard signal for boilerplate /
+    degenerate-repetition documents in LLM training-data filtering
+    (Gopher, Rae et al. 2021 §A.1.1).  Documents with fewer than two
+    tokens are dropped (no bigram is defined).
+
+    Scale shape: bigrams are built JVM-side with ``zip_with`` over two
+    array slices (no Python), then explode → two keyed aggregations on
+    ``id_col`` — partial aggregation applies and all shuffles are keyed
+    by document, so the plan is embarrassingly parallel over docs.
+    """
+    n = F.col("__n")
+    base = (
+        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(n >= 2)
+        .withColumn("__nd", F.size(F.array_distinct("__t")))
+    )
+    bigram = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bg = (
+        base.select(id_col, "__n", "__nd", F.explode(bigram).alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(
+            F.count("*").alias("__c"),
+            F.first("__n").alias("__n"),
+            F.first("__nd").alias("__nd"),
+        )
+    )
+    return per_bg.groupBy(id_col).agg(
+        (F.first("__nd").cast("double") / F.first("__n")).alias("ttr"),
+        (F.max("__c").cast("double") / (F.first("__n") - 1)).alias("top_bigram_frac"),
+    )
+
+
+# Lookahead-free PII patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out: str = "text_clean"
+) -> DataFrame:
+    """Redact email addresses and phone-like digit runs, appending
+    ``n_emails``/``n_phones`` counts and the scrubbed ``out`` column.
+
+    Map-only ``regexp_extract_all``/``regexp_replace`` — runs at scan
+    speed; the standard pre-training PII pass (emails first so phone
+    digits inside addresses are not double-counted).
+    """
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0)).cast("long"),
+        )
+        .withColumn(out, F.regexp_replace(no_email, PHONE_RE, "<PHONE>"))
+    )
 
 
 def token_count_bpe(df: DataFrame, text_col: str = "text", out: str = "n_tokens_bpe") -> DataFrame:

@@ -399,6 +399,61 @@ class TestBpeTokenCount:
         assert got == {1: 2, 2: 3, 3: 5, 4: 0}
 
 
+class TestRepetitionStats:
+    def test_degenerate_vs_diverse(self, spark):
+        from pgstream_spark.operators.textstats import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),        # 1 type / 4 toks; bigrams all "spam spam"
+                (2, "one two three four"),          # all distinct; 3 bigrams, each unique
+                (3, "a b a b a"),                   # ttr 2/5; "a b" is 2 of 4 bigrams
+                (4, "solo"),                        # <2 tokens → dropped
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.ttr, r.top_bigram_frac) for r in repetition_stats(df).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == (0.25, 1.0)
+        assert got[2] == (1.0, 1.0 / 3.0)
+        assert got[3] == (0.4, 0.5)
+
+    def test_repetition_flags_boilerplate(self, spark):
+        from pgstream_spark.operators.textstats import repetition_stats
+
+        # A boilerplate doc must score strictly worse on both axes.
+        df = spark.createDataFrame(
+            [(1, "click here click here click here"),
+             (2, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert got[1].ttr < got[2].ttr
+        assert got[1].top_bigram_frac > got[2].top_bigram_frac
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self, spark):
+        from pgstream_spark.operators.textstats import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@foo-bar.example.org or call +1 (555) 010-9999 now"),
+                (2, "no pii here"),
+                (3, "two mails: x@y.io and w@z.dev"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert got[1].n_emails == 1 and got[1].n_phones == 1
+        assert "<EMAIL>" in got[1].text_clean and "<PHONE>" in got[1].text_clean
+        assert "@" not in got[1].text_clean.replace("<EMAIL>", "")
+        assert got[2].n_emails == 0 and got[2].n_phones == 0
+        assert got[2].text_clean == "no pii here"
+        assert got[3].n_emails == 2
+        assert got[3].text_clean == "two mails: <EMAIL> and <EMAIL>"
+
+
 class TestEmbeddingNearDupLSH:
     @pytest.fixture(scope="class")
     def corpus(self, spark, sf_dir):
