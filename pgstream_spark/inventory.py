@@ -2036,6 +2036,27 @@ def l4g(spark, sf_dir):
 
 
 @q(
+    "l9_source_mixture",
+    # Domain-mixture downsampling: per-source keep probability in basis
+    # points, membership decided by the md5 bucket — integer compare
+    # end-to-end, so the sampled set is bit-identical across engines.
+    "SELECT doc_id, source FROM documents "
+    "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "% 10000 < CASE source WHEN 'src0' THEN 7500 WHEN 'src1' THEN 2500 "
+    "WHEN 'src2' THEN 5000 WHEN 'src3' THEN 10000 ELSE 1000 END",
+)
+def l9(spark, sf_dir):
+    from pgstream_spark.operators.mixture import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        d,
+        {"src0": 7500, "src1": 2500, "src2": 5000, "src3": 10000},
+        default_bp=1000,
+    ).select("doc_id", "source")
+
+
+@q(
     "g19_tpch_q10_returns",
     # TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
     # The LIMIT is made deterministic with a c_custkey tiebreak.

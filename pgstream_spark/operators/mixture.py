@@ -1,0 +1,91 @@
+"""Domain-mixture sampling — training-data source reweighting.
+
+A pre-training corpus is assembled from heterogeneous sources (web,
+code, books, …) whose *natural* proportions differ from the *target*
+mixture the training run wants.  The standard fix is per-source
+downsampling: keep each row of source ``s`` with probability ``w_s``.
+
+Two requirements drive the design here:
+
+* **Determinism** — the sample must be reproducible run-over-run and
+  engine-over-engine (the md5-bucket trick the rest of the pipeline
+  uses, cf. ``inventory.l6_hash_sample``).  Weights are expressed in
+  integer basis points (1/10_000) so membership is decided by an
+  integer comparison — no float threshold ambiguity anywhere.
+* **Scale** — the filter is map-only (md5 + CASE on broadcast-literal
+  weights), so it runs at scan speed with no shuffle; planning the
+  weights needs one count-by-source aggregation whose result is
+  source-cardinality-sized (tiny), the only driver-side data.
+
+Reference parity: the reference delegates sampling to SQL
+(``TABLESAMPLE``-style); deterministic mixture sampling is the
+100 TB-pipeline extension of the same idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mixture_sample", "plan_mixture_weights", "hash_bucket_bp"]
+
+
+def hash_bucket_bp(id_col: Column) -> Column:
+    """Deterministic uniform bucket in [0, 10_000) from a row id:
+    first 8 md5 hex digits mod 10^4 — identical in Spark and DuckDB
+    (``CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 10000``)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+        % 10_000
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights_bp: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Keep each row of source ``s`` with probability
+    ``weights_bp[s] / 10_000``, decided by the row's deterministic md5
+    bucket.  Sources absent from ``weights_bp`` fall back to
+    ``default_bp`` (0 = drop).
+
+    Map-only: the weight lookup is a literal CASE chain (sources are
+    few), the bucket an md5 over the row id — no shuffle, no UDF.
+    """
+    w: Column = F.lit(int(default_bp))
+    for s, bp in sorted(weights_bp.items()):
+        w = F.when(F.col(source_col) == s, F.lit(int(bp))).otherwise(w)
+    return df.filter(hash_bucket_bp(F.col(id_col)) < w)
+
+
+def plan_mixture_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+) -> dict[str, int]:
+    """Compute per-source keep-weights (basis points) that realize the
+    target mixture ``targets`` (source → desired share, summing to ≤1)
+    by *downsampling only* (weights capped at 10_000: never upsample).
+
+    Solves for the largest output corpus: the binding source is the one
+    with the least data relative to its target share; every other
+    source is downsampled to match.  One tiny aggregation (one row per
+    source) is collected — source cardinality is assumed human-scale.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    # Largest total N such that target_s * N <= n_s for every targeted s.
+    n_total = min(
+        counts.get(s, 0) / share for s, share in targets.items() if share > 0
+    )
+    out: dict[str, int] = {}
+    for s, share in targets.items():
+        n_s = counts.get(s, 0)
+        keep = 0 if n_s == 0 else min(1.0, share * n_total / n_s)
+        out[s] = int(round(keep * 10_000))
+    return out

@@ -454,6 +454,42 @@ class TestPiiScrub:
         assert got[3].text_clean == "two mails: <EMAIL> and <EMAIL>"
 
 
+class TestMixtureSample:
+    def test_weights_and_determinism(self, spark):
+        from pgstream_spark.operators.mixture import mixture_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+            "doc_id long, source string",
+        )
+        full = mixture_sample(df, {"a": 10_000, "b": 10_000})
+        assert full.count() == 400                       # weight 1.0 keeps all
+        none = mixture_sample(df, {"a": 0}, default_bp=0)
+        assert none.count() == 0                         # weight 0 drops all
+        half = mixture_sample(df, {"a": 5_000, "b": 5_000})
+        got1 = sorted(r.doc_id for r in half.collect())
+        got2 = sorted(r.doc_id for r in half.collect())
+        assert got1 == got2                              # deterministic
+        assert 100 < len(got1) < 300                     # ~50% of 400
+        # membership is per-row stable: the half sample is a subset of full
+        assert set(got1) <= {r.doc_id for r in full.collect()}
+
+    def test_plan_mixture_weights(self, spark):
+        from pgstream_spark.operators.mixture import plan_mixture_weights
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(100)] + [(i, "b") for i in range(300)],
+            "doc_id long, source string",
+        )
+        w = plan_mixture_weights(df, {"a": 0.5, "b": 0.5})
+        # binding source is 'a' (least data per target share): kept whole;
+        # 'b' downsampled to match 100 rows → 100/300 = 3333 bp.
+        assert w["a"] == 10_000
+        assert w["b"] == 3333
+        w2 = plan_mixture_weights(df, {"a": 0.25, "b": 0.75})
+        assert w2["a"] == 10_000 and w2["b"] == 10_000   # natural mix already meets it
+
+
 class TestEmbeddingNearDupLSH:
     @pytest.fixture(scope="class")
     def corpus(self, spark, sf_dir):
