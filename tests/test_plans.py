@@ -55,6 +55,41 @@ def test_inventory_scan_heavy_queries_push_filters(spark, sf_dir):
     assert any("o_orderdate" in f for f in filters)
 
 
+def test_tpch_q10_shape_broadcasts_dims_and_pushes_returnflag(spark, sf_dir):
+    # g19: lineitem must stay the streaming side (never broadcast), the
+    # returnflag filter must reach its scan, and the dimension joins
+    # must be broadcast — the only plan that survives 100x data.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["g19_tpch_q10_returns"](spark, sf_dir)
+    assert any("EqualTo(l_returnflag" in f for f in pushed_filters(df))
+    txt = explain_string(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_tpch_q19_disjunction_partially_pushes_to_scan(spark, sf_dir):
+    # g20: Catalyst must extract the per-side disjuncts — the lineitem
+    # scan carries the OR of quantity ranges even though the full
+    # predicate spans the join.
+    from pgstream_spark.inventory import QUERIES
+
+    df = QUERIES["g20_tpch_q19_disjunctive"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_quantity" in f and "Or(" in f for f in filters)
+
+
+def test_mixture_sample_is_map_only(spark, sf_dir):
+    # l9: the sampler must add no shuffle — filter straight on the scan.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l9_source_mixture"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "Exchange" not in txt
+
+
 def test_engine_explain_returns_plan(engine):
     text = engine.explain("SELECT count(*) AS n FROM orders", mode="formatted")
     assert "Physical Plan" in text or "AdaptiveSparkPlan" in text
