@@ -2215,6 +2215,11 @@ _GATE_ORDER = [
     "l4c_language_id",
     "l4d_quality_score",
     "l4e_bpe_token_count",
+    # -- round-2 LLM-pipeline additions (north-star class: gate first,
+    #    displacing family-redundant re-checks s3/j6/g9) ---------------
+    "l4f_repetition_stats",
+    "l4g_pii_scrub",
+    "l9_source_mixture",
     # -- round-1 unverified: Python-integration surface (X-*) ---------
     "x1_pandas_kernel",
     "x3_grouped_map",
@@ -2241,14 +2246,11 @@ _GATE_ORDER = [
     "f1_f2_epoch_roundtrip",
     # -- round-1 green, re-checked: one representative per family -----
     "s1_scan_count",
-    "s3_paged_fetch",
     "p7_in_subquery",
     "j1_inner_equi",
-    "j6_semi_anti",
     "j9_interval_join",
     "g1_tpch_q1",
     "g5_rollup",
-    "g9_array_agg_ordered",
     "w3_moving_window",
     "o3_topk_per_group",
     "u2_intersect",
