@@ -2035,6 +2035,77 @@ def l4g(spark, sf_dir):
     )
 
 
+import random as _random  # noqa: E402 — MinHash oracle coefficient mirror
+
+# The exact affine coefficients operators/dedup.minhash_signatures(seed=42)
+# draws — regenerated here so the DuckDB oracle computes the identical
+# permutations (same generator, same call sequence, same seed).
+_MH_COEFFS = [
+    (r.randrange(1, 1 << 31) | 1, r.randrange(0, 1 << 31))
+    for r in [_random.Random(42)]
+    for _ in range(8)
+]
+_MH_SIG_SQL = ", ".join(
+    f"min({a}*h+{b}) AS m{j}" for j, (a, b) in enumerate(_MH_COEFFS)
+)
+_MH_NEQ_SQL = " + ".join(f"CAST(a.m{j}=b.m{j} AS INT)" for j in range(8))
+
+
+@q(
+    "l2d_minhash_lsh_md5",
+    # The FULL MinHash+LSH pipeline, hash-gated: md5-based shingle hash
+    # (computable verbatim in DuckDB), 8 permutations regenerated from
+    # the same seeded generator, band predicate = exact equality of
+    # signature halves.  The oracle rebuilds shingles (parallel-unnest
+    # trigram zip + short-doc fallback), signatures, and the banded
+    # self-join — so candidate pairs AND estimated Jaccard must match
+    # bit-for-bit.  (l2b stays on xxhash64 for speed; this query proves
+    # the algorithm, that one carries the scale.)
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh3 AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS w1, "
+    "unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3 "
+    "FROM toks WHERE len(t) >= 3), "
+    "sh AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s FROM sh3 "
+    "UNION ALL SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    "WHERE len(t) < 3), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647 AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    f"CAST(({_MH_NEQ_SQL}) AS DOUBLE) / 8 AS est_jaccard "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "AND ((a.m0=b.m0 AND a.m1=b.m1 AND a.m2=b.m2 AND a.m3=b.m3) "
+    "OR (a.m4=b.m4 AND a.m5=b.m5 AND a.m6=b.m6 AND a.m7=b.m7))",
+)
+def l2d(spark, sf_dir):
+    from pgstream_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_perm=8, seed=42, hash_fn="md5")
+    cand = minhash_lsh_candidates(sig, bands=2, rows_per_band=4, bucket_cap=None)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    n_eq = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.slice("__sa", 1, 4) == F.slice("__sb", 1, 4))
+            | (F.slice("__sa", 5, 4) == F.slice("__sb", 5, 4))
+        )
+        .select(
+            "id_a", "id_b", (n_eq.cast("double") / F.lit(8.0)).alias("est_jaccard")
+        )
+    )
+
+
 @q(
     "l9_source_mixture",
     # Domain-mixture downsampling: per-source keep probability in basis
@@ -2206,6 +2277,7 @@ _GATE_ORDER = [
     "l2_ngram_jaccard",
     "l2b_minhash_lsh",
     "l2c_simhash",
+    "l2d_minhash_lsh_md5",
     "l3_vector_topk",
     "l3b_lsh_topk",
     "l3c_embedding_neardup",
@@ -2246,7 +2318,6 @@ _GATE_ORDER = [
     "f1_f2_epoch_roundtrip",
     # -- round-1 green, re-checked: one representative per family -----
     "s1_scan_count",
-    "p7_in_subquery",
     "j1_inner_equi",
     "j9_interval_join",
     "g1_tpch_q1",

@@ -145,6 +145,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 96,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -155,6 +156,12 @@ def minhash_signatures(
     aggregate ``num_perm`` ``min()`` columns; partial aggregation combines
     map-side, so the exchange carries one signature row per document, not
     the exploded shingles.
+
+    ``hash_fn="md5"`` swaps the shingle hash for the first 8 md5 hex
+    digits (31-bit folded) — slower than xxhash64, but computable
+    verbatim in other engines (DuckDB: ``CAST(('0x' || substr(md5(s), 1,
+    8)) AS BIGINT) & 2147483647``), which makes the ENTIRE MinHash+LSH
+    pipeline differentially hash-checkable (``l2d`` in the inventory).
 
     Engineering notes (measured, not guessed): a nested higher-order-
     function formulation bypasses whole-stage codegen (HOF lambdas are
@@ -184,7 +191,15 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
     )
-    h = F.xxhash64("__sh").bitwiseAND(F.lit((1 << 31) - 1)).alias("__h")
+    if hash_fn == "md5":
+        h = (
+            F.conv(F.substring(F.md5("__sh"), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit((1 << 31) - 1))
+            .alias("__h")
+        )
+    else:
+        h = F.xxhash64("__sh").bitwiseAND(F.lit((1 << 31) - 1)).alias("__h")
     hashed = sh.select("id", h)
     mins = [
         F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{j}")
