@@ -99,6 +99,54 @@ class TestBatchStreamEquivalence:
         assert n2 == total  # no duplicates after restart
 
 
+class TestMapOnlyOpsStreamCompatible:
+    # The stateless text-pipeline ops (PII scrub, mixture sampling) are
+    # pure column expressions, so the SAME function must apply to a
+    # readStream DataFrame unchanged and produce the batch answer —
+    # that's the contract that lets a 100 TB backfill and its streaming
+    # ingest path share one implementation.
+
+    def test_pii_and_mixture_on_stream(self, spark, tmp_path):
+        from pgstream_spark.operators.mixture import mixture_sample
+        from pgstream_spark.operators.textstats import pii_scrub
+        from tests.conftest import write_flat_parquet
+
+        rows = [
+            (i, f"user{i}@ex{i}.org says hi " + ("x " * (i % 5)), "a" if i % 2 else "b")
+            for i in range(200)
+        ]
+        schema = "doc_id long, text string, source string"
+        src = str(tmp_path / "src")
+        write_flat_parquet(spark, rows, schema, src + "/a.parquet")
+
+        pipeline = lambda df: mixture_sample(
+            pii_scrub(df), {"a": 5_000, "b": 10_000}
+        ).select("doc_id", "n_emails", "text_clean")
+
+        sdf = spark.readStream.schema(schema).parquet(src)
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        q = (
+            pipeline(sdf)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.doc_id, r.n_emails, r.text_clean)
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r.doc_id, r.n_emails, r.text_clean)
+            for r in pipeline(spark.read.parquet(src)).collect()
+        }
+        assert got == want and len(want) > 50
+        assert all(n == 1 for _, n, _ in want)
+
+
 class TestWindows:
     def test_tumbling_batch_matches_manual_trunc(self, spark, sf_dir):
         ev = load_events(spark, sf_dir)
