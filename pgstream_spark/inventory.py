@@ -2200,7 +2200,7 @@ def g20(spark, sf_dir):
 @q(
     "g21_tpch_q22_dormant",
     # TPC-H Q22 shape adapted to this schema (every customer has orders,
-    # so "never ordered" is re-cut as "no single order above 300"):
+    # so "never ordered" is re-cut as "no big-ticket order, price > 400k"):
     # scalar AVG subquery + correlated NOT EXISTS anti-join.  The
     # average is an exact scaled sum over an exact count, so the
     # threshold double is bit-identical on both engines.
@@ -2210,7 +2210,7 @@ def g20(spark, sf_dir):
     + _dsum("c_acctbal") + " AS total_bal "
     "FROM customer, ab WHERE c_acctbal > avg_bal "
     "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
-    "AND o_totalprice > 300.0) "
+    "AND o_totalprice > 400000.0) "
     "GROUP BY c_mktsegment",
 )
 def g21(spark, sf_dir):
@@ -2219,7 +2219,7 @@ def g21(spark, sf_dir):
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (dsum("c_acctbal") / F.count("*")).alias("avg_bal")
     )
-    big_orders = o.filter(F.col("o_totalprice") > 300.0).select("o_custkey").distinct()
+    big_orders = o.filter(F.col("o_totalprice") > 400000.0).select("o_custkey").distinct()
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
