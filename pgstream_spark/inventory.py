@@ -2259,6 +2259,32 @@ def g22(spark, sf_dir):
     )
 
 
+@q(
+    "l10_corpus_profile",
+    # Corpus profiling: the per-language size/shape report every
+    # training-data pipeline runs before mixing.  Percentiles use the
+    # same round-4 interpolated-quantile trick as g15; totals are exact
+    # scaled sums.
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    + _dsum("n_chars") + " / count(*) AS avg_chars, "
+    "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, "
+    "round(quantile_cont(n_chars, 0.9), 4) AS p90_chars, "
+    "count(DISTINCT source) AS n_sources "
+    "FROM documents GROUP BY lang",
+)
+def l10(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (dsum(F.col("n_chars").cast("double")) / F.count("*")).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
