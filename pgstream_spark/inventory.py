@@ -2286,6 +2286,269 @@ def l10(spark, sf_dir):
 
 
 # =====================================================================
+# Round-2 breadth III: contamination, packing, remaining TPC-H shapes
+# =====================================================================
+
+# DuckDB spelling of the distinct word-4-gram shingle inventory used by
+# l11 (same tokenization as l2/l8, n=4).
+_SHINGLE4 = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 4 THEN "
+    "[array_to_string(t[i:i+3], ' ') FOR i IN generate_series(1, len(t)-3)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks)"
+)
+
+
+@q(
+    "l11_contamination",
+    # Benchmark decontamination: distinct word-4-gram overlap between the
+    # training split and a deterministic eval split (doc_id % 13 == 0
+    # stands in for the benchmark set).  Overlap ratio is integer basis
+    # points — float-free threshold on both engines.
+    "WITH " + _SHINGLE4 + ", "
+    "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 13 = 0), "
+    "evsz AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY eval_id), "
+    "tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 13 <> 0), "
+    "p AS (SELECT train_id, eval_id, count(*) AS shared_ngrams "
+    "FROM tr JOIN ev USING (s) GROUP BY 1, 2 HAVING count(*) >= 2) "
+    "SELECT train_id, eval_id, shared_ngrams, eval_ngrams, "
+    "shared_ngrams * 10000 // eval_ngrams AS contamination_bp "
+    "FROM p JOIN evsz USING (eval_id)",
+)
+def l11(spark, sf_dir):
+    from pgstream_spark.operators.contamination import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        d.filter(F.col("doc_id") % 13 != 0),
+        d.filter(F.col("doc_id") % 13 == 0),
+        n=4,
+        min_shared=2,
+    )
+
+
+@q(
+    "l12_sequence_pack",
+    # Concat-and-chunk sequence packing (operators/packing): per-document
+    # context-window assignment under a 128-token budget, 8 hash shards.
+    # Pure window arithmetic — the oracle is the same running sum.
+    "WITH toks AS (SELECT doc_id, doc_id % 8 AS shard, "
+    "greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')), 1) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, shard, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM toks) "
+    "SELECT doc_id, shard, n_tokens, "
+    "(cum - n_tokens) // 128 AS chunk_first, (cum - 1) // 128 AS chunk_last, "
+    "(cum - n_tokens) // 128 <> (cum - 1) // 128 AS straddles FROM c",
+)
+def l12(spark, sf_dir):
+    from pgstream_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), cap=128, shards=8
+    )
+
+
+@q(
+    "g23_tpch_q12_priority_class",
+    # TPC-H Q12 shape (no l_shipmode in this schema → classify by the
+    # order's priority instead): join + dual conditional-sum rollup.
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_linestatus",
+)
+def g23(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "g24_tpch_q13_order_distribution",
+    # TPC-H Q13: distribution of per-customer order counts — LEFT join
+    # with an ON-clause predicate, then a count-of-counts histogram.
+    "WITH c_orders AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+    "SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count",
+)
+def g24(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@q(
+    "g25_tpch_q15_top_supplier",
+    # TPC-H Q15: revenue view + scalar-max equality.  The revenue sum is
+    # the exact integer-scaled dsum, so `= max(...)` is engine-portable.
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    + _dsum("l_extendedprice * (1 - l_discount)")
+    + " AS total_revenue FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+)
+def g25(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "g26_tpch_q21_sole_late",
+    # TPC-H Q21 shape (late = shipped >60 days after the order date, as
+    # in g22): suppliers who were the ONLY late supplier on a finished
+    # multi-supplier order — EXISTS + NOT-EXISTS double correlation.
+    "SELECT s_name, count(*) AS numwait "
+    "FROM lineitem l1 "
+    "JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' "
+    "JOIN supplier ON s_suppkey = l1.l_suppkey "
+    "WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey "
+    "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY s_name",
+)
+def g26(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS other-supplier  ⇔  the order has ≥2 distinct suppliers;
+    # NOT EXISTS other-late  ⇔  the order's late lines all share one
+    # supplier.  Both become aggregate semi-joins — no correlated
+    # re-scans of the big table.
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
+    "g27_tpch_q8_market_share",
+    # TPC-H Q8: one nation's share of PROMO-part volume sold into EUROPE
+    # by year.  Both sums ride the exact scaled-integer path, so the
+    # share division is bit-identical across engines.
+    "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+    + _dsum(
+        "CASE WHEN n2.n_name = 'NATION_7' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    + " AS nation_vol, "
+    + _dsum("l_extendedprice * (1 - l_discount)")
+    + " AS total_vol, "
+    + "("
+    + _dsum(
+        "CASE WHEN n2.n_name = 'NATION_7' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    + ") / (" + _dsum("l_extendedprice * (1 - l_discount)") + ") AS mkt_share "
+    "FROM lineitem "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON n1.n_nationkey = c_nationkey "
+    "JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'EUROPE' "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation n2 ON n2.n_nationkey = s_nationkey "
+    "JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' "
+    "GROUP BY o_year",
+)
+def g27(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation"))
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("n2_name"),
+        )
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    s = _t(spark, sf_dir, "supplier")
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("n2_name") == "NATION_7", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("n2_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(nation_vol).alias("nation_vol"),
+            dsum(vol).alias("total_vol"),
+            (dsum(nation_vol) / dsum(vol)).alias("mkt_share"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-gate registration order
 # =====================================================================
 # The driver's CORRECTNESS gate evaluates queries in registration order

@@ -678,3 +678,92 @@ class TestDedupClusters:
         )
         got = {r.node: r.cluster for r in dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+class TestSequencePacking:
+    @pytest.fixture(scope="class")
+    def packed(self, spark):
+        from pgstream_spark.operators.packing import pack_sequences
+
+        rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return pack_sequences(docs, cap=50, shards=4).collect()
+
+    def test_chunk_stream_is_gapless_per_shard(self, packed):
+        # within a shard, consecutive docs (by id) tile the token stream:
+        # next doc starts exactly where the previous one ended.
+        by_shard = {}
+        for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            cum = 0
+            for r in rows:
+                assert r.chunk_first == cum // 50
+                cum += r.n_tokens
+                assert r.chunk_last == (cum - 1) // 50
+                assert r.straddles == (r.chunk_first != r.chunk_last)
+
+    def test_every_doc_assigned_and_bounded(self, packed):
+        assert len(packed) == 60
+        for r in packed:
+            assert 0 <= r.chunk_first <= r.chunk_last
+            assert r.n_tokens >= 1
+
+    def test_zero_token_doc_floored_to_one(self, spark):
+        from pgstream_spark.operators.packing import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "!!!"), (2, "d e")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in pack_sequences(docs, cap=4, shards=1).collect()}
+        assert out[1].n_tokens == 1  # punctuation-only doc still occupies a slot
+        assert out[2].chunk_first == (3 + 1) // 4  # and shifts its successors
+
+    def test_single_exchange_on_shard(self, spark):
+        from pgstream_spark.operators.packing import pack_sequences
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = pack_sequences(docs, cap=8, shards=4)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1  # shard window only
+
+
+class TestContamination:
+    def test_planted_overlap_found(self, spark):
+        from pgstream_spark.operators.contamination import contamination_pairs
+
+        eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+        train = spark.createDataFrame(
+            [
+                (1, "prefix words then " + eval_text + " trailing words here"),
+                (2, "completely different content with no shared phrases at all"),
+            ],
+            "doc_id long, text string",
+        )
+        evalset = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+        got = {r.train_id: r for r in contamination_pairs(train, evalset, n=4).collect()}
+        assert 2 not in got
+        r = got[1]
+        # eval doc has 5 distinct 4-grams, all present in train doc 1
+        assert r.eval_ngrams == 5 and r.shared_ngrams == 5
+        assert r.contamination_bp == 10000
+
+    def test_min_shared_filters_incidental_overlap(self, spark):
+        from pgstream_spark.operators.contamination import contamination_pairs
+
+        train = spark.createDataFrame(
+            [(1, "one two three four unrelated tail of document")],
+            "doc_id long, text string",
+        )
+        evalset = spark.createDataFrame(
+            [(100, "one two three four but then it diverges entirely")],
+            "doc_id long, text string",
+        )
+        assert contamination_pairs(train, evalset, n=4, min_shared=2).count() == 0
+
+    def test_eval_side_is_broadcast(self, spark):
+        from pgstream_spark.operators.contamination import contamination_pairs
+
+        train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        ev = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+        plan = contamination_pairs(train, ev)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the 100 TB train side never shuffles into the join
