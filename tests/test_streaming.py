@@ -298,3 +298,101 @@ class TestWindows:
             [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
         )
         assert stateful_dedup(df, ["k"]).count() == 2
+
+
+class TestStreamStreamJoin:
+    # T-* extension: stream-stream time-bounded equi-join — batch output
+    # is the oracle for the streaming run (same function, both modes).
+
+    @pytest.fixture(scope="class")
+    def impressions_clicks(self, spark, tmp_path_factory):
+        from tests.conftest import write_flat_parquet
+
+        base = 1_700_000_000
+        imp_rows = [
+            (u, i, _ts(base + u * 1000 + i * 60))
+            for u in range(1, 6)
+            for i in range(4)
+        ]
+        # clicks: one in-window (90 s later), one out-of-window (20 min)
+        clk_rows = []
+        for u in range(1, 6):
+            clk_rows.append((u, 900 + u, _ts(base + u * 1000 + 90)))
+            clk_rows.append((u, 990 + u, _ts(base + u * 1000 + 1200)))
+        imp_dir = str(tmp_path_factory.mktemp("imp"))
+        clk_dir = str(tmp_path_factory.mktemp("clk"))
+        imp_schema = "user_id long, imp_id long, imp_ts timestamp"
+        clk_schema = "user_id long, click_id long, click_ts timestamp"
+        # two files per side so the join spans micro-batches
+        half = len(imp_rows) // 2
+        write_flat_parquet(spark, imp_rows[:half], imp_schema, imp_dir + "/a.parquet")
+        write_flat_parquet(spark, imp_rows[half:], imp_schema, imp_dir + "/b.parquet")
+        write_flat_parquet(spark, clk_rows[: len(clk_rows) // 2], clk_schema, clk_dir + "/a.parquet")
+        write_flat_parquet(spark, clk_rows[len(clk_rows) // 2 :], clk_schema, clk_dir + "/b.parquet")
+        return imp_dir, imp_schema, clk_dir, clk_schema
+
+    def test_batch_mode_matches_manual_join(self, spark, impressions_clicks):
+        from pgstream_spark.streaming.joins import stream_stream_time_join
+
+        imp_dir, imp_schema, clk_dir, clk_schema = impressions_clicks
+        imp = spark.read.schema(imp_schema).parquet(imp_dir)
+        clk = spark.read.schema(clk_schema).parquet(clk_dir)
+        out = stream_stream_time_join(
+            imp, clk, "user_id", "imp_ts", "click_ts", tolerance="5 minutes"
+        )
+        got = {(r.user_id, r.imp_id, r.click_id) for r in out.collect()}
+        manual = {
+            (iu, ii, ci)
+            for (iu, ii, its) in [(r.user_id, r.imp_id, r.imp_ts) for r in imp.collect()]
+            for (cu, ci, cts) in [(r.user_id, r.click_id, r.click_ts) for r in clk.collect()]
+            if iu == cu and its <= cts <= its + __import__("datetime").timedelta(minutes=5)
+        }
+        assert got == manual
+        assert got  # non-vacuous: in-window clicks matched
+        assert all(ci < 990 for _, _, ci in got)  # 20-min clicks excluded
+
+    def test_stream_matches_batch(self, spark, impressions_clicks, tmp_path):
+        from pgstream_spark.streaming.joins import stream_stream_time_join
+
+        imp_dir, imp_schema, clk_dir, clk_schema = impressions_clicks
+        imp_s = (
+            spark.readStream.schema(imp_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(imp_dir)
+        )
+        clk_s = (
+            spark.readStream.schema(clk_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(clk_dir)
+        )
+        joined = stream_stream_time_join(
+            imp_s, clk_s, "user_id", "imp_ts", "click_ts", tolerance="5 minutes"
+        )
+        sink = str(tmp_path / "ssj_sink")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.user_id, r.imp_id, r.click_id)
+            for r in spark.read.parquet(sink).collect()
+        }
+        imp = spark.read.schema(imp_schema).parquet(imp_dir)
+        clk = spark.read.schema(clk_schema).parquet(clk_dir)
+        batch = {
+            (r.user_id, r.imp_id, r.click_id)
+            for r in stream_stream_time_join(
+                imp, clk, "user_id", "imp_ts", "click_ts", tolerance="5 minutes"
+            ).collect()
+        }
+        assert streamed == batch and streamed
+
+
+def _ts(epoch):
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(epoch)
