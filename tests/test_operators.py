@@ -767,3 +767,69 @@ class TestContamination:
         ev = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
         plan = contamination_pairs(train, ev)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan  # the 100 TB train side never shuffles into the join
+
+
+class TestKMeansRefine:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # 3 well-separated clusters of 40 vectors in 8-d
+        rng = np.random.default_rng(11)
+        centers = np.array(
+            [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+        )
+        rows = []
+        X = []
+        for ci, c in enumerate(centers):
+            for j in range(40):
+                v = c + rng.normal(0, 0.5, 8)
+                X.append(v)
+                rows.append((ci * 40 + j, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df, np.array(X), centers
+
+    def test_l2_assignment_matches_numpy(self, spark, clustered):
+        from pgstream_spark.operators.kmeans import nearest_l2_centroid_col
+
+        df, X, centers = clustered
+        got = (
+            df.select(
+                "vec_id", nearest_l2_centroid_col(F.col("embedding"), centers).alias("c")
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        want = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        assert [r.c for r in got] == list(want)
+
+    def test_refine_recovers_true_means(self, clustered):
+        from pgstream_spark.operators.kmeans import kmeans_refine
+
+        df, X, centers = clustered
+        # perturb the starting centroids hard enough to matter
+        start = centers + 3.0
+        refined = kmeans_refine(df, start, iters=2)
+        true_means = np.stack([X[i * 40 : (i + 1) * 40].mean(axis=0) for i in range(3)])
+        assert np.allclose(refined, true_means, atol=1e-4)
+
+    def test_empty_cluster_keeps_previous_centroid(self, clustered):
+        from pgstream_spark.operators.kmeans import kmeans_refine
+
+        df, X, centers = clustered
+        far = np.vstack([centers, np.full(8, 1e6)])  # 4th centroid owns nothing
+        refined = kmeans_refine(df, far, iters=1)
+        assert np.array_equal(refined[3], far[3])
+
+    def test_update_independent_of_partitioning(self, clustered):
+        from pgstream_spark.operators.kmeans import kmeans_refine
+
+        df, X, centers = clustered
+        a = kmeans_refine(df, centers, iters=1)
+        b = kmeans_refine(df.repartition(7), centers, iters=1)
+        assert np.array_equal(a, b)  # bit-identical: scaled-integer sums
+
+    def test_cluster_sizes_report(self, clustered):
+        from pgstream_spark.operators.kmeans import cluster_sizes
+
+        df, X, centers = clustered
+        got = {r.cluster: r.n_members for r in cluster_sizes(df, centers).collect()}
+        assert got == {0: 40, 1: 40, 2: 40}
