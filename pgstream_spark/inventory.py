@@ -2548,6 +2548,19 @@ def g27(spark, sf_dir):
     )
 
 
+@q("l13_embedding_clusters")  # data-dependent centroids → rows-only; the
+# refinement invariants (numpy-argmin parity, partitioning-independence,
+# true-mean recovery) are pinned in tests/test_operators.TestKMeansRefine
+def l13(spark, sf_dir):
+    from pgstream_spark.operators.ivf import train_centroids
+    from pgstream_spark.operators.kmeans import cluster_sizes, kmeans_refine
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_lists=8, sample_size=512)
+    refined = kmeans_refine(e, cents, iters=1)
+    return cluster_sizes(e, refined)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
