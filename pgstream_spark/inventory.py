@@ -2548,6 +2548,83 @@ def g27(spark, sf_dir):
     )
 
 
+@q(
+    "g28_cube_grouping",
+    # CUBE + GROUPING(): all 4 rollup combinations with machine-readable
+    # subtotal markers — the grouping-sets surface g5's ROLLUP lacks.
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    + _dsum("l_quantity") + " AS sum_qty, "
+    "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, "
+    "CAST(GROUPING(l_linestatus) AS INT) AS g_ls "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def g28(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+@q(
+    "g29_pivot",
+    # PIVOT: order counts per status × priority as a wide matrix.  The
+    # oracle states it as conditional counts; Spark uses the native
+    # pivot with an explicit value list (no extra distinct-scan job) and
+    # coalesces absent combinations to 0 to match COUNT's no-row result.
+    "SELECT o_orderstatus, "
+    "count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent, "
+    "count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high, "
+    "count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium, "
+    "count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspecified, "
+    "count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def g29(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    names = ["urgent", "high", "medium", "unspecified", "low"]
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{src}`"), F.lit(0)).alias(dst)
+            for src, dst in zip(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], names
+            )
+        ],
+    )
+
+
+@q(
+    "g30_unpivot",
+    # UNPIVOT/melt: wide measure columns to (metric, value) long form.
+    "SELECT l_orderkey, l_linenumber, metric, value FROM ("
+    "SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value "
+    "FROM lineitem WHERE l_orderkey <= 100 "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice "
+    "FROM lineitem WHERE l_orderkey <= 100 "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount "
+    "FROM lineitem WHERE l_orderkey <= 100)",
+)
+def g30(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.regexp_replace(F.col("metric"), "^l_", ""))
+
+
 @q("l13_embedding_clusters")  # data-dependent centroids → rows-only; the
 # refinement invariants (numpy-argmin parity, partitioning-independence,
 # true-mean recovery) are pinned in tests/test_operators.TestKMeansRefine
