@@ -2625,6 +2625,43 @@ def g30(spark, sf_dir):
     ).withColumn("metric", F.regexp_replace(F.col("metric"), "^l_", ""))
 
 
+@q(
+    "l14_curation_pipeline",
+    # Composed curation pass — the shape a real training-data run chains:
+    # exact-dedup (min-id survivor) → token-count quality floor →
+    # per-(lang, source) retained inventory.  Each stage is individually
+    # oracle-proven (l1, l4, l10); this query proves the COMPOSITION.
+    "WITH toks AS (SELECT doc_id, lang, source, lower(text) AS norm, "
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS n_tokens FROM documents), "
+    "kept AS (SELECT * FROM (SELECT toks.*, row_number() OVER "
+    "(PARTITION BY norm ORDER BY doc_id) AS rn FROM toks) WHERE rn = 1), "
+    "filt AS (SELECT * FROM kept WHERE n_tokens >= 25) "
+    "SELECT lang, source, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+    "FROM filt GROUP BY lang, source",
+)
+def l14(spark, sf_dir):
+    from pgstream_spark.operators.dedup import exact_dedup, tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.col("text")).alias("norm"),
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    deduped = exact_dedup(d, ["norm"], keep_order_col="doc_id")
+    return (
+        deduped.filter(F.col("n_tokens") >= 25)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 @q("l13_embedding_clusters")  # data-dependent centroids → rows-only; the
 # refinement invariants (numpy-argmin parity, partitioning-independence,
 # true-mean recovery) are pinned in tests/test_operators.TestKMeansRefine

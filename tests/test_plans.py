@@ -167,3 +167,57 @@ def test_embedding_neardup_lsh_has_no_cross_join(spark, sf_dir):
     txt = explain_string(embedding_neardup_lsh(e), "simple")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoop" not in txt
+
+
+def test_q21_shape_has_no_nested_loop_or_cartesian(spark, sf_dir):
+    # g26 rewrites EXISTS/NOT-EXISTS as aggregate semi-joins — the plan
+    # must contain only hash/merge joins, never a correlated re-scan
+    # shape (BroadcastNestedLoop / CartesianProduct).
+    from pgstream_spark.inventory import QUERIES
+
+    plan = (
+        QUERIES["g26_tpch_q21_sole_late"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q8_market_share_broadcasts_dimensions(spark, sf_dir):
+    from pgstream_spark.inventory import QUERIES
+
+    df = QUERIES["g27_tpch_q8_market_share"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_contamination_query_broadcasts_eval_side(spark, sf_dir):
+    from pgstream_spark.inventory import QUERIES
+
+    plan = (
+        QUERIES["l11_contamination"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # train side streams map-only
+
+
+def test_pivot_uses_declared_values_no_distinct_job(spark, sf_dir):
+    # pivot with an explicit value list avoids the eager distinct-values
+    # collection (a separate Spark job before planning); the remaining
+    # plan is Spark's standard two-phase pivot aggregate — pin that no
+    # third exchange (e.g. an Expand-based distinct) sneaks in.
+    from pgstream_spark.inventory import QUERIES
+
+    plan = (
+        QUERIES["g29_pivot"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan
