@@ -35,7 +35,7 @@ from typing import Any, Callable, Iterator, Sequence
 
 from pgstream_spark.errors import QueryError
 
-__all__ = ["ConnSettings", "PgWireClient", "read_table", "read_partitioned"]
+__all__ = ["ConnSettings", "PgWireClient", "read_table", "read_partitioned", "write_partitioned"]
 
 
 @dataclass
@@ -294,3 +294,88 @@ def read_partitioned(
                 yield pd.DataFrame(rows, columns=names)
 
     return bdf.mapInPandas(fetch, schema)
+
+
+def _pg_literal(v: Any) -> str:
+    """Postgres/standard-SQL literal (NOT Spark dialect: `''` doubling,
+    no `D` float suffix) for the write path. Scalar types only — arrays
+    and composites belong to COPY, not multi-row VALUES."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+        return "NULL"
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        v = v.item()  # numpy scalar → Python native
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE PRECISION)"
+    if isinstance(v, Decimal):
+        return f"CAST('{v}' AS DECIMAL(38,18))"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise QueryError(f"no wire literal rendering for {type(v).__name__}", "")
+
+
+def write_partitioned(
+    df,
+    settings: ConnSettings,
+    table: str,
+    batch_rows: int = 500,
+) -> int:
+    """Write a DataFrame into ``table`` over the wire protocol — the
+    Postgres SINK edge (S-4) mirroring ``read_partitioned``'s shape: one
+    connection per Spark partition, multi-row ``INSERT … VALUES`` batches
+    of ``batch_rows``. Returns the row count written (runs an action).
+
+    At scale the batched simple-query path is the portable fallback; a
+    real deployment upgrades the per-partition writer to COPY framing on
+    the same connection layout. Idempotence is the caller's contract
+    (write to a staging table + atomic swap, as `sinks.py` does for
+    managed tables).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = list(df.columns)
+    collist = ", ".join(cols)
+    host, port, db, user, pw = (
+        settings.host,
+        settings.port,
+        settings.dbname,
+        settings.user,
+        settings.password,
+    )
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        buf: list[str] = []
+        with PgWireClient(ConnSettings(host, db, user, pw, port)) as c:
+
+            def flush() -> None:
+                nonlocal n
+                if buf:
+                    c.simple_query(
+                        f"INSERT INTO {table} ({collist}) VALUES {', '.join(buf)}"
+                    )
+                    n += len(buf)
+                    buf.clear()
+
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    buf.append("(" + ", ".join(_pg_literal(v) for v in row) + ")")
+                    if len(buf) >= batch_rows:
+                        flush()
+            flush()
+        yield pd.DataFrame({"n": [n]})
+
+    total = df.mapInPandas(write, "n long").agg(F.sum("n")).collect()[0][0]
+    return int(total or 0)

@@ -104,3 +104,50 @@ class TestSparkReads:
         assert len(got) == 1000  # no slice gaps/overlaps
         assert sum(r.k for r in got) == 499500
         assert sum(1 for r in got if r.maybe is None) == 100
+
+
+class TestSparkWrites:
+    def test_write_partitioned_roundtrip(self, spark, stub_db):
+        from pgstream_spark.sources.pgwire import (
+            ConnSettings,
+            read_table,
+            write_partitioned,
+        )
+
+        stub_db.execute(
+            "CREATE TABLE IF NOT EXISTS sink_t "
+            "(id BIGINT, name VARCHAR, score DOUBLE, seen TIMESTAMP)"
+        )
+        stub_db.execute("DELETE FROM sink_t")
+        import datetime
+
+        rows = [
+            (
+                i,
+                None if i % 7 == 0 else f"it's n°{i}",  # quote + NULL probes
+                i / 3.0,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, name string, score double, seen timestamp_ntz"
+        ).repartition(4)
+        with PgStubServer(stub_db) as srv:
+            st = _settings(srv)
+            n = write_partitioned(df, st, "sink_t", batch_rows=33)
+            assert n == 200
+            back = read_table(spark, st, "SELECT * FROM sink_t").collect()
+        got = {(r.id, r.name, r.score, r.seen) for r in back}
+        want = {(i, nm, s, ts) for i, nm, s, ts in rows}
+        assert got == want
+
+    def test_write_rejects_unrenderable_types(self, spark, stub_db):
+        from pgstream_spark.sources.pgwire import ConnSettings, write_partitioned
+        from pgstream_spark.errors import QueryError
+
+        df = spark.createDataFrame([([1, 2],)], "arr array<int>")
+        with PgStubServer(stub_db) as srv:
+            st = _settings(srv)
+            with pytest.raises(Exception):  # QueryError crosses the Py4J boundary wrapped
+                write_partitioned(df, st, "sink_t")
