@@ -2626,6 +2626,40 @@ def g30(spark, sf_dir):
 
 
 @q(
+    "f13_string_agg",
+    # Postgres string_agg == Spark 4 listagg WITHIN GROUP: deterministic
+    # ordered concatenation per group.
+    "SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names, "
+    "count(*) AS n FROM customer WHERE c_custkey <= 100 GROUP BY c_mktsegment",
+)
+def f13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "f14_bitwise_ops",
+    # Postgres bitwise operator surface on 64-bit keys.
+    "SELECT o_orderkey, o_orderkey & 255 AS k_and, o_orderkey | 4096 AS k_or, "
+    "xor(o_orderkey, 129) AS k_xor, o_orderkey << 2 AS k_shl, "
+    "o_orderkey >> 3 AS k_shr FROM orders WHERE o_orderkey <= 500",
+)
+def f14(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("k_and"),
+        F.expr("o_orderkey | 4096").alias("k_or"),
+        F.expr("o_orderkey ^ 129").alias("k_xor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("k_shl"),
+        F.expr("shiftright(o_orderkey, 3)").alias("k_shr"),
+    )
+
+
+@q(
     "l14_curation_pipeline",
     # Composed curation pass — the shape a real training-data run chains:
     # exact-dedup (min-id survivor) → token-count quality floor →
