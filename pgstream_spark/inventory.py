@@ -2768,7 +2768,9 @@ _GATE_ORDER = [
     # -- round-1 green, re-checked: fixed/changed this round ----------
     "f11_money_arithmetic",  # r1 hash FAIL, canonicalization fixed
     "j8_asof_join",  # implementation gained skew salting this round
-    "g1_tpch_q1",  # flagship canary
+    # (g1_tpch_q1 rotated out: r1-green and the driver smoke-checks the
+    # flagship via entry(); its slot goes to the never-gated l14.)
+    "l14_curation_pipeline",  # composite LLM-curation flagship
     # -- round-2 additions that need a first hard-signal row ----------
     "l5_multimodal_features",
     "l6_hash_sample",
