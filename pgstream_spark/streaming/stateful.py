@@ -1,7 +1,7 @@
 """Arbitrary stateful streaming operators — SURVEY §2 T-8.
 
 ``applyInPandasWithState`` is Spark's escape hatch for operators whose
-state machine the built-in windows can't express.  Two operators here:
+state machine the built-in windows can't express.  Operators here:
 
 * ``running_totals`` — per-key cumulative (count, sum) emitted on every
   micro-batch that touches the key; the streaming generalization of the
@@ -10,6 +10,8 @@ state machine the built-in windows can't express.  Two operators here:
 * ``gap_change_detector`` — emits a row whenever a key's value changes by
   more than ``threshold`` versus its previous value — classic tick-stream
   monitoring in the reference's OHLC/delta domain (`Example.hs:25-33`).
+* ``watermarked_window_counts`` — tumbling-window counts with HARD
+  watermark semantics (explicit late-drop + finalize-once), SURVEY §2 T-6.
 
 State discipline at scale: state lives in the state store keyed by group —
 per-key size here is O(1) (a few numbers), so total state = O(distinct
@@ -27,7 +29,97 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_totals", "gap_change_detector"]
+__all__ = ["running_totals", "gap_change_detector", "watermarked_window_counts"]
+
+
+def watermarked_window_counts(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: str = "10 seconds",
+    delay: str = "5 seconds",
+) -> DataFrame:
+    """Tumbling-window counts with HARD watermark semantics — SURVEY §2 T-6.
+
+    Spark's built-in streaming aggregation treats dropping late input as
+    best-effort (the guarantee is only that a window finalizes once).  The
+    reference's cursor protocol never re-delivers a closed batch
+    (`/root/reference/Stream.hs:97-142`), so "a closed window never
+    changes" is the semantic a reference user expects.  This operator
+    makes both halves hard:
+
+    * **late drop**: an input row whose window has already expired
+      (window end <= current watermark) is discarded inside the state
+      function — checked against ``GroupState.getCurrentWatermarkMs()``,
+      not left to the planner's discretion — and an expired window's
+      state is never resurrected;
+    * **finalize once**: a window's count is emitted exactly once, when
+      the event-time timeout fires after the watermark passes the window
+      end (append semantics), and its state is removed.
+
+    Scale: state is one LONG per open (key, window) pair; windows close
+    and free state as the watermark advances, so state size is bounded by
+    (distinct keys x windows inside the watermark horizon) regardless of
+    stream length.
+
+    Output schema: ``(key, window_start, n)``.
+    """
+    dur_s = _duration_seconds(window)
+
+    from pyspark.sql import functions as F
+
+    wdf = sdf.withWatermark(ts_col, delay).withColumn(
+        "window_start", F.window(ts_col, window)["start"]
+    )
+
+    def count_windows(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "window_start": [key[1]], "n": [n]}
+            )
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        end_ms = int(pd.Timestamp(key[1]).value // 1_000_000) + dur_s * 1000
+        if end_ms <= wm_ms and not state.exists:
+            return  # HARD drop: window expired, never resurrect it
+        n = state.get[0] if state.exists else 0
+        if end_ms > wm_ms:  # window still open — rows count
+            n += sum(len(pdf) for pdf in pdfs)
+        state.update((n,))
+        # finalize when the watermark passes the window end (+1ms floor:
+        # Spark requires the timeout to sit strictly beyond the watermark)
+        state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+        yield from ()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("window_start", wdf.schema["window_start"].dataType),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    return wdf.groupBy(key_col, "window_start").applyInPandasWithState(
+        count_windows,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_seconds(text: str) -> int:
+    """Parse ``'10 seconds'`` / ``'5 minutes'`` / ``'2 hours'`` to seconds."""
+    qty, unit = text.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s").lower()
+    ]
+    return int(qty) * mult
 
 
 def running_totals(

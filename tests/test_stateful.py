@@ -113,3 +113,61 @@ def test_running_totals_string_keys(spark, tmp_path):
     name = _run(out, tmp_path, "rt_str", mode="update")
     got = {r.key: (r.n, r.total) for r in spark.table(name).collect()}
     assert got == {"alice": (2, 12.5), "bob": (1, 5.0)}
+
+
+class TestWatermarkedWindowCounts:
+    """T-6 hard watermark semantics: late rows dropped, finalize-once."""
+
+    @pytest.fixture()
+    def late_source(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        from tests.conftest import write_flat_parquet
+
+        src = str(tmp_path / "late_src")
+        s = lambda sec: dt(2024, 1, 1, 0, 0, 0) + __import__(
+            "datetime"
+        ).timedelta(seconds=sec)
+        schema = "user_id long, ts timestamp"
+        # b1: two rows in window [0,10) + one advancing max event time to 31
+        write_flat_parquet(
+            spark, [(1, s(1)), (1, s(3)), (2, s(31))], schema, src + "/b1.parquet"
+        )
+        # b2: a LATE row for the expired window [0,10) (watermark is now
+        # 31-5=26 > window end 10) + an on-time row in [50,60)
+        write_flat_parquet(
+            spark, [(1, s(2)), (1, s(55))], schema, src + "/b2.parquet"
+        )
+        # b3: far-future row — pushes the watermark past every earlier window
+        write_flat_parquet(spark, [(2, s(150))], schema, src + "/b3.parquet")
+        return src, schema
+
+    def test_late_rows_dropped_and_windows_finalize_once(
+        self, spark, tmp_path, late_source
+    ):
+        from pgstream_spark.streaming.stateful import watermarked_window_counts
+
+        src, schema = late_source
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = watermarked_window_counts(
+            sdf, "user_id", "ts", window="10 seconds", delay="5 seconds"
+        )
+        sink = _run(out, tmp_path, "wmc", mode="append")
+        rows = spark.read.parquet(sink).collect()
+        got = {(r.key, r.window_start.second + r.window_start.minute * 60): r.n
+               for r in rows}
+
+        # finalize-once: no (key, window) appears twice
+        assert len(got) == len(rows)
+        # the late row for the expired [0,10) window was HARD-dropped:
+        # count stays 2, and the closed window was not re-emitted
+        assert got[(1, 0)] == 2
+        assert got[(2, 30)] == 1
+        assert got[(1, 50)] == 1
+        # the final window [150,160) has no successor watermark to close
+        # it; everything emitted is one of the three closed windows
+        assert set(got) <= {(1, 0), (2, 30), (1, 50)}
