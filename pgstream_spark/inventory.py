@@ -2709,6 +2709,111 @@ def l13(spark, sf_dir):
     return cluster_sizes(e, refined)
 
 
+_TOKS = (
+    "toks AS (SELECT doc_id, text, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents)"
+)
+
+
+@q(
+    "l15_quality_topk_per_lang",
+    # Curation selection step: best documents per predicted language.
+    # Reuses the l4c language vote and the l4d quality closed form (both
+    # driver-hash-verified bit-identical), so rank order is exact.
+    "WITH " + _TOKS + ", "
+    "scores AS (SELECT doc_id, "
+    "len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en, "
+    "len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS s_es, "
+    "len(list_filter(t, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de, "
+    "len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','du','que'], x))) AS s_fr, "
+    "len(list_filter(t, x -> list_contains(['il','di','che','la','e','per','un','in','del','con'], x))) AS s_it "
+    "FROM toks), "
+    "lang AS (SELECT doc_id, CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_it) = 0 THEN 'und' "
+    "WHEN s_it = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'it' "
+    "WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'fr' "
+    "WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'es' "
+    "WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'en' "
+    "ELSE 'de' END AS lang_pred FROM scores), "
+    "st AS (SELECT doc_id, len(t) AS n_tokens, "
+    "CASE WHEN len(t) > 0 THEN "
+    "list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t) "
+    "ELSE 0.0 END AS avg_token_len, "
+    "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+    "/ greatest(length(text), 1) AS punct_ratio, "
+    "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
+    "/ greatest(length(text), 1) AS digit_ratio FROM toks), "
+    "qual AS (SELECT doc_id, "
+    "0.4 * least(n_tokens / 100.0, 1.0) "
+    "+ 0.2 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 "
+    "THEN 1.0 ELSE 0.5 END) "
+    "+ 0.4 * greatest(0.0, 1.0 - 2.0 * (punct_ratio + digit_ratio)) AS quality "
+    "FROM st) "
+    "SELECT * FROM (SELECT l.lang_pred, q.doc_id, q.quality, "
+    "row_number() OVER (PARTITION BY l.lang_pred "
+    "ORDER BY q.quality DESC, q.doc_id) AS rank "
+    "FROM lang l JOIN qual q USING (doc_id)) WHERE rank <= 3",
+)
+def l15(spark, sf_dir):
+    from pgstream_spark.operators.textstats import language_id as lid
+    from pgstream_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(lid(d)).select("lang_pred", "doc_id", "quality")
+    w = Window.partitionBy("lang_pred").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang_pred", "doc_id", "quality", "rank")
+    )
+
+
+@q(
+    "l16_tficf_top_terms",
+    # Exact linearized tf-idf (see operators/terms.py): BIGINT arithmetic
+    # end to end, floor division identical across engines on positives.
+    "WITH " + _TOKS + ", "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term), "
+    "dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) "
+    "SELECT doc_id, rank, term, tf, df, score FROM ("
+    "SELECT tf.doc_id, tf.term, tf.tf, dfr.df, "
+    "CAST(tf.tf * 1000000 * n.n_docs // dfr.df AS BIGINT) AS score, "
+    "row_number() OVER (PARTITION BY tf.doc_id "
+    "ORDER BY tf.tf * 1000000 * n.n_docs // dfr.df DESC, tf.term) AS rank "
+    "FROM tf JOIN dfr USING (term) CROSS JOIN n) WHERE rank <= 3",
+)
+def l16(spark, sf_dir):
+    from pgstream_spark.operators.terms import tficf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tficf_top_terms(d, k=3).select(
+        "doc_id", "rank", "term", "tf", "df", "score"
+    )
+
+
+@q(
+    "l17_posting_lists",
+    # Bounded inverted index: term selection (the 16 rarest vocabulary
+    # entries) happens on a count-only aggregate BEFORE any posting list
+    # is materialized.  Rank-relative selection because this corpus's
+    # whole vocabulary is common (31 terms, min df ~ 5% of docs).
+    "WITH " + _TOKS + ", "
+    "pairs AS (SELECT DISTINCT doc_id, term "
+    "FROM (SELECT doc_id, unnest(t) AS term FROM toks)), "
+    "keep AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs "
+    "GROUP BY term QUALIFY row_number() OVER (ORDER BY df, term) <= 16) "
+    "SELECT p.term, k.df, list_sort(list(p.doc_id)) AS postings "
+    "FROM pairs p JOIN keep k USING (term) GROUP BY p.term, k.df",
+)
+def l17(spark, sf_dir):
+    from pgstream_spark.operators.terms import posting_lists
+
+    d = _t(spark, sf_dir, "documents")
+    return posting_lists(d, rarest_k=16).select("term", "df", "postings")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

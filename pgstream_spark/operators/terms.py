@@ -1,0 +1,123 @@
+"""Corpus-level term analysis — inverted index + keyword extraction.
+
+The reference's text surface stops at per-row functions (its term-level
+analytics were delegated to Postgres ``ts_stat``-style queries); a
+training-data pipeline needs the corpus-level versions: per-document
+keyword extraction (TF-IDF family) and an inverted index over the corpus
+(`SURVEY.md §2` L-4 extension class).
+
+Everything here is exact integer / lexicographic arithmetic so results
+are bit-reproducible against a SQL oracle:
+
+* ``tficf_top_terms`` scores ``tf * scale * n_docs div df`` in BIGINT —
+  a *linearized* tf-idf (inverse collection frequency without the log).
+  The log changes only monotonicity-irrelevant spacing for ranking by a
+  single term statistic, and dropping it keeps the score exact across
+  engines (no libm ``ln`` 1-ulp divergence).
+* ``posting_lists`` builds sorted doc-id postings ONLY for terms whose
+  document frequency sits inside ``[min_df, max_df]`` — the df filter is
+  applied on a count-only aggregate BEFORE any posting list is
+  materialized, so stop-term postings (df ~ |corpus|) are never built.
+
+Shuffle shape at scale: tokenize is map-only; ``(doc, term)`` counts and
+``term`` counts are two hash aggregations with map-side partial combine;
+the tf-df join broadcasts the vocabulary side when small.  Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pgstream_spark.operators.textstats import _tokens
+
+__all__ = ["term_frequencies", "tficf_top_terms", "posting_lists"]
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (document, term) with its in-document count ``tf``."""
+    return (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tficf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by exact TF-ICF.
+
+    ``score = tf * scale * n_docs div df`` on BIGINT (all positive, so
+    floor division is identical in Spark ``div`` and DuckDB ``//``).
+    ``scale`` bounds: keep ``max_tf * scale * n_docs < 2^63`` — at
+    trillion-document scale drop ``scale`` to 1e3 or rank on
+    ``(tf, -df)`` directly.
+    Ties break toward the lexicographically smaller term.
+    """
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr(f"tf * {scale}L * n_docs div df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def posting_lists(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int | None = 20,
+    rarest_k: int | None = None,
+) -> DataFrame:
+    """Inverted index restricted to informative (low-df) terms.
+
+    Term selection happens on a count-only aggregate BEFORE any posting
+    list is gathered, via either an absolute band (``min_df``/``max_df``
+    — the production contract: a stop term's posting list, df ~
+    |corpus|, is never materialized) or ``rarest_k`` (keep the ``k``
+    rarest vocabulary entries by ``(df, term)`` — rank-relative, so it
+    stays non-vacuous on corpora whose whole vocabulary is common).
+    Postings are then gathered with a broadcast semi-join on the kept
+    vocabulary.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    if rarest_k is not None:
+        w = Window.orderBy(F.asc("df"), F.asc("term"))
+        keep = (
+            dfreq.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= rarest_k)
+            .drop("_r")
+        )
+    else:
+        keep = dfreq.filter(F.col("df") >= min_df)
+        if max_df is not None:
+            keep = keep.filter(F.col("df") <= max_df)
+    return (
+        pairs.join(F.broadcast(keep), "term")
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )

@@ -833,3 +833,61 @@ class TestKMeansRefine:
         df, X, centers = clustered
         got = {r.cluster: r.n_members for r in cluster_sizes(df, centers).collect()}
         assert got == {0: 40, 1: 40, 2: 40}
+
+
+class TestTermAnalysis:
+    """Corpus-term operators: TF-ICF keywords + bounded inverted index."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry dates"),
+            (3, "apple dates eggs eggs eggs"),
+            (4, "figs grapes"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_term_frequencies(self, spark, corpus):
+        from pgstream_spark.operators.terms import term_frequencies
+
+        tf = {(r.doc_id, r.term): r.tf for r in term_frequencies(corpus).collect()}
+        assert tf[(1, "apple")] == 2
+        assert tf[(3, "eggs")] == 3
+        assert (2, "apple") not in tf
+
+    def test_tficf_ranks_rare_terms_above_common(self, spark, corpus):
+        from pgstream_spark.operators.terms import tficf_top_terms
+
+        top = tficf_top_terms(corpus, k=1).collect()
+        best = {r.doc_id: r.term for r in top}
+        # doc 3: eggs has tf=3 AND df=1 — uniquely characteristic
+        assert best[3] == "eggs"
+        # doc 4: both terms unique (tf=1, df=1); tie breaks lexicographically
+        assert best[4] == "figs"
+
+    def test_tficf_score_is_exact_integer(self, spark, corpus):
+        from pgstream_spark.operators.terms import tficf_top_terms
+
+        for r in tficf_top_terms(corpus, k=3).collect():
+            assert r.score == r.tf * 1_000_000 * 4 // r.df
+
+    def test_posting_lists_bounded_and_sorted(self, spark, corpus):
+        from pgstream_spark.operators.terms import posting_lists
+
+        out = {r.term: (r.df, r.postings) for r in
+               posting_lists(corpus, min_df=2, max_df=3).collect()}
+        # df=1 terms (eggs, figs, grapes) are excluded by min_df
+        assert "eggs" not in out and "figs" not in out
+        # duplicates within a doc collapse: apple appears twice in doc 1
+        assert out["apple"] == (2, [1, 3])
+        assert out["cherry"] == (2, [1, 2])
+        for df, postings in out.values():
+            assert postings == sorted(postings) and len(postings) == df
+
+    def test_posting_lists_rarest_k(self, spark, corpus):
+        from pgstream_spark.operators.terms import posting_lists
+
+        out = posting_lists(corpus, rarest_k=2).collect()
+        # df=1 ties break lexicographically: eggs, figs win
+        assert sorted(r.term for r in out) == ["eggs", "figs"]

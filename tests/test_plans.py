@@ -221,3 +221,23 @@ def test_pivot_uses_declared_values_no_distinct_job(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_tficf_broadcasts_vocabulary_side(spark, sf_dir):
+    from pgstream_spark.operators.terms import tficf_top_terms
+    from pgstream_spark.plans.explain import explain_string
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_string(tficf_top_terms(d))
+    assert "BroadcastHashJoin" in plan  # df-vocabulary join stays shuffle-free
+
+
+def test_posting_lists_filter_before_collect(spark, sf_dir):
+    from pgstream_spark.operators.terms import posting_lists
+    from pgstream_spark.plans.explain import explain_string
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_string(posting_lists(d))
+    # the df-bounded term set joins broadcast; collect_list happens after
+    assert "BroadcastHashJoin" in plan
+    assert "collect_list" in plan
