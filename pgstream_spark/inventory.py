@@ -2814,6 +2814,34 @@ def l17(spark, sf_dir):
     return posting_lists(d, rarest_k=16).select("term", "df", "postings")
 
 
+@q(
+    "t11_sliding_window",
+    # Hopping window (1h width, 30min slide): every event lands in exactly
+    # width/slide = 2 windows, generated as bucket(ts) and bucket(ts)-30m.
+    # Spark's window() and DuckDB's time_bucket share the same epoch
+    # alignment (2000-01-01 is a whole number of 30-minute slides after
+    # 1970-01-01), so window_start values agree bit-for-bit.
+    "WITH " + _EV + ", "
+    "w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) "
+    "- o * INTERVAL '30 minutes' AS window_start, value "
+    "FROM ev CROSS JOIN unnest([0, 1]) AS t(o)) "
+    "SELECT window_start, count(*) AS n_events, "
+    + _dsum("value") + " AS sum_value FROM w GROUP BY 1",
+)
+def t11(spark, sf_dir):
+    from pgstream_spark.streaming.windows import tumbling_windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_windowed_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")],
+        slide="30 minutes",
+    )
+    return out.drop("window_end")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
