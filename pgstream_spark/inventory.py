@@ -2842,6 +2842,63 @@ def t11(spark, sf_dir):
     return out.drop("window_end")
 
 
+@q(
+    "l18_containment_dedup",
+    # Asymmetric n-gram containment join: catches truncated/extended
+    # copies (high containment, low Jaccard at large size ratios).  Both
+    # division orders and greatest() are IEEE-identical across engines.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT id_a, id_b, "
+    "round(greatest(c / sa.sz, c / sb.sz), 6) AS containment, "
+    "CASE WHEN sa.sz <= sb.sz THEN 'a_in_b' ELSE 'b_in_a' END AS direction "
+    "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE greatest(c / sa.sz, c / sb.sz) >= 0.9",
+)
+def l18(spark, sf_dir):
+    from pgstream_spark.operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(d, "doc_id", "text", n=3, threshold=0.9)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment"), "direction"
+    )
+
+
+@q(
+    "l19_embedding_quantize",
+    # Symmetric per-vector int8 quantization (4x storage/shuffle cut for
+    # the 100 TB embedding path).  floor(x + 0.5) rounding instead of
+    # round() because IEEE floor is bit-identical across engines; the
+    # float32 -> double widening and abs/max are exact, so max_abs and
+    # every quantized int hash-match without any tolerance.
+    "WITH e AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "m AS (SELECT vec_id, label, v, "
+    "list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e) "
+    "SELECT vec_id, label, max_abs, "
+    "CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0) "
+    "ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) "
+    "END AS qvec FROM m",
+)
+def l19(spark, sf_dir):
+    from pgstream_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e, "vec_id", "embedding", keep_cols=("label",)).select(
+        "vec_id", "label", "max_abs", "qvec"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

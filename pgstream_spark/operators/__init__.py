@@ -12,6 +12,7 @@ from pgstream_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
     embedding_neardup_lsh,
@@ -21,6 +22,7 @@ from pgstream_spark.operators.dedup import (
 from pgstream_spark.operators.similarity import (
     brute_force_top_k,
     lsh_bucketed_top_k,
+    quantize_embeddings,
     with_cosine,
 )
 from pgstream_spark.operators.ivf import assign_buckets, ivf_top_k, train_centroids
@@ -40,6 +42,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_neardup_lsh",
@@ -47,6 +50,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "brute_force_top_k",
     "lsh_bucketed_top_k",
+    "quantize_embeddings",
     "with_cosine",
     "train_centroids",
     "assign_buckets",

@@ -35,6 +35,7 @@ __all__ = [
     "shingles_col",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "verify_candidate_pairs",
@@ -134,6 +135,69 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment join: pairs (a < b) where either
+    document's shingle set is mostly inside the other's —
+    ``max(|A∩B|/|A|, |A∩B|/|B|) >= threshold``.
+
+    Containment catches the duplicate class Jaccard misses: a truncated
+    or extended copy (a doc plus boilerplate header/footer, a snippet
+    quoted whole inside a larger page) has high containment but low
+    Jaccard when the size ratio is large.  Same physical plan as
+    :func:`ngram_jaccard_pairs` — shingle explode, equi-self-join,
+    per-pair count, two size joins — so the same scale properties hold,
+    including the ``df_cap`` stop-shingle guard.
+
+    Returns ``(id_a, id_b, containment, direction)`` where ``direction``
+    is ``'a_in_b'`` when doc a is the smaller (more-contained) side,
+    else ``'b_in_a'``; ties report ``'a_in_b'``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
+    )
+    if df_cap is not None:
+        freq = sh.groupBy("__sh").agg(F.count_distinct("__id").alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= df_cap).select("__sh"), "__sh")
+
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="__sh")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "containment",
+            F.greatest(
+                F.col("__common") / F.col("__sza"),
+                F.col("__common") / F.col("__szb"),
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "direction",
+            F.when(F.col("__sza") <= F.col("__szb"), F.lit("a_in_b")).otherwise(
+                F.lit("b_in_a")
+            ),
+        )
+        .select("id_a", "id_b", "containment", "direction")
     )
     return out
 

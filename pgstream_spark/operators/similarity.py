@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pgstream_spark.operators.topk import top_k_per_group
 
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "with_cosine",
-           "brute_force_top_k", "lsh_bucketed_top_k"]
+           "brute_force_top_k", "lsh_bucketed_top_k",
+           "quantize_embeddings"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -201,4 +202,48 @@ def lsh_topk_oracle_sql(
         "ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored) "
         "SELECT query_id, neighbor_id, cosine, rank FROM ranked "
         f"WHERE rank <= {k}"
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding column.
+
+    ``scale = max(|v_i|) / 127``; each component becomes
+    ``floor(v_i / scale + 0.5)`` clamped to int — a 4× storage cut (and a
+    proportional shuffle/IO cut) for the 100 TB embedding path, at a
+    bounded reconstruction error of ``scale / 2`` per component.  Map-only:
+    two higher-order functions per row, no shuffle, runs at scan speed.
+
+    The rounding is written as ``floor(x + 0.5)`` rather than ``round``
+    because IEEE floor is bit-identical across engines while round()
+    tie-breaking is not — the op is exactly reproducible anywhere doubles
+    are IEEE, which also makes it oracle-checkable.
+
+    Returns ``(id, *keep_cols, max_abs, qvec)`` with ``max_abs`` the raw
+    pre-division scale numerator (×127 gives back ``scale``); zero vectors
+    quantize to all-zero with ``max_abs = 0``.
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    qvec = F.when(
+        max_abs == F.lit(0.0),
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                (x.cast("double") * F.lit(127.0)) / max_abs + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        max_abs.alias("max_abs"),
+        qvec.alias("qvec"),
     )

@@ -17,7 +17,9 @@ from pgstream_spark.operators import (
     interval_join,
     minhash_lsh_candidates,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
+    quantize_embeddings,
     simhash_signatures,
     top_k_per_group,
 )
@@ -193,6 +195,36 @@ class TestDedup:
         pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=1)
         assert pairs.count() == 0
 
+    def test_containment_catches_truncation_dup(self, spark):
+        # doc 11 is doc 10's first half: containment 1.0 but Jaccard well
+        # under 1 — the duplicate class the symmetric measure misses.
+        big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+              "lam mu nu xi omicron pi rho sigma tau upsilon"
+        small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(10, big), (11, small), (12, "unrelated words entirely here")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.id_a, r.id_b): (r.containment, r.direction)
+            for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+        }
+        assert cont[(10, 11)][0] == pytest.approx(1.0)
+        assert cont[(10, 11)][1] == "b_in_a"        # 11 is the smaller side
+        jac = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        assert (10, 11) not in jac                  # Jaccard ~ 8/18, filtered
+
+    def test_containment_direction_ties_and_symmetry(self, docs):
+        # exact dups (1, 4): equal sizes → containment 1.0, tie → a_in_b
+        out = {
+            (r.id_a, r.id_b): (r.containment, r.direction)
+            for r in ngram_containment_pairs(docs, threshold=0.95).collect()
+        }
+        assert out[(1, 4)] == (pytest.approx(1.0), "a_in_b")
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -229,6 +261,27 @@ class TestSimilarity:
         a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
         recall = len(e & a) / len(e)
         assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_quantize_roundtrip_error_bound(self, vecs):
+        data, df = vecs
+        rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert len(rows) == len(data)
+        for i, v in data:
+            r = rows[i]
+            v32 = np.asarray(v, dtype="float32").astype("float64")
+            assert r.max_abs == pytest.approx(np.abs(v32).max(), abs=0)
+            scale = r.max_abs / 127.0
+            q = np.asarray(r.qvec)
+            assert q.max() <= 127 and q.min() >= -127
+            # per-component reconstruction error bounded by scale/2
+            assert np.abs(q * scale - v32).max() <= scale / 2 + 1e-12
+
+    def test_quantize_zero_vector(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings(df).first()
+        assert r.max_abs == 0.0 and list(r.qvec) == [0, 0, 0]
 
 
 def _group(rows, key):
