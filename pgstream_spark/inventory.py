@@ -2899,6 +2899,43 @@ def l19(spark, sf_dir):
     )
 
 
+@q(
+    "l20_cms_term_counts",
+    # Count-Min sketch (depth 4 x width 512) over corpus tokens, point
+    # estimates vs exact counts.  The md5 bucketing makes the whole
+    # sketch deterministic, so even the *approximate* structure is
+    # hash-gated exactly; est_n >= true_n always (CMS never
+    # underestimates).
+    "WITH toks AS (SELECT "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "tok AS (SELECT unnest(t) AS term FROM toks), "
+    "true_c AS (SELECT term, CAST(count(*) AS BIGINT) AS true_n "
+    "FROM tok GROUP BY term), "
+    "cells AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' "
+    "|| term), 1, 8)) AS BIGINT) % 512 AS bucket, "
+    "CAST(count(*) AS BIGINT) AS cnt "
+    "FROM tok CROSS JOIN unnest([0, 1, 2, 3]) AS g(d) GROUP BY 1, 2), "
+    "est AS (SELECT q.term, min(c.cnt) AS est_n FROM true_c q "
+    "CROSS JOIN unnest([0, 1, 2, 3]) AS dd(d) "
+    "JOIN cells c ON c.d = dd.d AND c.bucket = "
+    "CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || q.term), 1, 8)) "
+    "AS BIGINT) % 512 GROUP BY q.term) "
+    "SELECT t.term, t.true_n, e.est_n FROM true_c t "
+    "JOIN est e ON e.term = t.term",
+)
+def l20(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+    from pgstream_spark.operators.sketch import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term", depth=4, width=512)
+    true_c = toks.groupBy("term").agg(F.count("*").alias("true_n"))
+    est = cms_estimate(sketch, true_c.select("term"), "term", depth=4, width=512)
+    return true_c.join(est, "term").select("term", "true_n", "est_n")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

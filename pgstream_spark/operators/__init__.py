@@ -26,6 +26,7 @@ from pgstream_spark.operators.similarity import (
     with_cosine,
 )
 from pgstream_spark.operators.ivf import assign_buckets, ivf_top_k, train_centroids
+from pgstream_spark.operators.sketch import cms_build, cms_estimate
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.textstats import (
@@ -55,6 +56,8 @@ __all__ = [
     "train_centroids",
     "assign_buckets",
     "ivf_top_k",
+    "cms_build",
+    "cms_estimate",
     "time_rollup",
     "salted_agg",
     "with_text_stats",

@@ -944,3 +944,52 @@ class TestTermAnalysis:
         out = posting_lists(corpus, rarest_k=2).collect()
         # df=1 ties break lexicographically: eggs, figs win
         assert sorted(r.term for r in out) == ["eggs", "figs"]
+
+
+class TestCountMinSketch:
+    @pytest.fixture(scope="class")
+    def terms(self, spark):
+        words = ["spark"] * 50 + ["shuffle"] * 20 + ["join"] * 5 + ["agg"]
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    def test_estimates_never_underestimate(self, spark, terms):
+        from pgstream_spark.operators import cms_build, cms_estimate
+
+        sketch = cms_build(terms, depth=4, width=64)
+        qs = terms.distinct()
+        est = {r.term: r.est_n for r in cms_estimate(sketch, qs, depth=4, width=64).collect()}
+        true = {"spark": 50, "shuffle": 20, "join": 5, "agg": 1}
+        for t, n in true.items():
+            assert est[t] >= n, (t, est[t], n)
+
+    def test_wide_sketch_is_exact_here(self, spark, terms):
+        # 4 terms in 4096 buckets x 4 rows: no colliding row for this
+        # input (deterministic md5 buckets), so min() recovers exactly.
+        from pgstream_spark.operators import cms_build, cms_estimate
+
+        sketch = cms_build(terms, depth=4, width=4096)
+        est = {r.term: r.est_n
+               for r in cms_estimate(sketch, terms.distinct(), depth=4, width=4096).collect()}
+        assert est == {"spark": 50, "shuffle": 20, "join": 5, "agg": 1}
+
+    def test_width_one_collapses_to_total(self, spark, terms):
+        # width=1 forces every term into one bucket: estimate == N for all
+        from pgstream_spark.operators import cms_build, cms_estimate
+
+        sketch = cms_build(terms, depth=2, width=1)
+        est = {r.term: r.est_n
+               for r in cms_estimate(sketch, terms.distinct(), depth=2, width=1).collect()}
+        assert set(est.values()) == {76}
+
+    def test_absent_term_estimates_zero_or_collision(self, spark, terms):
+        from pgstream_spark.operators import cms_build, cms_estimate
+
+        sketch = cms_build(terms, depth=4, width=4096)
+        qs = spark.createDataFrame([("absent-term",)], "term string")
+        est = cms_estimate(sketch, qs, depth=4, width=4096).first()
+        assert est.est_n == 0
+
+    def test_sketch_is_bounded(self, spark, terms):
+        from pgstream_spark.operators import cms_build
+
+        assert cms_build(terms, depth=4, width=16).count() <= 4 * 16

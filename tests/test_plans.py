@@ -241,3 +241,25 @@ def test_posting_lists_filter_before_collect(spark, sf_dir):
     # the df-bounded term set joins broadcast; collect_list happens after
     assert "BroadcastHashJoin" in plan
     assert "collect_list" in plan
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    # l19: int8 quantization must run at scan speed — two higher-order
+    # functions per row, zero exchanges.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l19_embedding_quantize"](spark, sf_dir), "simple")
+    assert "Exchange" not in txt
+    assert "BatchScan" in txt or "FileScan" in txt
+
+
+def test_containment_reads_only_needed_columns(spark, sf_dir):
+    # l18: column pruning must reach the documents scan — doc_id + text,
+    # not lang/source/n_chars.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import scan_columns
+
+    cols = scan_columns(QUERIES["l18_containment_dedup"](spark, sf_dir))
+    assert cols, "no scan found"
+    assert "lang" not in cols and "n_chars" not in cols, cols
