@@ -339,30 +339,40 @@ def verify_candidate_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (id_a, id_b).
+    """Exact verification of candidate pairs (id_a, id_b).
 
     Joins each side's (distinct) shingle array onto the pair and computes
-    ``|∩| / |∪|`` per row with array built-ins — cost is O(candidates),
+    the similarity per row with array built-ins — cost is O(candidates),
     not O(n²), which is the whole point of LSH: generate cheaply, verify
-    narrowly.  Returns pairs with ``jaccard >= threshold``.
+    narrowly.  ``measure`` picks the score from the same (|∩|, |A|, |B|)
+    triple: ``"jaccard"`` = |∩|/|∪| (symmetric near-dup), or
+    ``"containment"`` = |∩|/min(|A|,|B|) (truncated/extended copies —
+    this IS the at-scale containment path; the all-pairs
+    :func:`ngram_containment_pairs` is the oracle tier).  Returns pairs
+    with ``<measure> >= threshold``.
     """
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure: {measure!r}")
     sh = docs.select(
         F.col(id_col).alias("__vid"),
         shingles_col(tokens_col(F.col(text_col)), n).alias("__vsh"),
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    score = (
+        inter / F.size(F.array_union("__sha", "__shb"))
+        if measure == "jaccard"
+        else inter / F.least(F.size("__sha"), F.size("__shb"))
     )
     out = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
         .withColumnRenamed("__vsh", "__sha")
         .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
         .withColumnRenamed("__vsh", "__shb")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sha", "__shb"))
-            / F.size(F.array_union("__sha", "__shb")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(measure, score)
+        .filter(F.col(measure) >= threshold)
+        .select("id_a", "id_b", measure)
     )
     return out
 

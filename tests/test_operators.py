@@ -993,3 +993,35 @@ class TestCountMinSketch:
         from pgstream_spark.operators import cms_build
 
         assert cms_build(terms, depth=4, width=16).count() <= 4 * 16
+
+
+class TestContainmentVerifyTier:
+    def test_lsh_verify_with_containment_finds_truncation(self, spark):
+        # end-to-end at-scale path: MinHash LSH candidates -> exact
+        # containment re-rank.  The truncated copy shares its whole
+        # shingle set with the original, so signatures collide in many
+        # bands and containment verification passes where Jaccard fails.
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        big = " ".join(f"tok{i}" for i in range(40))
+        small = " ".join(f"tok{i}" for i in range(20))   # first half
+        docs = spark.createDataFrame(
+            [(1, big), (2, small), (3, "other words completely unrelated")],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(docs, num_perm=64)
+        cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+        cont = verify_candidate_pairs(
+            cands, docs, threshold=0.95, measure="containment"
+        )
+        got = {(r.id_a, r.id_b): r.containment for r in cont.collect()}
+        assert got.get((1, 2)) == pytest.approx(1.0)
+        jac = verify_candidate_pairs(cands, docs, threshold=0.95, measure="jaccard")
+        assert (1, 2) not in {(r.id_a, r.id_b) for r in jac.collect()}
+
+    def test_unknown_measure_raises(self, spark):
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            verify_candidate_pairs(docs, docs, measure="dice")
