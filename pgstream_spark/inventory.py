@@ -2936,6 +2936,35 @@ def l20(spark, sf_dir):
     return true_c.join(est, "term").select("term", "true_n", "est_n")
 
 
+@q(
+    "l2e_simhash_md5",
+    # Engine-reproducible SimHash: the md5-derived 32-bit variant makes
+    # the SIGNATURE ITSELF hash-checkable (the xxhash64 l2c row checks
+    # only the Hamming distribution).  Bit votes and packing are pure
+    # integer arithmetic — identical everywhere.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 2 THEN "
+    "[array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh), "
+    "votes AS (SELECT doc_id, b, "
+    "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM h CROSS JOIN unnest("
+    + str(list(range(32)))
+    + ") AS g(b) GROUP BY doc_id, b) "
+    "SELECT doc_id AS id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) "
+    "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id",
+)
+def l2e(spark, sf_dir):
+    from pgstream_spark.operators.dedup import simhash_signatures_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures_md5(d, "doc_id", "text", n=2, bits=32)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -15,6 +15,7 @@ from pgstream_spark.operators.dedup import (
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
+    simhash_signatures_md5,
     embedding_neardup_lsh,
     embedding_neardup_lsh_oracle_sql,
     embedding_neardup_pairs,
@@ -46,6 +47,7 @@ __all__ = [
     "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "simhash_signatures",
+    "simhash_signatures_md5",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_oracle_sql",
     "embedding_neardup_pairs",

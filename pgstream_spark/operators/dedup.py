@@ -469,6 +469,48 @@ def simhash_signatures(
     return docs.select(F.col(id_col).alias("id"), packed.alias("simhash"))
 
 
+def simhash_signatures_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 32,
+) -> DataFrame:
+    """Engine-reproducible SimHash: md5-derived 32-bit shingle hash,
+    explode + one grouped aggregate with ``bits`` conditional sums.
+
+    Differs from :func:`simhash_signatures` in two deliberate ways:
+    the hash is the first 8 md5 hex digits (identical in any engine —
+    the signature itself is oracle-checkable, not just its Hamming
+    distribution), and the shape is explode→groupBy instead of per-row
+    HOF folding — the hash is computed once per shingle instead of once
+    per (shingle, bit), and conditional sums stay inside whole-stage
+    codegen where HOF lambdas don't.  Cost: one shuffle on the doc id
+    (partial aggregation makes it ``bits`` ints per doc per partition).
+
+    Returns ``(id, simhash: bigint)`` with ``bits`` significant bits.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
+    votes = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(
+            F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", packed.alias("simhash"))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

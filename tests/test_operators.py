@@ -1025,3 +1025,18 @@ class TestContainmentVerifyTier:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             verify_candidate_pairs(docs, docs, measure="dice")
+
+
+class TestSimhashMd5:
+    def test_hamming_ordering_and_exact_dup(self, spark):
+        from pgstream_spark.operators import simhash_signatures_md5
+
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        rows = {r.id: r.simhash for r in simhash_signatures_md5(docs).collect()}
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert rows[1] == rows[4]                          # identical text
+        assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+        assert all(0 <= v < (1 << 32) for v in rows.values())
