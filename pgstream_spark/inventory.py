@@ -2965,6 +2965,32 @@ def l2e(spark, sf_dir):
     return simhash_signatures_md5(d, "doc_id", "text", n=2, bits=32)
 
 
+@q(
+    "l21_bigram_lm_score",
+    # Corpus-trained bigram-LM fluency score (the KenLM-perplexity-filter
+    # analog).  Micro-probabilities are floor-quantized integers, so the
+    # per-doc mean is one exact integer sum and one IEEE division —
+    # hash-identical across engines.
+    "WITH base AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) >= 2), "
+    "bi AS (SELECT doc_id, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2 "
+    "FROM sized), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1), "
+    "lm AS (SELECT w1, w2, CAST(floor(1e6 * c2 / c1) AS BIGINT) AS micro "
+    "FROM c2 JOIN c1 USING (w1)) "
+    "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(CAST(sum(l.micro) AS BIGINT) AS DOUBLE) / count(*) AS mean_microprob "
+    "FROM bi b JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2 GROUP BY b.doc_id",
+)
+def l21(spark, sf_dir):
+    from pgstream_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "document_fingerprint",
     "repetition_stats",
+    "bigram_lm_scores",
     "pii_scrub",
     "STOPWORDS",
     "EMAIL_RE",
@@ -215,4 +216,56 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", out: str = "n_tokens_
     return df.withColumn(
         out,
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast("long"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the bounded-exact analog of the perplexity filter every LLM data
+    pipeline runs (CCNet / Wenzek et al. 2020 use a KenLM n-gram model
+    the same way: score each doc against a corpus-level LM, drop the
+    tail).
+
+    The model is the corpus's own bigram conditional
+    ``P(w2|w1) = count(w1 w2) / count(w1 ·)`` quantized to integer
+    micro-probabilities ``floor(1e6 · p)`` — quantizing per-bigram keeps
+    every downstream aggregate exact-integer (and therefore
+    engine-reproducible); the only floating-point steps are single IEEE
+    divisions.  Score = mean micro-probability over the doc's bigrams:
+    high = made of corpus-typical transitions, low = atypical/garbled.
+
+    Scale shape: the LM table is at most |vocab|² rows and in practice
+    Zipf-truncated far below it — broadcast-sized by construction, so
+    scoring is a broadcast join + one keyed aggregation per doc.  Two
+    shuffles total (LM group-bys), both with partial aggregation.
+
+    Returns ``(id_col, n_bigrams, mean_microprob)``.
+    """
+    n = F.col("__n")
+    base = (
+        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(n >= 2)
+    )
+    bigram = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = base.select(id_col, F.explode(bigram).alias("__bg")).select(
+        id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+    )
+    c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
+    c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    lm = c2.join(c1, "__w1").select(
+        "__w1",
+        "__w2",
+        F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
+    )
+    scored = bi.join(F.broadcast(lm), ["__w1", "__w2"])
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
     )

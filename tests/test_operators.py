@@ -1040,3 +1040,34 @@ class TestSimhashMd5:
         assert rows[1] == rows[4]                          # identical text
         assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
         assert all(0 <= v < (1 << 32) for v in rows.values())
+
+
+class TestBigramLmScore:
+    def test_hand_computed_conditionals(self, spark):
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+        )
+        # corpus bigrams: (a,b)x2, (a,c)x1 -> P(b|a)=2/3, P(c|a)=1/3
+        got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        assert got[1].n_bigrams == 1
+        assert got[1].mean_microprob == 666666.0   # floor(1e6 * 2/3)
+        assert got[3].mean_microprob == 333333.0   # floor(1e6 * 1/3)
+
+    def test_typical_docs_outscore_atypical(self, spark):
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        corpus = [(i, "the quick brown fox jumps") for i in range(9)]
+        corpus.append((99, "fox the jumps quick brown"))  # scrambled
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r.doc_id: r.mean_microprob for r in bigram_lm_scores(docs).collect()}
+        assert got[0] > got[99]
+
+    def test_single_token_docs_dropped(self, spark):
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
+        )
+        assert [r.doc_id for r in bigram_lm_scores(docs).collect()] == [2]
