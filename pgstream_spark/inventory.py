@@ -2991,6 +2991,30 @@ def l21(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "l22_incremental_dedup",
+    # Per-ingest dedup of a new batch against the accumulated corpus:
+    # anti-join on the exact key, then the deterministic first-copy
+    # survivor within the batch.  doc_id < 250 plays the history.
+    "WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250), "
+    "hist AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250), "
+    "surv AS (SELECT n.doc_id, n.text FROM newb n "
+    "WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = n.text)) "
+    "SELECT doc_id, text FROM surv "
+    "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+)
+def l22(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_against_history
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_against_history(
+        d.filter(F.col("doc_id") >= 250),
+        d.filter(F.col("doc_id") < 250),
+        key_cols=["text"],
+        keep_order_col="doc_id",
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

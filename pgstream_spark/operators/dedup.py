@@ -89,6 +89,31 @@ def exact_dedup(
     )
 
 
+def dedup_against_history(
+    new_docs: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    keep_order_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_docs`` that are neither
+    (a) duplicates of anything already in ``history`` nor (b) later
+    copies within the new batch itself — the per-ingest step of a
+    continuously-growing corpus, where re-deduplicating the full corpus
+    on every arrival would be O(corpus) instead of O(batch).
+
+    (a) is a left-anti join on ``key_cols`` — at scale the history side
+    is the big one, so the anti-join shuffles each side once on the key
+    (or, bucketed by key, not at all); (b) reuses :func:`exact_dedup`'s
+    deterministic min-``keep_order_col`` survivor.  Anti-join before
+    in-batch dedup: both orders are equivalent here, but filtering
+    against history first shrinks the window input.
+    """
+    survivors = new_docs.join(
+        history.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+    )
+    return exact_dedup(survivors, key_cols, keep_order_col=keep_order_col)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1071,3 +1071,33 @@ class TestBigramLmScore:
             [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
         )
         assert [r.doc_id for r in bigram_lm_scores(docs).collect()] == [2]
+
+
+class TestIncrementalDedup:
+    def test_history_and_batch_dups_removed(self, spark):
+        from pgstream_spark.operators.dedup import dedup_against_history
+
+        history = spark.createDataFrame(
+            [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "seen before"),    # dup of history -> dropped
+                (11, "brand new"),      # survives
+                (12, "brand new"),      # in-batch dup -> dropped
+                (13, "another new"),    # survives
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup_against_history(new, history, ["text"], "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+    def test_empty_history_degrades_to_exact_dedup(self, spark):
+        from pgstream_spark.operators.dedup import dedup_against_history
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(5, "x"), (6, "x")], "doc_id long, text string"
+        )
+        out = dedup_against_history(new, empty, ["text"], "doc_id")
+        assert [r.doc_id for r in out.collect()] == [5]

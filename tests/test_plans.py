@@ -263,3 +263,13 @@ def test_containment_reads_only_needed_columns(spark, sf_dir):
     cols = scan_columns(QUERIES["l18_containment_dedup"](spark, sf_dir))
     assert cols, "no scan found"
     assert "lang" not in cols and "n_chars" not in cols, cols
+
+
+def test_bigram_lm_join_is_broadcast(spark, sf_dir):
+    # l21: the LM table is vocab²-bounded — scoring must broadcast it,
+    # never shuffle the per-doc bigram stream for the join.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l21_bigram_lm_score"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in txt
