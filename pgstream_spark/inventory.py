@@ -3015,6 +3015,37 @@ def l22(spark, sf_dir):
     )
 
 
+@q(
+    "l23_corpus_diff",
+    # Dataset-version audit: full-outer join of two corpus snapshots on
+    # the doc key, content compared by md5 — added / removed / modified /
+    # unchanged per doc.  v1 = doc_id < 400; v2 = doc_id >= 100 with
+    # every 50th document's text deterministically rewritten, so all
+    # four statuses occur.
+    "WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents "
+    "WHERE doc_id < 400), "
+    "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 50 = 0 THEN reverse(text) "
+    "ELSE text END) AS h FROM documents WHERE doc_id >= 100) "
+    "SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, "
+    "CASE WHEN v1.doc_id IS NULL THEN 'added' "
+    "WHEN v2.doc_id IS NULL THEN 'removed' "
+    "WHEN v1.h <> v2.h THEN 'modified' ELSE 'unchanged' END AS status "
+    "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id",
+)
+def l23(spark, sf_dir):
+    from pgstream_spark.operators.snapshot import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.reverse(F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(v1, v2, id_col="doc_id", content_cols=["text"])
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -28,6 +28,7 @@ from pgstream_spark.operators.similarity import (
 )
 from pgstream_spark.operators.ivf import assign_buckets, ivf_top_k, train_centroids
 from pgstream_spark.operators.sketch import cms_build, cms_estimate
+from pgstream_spark.operators.snapshot import corpus_diff
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.textstats import (
@@ -60,6 +61,7 @@ __all__ = [
     "ivf_top_k",
     "cms_build",
     "cms_estimate",
+    "corpus_diff",
     "time_rollup",
     "salted_agg",
     "with_text_stats",

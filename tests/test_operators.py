@@ -1101,3 +1101,34 @@ class TestIncrementalDedup:
         )
         out = dedup_against_history(new, empty, ["text"], "doc_id")
         assert [r.doc_id for r in out.collect()] == [5]
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        from pgstream_spark.operators import corpus_diff
+
+        v1 = spark.createDataFrame(
+            [(1, "same"), (2, "old text"), (3, "gone")],
+            "doc_id long, text string",
+        )
+        v2 = spark.createDataFrame(
+            [(1, "same"), (2, "new text"), (4, "fresh")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.status for r in corpus_diff(v1, v2).collect()}
+        assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+    def test_null_vs_empty_content_not_conflated(self, spark):
+        from pgstream_spark.operators import corpus_diff
+
+        v1 = spark.createDataFrame([(1, None, "x")], "doc_id long, a string, b string")
+        v2 = spark.createDataFrame([(1, "x", None)], "doc_id long, a string, b string")
+        assert corpus_diff(v1, v2).first().status == "modified"
+
+    def test_requires_content_columns(self, spark):
+        from pgstream_spark.operators import corpus_diff
+        import pytest as _pytest
+
+        v = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError):
+            corpus_diff(v, v)
