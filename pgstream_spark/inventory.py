@@ -3046,6 +3046,28 @@ def l23(spark, sf_dir):
     return corpus_diff(v1, v2, id_col="doc_id", content_cols=["text"])
 
 
+@q(
+    "l24_token_ids",
+    # Vocabulary-encoded token-id sequences (the pack_sequences input).
+    # Ids are sorted-term row_numbers — deterministic, no trained
+    # artifact; position reassembly via ordered list agg.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, unnest(t) AS term, "
+    "generate_subscripts(t, 1) AS pos FROM toks), "
+    "vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS INT) "
+    "AS tid FROM (SELECT DISTINCT term FROM tok)), "
+    "enc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM tok "
+    "JOIN vocab USING (term) GROUP BY doc_id) "
+    "SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens FROM enc",
+)
+def l24(spark, sf_dir):
+    from pgstream_spark.operators.terms import encode_token_ids
+
+    return encode_token_ids(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pgstream_spark.operators.textstats import _tokens
 
-__all__ = ["term_frequencies", "tficf_top_terms", "posting_lists"]
+__all__ = ["term_frequencies", "tficf_top_terms", "posting_lists", "encode_token_ids"]
 
 
 def term_frequencies(
@@ -120,4 +120,54 @@ def posting_lists(
         pairs.join(F.broadcast(keep), "term")
         .groupBy("term", "df")
         .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenize and encode every document as an array of integer token
+    ids against a corpus-derived vocabulary — the step that turns raw
+    text into the numeric sequences :func:`packing.pack_sequences`
+    consumes.
+
+    The vocabulary assigns ids by sorted term order (``row_number`` over
+    the distinct-term set), which makes the mapping deterministic and
+    oracle-checkable with no trained artifact.  That global window runs
+    on ONE partition by design: the vocabulary is vocab-sized (bounded,
+    Zipf-truncated in practice), not corpus-sized — the same bounded-
+    small-side reasoning as IVF's centroid sample.  Encoding is then a
+    broadcast join on the token stream plus one keyed aggregation that
+    reassembles positions (``array_sort`` on (pos, id) structs).
+
+    Returns ``(id_col, ids: array<int>, n_tokens)``; documents with no
+    tokens yield no row (nothing to encode), matching the SQL shape.
+    """
+    from pyspark.sql import Window
+
+    from pgstream_spark.operators.dedup import tokens_col
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__term"),
+    )
+    vocab = (
+        tok.select("__term")
+        .distinct()
+        .withColumn(
+            "__tid", F.row_number().over(Window.orderBy("__term")).cast("int")
+        )
+    )
+    assembled = (
+        tok.join(F.broadcast(vocab), "__term")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))
+            ).alias("__seq")
+        )
+    )
+    ids = F.transform(F.col("__seq"), lambda s: s["__tid"])
+    return assembled.select(
+        id_col, ids.alias("ids"), F.size("__seq").cast("long").alias("n_tokens")
     )

@@ -1132,3 +1132,34 @@ class TestCorpusDiff:
         v = spark.createDataFrame([(1,)], "doc_id long")
         with _pytest.raises(ValueError):
             corpus_diff(v, v)
+
+
+class TestTokenIds:
+    def test_roundtrip_decodes_to_tokens(self, spark):
+        from pgstream_spark.operators.terms import encode_token_ids
+
+        docs = spark.createDataFrame(
+            [(1, "b a c a"), (2, "c b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in encode_token_ids(docs).collect()}
+        # vocab by sorted term: a=1, b=2, c=3
+        assert list(out[1].ids) == [2, 1, 3, 1]
+        assert out[1].n_tokens == 4
+        assert list(out[2].ids) == [3, 2]
+
+    def test_feeds_pack_sequences(self, spark):
+        from pgstream_spark.operators.packing import pack_sequences
+        from pgstream_spark.operators.terms import encode_token_ids
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * (i + 1)) for i in range(6)], "doc_id long, text string"
+        )
+        enc = encode_token_ids(docs)
+        packed = pack_sequences(
+            enc, id_col="doc_id", cap=8, shards=2, n_tokens=F.col("n_tokens")
+        )
+        rows = {r.doc_id: r for r in packed.collect()}
+        assert len(rows) == 6                      # every doc assigned
+        for i in range(6):
+            assert rows[i].n_tokens == i + 1       # encoder length respected
+            assert rows[i].chunk_last >= rows[i].chunk_first >= 0
