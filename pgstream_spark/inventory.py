@@ -3068,6 +3068,39 @@ def l24(spark, sf_dir):
     return encode_token_ids(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "w6_time_range_frame",
+    # Time-based RANGE frame (vs w3's row-count frame): trailing-1h mean
+    # per user by event time.  RANGE includes ALL tied-epoch rows, so the
+    # frame is order-ambiguity-free; the integer-cents sum keeps the mean
+    # exact.  Epochs are floor-of-second on both engines (ns//1e9 vs
+    # tz-free field arithmetic).
+    "SELECT event_id, user_id, "
+    "epoch_ns(ts) // 1000000000 AS epoch_s, "
+    f"CAST(SUM(CAST(round(value * {_SCALE}) AS BIGINT)) OVER w AS DOUBLE) "
+    f"/ {_SCALE}.0 / COUNT(*) OVER w AS trailing_avg "
+    "FROM events WINDOW w AS (PARTITION BY user_id "
+    "ORDER BY epoch_ns(ts) // 1000000000 "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+)
+def w6(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    es = epoch_seconds(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(es).rangeBetween(-3600, 0)
+    scaled = F.round(F.col("value") * _SCALE).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        es.alias("epoch_s"),
+        (
+            F.sum(scaled).over(w).cast("double") / float(_SCALE)
+            / F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
