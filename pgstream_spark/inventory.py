@@ -3069,6 +3069,31 @@ def l24(spark, sf_dir):
 
 
 @q(
+    "l25_chunk_windows",
+    # Overlapping token-window chunking (64-token windows, stride 32) —
+    # the RAG / embedding-prep step that turns one document row into one
+    # row per context window.  Pure array arithmetic: sequence of chunk
+    # starts, explode, slice — map-only, no shuffle.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1), "
+    "starts AS (SELECT doc_id, t, unnest(generate_series(0, n - 1, 32)) AS s "
+    "FROM sized) "
+    "SELECT doc_id, CAST(s // 32 AS INT) AS chunk_idx, "
+    "CAST(len(t[s + 1 : s + 64]) AS INT) AS n_chunk_tokens, "
+    "array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text "
+    "FROM starts",
+)
+def l25(spark, sf_dir):
+    from pgstream_spark.operators.packing import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), window=64, stride=32
+    )
+
+
+@q(
     "w6_time_range_frame",
     # Time-based RANGE frame (vs w3's row-count frame): trailing-1h mean
     # per user by event time.  RANGE includes ALL tied-epoch rows, so the

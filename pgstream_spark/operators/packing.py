@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_windows"]
 
 
 def pack_sequences(
@@ -64,4 +64,42 @@ def pack_sequences(
         F.expr(f"(cum_tokens - n_tokens) DIV {cap} <> (cum_tokens - 1) DIV {cap}").alias(
             "straddles"
         ),
+    )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping ``window``-token chunks every
+    ``stride`` tokens — the RAG / embedding-preparation step (one output
+    row per context window, with ``window - stride`` tokens of overlap so
+    no span falls on a hard boundary).
+
+    Complements :func:`pack_sequences`: packing assigns whole documents
+    to training-context budgets; chunking materializes sub-document
+    windows as rows.  Pure per-row array arithmetic (``sequence`` of
+    chunk starts → ``posexplode`` → ``slice``) — map-only, runs at scan
+    speed, output is at most ``ceil(n/stride)`` rows per doc.
+
+    Returns ``(id_col, chunk_idx, n_chunk_tokens, chunk_text)``;
+    zero-token documents yield no row.
+    """
+    if stride <= 0 or window < stride:
+        raise ValueError("need stride >= 1 and window >= stride")
+    t = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("__t")).filter(F.size("__t") >= 1)
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    exploded = base.select(
+        id_col, "__t", F.posexplode(starts).alias("__i", "__s")
+    )
+    chunk = F.slice("__t", F.col("__s") + 1, window)
+    return exploded.select(
+        id_col,
+        F.col("__i").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
     )

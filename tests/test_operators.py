@@ -1163,3 +1163,39 @@ class TestTokenIds:
         for i in range(6):
             assert rows[i].n_tokens == i + 1       # encoder length respected
             assert rows[i].chunk_last >= rows[i].chunk_first >= 0
+
+
+class TestChunkWindows:
+    def test_overlap_and_tail(self, spark):
+        from pgstream_spark.operators.packing import chunk_windows
+
+        text = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_windows(docs, window=6, stride=4).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.chunk_idx for r in out] == [0, 1, 2]
+        assert out[0].chunk_text.split() == [f"w{i}" for i in range(6)]
+        assert out[1].chunk_text.split() == [f"w{i}" for i in range(4, 10)]
+        assert out[2].chunk_text.split() == ["w8", "w9"]       # short tail
+        assert out[2].n_chunk_tokens == 2
+        # consecutive chunks overlap by window - stride tokens
+        assert out[0].chunk_text.split()[-2:] == out[1].chunk_text.split()[:2]
+
+    def test_invalid_args_raise(self, spark):
+        from pgstream_spark.operators.packing import chunk_windows
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_windows(docs, window=2, stride=4)
+        with pytest.raises(ValueError):
+            chunk_windows(docs, stride=0)
+
+    def test_empty_doc_yields_no_chunk(self, spark):
+        from pgstream_spark.operators.packing import chunk_windows
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "one token here")], "doc_id long, text string"
+        )
+        assert [r.doc_id for r in chunk_windows(docs).collect()] == [2]
