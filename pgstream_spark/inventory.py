@@ -3069,6 +3069,28 @@ def l24(spark, sf_dir):
 
 
 @q(
+    "j10_salted_join",
+    # Skew-resistant salted equi-join — semantics must equal the plain
+    # join, which IS the oracle: DuckDB runs the unsalted query.
+    "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+    + _dsum("o.o_totalprice")
+    + " AS revenue FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_mktsegment",
+)
+def j10(spark, sf_dir):
+    from pgstream_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, ["custkey"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+@q(
     "l25_chunk_windows",
     # Overlapping token-window chunking (64-token windows, stride 32) —
     # the RAG / embedding-prep step that turns one document row into one

@@ -105,3 +105,49 @@ class TestPythonUDTF:
         assert by_doc[1][0][1] == by_doc[2][0][1]
         assert by_doc[1][1][1] == by_doc[2][1][1]
         assert by_doc[1][2][1] != by_doc[2][2][1]
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_keys(self, spark):
+        from pgstream_spark.operators.skew import salted_join
+
+        # 90% of left rows share one key — the salted plan must still
+        # produce exactly the plain join's result.
+        left = spark.createDataFrame(
+            [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+        )
+        right = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(0, 200)], "k long, name string"
+        )
+        fast = salted_join(left, right, ["k"], salt_buckets=8)
+        plain = left.join(right, ["k"])
+        assert sorted((r.k, r.v, r.name) for r in fast.collect()) == sorted(
+            (r.k, r.v, r.name) for r in plain.collect()
+        )
+
+    def test_left_join_keeps_unmatched_left_rows(self, spark):
+        from pgstream_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+        right = spark.createDataFrame([(1, "x")], "k long, name string")
+        out = {r.k: r.name for r in salted_join(left, right, ["k"], how="left").collect()}
+        assert out == {1: "x", 99: None}
+
+    def test_rejects_right_joins(self, spark):
+        from pgstream_spark.operators.skew import salted_join
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how="full")
+
+    def test_salt_spreads_hot_key(self, spark):
+        from pgstream_spark.operators.skew import salted_join
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(1, i) for i in range(400)], "k long, v long"
+        )
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+        n_buckets = left.select(salt.alias("s")).distinct().count()
+        assert n_buckets >= 6          # one key fans out across buckets
