@@ -3069,6 +3069,36 @@ def l24(spark, sf_dir):
 
 
 @q(
+    "t12_gapfill_locf",
+    # Hypertable gapfill + last-observation-carried-forward: dense 1h
+    # bucket spine per user, gaps get n_events=0 and the prior bucket's
+    # (integer-scaled, hence bit-reproducible) sum carried forward.
+    "WITH e AS (SELECT user_id, "
+    "epoch_ns(ts) // 1000000000 // 3600 AS b, value FROM events), "
+    "agg AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n_events, "
+    + _dsum("value")
+    + " AS sv FROM e GROUP BY 1, 2), "
+    "bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg "
+    "GROUP BY 1), "
+    "spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b "
+    "FROM bounds), "
+    "j AS (SELECT s.user_id, s.b, coalesce(a.n_events, 0) AS n_events, "
+    "a.sv FROM spine s LEFT JOIN agg a USING (user_id, b)) "
+    "SELECT user_id, b * 3600 AS bucket_epoch_s, n_events, "
+    "last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value "
+    "FROM j",
+)
+def t12(spark, sf_dir):
+    from pgstream_spark.operators.rollup_time import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_locf(
+        ev, "ts", "value", key_cols=["user_id"], bucket_seconds=3600
+    )
+
+
+@q(
     "j10_salted_join",
     # Skew-resistant salted equi-join — semantics must equal the plain
     # join, which IS the oracle: DuckDB runs the unsalted query.

@@ -18,7 +18,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup"]
+__all__ = ["time_rollup", "gapfill_locf"]
 
 _RES_SECONDS = {
     "minute": 60,
@@ -80,4 +80,64 @@ def time_rollup(
         out = out.unionByName(t)
     return out.select(
         "resolution", "bucket_start", *gcols, "n", "sum_value", "min_value", "max_value"
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Bucket a time series, materialize MISSING buckets, and carry the
+    last observed value forward into them — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` pair, in one pass.
+
+    Dashboards and training-feature pipelines need a dense time grid;
+    raw event streams have holes.  Shape: one bucketed aggregation, a
+    per-key bucket spine via ``sequence(min, max)`` + ``explode`` (spine
+    length is bounded by the series' time span ÷ bucket, independent of
+    row count), a left join back, and ``last(..., ignorenulls)`` over an
+    unbounded-preceding frame for the carry — one extra shuffle over the
+    already-tiny bucket tier, never over raw events.
+
+    The per-bucket sum is integer-scaled (``scale``) so the carried
+    values are bit-reproducible across engines.  Returns
+    ``(*key_cols, bucket_epoch_s, n_events, filled_value)`` with
+    ``n_events = 0`` on gap rows and ``filled_value`` NULL only before a
+    key's first observation.
+    """
+    from pyspark.sql import Window
+
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    keys = list(key_cols)
+    b = F.floor(epoch_seconds(F.col(ts_col)) / bucket_seconds).cast("long")
+    scaled = F.round(F.col(value_col) * scale).cast("bigint")
+    agg = (
+        df.select(*keys, b.alias("__b"), scaled.alias("__sv"))
+        .groupBy(*keys, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__sv").cast("double") / scale).alias("__sum"),
+        )
+    )
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(*keys, F.explode(F.sequence("__lo", "__hi")).alias("__b"))
+    )
+    joined = spine.join(agg, keys + ["__b"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        (F.col("__b") * bucket_seconds).alias("bucket_epoch_s"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("__sum", ignorenulls=True).over(w).alias("filled_value"),
     )

@@ -151,3 +151,48 @@ class TestSaltedJoin:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
         n_buckets = left.select(salt.alias("s")).distinct().count()
         assert n_buckets >= 6          # one key fans out across buckets
+
+
+class TestGapfillLocf:
+    def test_gaps_filled_and_carried(self, spark):
+        import datetime as dt
+        from pgstream_spark.operators.rollup_time import gapfill_locf
+
+        def t(h):
+            return dt.datetime(2024, 1, 1, h, 30)
+
+        ev = spark.createDataFrame(
+            [  # user 1: events in hours 0 and 3 — hours 1, 2 are gaps
+                (1, t(0), 10.0),
+                (1, t(0), 2.5),
+                (1, t(3), 7.0),
+                # user 2: single hour, no gaps
+                (2, t(5), 1.0),
+            ],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        out = {
+            (r.user_id, r.bucket_epoch_s): r
+            for r in gapfill_locf(ev, "ts", "value", ["user_id"]).collect()
+        }
+        base = 1704067200  # 2024-01-01T00:00Z — NTZ epochs are tz-free
+        h = 3600
+        assert len(out) == 5                     # 4 buckets user 1 + 1 user 2
+        assert out[(1, base)].n_events == 2
+        assert out[(1, base)].filled_value == 12.5
+        for gap_h in (1, 2):                     # gap rows: 0 events, carried sum
+            r = out[(1, base + gap_h * h)]
+            assert r.n_events == 0 and r.filled_value == 12.5
+        assert out[(1, base + 3 * h)].filled_value == 7.0
+        assert out[(2, base + 5 * h)].n_events == 1
+
+    def test_spine_is_per_key(self, spark):
+        import datetime as dt
+        from pgstream_spark.operators.rollup_time import gapfill_locf
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0), 1.0), (2, dt.datetime(2024, 1, 2, 0), 1.0)],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        # each key spans one bucket — no cross-key spine bleed
+        assert gapfill_locf(ev, "ts", "value", ["user_id"]).count() == 2
