@@ -3099,6 +3099,50 @@ def t12(spark, sf_dir):
 
 
 @q(
+    "t13_gapfill_interpolate",
+    # Linear interpolation across gaps (timescale `interpolate`): value
+    # at a gap bucket = prev + (next - prev) * frac, NULL outside the
+    # observed range.  Expression nesting mirrors the Spark side so
+    # every IEEE step is bit-identical.
+    "WITH e AS (SELECT user_id, "
+    "epoch_ns(ts) // 1000000000 // 3600 AS b, value FROM events), "
+    "agg AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n_events, "
+    + _dsum("value")
+    + " AS sv FROM e GROUP BY 1, 2), "
+    "bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg "
+    "GROUP BY 1), "
+    "spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b "
+    "FROM bounds), "
+    "j AS (SELECT s.user_id, s.b, coalesce(a.n_events, 0) AS n_events, "
+    "a.sv FROM spine s LEFT JOIN agg a USING (user_id, b)), "
+    "wd AS (SELECT user_id, b, n_events, "
+    "last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
+    "last_value(CASE WHEN sv IS NOT NULL THEN b END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY b "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb, "
+    "first_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+    "first_value(CASE WHEN sv IS NOT NULL THEN b END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY b "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb FROM j) "
+    "SELECT user_id, b * 3600 AS bucket_epoch_s, n_events, "
+    "CASE WHEN pb IS NOT NULL AND nb IS NOT NULL THEN "
+    "CASE WHEN nb = pb THEN pv "
+    "ELSE pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / (nb - pb)) END "
+    "END AS filled_value FROM wd",
+)
+def t13(spark, sf_dir):
+    from pgstream_spark.operators.rollup_time import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_locf(
+        ev, "ts", "value", key_cols=["user_id"], bucket_seconds=3600,
+        mode="interpolate",
+    )
+
+
+@q(
     "j10_salted_join",
     # Skew-resistant salted equi-join — semantics must equal the plain
     # join, which IS the oracle: DuckDB runs the unsalted query.

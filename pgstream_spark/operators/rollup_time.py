@@ -90,10 +90,12 @@ def gapfill_locf(
     key_cols: Sequence[str],
     bucket_seconds: int = 3600,
     scale: int = 10_000,
+    mode: str = "locf",
 ) -> DataFrame:
-    """Bucket a time series, materialize MISSING buckets, and carry the
-    last observed value forward into them — the hypertable
-    ``time_bucket_gapfill`` + ``locf`` pair, in one pass.
+    """Bucket a time series, materialize MISSING buckets, and fill them —
+    the hypertable ``time_bucket_gapfill`` pair with either ``locf``
+    (carry last observation forward) or ``interpolate`` (linear between
+    the surrounding observations, NULL outside them).
 
     Dashboards and training-feature pipelines need a dense time grid;
     raw event streams have holes.  Shape: one bucketed aggregation, a
@@ -130,14 +132,41 @@ def gapfill_locf(
         .select(*keys, F.explode(F.sequence("__lo", "__hi")).alias("__b"))
     )
     joined = spine.join(agg, keys + ["__b"], "left")
-    w = (
+    wp = (
         Window.partitionBy(*keys)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if mode == "locf":
+        filled = F.last("__sum", ignorenulls=True).over(wp)
+    elif mode == "interpolate":
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy("__b")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        ob = F.when(F.col("__sum").isNotNull(), F.col("__b"))
+        pv = F.last("__sum", ignorenulls=True).over(wp)
+        pb = F.last(ob, ignorenulls=True).over(wp)
+        nv = F.first("__sum", ignorenulls=True).over(wn)
+        nb = F.first(ob, ignorenulls=True).over(wn)
+        # observed buckets hit pb == nb == __b and reduce to pv exactly;
+        # the expression nesting matches the oracle SQL so every IEEE
+        # step is identical.
+        filled = F.when(
+            pb.isNotNull() & nb.isNotNull(),
+            F.when(
+                nb == pb,
+                pv,
+            ).otherwise(
+                pv + (nv - pv) * ((F.col("__b") - pb) / (nb - pb))
+            ),
+        )
+    else:
+        raise ValueError(f"unknown gapfill mode: {mode!r}")
     return joined.select(
         *keys,
         (F.col("__b") * bucket_seconds).alias("bucket_epoch_s"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-        F.last("__sum", ignorenulls=True).over(w).alias("filled_value"),
+        filled.alias("filled_value"),
     )

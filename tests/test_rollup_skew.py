@@ -196,3 +196,40 @@ class TestGapfillLocf:
         )
         # each key spans one bucket — no cross-key spine bleed
         assert gapfill_locf(ev, "ts", "value", ["user_id"]).count() == 2
+
+
+class TestGapfillInterpolate:
+    def test_linear_between_observations(self, spark):
+        import datetime as dt
+        from pgstream_spark.operators.rollup_time import gapfill_locf
+
+        ev = spark.createDataFrame(
+            [  # hour 0 sum=3.0, hour 3 sum=9.0 -> gaps at 1, 2 interpolate
+                (1, dt.datetime(2024, 1, 1, 0, 15), 3.0),
+                (1, dt.datetime(2024, 1, 1, 3, 15), 9.0),
+            ],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        out = {
+            r.bucket_epoch_s: r.filled_value
+            for r in gapfill_locf(
+                ev, "ts", "value", ["user_id"], mode="interpolate"
+            ).collect()
+        }
+        base = 1704067200
+        assert out[base] == 3.0
+        assert out[base + 3600] == 5.0       # 3 + (9-3) * 1/3
+        assert out[base + 7200] == 7.0       # 3 + (9-3) * 2/3
+        assert out[base + 10800] == 9.0
+
+    def test_unknown_mode_raises(self, spark):
+        import datetime as dt
+        from pgstream_spark.operators.rollup_time import gapfill_locf
+        import pytest as _pytest
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1.0)],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        with _pytest.raises(ValueError):
+            gapfill_locf(ev, "ts", "value", ["user_id"], mode="spline").collect()
