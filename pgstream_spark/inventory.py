@@ -3069,6 +3069,43 @@ def l24(spark, sf_dir):
 
 
 @q(
+    "t14_cdc_apply",
+    # CDC apply — the downstream half of the reference's reason to
+    # exist: base snapshot + (key, seq, op, payload) changelog →
+    # last-write-wins replica state.  Changelog synthesized from orders
+    # (orderkey = LSN; 'F' status = delete).
+    "WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer), "
+    "ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq, "
+    "CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op, "
+    "'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name, "
+    "o_totalprice AS c_acctbal FROM orders), "
+    "latest AS (SELECT * FROM ch QUALIFY "
+    "row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1) "
+    "SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, "
+    "CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name ELSE b.c_name END "
+    "AS c_name, "
+    "CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal "
+    "END AS c_acctbal "
+    "FROM base b FULL OUTER JOIN latest l ON l.c_custkey = b.c_custkey "
+    "WHERE l.op IS NULL OR l.op <> 'delete'",
+)
+def t14(spark, sf_dir):
+    from pgstream_spark.streaming.cdc import apply_changes
+
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return apply_changes(base, changes, ["c_custkey"], "seq")
+
+
+@q(
     "t12_gapfill_locf",
     # Hypertable gapfill + last-observation-carried-forward: dense 1h
     # bucket spine per user, gaps get n_events=0 and the prior bucket's

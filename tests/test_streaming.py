@@ -396,3 +396,50 @@ def _ts(epoch):
     import datetime
 
     return datetime.datetime.utcfromtimestamp(epoch)
+
+
+class TestCdcApply:
+    def test_upsert_delete_insert_and_untouched(self, spark):
+        from pgstream_spark.streaming.cdc import apply_changes
+
+        base = spark.createDataFrame(
+            [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+            "id long, name string, bal double",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, 100, "upsert", "alice2", 11.0),   # overwritten later
+                (1, 101, "upsert", "alice3", 12.0),   # wins (higher seq)
+                (2, 102, "delete", None, None),       # row removed
+                (4, 103, "upsert", "dave", 40.0),     # insert of unseen key
+                (5, 104, "delete", None, None),       # delete of unseen key: no row
+            ],
+            "id long, seq long, op string, name string, bal double",
+        )
+        out = {r.id: (r.name, r.bal) for r in
+               apply_changes(base, changes, ["id"], "seq").collect()}
+        assert out == {
+            1: ("alice3", 12.0),
+            3: ("carol", 30.0),      # untouched base row
+            4: ("dave", 40.0),
+        }
+
+    def test_delete_then_reinsert_survives(self, spark):
+        from pgstream_spark.streaming.cdc import apply_changes
+
+        base = spark.createDataFrame([(1, "x")], "id long, name string")
+        changes = spark.createDataFrame(
+            [(1, 1, "delete", None), (1, 2, "upsert", "back")],
+            "id long, seq long, op string, name string",
+        )
+        out = apply_changes(base, changes, ["id"], "seq").collect()
+        assert [(r.id, r.name) for r in out] == [(1, "back")]
+
+    def test_missing_columns_rejected(self, spark):
+        from pgstream_spark.streaming.cdc import apply_changes
+        import pytest as _pytest
+
+        base = spark.createDataFrame([(1, "x")], "id long, name string")
+        bad = spark.createDataFrame([(1, "x")], "id long, name string")  # no seq/op
+        with _pytest.raises(ValueError):
+            apply_changes(base, bad, ["id"], "seq")
