@@ -3069,6 +3069,45 @@ def l24(spark, sf_dir):
 
 
 @q(
+    "g31_winsorized_agg",
+    # Winsorized (p05/p95-clamped) mean per group — the outlier-robust
+    # aggregation every metrics/cleaning pipeline needs.  Thresholds are
+    # rounded to 4dp on both engines BEFORE clamping so a 1-ulp
+    # percentile divergence can't flip a boundary row; the clamped sum
+    # is integer-scaled as usual.
+    "WITH th AS (SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.05), 4) AS lo, "
+    "round(quantile_cont(l_extendedprice, 0.95), 4) AS hi "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(SUM(CAST(round(least(greatest(l_extendedprice, lo), hi) * {_SCALE}) "
+    f"AS BIGINT)) AS DOUBLE) / {_SCALE}.0 / count(*) AS winsorized_mean "
+    "FROM lineitem l JOIN th USING (l_returnflag) GROUP BY 1",
+)
+def g31(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("__lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("__hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("__lo")), F.col("__hi")
+    )
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(clamped * _SCALE).cast("bigint")).cast("double")
+                / float(_SCALE)
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@q(
     "t14_cdc_apply",
     # CDC apply — the downstream half of the reference's reason to
     # exist: base snapshot + (key, seq, op, payload) changelog →
