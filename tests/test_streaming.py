@@ -443,3 +443,29 @@ class TestCdcApply:
         bad = spark.createDataFrame([(1, "x")], "id long, name string")  # no seq/op
         with _pytest.raises(ValueError):
             apply_changes(base, bad, ["id"], "seq")
+
+    def test_incremental_fold_equals_one_shot(self, spark):
+        # CDC streams deliver per-key monotonically increasing LSNs, so
+        # folding apply_changes per micro-batch must equal applying the
+        # whole changelog at once — the invariant the foreachBatch
+        # deployment relies on.
+        from pgstream_spark.streaming.cdc import apply_changes
+
+        base = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, bal double"
+        )
+        batch1 = spark.createDataFrame(
+            [(1, 10, "delete", None, None), (3, 11, "upsert", "c", 3.0)],
+            "id long, seq long, op string, name string, bal double",
+        )
+        batch2 = spark.createDataFrame(
+            [(1, 20, "upsert", "a2", 1.5), (3, 21, "delete", None, None)],
+            "id long, seq long, op string, name string, bal double",
+        )
+        folded = apply_changes(
+            apply_changes(base, batch1, ["id"], "seq"), batch2, ["id"], "seq"
+        )
+        one_shot = apply_changes(base, batch1.union(batch2), ["id"], "seq")
+        f = sorted((r.id, r.name, r.bal) for r in folded.collect())
+        o = sorted((r.id, r.name, r.bal) for r in one_shot.collect())
+        assert f == o == [(1, "a2", 1.5), (2, "b", 2.0)]
