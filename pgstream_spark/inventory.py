@@ -3298,6 +3298,154 @@ def w6(spark, sf_dir):
     )
 
 
+@q(
+    "t15_ohlc_bars",
+    # Candlestick bars — the canonical query of the reference's trading
+    # domain (Example.hs walks daily iex_trades deltas): per event_type
+    # and hour, first/max/min/last value + exact integer-cents mean.
+    # open/close are deterministic via (ts, event_id) tie-broken
+    # row_number ranks; the bucket is floor-of-epoch BIGINT arithmetic,
+    # timezone-free on both engines.
+    "WITH " + _EV + ", b AS (SELECT event_type, "
+    "epoch_ns(ts) // 1000000000 // 3600 * 3600 AS bar_epoch_s, "
+    "ts, event_id, value FROM ev), "
+    "rn AS (SELECT *, row_number() OVER (PARTITION BY event_type, bar_epoch_s "
+    "ORDER BY ts, event_id) AS ra, "
+    "row_number() OVER (PARTITION BY event_type, bar_epoch_s "
+    "ORDER BY ts DESC, event_id DESC) AS rd FROM b) "
+    "SELECT event_type, bar_epoch_s, "
+    "max(CASE WHEN ra = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rd = 1 THEN value END) AS close, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    f"CAST(SUM(CAST(round(value * {_SCALE}) AS BIGINT)) AS DOUBLE) "
+    f"/ {_SCALE}.0 / count(*) AS avg_value "
+    "FROM rn GROUP BY 1, 2",
+)
+def t15(spark, sf_dir):
+    from pgstream_spark.operators.ohlc import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "ts", "value", key_cols=["event_type"], bucket_seconds=3600,
+        tie_col="event_id", scale=_SCALE,
+    )
+
+
+@q(
+    "w7_ewma_decay",
+    # Time-decayed EWMA over a trailing 20-row frame, per event_type.
+    # The exponential weight is factored so the row-dependent term
+    # cancels in the numerator/denominator ratio (operators/decay.py),
+    # leaving two plain windowed sums — associative, streamable, no
+    # per-row re-scan.  tau = 2h e-folding anchored at 2024-01-01;
+    # round(4) absorbs libm exp() and sum-association ulps.
+    "WITH " + _EV + ", e AS (SELECT event_id, event_type, ts, value, "
+    "exp(CAST(epoch_ns(ts) // 1000000000 - 1704067200 AS DOUBLE) / 7200.0) "
+    "AS w FROM ev) "
+    "SELECT event_id, event_type, "
+    "round(SUM(value * w) OVER win / SUM(w) OVER win, 4) AS ewma "
+    "FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)",
+)
+def w7(spark, sf_dir):
+    from pgstream_spark.operators.decay import ewma_time_decay
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_time_decay(
+        ev, "ts", "value", key_cols=["event_type"], tau_seconds=7200.0,
+        t0_epoch_s=1_704_067_200, frame_rows=20, tie_col="event_id",
+    ).select("event_id", "event_type", "ewma")
+
+
+@q(
+    "g32_robust_zscore",
+    # Median/MAD outlier gate — the robust counterpart of g8's
+    # variance stats.  Medians are rounded to 4 digits BEFORE the
+    # deviation/threshold arithmetic so every comparison operand is
+    # bit-identical across engines and the outlier count is exact.
+    "WITH " + _EV + ", med AS (SELECT event_type, "
+    "round(quantile_cont(value, 0.5), 4) AS med FROM ev GROUP BY 1), "
+    "dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS d "
+    "FROM ev e JOIN med m USING (event_type)), "
+    "mad AS (SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad "
+    "FROM dev GROUP BY 1) "
+    "SELECT dev.event_type, max(dev.med) AS med, max(mad.mad) AS mad, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 END) AS BIGINT) "
+    "AS n_outliers "
+    "FROM dev JOIN mad ON dev.event_type = mad.event_type GROUP BY 1",
+)
+def g32(spark, sf_dir):
+    from pgstream_spark.operators.robust import robust_zscore_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_zscore_stats(ev, "event_type", "value", k=3.0)
+
+
+@q(
+    "t16_cohort_retention",
+    # Cohort retention matrix: users bucketed by first-event ISO week,
+    # counted distinct per (cohort_week, week_offset).  Both engines
+    # truncate weeks to Monday; offsets are exact integer day diffs / 7.
+    "WITH " + _EV + ", f AS (SELECT user_id, "
+    "CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week "
+    "FROM ev GROUP BY 1), "
+    "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) "
+    "AS act_week FROM ev) "
+    "SELECT f.cohort_week, "
+    "CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INT) "
+    "AS week_offset, count(DISTINCT a.user_id) AS n_active "
+    "FROM a JOIN f USING (user_id) GROUP BY 1, 2",
+)
+def t16(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@q(
+    "f15_edit_distance",
+    # Levenshtein distance between consecutive documents' 80-char
+    # prefixes — the classic unit-cost DP, identical semantics in both
+    # engines, exact integer output.  Bounded to 300 pairs: edit
+    # distance is O(len²) per pair, a re-rank primitive (run on dedup
+    # candidates), never a corpus-wide primary.
+    "WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents) "
+    "SELECT a.doc_id, CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist, "
+    "CAST(length(a.t) AS INT) AS len1, CAST(length(b.t) AS INT) AS len2 "
+    "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 300",
+)
+def f15(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+    left = d.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.col("t").alias("t1")
+    )
+    right = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("t2"))
+    return left.join(right, "doc_id").select(
+        "doc_id",
+        F.levenshtein("t1", "t2").alias("edit_dist"),
+        F.length("t1").alias("len1"),
+        F.length("t2").alias("len2"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1199,3 +1199,146 @@ class TestChunkWindows:
             [(1, ""), (2, "one token here")], "doc_id long, text string"
         )
         assert [r.doc_id for r in chunk_windows(docs).collect()] == [2]
+
+
+class TestOhlcBars:
+    """operators/ohlc.ohlc_bars — candlestick bars with deterministic
+    open/close (reference domain: Example.hs daily trade deltas)."""
+
+    def test_known_bar(self, spark):
+        from pgstream_spark.operators.ohlc import ohlc_bars
+
+        rows = [
+            # (sym, ts, id, value) — one hour bucket, known OHLC
+            ("A", ts("2024-01-01 10:05:00"), 1, 10.0),
+            ("A", ts("2024-01-01 10:20:00"), 2, 30.0),
+            ("A", ts("2024-01-01 10:40:00"), 3, 5.0),
+            ("A", ts("2024-01-01 10:55:00"), 4, 20.0),
+            # second bucket
+            ("A", ts("2024-01-01 11:10:00"), 5, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp_ntz, event_id long, value double"
+        )
+        out = {
+            r.bar_epoch_s: r
+            for r in ohlc_bars(
+                df, "ts", "value", ["sym"], 3600, tie_col="event_id"
+            ).collect()
+        }
+        assert len(out) == 2
+        bar = out[min(out)]
+        assert (bar.open, bar.high, bar.low, bar.close) == (10.0, 30.0, 5.0, 20.0)
+        assert bar.n_events == 4
+        assert bar.avg_value == pytest.approx(16.25)
+        assert out[max(out)].open == out[max(out)].close == 7.0
+
+    def test_tie_broken_by_tie_col(self, spark):
+        from pgstream_spark.operators.ohlc import ohlc_bars
+
+        t0 = ts("2024-01-01 10:00:00")
+        df = spark.createDataFrame(
+            [("A", t0, 2, 99.0), ("A", t0, 1, 11.0)],
+            "sym string, ts timestamp_ntz, event_id long, value double",
+        )
+        bar = ohlc_bars(df, "ts", "value", ["sym"], 3600, tie_col="event_id").first()
+        assert bar.open == 11.0 and bar.close == 99.0
+
+    def test_tie_col_required(self, spark):
+        from pgstream_spark.operators.ohlc import ohlc_bars
+
+        df = spark.createDataFrame(
+            [("A", ts("2024-01-01 10:00:00"), 1, 1.0)],
+            "sym string, ts timestamp_ntz, event_id long, value double",
+        )
+        with pytest.raises(ValueError):
+            ohlc_bars(df, "ts", "value", ["sym"], 3600)
+
+
+class TestEwmaDecay:
+    """operators/decay.ewma_time_decay — factored exponential weights."""
+
+    _SCHEMA = "sym string, ts timestamp_ntz, event_id long, value double"
+
+    def test_constant_series_is_identity(self, spark):
+        from pgstream_spark.operators.decay import ewma_time_decay
+
+        rows = [
+            ("A", ts(f"2024-01-01 10:{m:02d}:00"), m, 42.5) for m in range(10)
+        ]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        out = ewma_time_decay(
+            df, "ts", "value", ["sym"], tau_seconds=600.0,
+            t0_epoch_s=1_704_067_200, tie_col="event_id",
+        )
+        assert all(r.ewma == 42.5 for r in out.collect())
+
+    def test_matches_numpy_reference(self, spark):
+        from pgstream_spark.operators.decay import ewma_time_decay
+
+        vals = [3.0, 9.0, 27.0, 81.0]
+        rows = [
+            ("A", ts(f"2024-01-01 10:{10 * i:02d}:00"), i, v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        out = sorted(
+            ewma_time_decay(
+                df, "ts", "value", ["sym"], tau_seconds=600.0,
+                t0_epoch_s=1_704_067_200, frame_rows=3, tie_col="event_id",
+            ).collect(),
+            key=lambda r: r.event_id,
+        )
+        # weights within the 3-row frame: e^{Δ/τ}, Δ = seconds since t0
+        epochs = np.array([1_704_067_200 + 36000 + 600 * i for i in range(4)])
+        for i, row in enumerate(out):
+            lo = max(0, i - 2)
+            w = np.exp((epochs[lo : i + 1] - 1_704_067_200) / 600.0)
+            v = np.array(vals[lo : i + 1])
+            assert row.ewma == pytest.approx(float((v * w).sum() / w.sum()), abs=1e-4)
+        # first row's frame is itself
+        assert out[0].ewma == pytest.approx(3.0)
+
+    def test_recent_rows_dominate(self, spark):
+        from pgstream_spark.operators.decay import ewma_time_decay
+
+        rows = [("A", ts(f"2024-01-01 1{i}:00:00"), i, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        last = sorted(
+            ewma_time_decay(
+                df, "ts", "value", ["sym"], tau_seconds=1800.0,
+                t0_epoch_s=1_704_067_200, tie_col="event_id",
+            ).collect(),
+            key=lambda r: r.event_id,
+        )[-1]
+        # strong decay (1h gaps, 0.5h tau): ewma hugs the newest value,
+        # and always exceeds the unweighted mean of an increasing series
+        assert last.ewma > 3.5 and last.ewma < 4.0
+
+
+class TestRobustZscore:
+    """operators/robust.robust_zscore_stats — median/MAD outlier gate."""
+
+    def test_known_median_mad_outliers(self, spark):
+        from pgstream_spark.operators.robust import robust_zscore_stats
+
+        vals = [float(v) for v in range(11)] + [1000.0]
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "grp string, value double"
+        )
+        row = robust_zscore_stats(df, "grp", "value").first()
+        # 12 values 0..10,1000: P50 = 5.5; |v-5.5| sorted has P50 = 3.0
+        assert row.med == 5.5 and row.mad == 3.0
+        assert row.n == 12
+        # only 1000.0 exceeds 5.5 ± 9.0
+        assert row.n_outliers == 1
+
+    def test_constant_group_no_outliers(self, spark):
+        from pgstream_spark.operators.robust import robust_zscore_stats
+
+        df = spark.createDataFrame(
+            [("k", 7.0)] * 5 + [("j", 1.0), ("j", 2.0)], "grp string, value double"
+        )
+        rows = {r.grp: r for r in robust_zscore_stats(df, "grp", "value").collect()}
+        assert rows["k"].mad == 0.0 and rows["k"].n_outliers == 0
+        assert rows["j"].n == 2 and rows["j"].n_outliers == 0
