@@ -3446,6 +3446,85 @@ def f15(spark, sf_dir):
     )
 
 
+_BM25_CTES = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+    "AS t FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM "
+    "(SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks), "
+    "sc AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) "
+    "AS avgdl FROM dl), "
+    "qt AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'merge')), "
+    "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1), "
+    "kw0 AS (SELECT qt.doc_id, "
+    "round(sum(ln(1.0 + (sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+    "* (qt.tf * 2.2) / (qt.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / sc.avgdl))"
+    "), 4) AS score, CAST(count(*) AS BIGINT) AS n_matched "
+    "FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc "
+    "GROUP BY 1)"
+)
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+@q(
+    "l26_bm25_scores",
+    # Okapi BM25 keyword scoring (operators/retrieval.py) — every input
+    # an exact integer (tf, dl, df, N), identical IEEE op order on both
+    # engines, the single libm ln() absorbed by round(4).
+    "WITH " + _BM25_CTES + " SELECT doc_id, score, n_matched FROM kw0",
+)
+def l26(spark, sf_dir):
+    from pgstream_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@q(
+    "l27_hybrid_rrf",
+    # Hybrid search: BM25 keyword ranking ⊕ brute-force cosine ranking
+    # (query = vec_id 0 over the doc-id-aligned corpus slice) fused by
+    # reciprocal-rank-fusion 1/(60+r).  RRF needs only the two integer
+    # ranks, so the fused score is bit-exact across engines; ties break
+    # on doc_id.
+    "WITH " + _BM25_CTES + ", "
+    "kw AS (SELECT doc_id, CAST(row_number() OVER "
+    "(ORDER BY score DESC, doc_id) AS INT) AS rank_a FROM kw0), "
+    "kwf AS (SELECT * FROM kw WHERE rank_a <= 50), "
+    "vs AS (SELECT e.vec_id AS doc_id, "
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(e.embedding AS DOUBLE[])) AS cos FROM embeddings e, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id < 500 AND e.vec_id <> 0), "
+    "vr AS (SELECT doc_id, CAST(row_number() OVER "
+    "(ORDER BY cos DESC, doc_id) AS INT) AS rank_b FROM vs), "
+    "vrf AS (SELECT * FROM vr WHERE rank_b <= 50), "
+    "fused AS (SELECT coalesce(kwf.doc_id, vrf.doc_id) AS doc_id, "
+    "kwf.rank_a, vrf.rank_b, "
+    "coalesce(1.0 / (60 + kwf.rank_a), 0.0) "
+    "+ coalesce(1.0 / (60 + vrf.rank_b), 0.0) AS rrf "
+    "FROM kwf FULL OUTER JOIN vrf ON kwf.doc_id = vrf.doc_id) "
+    "SELECT doc_id, rank_a, rank_b, rrf, "
+    "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rrf_rank "
+    "FROM fused QUALIFY rrf_rank <= 20",
+)
+def l27(spark, sf_dir):
+    from pgstream_spark.operators.retrieval import bm25_ranks, rrf_fusion
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = bm25_ranks(docs, _BM25_TERMS).filter(F.col("rank") <= 50)
+    vec = brute_force_top_k(
+        emb.filter(F.col("vec_id") == 0), emb.filter(F.col("vec_id") < 500), k=50
+    )
+    vecr = vec.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fusion(kw.select("doc_id", "rank"), vecr)
+    return fused.filter(F.col("rrf_rank") <= 20).select(
+        "doc_id", "rank_a", "rank_b", "rrf", "rrf_rank"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1,0 +1,144 @@
+"""Keyword retrieval (BM25) and reciprocal-rank fusion.
+
+The reference delegates text search to Postgres (``tsvector``-class
+queries); a training-data/RAG pipeline needs the corpus-side ranking
+primitives themselves: Okapi BM25 over an inverted term index, and
+reciprocal-rank fusion (RRF) to combine a keyword ranking with a vector
+ranking — the standard hybrid-search combiner (Cormack et al., the
+scheme every production hybrid retriever uses, also the default in
+OpenSearch/Elastic hybrid queries).
+
+BM25 here is the classic formula
+
+    score(d) = Σ_{t∈q∩d} ln(1 + (N−df+0.5)/(df+0.5)) ·
+               tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+computed entirely relationally:
+
+* tokenize → (doc, term, tf) hash aggregate (map-side combined);
+* document length and the corpus-scalar avgdl are exact integer sums;
+* the query-term df table is query-sized → broadcast; the 100 TB corpus
+  side streams through ONE join + ONE per-doc aggregate — no shuffle
+  carries more than the matched (doc, term) pairs.
+
+Determinism: every input to the score is an exact integer (tf, dl, df,
+N) and the float pipeline applies identical IEEE ops on both engines;
+the one libm call (``ln``) can differ by 1 ulp, so scores are rounded
+(default 4 decimals) and ranks tie-break on the id — the inventory's
+standard discipline for cross-engine float reductions.
+
+RRF needs only the two integer ranks: ``1/(k+r_a) + 1/(k+r_b)`` is the
+same pair of double divisions on both engines — exact, no rounding
+needed.  Missing-from-one-ranking items contribute only the present
+side (the usual outer-join convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgstream_spark.operators.terms import term_frequencies
+from pgstream_spark.operators.textstats import _tokens
+
+__all__ = ["bm25_scores", "bm25_ranks", "rrf_fusion"]
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document BM25 score against a bag of query terms.
+
+    Returns one row per document matching ≥1 query term: (id, ``score``
+    rounded, ``n_matched`` terms).  The query side (terms, their df) is
+    broadcast; the corpus side is one tokenize + two hash aggregates.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    dl = df.select(
+        F.col(id_col), F.size(_tokens(F.col(text_col))).cast("bigint").alias("dl")
+    )
+    # corpus scalars: N and avgdl (exact integer sum / exact count)
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = tf.filter(F.col("term").isin(query_terms))
+    dfreq = qt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qt.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("_s"), round_digits).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+def bm25_ranks(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """BM25 scores with a deterministic dense ranking (score desc, id asc)."""
+    scores = bm25_scores(df, query_terms, text_col=text_col, id_col=id_col, **kwargs)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scores.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fusion(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings on a shared id.
+
+    ``rrf = Σ_present 1/(k + rank)``; items absent from one ranking keep
+    the other side's contribution (full outer join).  The result carries
+    both input ranks (NULL where absent) and a deterministic ``rrf_rank``
+    (rrf desc, id asc).
+
+    Note the single-partition ``row_number`` window: ranking is global by
+    construction (as in ``bm25_ranks``), correct while fused candidate
+    lists are top-k-bounded — fuse *candidates*, not corpora.
+    """
+    a = ranks_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    bdf = ranks_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    fused = (
+        a.join(bdf, id_col, "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return fused.withColumn("rrf_rank", F.row_number().over(w))

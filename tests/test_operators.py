@@ -1342,3 +1342,79 @@ class TestRobustZscore:
         rows = {r.grp: r for r in robust_zscore_stats(df, "grp", "value").collect()}
         assert rows["k"].mad == 0.0 and rows["k"].n_outliers == 0
         assert rows["j"].n == 2 and rows["j"].n_outliers == 0
+
+
+class TestRetrieval:
+    """operators/retrieval — BM25 scoring and reciprocal-rank fusion."""
+
+    def test_bm25_matches_python_reference(self, spark):
+        import math
+
+        from pgstream_spark.operators.retrieval import bm25_scores
+
+        corpus = {
+            1: "apple banana apple",
+            2: "banana cherry",
+            3: "cherry cherry cherry durian",
+        }
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r for r in bm25_scores(df, ["apple", "cherry"]).collect()
+        }
+        # python reference
+        toks = {d: t.split() for d, t in corpus.items()}
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks.values()) / n
+        dfreq = {
+            q: sum(1 for t in toks.values() if q in t) for q in ("apple", "cherry")
+        }
+        for doc, t in toks.items():
+            exp, matched = 0.0, 0
+            for q in ("apple", "cherry"):
+                tf = t.count(q)
+                if not tf:
+                    continue
+                matched += 1
+                idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+                exp += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            if matched:
+                assert out[doc].n_matched == matched
+                assert out[doc].score == pytest.approx(exp, abs=1e-4)
+        assert 2 in out and out[2].n_matched == 1  # banana-only terms don't count
+
+    def test_bm25_rare_term_outscores_common(self, spark):
+        from pgstream_spark.operators.retrieval import bm25_scores
+
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows.append((99, "common rare"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.score for r in bm25_scores(df, ["rare", "common"]).collect()}
+        assert out[99] == max(out.values())  # rare term dominates
+
+    def test_bm25_empty_query_raises(self, spark):
+        from pgstream_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_scores(df, [])
+
+    def test_rrf_fusion_semantics(self, spark):
+        from pgstream_spark.operators.retrieval import rrf_fusion
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(3, 1), (4, 2)], "doc_id long, rank int"
+        )
+        out = {r.doc_id: r for r in rrf_fusion(a, b).collect()}
+        # doc 3: both sides; doc 4: vector-only; doc 1: keyword-only
+        assert out[3].rrf == pytest.approx(1 / 63 + 1 / 61)
+        assert out[4].rrf == pytest.approx(1 / 62) and out[4].rank_a is None
+        assert out[1].rrf == pytest.approx(1 / 61)
+        # doc 3 (two sides) outranks everything
+        assert out[3].rrf_rank == 1
+        # deterministic ordering: all ranks distinct 1..4
+        assert sorted(r.rrf_rank for r in out.values()) == [1, 2, 3, 4]
