@@ -38,23 +38,46 @@ def generate(spark) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(DST, exist_ok=True)
-    if os.path.exists(f"{DST}/documents.parquet") and os.path.exists(
-        f"{DST}/embeddings.parquet"
-    ):
-        return
+    if not os.path.exists(f"{DST}/documents.parquet"):
+        docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+        n = len(docs)
+        parts = []
+        for k in range(REPLICAS):
+            p = docs.copy()
+            p["doc_id"] = p["doc_id"] + k * n
+            # per-replica suffix: replicas of one doc stay ~0.9-Jaccard near-dups
+            p["text"] = p["text"] + f" replica{k} marker{k}"
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       f"{DST}/documents.parquet")
 
-    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
-    n = len(docs)
-    parts = []
-    for k in range(REPLICAS):
-        p = docs.copy()
-        p["doc_id"] = p["doc_id"] + k * n
-        # per-replica suffix: replicas of one doc stay ~0.9-Jaccard near-dups
-        p["text"] = p["text"] + f" replica{k} marker{k}"
-        parts.append(p)
-    out = pd.concat(parts, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                   f"{DST}/documents.parquet")
+    # events: 10 replicas, ids/users offset per replica, timestamps kept —
+    # same 30-day span at 10× density, so time-bucketed operators see the
+    # realistic axis (more rows per bucket, not a longer history).  Column
+    # surgery stays in pyarrow: the ns-precision ts column must survive
+    # byte-identical (pandas would coerce it).
+    if not os.path.exists(f"{DST}/events.parquet"):
+        ev = pq.read_table(f"{SRC}/events.parquet")
+        n_ev = ev.num_rows
+        n_users = pa.compute.count_distinct(ev.column("user_id")).as_py()
+        eparts_t = []
+        for k in range(REPLICAS):
+            t = ev.set_column(
+                ev.schema.get_field_index("event_id"),
+                "event_id",
+                pa.compute.add(ev.column("event_id"), k * n_ev),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pa.compute.add(t.column("user_id"), k * n_users),
+            )
+            eparts_t.append(t)
+        pq.write_table(pa.concat_tables(eparts_t), f"{DST}/events.parquet")
+
+    if os.path.exists(f"{DST}/embeddings.parquet"):
+        return
 
     embs = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
     m = len(embs)

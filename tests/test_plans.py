@@ -273,3 +273,63 @@ def test_bigram_lm_join_is_broadcast(spark, sf_dir):
 
     txt = explain_string(QUERIES["l21_bigram_lm_score"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in txt
+
+
+def test_ohlc_bars_single_exchange(spark, sf_dir):
+    import re
+
+    from pgstream_spark.operators.ohlc import ohlc_bars
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain_string(
+        ohlc_bars(ev, "ts", "value", ["event_type"], 3600, tie_col="event_id")
+    )
+    # both rank windows and the aggregate share ONE hash exchange on
+    # (key, bucket); only an in-partition re-sort sits between them
+    assert len(re.findall(r"\(\d+\) Exchange\s*$", plan, re.M)) == 1
+    assert len(re.findall(r"\(\d+\) Window\s*$", plan, re.M)) == 2
+
+
+def test_ewma_single_exchange_no_python(spark, sf_dir):
+    import re
+
+    from pgstream_spark.operators.decay import ewma_time_decay
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain_string(
+        ewma_time_decay(
+            ev, "ts", "value", ["event_type"], tau_seconds=7200.0,
+            t0_epoch_s=1_704_067_200, tie_col="event_id",
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange\s*$", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robust_zscore_broadcasts_stats(spark, sf_dir):
+    from pgstream_spark.operators.robust import robust_zscore_stats
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain_string(robust_zscore_stats(ev, "event_type", "value"))
+    # group-sized stats tables broadcast back onto the fact rows — the
+    # fact side must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_query_side(spark, sf_dir):
+    from pgstream_spark.operators.retrieval import bm25_scores
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_string(bm25_scores(d, ["spark", "window"]))
+    # query-term df table broadcast; corpus side never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -469,3 +469,84 @@ class TestCdcApply:
         f = sorted((r.id, r.name, r.bal) for r in folded.collect())
         o = sorted((r.id, r.name, r.bal) for r in one_shot.collect())
         assert f == o == [(1, "a2", 1.5), (2, "b", 2.0)]
+
+
+class TestOhlcWindowed:
+    """streaming/windows.ohlc_windowed — min_by/max_by bars, batch==stream."""
+
+    def test_batch_matches_rank_operator(self, spark, sf_dir):
+        import datetime
+
+        from pgstream_spark.operators.ohlc import ohlc_bars
+        from pgstream_spark.streaming.windows import ohlc_windowed
+
+        ev = load_events(spark, sf_dir)
+        epoch = lambda dt: int((dt - datetime.datetime(1970, 1, 1)).total_seconds())
+        stream_style = {
+            (r.event_type, epoch(r.window_start)): (
+                r.open, r.high, r.low, r.close, r.n_events, r.avg_value,
+            )
+            for r in ohlc_windowed(
+                ev, "ts", "value", "1 hour", ["event_type"], tie_col="event_id"
+            ).collect()
+        }
+        rank_style = {
+            (r.event_type, r.bar_epoch_s): (
+                r.open, r.high, r.low, r.close, r.n_events, r.avg_value,
+            )
+            for r in ohlc_bars(
+                ev, "ts", "value", ["event_type"], 3600, tie_col="event_id"
+            ).collect()
+        }
+        assert stream_style == rank_style
+
+    def test_stream_matches_batch(self, spark, events_chunks_dir, tmp_path):
+        from pgstream_spark.streaming.windows import ohlc_windowed
+
+        src, schema = events_chunks_dir
+        # watermarks need an instant TIMESTAMP (UTC session → deterministic)
+        bars = lambda df: ohlc_windowed(
+            df.withColumn("ts", F.col("ts").cast("timestamp")),
+            "ts", "value", "1 hour", ["event_type"],
+            tie_col="event_id", watermark="2 hours",
+        )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = str(tmp_path / "ohlc_sink")
+        ckpt = str(tmp_path / "ohlc_ckpt")
+        q = (
+            bars(sdf)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        batch = {
+            (r.event_type, r.window_start): (
+                r.open, r.high, r.low, r.close, r.n_events, r.avg_value,
+            )
+            for r in bars(spark.read.parquet(src)).collect()
+        }
+        streamed_rows = spark.read.parquet(sink).collect()
+        assert streamed_rows  # watermark passed most windows → bars emitted
+        for r in streamed_rows:
+            # every finalized streamed bar equals the batch bar exactly
+            assert batch[(r.event_type, r.window_start)] == (
+                r.open, r.high, r.low, r.close, r.n_events, r.avg_value,
+            )
+        # coverage: all windows that end >= 2h (the watermark) before the
+        # final event time must have been finalized and emitted
+        import datetime
+
+        max_end = max(r.window_end for r in streamed_rows)
+        emitted = {(r.event_type, r.window_start) for r in streamed_rows}
+        horizon = max_end - datetime.timedelta(hours=2)
+        expected = {k for k in batch if k[1] < horizon}
+        assert expected <= emitted
