@@ -3525,6 +3525,84 @@ def l27(spark, sf_dir):
     )
 
 
+@q(
+    "w8_value_windows",
+    # first_value / last_value / nth_value over a full frame — the
+    # value-picking third of the window family (w1 ranks, w5
+    # distributions).  Unique (o_totalprice, o_orderkey) ORDER BY keeps
+    # every pick deterministic; full frame makes last/nth well-defined.
+    "SELECT o_orderkey, o_orderstatus, "
+    "first_value(o_totalprice) OVER w AS cheapest, "
+    "last_value(o_totalprice) OVER w AS priciest, "
+    "nth_value(o_totalprice, 3) OVER w AS third_cheapest "
+    "FROM orders WHERE o_orderkey <= 2000 "
+    "WINDOW w AS (PARTITION BY o_orderstatus "
+    "ORDER BY o_totalprice, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+)
+def w8(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_cheapest"),
+    )
+
+
+@q(
+    "g33_grouping_sets",
+    # Explicit GROUPING SETS (rollup g5 and cube g28 are its fixed
+    # specializations): two independent one-dimension breakdowns plus the
+    # grand total in one pass.  GROUPING() markers disambiguate NULL
+    # group values from NULL-as-subtotal.
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(grouping(o_orderstatus) AS INT) AS gs, "
+    "CAST(grouping(o_orderpriority) AS INT) AS gp, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    + _dsum("o_totalprice")
+    + " AS revenue FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+)
+def g33(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("g33_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(grouping(o_orderstatus) AS INT) AS gs, "
+        "CAST(grouping(o_orderpriority) AS INT) AS gp, "
+        "count(*) AS n, "
+        f"CAST(SUM(CAST(round(o_totalprice * {_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_SCALE}.0 AS revenue "
+        "FROM g33_orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+@q("g34_approx_percentile")  # rows-only: sketch estimates differ by design
+def g34(spark, sf_dir):
+    """Sketch-backed percentiles (the scale path when exact g15 sorting
+    is too expensive): Spark ``approx_percentile`` is a fixed-size
+    mergeable sketch per group — state is sketch-sized, not row-count-
+    sized, the same scale story as g4's HLL.  No oracle: DuckDB's
+    ``approx_quantile`` is a *different* sketch (t-digest), so estimates
+    legitimately differ; accuracy is pinned by pytest against exact g15
+    percentiles instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

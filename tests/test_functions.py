@@ -141,3 +141,23 @@ class TestEpochTzIndependence:
         assert str(r.back) == "2024-03-01 12:34:56"
         out_type = df.select(from_epoch_seconds(F.col("e"), ntz=True)).dtypes[0][1]
         assert out_type == "timestamp_ntz"
+
+
+class TestApproxPercentile:
+    def test_sketch_within_tolerance_of_exact(self, spark, sf_dir):
+        # g34's accuracy pin: the mergeable percentile sketch must land
+        # within 1% of the exact interpolated percentile per group
+        from pgstream_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        rows = li.groupBy("l_returnflag").agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+            ).alias("a"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("e"),
+        ).collect()
+        assert rows
+        for r in rows:
+            for approx, exact in zip(r.a, r.e):
+                assert approx == pytest.approx(exact, rel=0.01)
+
