@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_totals", "gap_change_detector", "watermarked_window_counts"]
+__all__ = [
+    "running_totals",
+    "gap_change_detector",
+    "watermarked_window_counts",
+    "ewma_stream",
+]
 
 
 def watermarked_window_counts(
@@ -159,6 +164,87 @@ def running_totals(
         outputStructType=out_schema,
         stateStructType="n long, total double",
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ewma_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tau_seconds: float,
+) -> DataFrame:
+    """Infinite-horizon time-decayed EWMA as an O(1)-state streaming fold.
+
+    The incremental form of the decay weighting ``operators/decay.py``
+    computes windowed: on each arrival at time ``t`` after a gap ``Δ``,
+
+        d = e^{-Δ/τ};  num ← num·d + v;  den ← den·d + 1;  ewma = num/den
+
+    State per key is three doubles — constant regardless of stream
+    length, the property that makes this the 100 TB/streaming shape
+    (contrast w7's trailing-frame variant, which needs the frame rows).
+    No overflow-bound caveat either: the recursive form never builds the
+    absolute weight ``e^{t/τ}``, only the bounded ratio ``e^{-Δ/τ}``.
+
+    ``ts_col`` is a NUMERIC epoch (seconds; double or long) — the
+    timezone-free convention every time operator here uses.  Rows are
+    folded in (ts) order within each micro-batch; cross-batch order is
+    the source's delivery order, so feed chronological input (the cursor
+    contract) or pre-sort with a watermark upstream.
+
+    Output: one row per input row — ``(key, ts, value, ewma)``.
+    """
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        num, den, last_t = state.get if state.exists else (0.0, 0.0, None)
+        out_t, out_v, out_e = [], [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in pdf.sort_values(ts_col, kind="stable").iterrows():
+            v, t = row[value_col], row[ts_col]
+            if v is None or pd.isna(v):
+                continue
+            v, t = float(v), float(t)
+            if last_t is None:
+                num, den = v, 1.0
+            else:
+                d = math.exp(-(t - last_t) / tau_seconds)
+                num = num * d + v
+                den = den * d + 1.0
+            last_t = t
+            out_t.append(t)
+            out_v.append(v)
+            out_e.append(num / den)
+        state.update((num, den, last_t))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out_t),
+                "ts": out_t,
+                "value": out_v,
+                "ewma": out_e,
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="num double, den double, last_t double",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -171,3 +171,53 @@ class TestWatermarkedWindowCounts:
         # the final window [150,160) has no successor watermark to close
         # it; everything emitted is one of the three closed windows
         assert set(got) <= {(1, 0), (2, 30), (1, 50)}
+
+
+def test_ewma_stream_matches_batch_fold(spark, tmp_path, two_batch_source):
+    """The cross-batch streamed EWMA must equal the same recurrence folded
+    over the full sequence in one pass, and the recursive form must agree
+    with the closed-form decay-weighted mean."""
+    import math
+
+    from pgstream_spark.streaming.stateful import ewma_stream
+
+    src, schema = two_batch_source
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("seq").cast("double"))
+    )
+    sink = _run(
+        ewma_stream(sdf, "user_id", "ts", "value", tau_seconds=2.0),
+        tmp_path,
+        "ewma",
+    )
+    got = {
+        (r.key, r.ts): r.ewma
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    rows = [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 3),
+            (1, 100.0, 4), (2, 6.0, 5), (3, 1.0, 6)]
+    # reference: one-pass recurrence per key over the full ordered series
+    series: dict[int, list[tuple[float, float]]] = {}
+    for k, v, t in rows:
+        series.setdefault(k, []).append((float(t), v))
+    for k, pts in series.items():
+        num = den = 0.0
+        last = None
+        for t, v in pts:
+            if last is None:
+                num, den = v, 1.0
+            else:
+                d = math.exp(-(t - last) / 2.0)
+                num, den = num * d + v, den * d + 1.0
+            last = t
+            assert got[(k, t)] == pytest.approx(num / den, rel=1e-12)
+            # closed form: decay-weighted mean over the whole history
+            w = [math.exp(-(t - tj) / 2.0) for tj, _ in pts if tj <= t]
+            vv = [vj for tj, vj in pts if tj <= t]
+            closed = sum(wi * vi for wi, vi in zip(w, vv)) / sum(w)
+            assert got[(k, t)] == pytest.approx(closed, rel=1e-9)
+    assert len(got) == len(rows)
