@@ -25,9 +25,19 @@ bucket key first so each bucket lands in one file per write.
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "write_partitioned", "co_located_join"]
+__all__ = [
+    "write_bucketed",
+    "write_partitioned",
+    "co_located_join",
+    "write_clustered",
+    "compact_dir",
+]
 
 
 def write_bucketed(
@@ -62,6 +72,70 @@ def write_partitioned(
     value combination of ``partition_cols``; filters on those columns
     prune directories at planning time."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster ``df`` on ``cluster_cols`` into ``n_files`` sorted
+    files — the data-skipping write path.
+
+    ``repartitionByRange`` gives each file a disjoint value range (sampled
+    boundaries) and the in-file sort tightens parquet row-group min/max
+    stats, so a later filter on the cluster column skips whole files via
+    footer stats — the poor-man's z-order, and the right layout for a
+    column that is filtered far more often than it is joined.  (For join
+    keys prefer ``write_bucketed``: range files serve range *filters*,
+    buckets serve equi-*joins*.)  ``tests/test_sinks.py`` pins the
+    disjointness by reading the footers back.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact a directory of small parquet files into ~``target``-sized
+    ones; returns the new file count.
+
+    The standard maintenance pass after streaming/micro-batch ingestion:
+    a file-per-trigger sink accretes thousands of KB-sized files, and at
+    100 TB the scan's task count (and the namenode/liststore load) is set
+    by file count, not bytes.  Local-FS swap is rename-based; on an
+    object store write to a versioned prefix and flip a manifest instead
+    (documented, not emulated here).
+    """
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".__compact_bak__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def co_located_join(

@@ -78,3 +78,53 @@ class TestPartitionedWrite:
         # correctness: equals the unpartitioned filter
         want = o.filter(F.col("o_year") == 1996).count()
         assert back.count() == want
+
+
+class TestClusteredWrite:
+    def test_file_ranges_are_disjoint(self, spark, sf_dir, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from pgstream_spark.sinks import write_clustered
+
+        o = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "orders_clustered")
+        write_clustered(o, path, ["o_totalprice"], n_files=4)
+
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("o_totalprice")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        assert len(spans) >= 3  # range partitioner used the file budget
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # disjoint value ranges → footer-stat skipping
+        # row parity
+        assert spark.read.parquet(path).count() == o.count()
+
+    def test_compact_dir_reduces_files_preserves_rows(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from pgstream_spark.sinks import compact_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        path = str(tmp_path / "orders_shredded")
+        o.repartition(32).write.parquet(path)
+        before_files = len(glob.glob(path + "/*.parquet"))
+        assert before_files >= 32
+        before_rows = o.count()
+        before_keys = {r.o_orderkey for r in spark.read.parquet(path).collect()}
+
+        n_after = compact_dir(spark, path, target_file_bytes=64 << 20)
+        after_files = len(glob.glob(path + "/*.parquet"))
+        assert n_after == after_files < before_files
+        after = spark.read.parquet(path)
+        assert after.count() == before_rows
+        assert {r.o_orderkey for r in after.collect()} == before_keys
