@@ -3603,6 +3603,48 @@ def g34(spark, sf_dir):
     )
 
 
+@q(
+    "w9_rolling_corr",
+    # Trailing-50-row Pearson correlation of (quantity, price) per
+    # supplier (operators/rolling.py): every windowed Σ is an exact
+    # BIGINT sum, so the five aggregates are bit-identical under any
+    # frame-evaluation order; only the final combine touches doubles
+    # (identical IEEE ops + round(6)).  Zero-variance windows → NULL by
+    # exact integer comparison.
+    "WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, "
+    "CAST(round(l_quantity * 1) AS BIGINT) AS xi, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS yi "
+    "FROM lineitem WHERE l_suppkey <= 50), "
+    "s AS (SELECT l_suppkey, l_orderkey, l_linenumber, "
+    "count(*) OVER w AS n, SUM(xi) OVER w AS sx, SUM(yi) OVER w AS sy, "
+    "SUM(xi * xi) OVER w AS sxx, SUM(yi * yi) OVER w AS syy, "
+    "SUM(xi * yi) OVER w AS sxy FROM b "
+    "WINDOW w AS (PARTITION BY l_suppkey "
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+    "ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)) "
+    "SELECT l_suppkey, l_orderkey, l_linenumber, "
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN "
+    "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "* CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rolling_corr "
+    "FROM s",
+)
+def w9(spark, sf_dir):
+    from pgstream_spark.operators.rolling import rolling_corr
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 50)
+    return rolling_corr(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        key_cols=["l_suppkey"],
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        frame_rows=50,
+        x_scale=1,
+        y_scale=100,
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "rolling_corr")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1418,3 +1418,54 @@ class TestRetrieval:
         assert out[3].rrf_rank == 1
         # deterministic ordering: all ranks distinct 1..4
         assert sorted(r.rrf_rank for r in out.values()) == [1, 2, 3, 4]
+
+
+class TestRollingCorr:
+    """operators/rolling.rolling_corr — exact-integer windowed Pearson."""
+
+    _SCHEMA = "k string, seq long, x double, y double"
+
+    def test_perfect_and_anti_correlation(self, spark):
+        from pgstream_spark.operators.rolling import rolling_corr
+
+        rows = [("a", i, float(i), 2.0 * i + 5) for i in range(10)]
+        rows += [("b", i, float(i), -3.0 * i + 40) for i in range(10)]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        out = rolling_corr(
+            df, "x", "y", ["k"], ["seq"], frame_rows=5, y_scale=1
+        ).collect()
+        for r in out:
+            if r.seq == 0:
+                assert r.rolling_corr is None  # 1-row frame: zero variance
+            else:
+                assert r.rolling_corr == (1.0 if r.k == "a" else -1.0)
+
+    def test_constant_series_is_null(self, spark):
+        from pgstream_spark.operators.rolling import rolling_corr
+
+        df = spark.createDataFrame(
+            [("a", i, 7.0, float(i)) for i in range(5)], self._SCHEMA
+        )
+        out = rolling_corr(df, "x", "y", ["k"], ["seq"], frame_rows=5, y_scale=1)
+        assert all(r.rolling_corr is None for r in out.collect())
+
+    def test_matches_numpy_on_random_window(self, spark):
+        from pgstream_spark.operators.rolling import rolling_corr
+
+        rng = np.random.default_rng(7)
+        xs = rng.integers(1, 50, size=30).astype(float)
+        ys = np.round(rng.normal(100, 20, size=30), 2)
+        df = spark.createDataFrame(
+            [("a", i, float(xs[i]), float(ys[i])) for i in range(30)],
+            self._SCHEMA,
+        )
+        out = sorted(
+            rolling_corr(
+                df, "x", "y", ["k"], ["seq"], frame_rows=10, y_scale=100
+            ).collect(),
+            key=lambda r: r.seq,
+        )
+        for i in (9, 15, 29):
+            lo = i - 9
+            expect = np.corrcoef(xs[lo : i + 1], np.round(ys[lo : i + 1] * 100))[0, 1]
+            assert out[i].rolling_corr == pytest.approx(expect, abs=1e-6)
