@@ -48,6 +48,8 @@ HEADLINE = [
     "g10_tpch_q3_shipping",
     "g11_tpch_q5_local_supplier",
     "t9_time_rollup",
+    "t15_ohlc_bars",
+    "l26_bm25_scores",
 ]
 
 

@@ -3645,6 +3645,27 @@ def w9(spark, sf_dir):
     ).select("l_suppkey", "l_orderkey", "l_linenumber", "rolling_corr")
 
 
+@q(
+    "f16_uuid3_deterministic",
+    # Content-derived RFC-4122-v3-shaped ids (functions/ids.uuid3) — the
+    # deterministic complement of f10's random UUIDs, hence fully
+    # hash-gated.  Version nibble '3', variant pinned to '8'.
+    "SELECT p_partkey, "
+    "substr(md5('pgstream:' || p_name), 1, 8) || '-' || "
+    "substr(md5('pgstream:' || p_name), 9, 4) || '-3' || "
+    "substr(md5('pgstream:' || p_name), 14, 3) || '-8' || "
+    "substr(md5('pgstream:' || p_name), 18, 3) || '-' || "
+    "substr(md5('pgstream:' || p_name), 21, 12) AS det_uuid "
+    "FROM part",
+)
+def f16(spark, sf_dir):
+    from pgstream_spark.functions.ids import uuid3
+
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", uuid3(F.col("p_name")).alias("det_uuid")
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -161,3 +161,23 @@ class TestApproxPercentile:
             for approx, exact in zip(r.a, r.e):
                 assert approx == pytest.approx(exact, rel=0.01)
 
+
+
+class TestUuid3:
+    def test_format_determinism_distinctness(self, spark):
+        import re
+
+        from pgstream_spark.functions.ids import uuid3
+
+        df = spark.createDataFrame(
+            [("alpha",), ("beta",), ("alpha",)], "name string"
+        )
+        vals = [r.u for r in df.select(uuid3(F.col("name")).alias("u")).collect()]
+        pat = re.compile(
+            r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$"
+        )
+        assert all(pat.match(v) for v in vals)
+        assert vals[0] == vals[2] != vals[1]  # content-derived, not random
+        # namespace separates id spaces
+        other = df.select(uuid3(F.col("name"), namespace="else").alias("u")).collect()
+        assert other[0].u != vals[0]
