@@ -23,13 +23,15 @@ stream — each batch's changes fold into state keyed the same way.
 
 from __future__ import annotations
 
-from typing import Sequence
+import os
+import shutil
+from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_changes"]
+__all__ = ["apply_changes", "materialized_replica_sink", "read_replica"]
 
 
 def apply_changes(
@@ -78,3 +80,107 @@ def apply_changes(
         for c in payload
     ]
     return merged.filter(keep).select(*out_cols)
+
+
+def materialized_replica_sink(
+    spark: SparkSession,
+    replica_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a materialized replica table from
+    a CDC change stream — the full downstream half of the reference's
+    logical-replication delivery (`Stream.hs:97-142` delivers the rows;
+    this keeps the table).
+
+    Each micro-batch folds into ``{replica_dir}/current`` (parquet) via a
+    *versioned* merge: the replica stores ``__seq`` (the highest change
+    sequence applied per key) and a change is taken only when its seq is
+    strictly higher.  That makes the sink idempotent under Spark's
+    redo-on-restart contract — re-applying an already-applied batch
+    compares equal seqs and changes nothing — and safe for a stale batch
+    replay, with no batch-id bookkeeping.  Deletes keep a TOMBSTONE row
+    (``__deleted`` true, payload nulled) so a stale upsert can never
+    resurrect a deleted key — read through ``read_replica``, which
+    filters tombstones; GC tombstones older than the source's maximum
+    reorder horizon with an ordinary filter job.  The swap is write-tmp
+    + rename, the same local-FS discipline as ``sinks.compact_dir``.
+
+    Scale: one micro-batch costs latest-per-key on the batch (small) +
+    one key join against the replica — bucket the replica by key
+    (``sinks.write_bucketed``) to make that join exchange-free on the
+    replica side.  For table formats with transactional MERGE
+    (Delta/Iceberg) this whole function collapses to ``MERGE INTO``;
+    the parquet implementation keeps the engine dependency-free.
+    """
+    keys = list(key_cols)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        payload = [
+            c for c in batch_df.columns if c not in (*keys, seq_col, op_col)
+        ]
+        cur = os.path.join(replica_dir, "current")
+        if os.path.exists(cur):
+            state = spark.read.parquet(cur)
+        else:
+            state = (
+                batch_df.select(
+                    *keys,
+                    *payload,
+                    F.col(seq_col).cast("long").alias("__seq"),
+                    F.lit(False).alias("__deleted"),
+                )
+                .filter(F.lit(False))
+            )
+
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                F.col(seq_col).cast("long").alias("__c_seq"),
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(f"__c_{c}") for c in payload],
+            )
+        )
+        cond = [state[k] == latest[f"__k_{k}"] for k in keys]
+        j = state.join(latest, cond, "full_outer")
+        take = F.col("__c_seq").isNotNull() & (
+            F.col("__seq").isNull() | (F.col("__c_seq") > F.col("__seq"))
+        )
+        taken_del = take & (F.col("__op") == delete_op)
+        merged = j.select(
+            *[F.coalesce(state[k], F.col(f"__k_{k}")).alias(k) for k in keys],
+            *[
+                F.when(taken_del, F.lit(None))
+                .when(take, F.col(f"__c_{c}"))
+                .otherwise(state[c])
+                .alias(c)
+                for c in payload
+            ],
+            F.when(take, F.col("__c_seq")).otherwise(F.col("__seq")).alias("__seq"),
+            F.when(take, F.col("__op") == delete_op)
+            .otherwise(F.coalesce(F.col("__deleted"), F.lit(False)))
+            .alias("__deleted"),
+        )
+
+        tmp = os.path.join(replica_dir, "__tmp__")
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = os.path.join(replica_dir, "__bak__")
+        if os.path.exists(cur):
+            os.rename(cur, bak)
+        os.rename(tmp, cur)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+
+    return write
+
+
+def read_replica(spark: SparkSession, replica_dir: str) -> DataFrame:
+    """Current state of a ``materialized_replica_sink`` table: tombstones
+    filtered, bookkeeping columns dropped."""
+    cur = spark.read.parquet(os.path.join(replica_dir, "current"))
+    return cur.filter(~F.col("__deleted")).drop("__seq", "__deleted")
