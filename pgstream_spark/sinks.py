@@ -37,6 +37,7 @@ __all__ = [
     "co_located_join",
     "write_clustered",
     "compact_dir",
+    "export_shards",
 ]
 
 
@@ -135,6 +136,38 @@ def compact_dir(
         for _, _, files in os.walk(path)
         for f in files
         if f.endswith(".parquet")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Export ``df`` as ``n_shards`` deterministic training shards.
+
+    Shard assignment is ``xxhash64(id) mod n`` — derived from row
+    CONTENT, not from Spark's partitioning — so re-running the export on
+    a differently-partitioned (or differently-sized-cluster) input puts
+    every record in the SAME shard: the reproducibility contract a
+    training-data export needs (shard k of a 100 TB corpus is a stable,
+    addressable unit across pipeline re-runs).  Directory layout is
+    ``shard=K/`` via ``partitionBy``; the pre-repartition on the shard
+    id yields one file per shard per write.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int"),
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
     )
 
 

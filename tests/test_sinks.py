@@ -128,3 +128,26 @@ class TestClusteredWrite:
         after = spark.read.parquet(path)
         assert after.count() == before_rows
         assert {r.o_orderkey for r in after.collect()} == before_keys
+
+
+class TestExportShards:
+    def test_assignment_is_content_deterministic(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.sinks import export_shards
+
+        d = load_table(spark, sf_dir, "documents")
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        export_shards(d, p1, 8, "doc_id")
+        # same data, radically different input partitioning → same shards
+        export_shards(d.repartition(17), p2, 8, "doc_id")
+
+        a = {(r.doc_id, r.shard) for r in spark.read.parquet(p1).collect()}
+        b = {(r.doc_id, r.shard) for r in spark.read.parquet(p2).collect()}
+        assert a == b
+        assert len(a) == d.count()
+        # balance: hash sharding keeps every shard populated and no shard
+        # over ~3x the mean at this corpus size
+        from collections import Counter
+
+        sizes = Counter(s for _, s in a)
+        assert len(sizes) == 8
+        assert max(sizes.values()) < 3 * (len(a) / 8)
