@@ -3666,6 +3666,56 @@ def f16(spark, sf_dir):
     )
 
 
+@q(
+    "t17_sessionize",
+    # Row-level sessionization (operators/sessionize.py): the companion
+    # of t5's session-window AGGREGATE — every event tagged with its
+    # 1-based session index (new session when the gap exceeds 30 min).
+    # Exact integer arithmetic end-to-end; both windows share one
+    # exchange + one sort.
+    "WITH " + _EV + ", e AS (SELECT event_id, user_id, ts, "
+    "epoch_ns(ts) // 1000000000 AS es FROM ev), "
+    "m AS (SELECT event_id, user_id, ts, es, "
+    "lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM e) "
+    "SELECT event_id, user_id, "
+    "SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx "
+    "FROM m",
+)
+def t17(spark, sf_dir):
+    from pgstream_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, "ts", ["user_id"], gap_seconds=1800, tie_col="event_id"
+    ).select("event_id", "user_id", "session_idx")
+
+
+@q(
+    "w10_ratio_to_report",
+    # Percent-of-total window (Oracle's RATIO_TO_REPORT): each order's
+    # share of its status group's revenue.  Cents ride BIGINT on both
+    # engines, so the single double division is bit-identical — no
+    # rounding needed.
+    "SELECT o_orderkey, o_orderstatus, "
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / "
+    "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+    "OVER (PARTITION BY o_orderstatus) AS revenue_share "
+    "FROM orders",
+)
+def w10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents.cast("double") / F.sum(cents).over(w)).alias("revenue_share"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1469,3 +1469,62 @@ class TestRollingCorr:
             lo = i - 9
             expect = np.corrcoef(xs[lo : i + 1], np.round(ys[lo : i + 1] * 100))[0, 1]
             assert out[i].rolling_corr == pytest.approx(expect, abs=1e-6)
+
+
+class TestSessionize:
+    """operators/sessionize — row-level gap-based session ids."""
+
+    def test_known_sessions(self, spark):
+        from pgstream_spark.operators.sessionize import sessionize
+
+        rows = [
+            ("u", ts("2024-01-01 10:00:00"), 1),
+            ("u", ts("2024-01-01 10:10:00"), 2),   # same session (10 min)
+            ("u", ts("2024-01-01 11:30:00"), 3),   # gap 80 min → session 2
+            ("u", ts("2024-01-01 11:45:00"), 4),   # session 2
+            ("v", ts("2024-01-01 23:00:00"), 5),   # other key: own session 1
+        ]
+        df = spark.createDataFrame(
+            rows, "user string, ts timestamp_ntz, event_id long"
+        )
+        out = {
+            r.event_id: r.session_idx
+            for r in sessionize(
+                df, "ts", ["user"], gap_seconds=1800, tie_col="event_id"
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_boundary_gap_exactly_equal_stays_in_session(self, spark):
+        from pgstream_spark.operators.sessionize import sessionize
+
+        rows = [("u", ts("2024-01-01 10:00:00"), 1),
+                ("u", ts("2024-01-01 10:30:00"), 2)]   # gap == 1800 s
+        df = spark.createDataFrame(
+            rows, "user string, ts timestamp_ntz, event_id long"
+        )
+        out = sessionize(df, "ts", ["user"], 1800, tie_col="event_id").collect()
+        assert {r.session_idx for r in out} == {1}  # strict >, not >=
+
+    def test_matches_session_window_count(self, spark, sf_dir):
+        # the row-level operator must carve exactly as many sessions as
+        # the aggregate session_window does on the same data
+        from pgstream_spark.operators.sessionize import sessionize
+        from pgstream_spark.sources.parquet import load_events
+        from pgstream_spark.streaming.windows import session_windowed_agg
+
+        ev = load_events(spark, sf_dir)
+        n_rowlevel = (
+            sessionize(ev, "ts", ["user_id"], 1800, tie_col="event_id")
+            .groupBy("user_id")
+            .agg(F.max("session_idx").alias("n"))
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        n_windows = (
+            session_windowed_agg(
+                ev, "ts", "30 minutes", [F.count(F.lit(1)).alias("n")],
+                ["user_id"],
+            ).count()
+        )
+        assert n_rowlevel == n_windows
