@@ -3716,6 +3716,95 @@ def w10(spark, sf_dir):
     )
 
 
+@q(
+    "l28_weighted_sample",
+    # Deterministic weighted sampling without replacement (A-Res,
+    # operators/mixture.weighted_sample_ares): priority = u^(1/w) with a
+    # content-derived uniform — top-20 per source ∝ document length.
+    # Priority rounded(6) before ranking (one libm pow), ties on doc_id.
+    "WITH p AS (SELECT doc_id, source, "
+    "round(pow(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) AS DOUBLE) / 281474976710656.0, "
+    "1.0 / n_chars), 6) AS priority FROM documents) "
+    "SELECT doc_id, source, priority, sample_rank FROM ("
+    "SELECT doc_id, source, priority, CAST(row_number() OVER "
+    "(PARTITION BY source ORDER BY priority DESC, doc_id) AS INT) "
+    "AS sample_rank FROM p) WHERE sample_rank <= 20",
+)
+def l28(spark, sf_dir):
+    from pgstream_spark.operators.mixture import weighted_sample_ares
+
+    return weighted_sample_ares(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        k=20,
+        group_cols=["source"],
+    ).select("doc_id", "source", "priority", "sample_rank")
+
+
+@q(
+    "g35_standardize",
+    # Per-group z-score standardization (feature prep): group moments as
+    # window aggregates over exact BIGINT cents, so mean/variance inputs
+    # are bit-identical; the double combine (one sqrt — correctly
+    # rounded per IEEE — and divisions) is the same op sequence on both
+    # engines, rounded(6) for discipline.
+    "WITH " + _EV + ", c AS (SELECT event_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev), "
+    "m AS (SELECT event_id, event_type, xc, "
+    "count(*) OVER w AS n, SUM(xc) OVER w AS sx, "
+    "SUM(xc * xc) OVER w AS sxx FROM c "
+    "WINDOW w AS (PARTITION BY event_type)) "
+    "SELECT event_id, event_type, "
+    "round((CAST(xc AS DOUBLE) - CAST(sx AS DOUBLE) / n) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))), "
+    "6) AS zscore FROM m",
+)
+def g35(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type")
+    c = ev.select("event_id", "event_type", xc.alias("xc"))
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("xc").over(w)
+    sxx = F.sum(F.col("xc") * F.col("xc")).over(w)
+    z = F.round(
+        (F.col("xc").cast("double") - sx.cast("double") / n)
+        / F.sqrt(
+            (n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1))
+        ),
+        6,
+    )
+    return c.select("event_id", "event_type", z.alias("zscore"))
+
+
+@q(
+    "g36_equidepth_bins",
+    # Equi-depth (quantile) binning — the partner of g16's equi-width
+    # histogram: 10 buckets of equal row count via ntile over a unique
+    # total order, then exact per-bucket extent and population.
+    "WITH t AS (SELECT o_totalprice, "
+    "ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket "
+    "FROM orders) "
+    "SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
+    "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+    "FROM t GROUP BY bucket",
+)
+def g36(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

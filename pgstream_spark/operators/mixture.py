@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_sample", "plan_mixture_weights", "hash_bucket_bp"]
+__all__ = [
+    "mixture_sample",
+    "plan_mixture_weights",
+    "hash_bucket_bp",
+    "weighted_sample_ares",
+]
 
 
 def hash_bucket_bp(id_col: Column) -> Column:
@@ -59,6 +64,46 @@ def mixture_sample(
     for s, bp in sorted(weights_bp.items()):
         w = F.when(F.col(source_col) == s, F.lit(int(bp))).otherwise(w)
     return df.filter(hash_bucket_bp(F.col(id_col)) < w)
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k per
+    group), Efraimidis–Spirakis A-Res: ``priority = u^(1/w)`` with ``u``
+    a content-derived uniform — heavier rows win more often, and the
+    whole draw replays bit-identically on any cluster because the
+    "randomness" is an md5 of the row id, not an RNG.
+
+    This is how a curation pipeline takes "sample 1M docs ∝ quality"
+    reproducibly: map-only scoring + the W-family top-k pattern
+    (rank-limit pushdown truncates to k per partition before the
+    shuffle).  The priority is rounded (6) before ranking so the one
+    libm ``pow`` can't flip cross-engine order; ties break on the id.
+    """
+    groups = list(group_cols or [])
+    # 12 md5 hex digits → uniform in [0,1) with 2^-48 resolution;
+    # exactly representable in a double, identical in Spark and DuckDB
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("double") / float(16**12)
+    pri = F.round(F.pow(u, 1.0 / F.col(weight_col)), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(priority_col, pri)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
 
 
 def plan_mixture_weights(

@@ -1528,3 +1528,38 @@ class TestSessionize:
             ).count()
         )
         assert n_rowlevel == n_windows
+
+
+class TestWeightedSample:
+    """operators/mixture.weighted_sample_ares — deterministic A-Res."""
+
+    def test_heavy_weights_dominate_and_replay_identically(self, spark):
+        from pgstream_spark.operators.mixture import weighted_sample_ares
+
+        # 200 docs: even ids heavy (w=500), odd ids light (w=2)
+        rows = [(i, "s", 500 if i % 2 == 0 else 2) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        pick = lambda d: sorted(
+            r.doc_id
+            for r in weighted_sample_ares(
+                d, "n_chars", k=30, group_cols=["source"]
+            ).collect()
+        )
+        chosen = pick(df)
+        assert len(chosen) == 30
+        heavy = sum(1 for d in chosen if d % 2 == 0)
+        assert heavy >= 25  # w=500 vs w=2: heavy rows crowd out light
+        # content-derived priorities: any partitioning replays the draw
+        assert pick(df.repartition(13)) == chosen
+
+    def test_k_per_group(self, spark):
+        from pgstream_spark.operators.mixture import weighted_sample_ares
+
+        rows = [(i, "a" if i < 50 else "b", 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = weighted_sample_ares(df, "n_chars", k=5, group_cols=["source"])
+        counts = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"a": 5, "b": 5}
