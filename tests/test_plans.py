@@ -333,3 +333,33 @@ def test_bm25_broadcasts_query_side(spark, sf_dir):
     # query-term df table broadcast; corpus side never sort-merges
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    import re
+
+    from pgstream_spark.operators.sessionize import sessionize
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain_string(
+        sessionize(ev, "ts", ["user_id"], 1800, tie_col="event_id")
+    )
+    # lag + running-sum share one partition and order: one exchange
+    assert len(re.findall(r"\(\d+\) Exchange\s*$", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    from pgstream_spark.operators.mixture import weighted_sample_ares
+    from pgstream_spark.plans.explain import explain_string
+    from pgstream_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_string(
+        weighted_sample_ares(d, "n_chars", k=20, group_cols=["source"])
+    )
+    # rank-limit pushdown: per-partition top-k heaps truncate BEFORE the
+    # exchange, so the shuffle carries <= k rows per group per map task
+    assert "WindowGroupLimit" in plan
