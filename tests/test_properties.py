@@ -85,3 +85,92 @@ def test_null_compaction_matches_python(spark, arr):
     df = spark.createDataFrame([(arr,)], "a array<int>")
     got = df.select(compact_array(F.col("a")).alias("c")).first().c
     assert got == [x for x in arr if x is not None]
+
+
+# ---------------------------------------------------------------------
+# round-2 operators: invariants under random inputs
+# ---------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),      # seconds offset
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+def _ev_df(spark, pts):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # event ids in time order (ts values are unique by construction)
+    rows = [
+        ("k", base + datetime.timedelta(seconds=s), i, float(v))
+        for i, (s, v) in enumerate(sorted(pts))
+    ]
+    return spark.createDataFrame(
+        rows, "sym string, ts timestamp_ntz, event_id long, value double"
+    )
+
+
+@given(pts=_events)
+@settings(**SETTINGS)
+def test_ohlc_invariants(spark, pts):
+    """open/close are the temporally first/last values; low <= o,c,avg <= high;
+    bucket populations sum to the input count."""
+    from pgstream_spark.operators.ohlc import ohlc_bars
+
+    df = _ev_df(spark, pts)
+    bars = ohlc_bars(df, "ts", "value", ["sym"], 3600, tie_col="event_id").collect()
+    assert sum(b.n_events for b in bars) == len(pts)
+    by_bucket: dict[int, list[tuple[int, float]]] = {}
+    for s, v in pts:
+        by_bucket.setdefault(s // 3600, []).append((s, float(v)))
+    for b in bars:
+        want = sorted(by_bucket[b.bar_epoch_s // 3600 - 473352])  # hours since 2024-01-01
+        vals = [v for _, v in want]
+        assert b.open == vals[0] and b.close == vals[-1]
+        assert b.low == min(vals) and b.high == max(vals)
+        assert b.low - 1e-4 <= b.avg_value <= b.high + 1e-4
+
+
+@given(pts=_events)
+@settings(**SETTINGS)
+def test_ewma_bounded_by_frame_extremes(spark, pts):
+    """EWMA is a convex combination: min(frame) <= ewma <= max(frame)."""
+    from pgstream_spark.operators.decay import ewma_time_decay
+
+    df = _ev_df(spark, pts)
+    out = sorted(
+        ewma_time_decay(
+            df, "ts", "value", ["sym"], tau_seconds=600.0,
+            t0_epoch_s=1_704_067_200, frame_rows=8, tie_col="event_id",
+        ).collect(),
+        key=lambda r: r.event_id,
+    )
+    ordered = [float(v) for _, v in sorted(pts)]
+    for i, r in enumerate(out):
+        frame = ordered[max(0, i - 7) : i + 1]
+        assert min(frame) - 1e-4 <= r.ewma <= max(frame) + 1e-4
+
+
+@given(pts=_events, gap=st.integers(min_value=60, max_value=1800))
+@settings(**SETTINGS)
+def test_sessionize_gap_property(spark, pts, gap):
+    """Events in one session are chained by gaps <= g; session boundaries
+    have gaps > g; indexes are contiguous from 1."""
+    from pgstream_spark.operators.sessionize import sessionize
+
+    df = _ev_df(spark, pts)
+    out = sessionize(df, "ts", ["sym"], gap, tie_col="event_id").collect()
+    idxs = [r.session_idx for r in sorted(out, key=lambda r: r.event_id)]
+    assert idxs and idxs[0] == 1
+    times = sorted(s for s, _ in pts)
+    for i in range(1, len(times)):
+        if times[i] - times[i - 1] > gap:
+            assert idxs[i] == idxs[i - 1] + 1
+        else:
+            assert idxs[i] == idxs[i - 1]
