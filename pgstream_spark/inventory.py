@@ -3805,6 +3805,59 @@ def g36(spark, sf_dir):
     )
 
 
+@q(
+    "f17_string_extended",
+    # The second string tier beyond f4: pad/translate/reverse/repeat —
+    # all pure byte-wise transforms, exact on both engines.
+    "SELECT p_partkey, "
+    "lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key, "
+    "translate(p_name, 'ae', '@3') AS leeted, "
+    "reverse(p_name) AS reversed_name, "
+    "repeat(substr(p_name, 1, 3), 2) AS stutter, "
+    "rpad(substr(p_name, 1, 4), 8, '.') AS dotted "
+    "FROM part",
+)
+def f17(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("p_name", "ae", "@3").alias("leeted"),
+        F.reverse("p_name").alias("reversed_name"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("stutter"),
+        F.rpad(F.substring("p_name", 1, 4), 8, ".").alias("dotted"),
+    )
+
+
+@q(
+    "f18_date_extended",
+    # The second datetime tier beyond f3: month-end, quarter truncation,
+    # clamped month arithmetic (Jan 31 + 1 month = month end on both
+    # engines), Monday-zero weekday (Spark weekday == DuckDB isodow-1),
+    # signed day distance.  All calendar integers — exact.
+    "SELECT o_orderkey, "
+    "last_day(CAST(o_orderdate AS DATE)) AS month_end, "
+    "CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start, "
+    "CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 1 MONTH) AS DATE) "
+    "AS next_month, "
+    "CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0, "
+    "CAST(datediff('day', DATE '2024-06-01', CAST(o_orderdate AS DATE)) AS INT) "
+    "AS days_from_mid2024 "
+    "FROM orders",
+)
+def f18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        F.add_months(d, 1).alias("next_month"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.datediff(d, F.lit("2024-06-01").cast("date")).alias("days_from_mid2024"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
