@@ -1563,3 +1563,58 @@ class TestWeightedSample:
             for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
         }
         assert counts == {"a": 5, "b": 5}
+
+
+class TestIvfIndexPersistence:
+    """operators/ivf.write_ivf_index / ivf_query_index — persisted,
+    partition-pruned ANN."""
+
+    def test_index_query_matches_in_memory_ivf(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.operators.ivf import (
+            ivf_query_index,
+            ivf_top_k,
+            train_centroids,
+            write_ivf_index,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, cents, path)
+
+        q = emb.filter(F.col("vec_id") < 5)
+        want = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_top_k(q, emb, cents, k=5, n_probes=4).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_index(spark, path, q, k=5, n_probes=4).collect()
+        }
+        assert got == want and len(got) == 25
+
+    def test_probe_scan_is_partition_pruned(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.operators.ivf import (
+            ivf_query_index,
+            train_centroids,
+            write_ivf_index,
+        )
+        from pgstream_spark.plans.explain import explain_string
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        path = str(tmp_path / "ivf2")
+        write_ivf_index(emb, cents, path)
+
+        plan = explain_string(
+            ivf_query_index(
+                spark, path, emb.filter(F.col("vec_id") == 0), k=5, n_probes=2
+            )
+        )
+        # the probed-bucket IN filter must reach the scan as a partition
+        # filter — that's the pruned read the persisted layout exists for
+        assert "PartitionFilters" in plan
+        m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("bucket" in ln for ln in m)
