@@ -3858,6 +3858,46 @@ def f18(spark, sf_dir):
     )
 
 
+@q(
+    "j11_broadcast_range",
+    # Pure range-predicate join (NO equi-key) against a dimension-sized
+    # band table — the one theta-join shape where BroadcastNestedLoop is
+    # the *correct* plan (operators/interval.broadcast_range_join): the
+    # big side streams map-only past broadcast literals.  Bands derive
+    # from nation keys so both engines build the identical tiny table.
+    "WITH bands AS (SELECT n_nationkey AS band_id, "
+    "n_nationkey * 60000.0 AS lo, (n_nationkey + 1) * 60000.0 AS hi "
+    "FROM nation WHERE n_nationkey < 5) "
+    "SELECT band_id, CAST(count(*) AS BIGINT) AS n, "
+    + _dsum("o.o_totalprice")
+    + " AS revenue FROM orders o JOIN bands b "
+    "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+    "GROUP BY band_id",
+)
+def j11(spark, sf_dir):
+    from pgstream_spark.operators.interval import broadcast_range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 5)
+        .select(
+            F.col("n_nationkey").alias("band_id"),
+            (F.col("n_nationkey") * 60000.0).alias("lo"),
+            ((F.col("n_nationkey") + 1) * 60000.0).alias("hi"),
+        )
+    )
+    joined = broadcast_range_join(
+        o,
+        bands,
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
