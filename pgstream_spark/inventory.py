@@ -3898,6 +3898,93 @@ def j11(spark, sf_dir):
     )
 
 
+@q(
+    "t18_drawdown",
+    # Running-peak drawdown per event_type — the canonical risk metric
+    # of the reference's trading domain: how far below its historical
+    # maximum the series sits at each tick.  Running max over exact
+    # cents (BIGINT, order-free), drawdown in basis points of the peak —
+    # one integer division per row, deterministic everywhere.
+    "WITH " + _EV + ", c AS (SELECT event_id, event_type, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev) "
+    "SELECT event_id, event_type, "
+    "max(xc) OVER w AS peak_cents, "
+    "CAST((max(xc) OVER w - xc) * 10000 // "
+    "CASE WHEN max(xc) OVER w = 0 THEN NULL ELSE max(xc) OVER w END "
+    "AS BIGINT) AS drawdown_bp "
+    "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def t18(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(xc).over(w)
+    dd = F.floor(
+        (peak - xc) * 10000
+        / F.when(peak == 0, F.lit(None)).otherwise(peak)
+    ).cast("bigint")
+    return ev.select(
+        "event_id",
+        "event_type",
+        peak.alias("peak_cents"),
+        dd.alias("drawdown_bp"),
+    )
+
+
+@q(
+    "w11_bollinger",
+    # Bollinger bands: trailing-20 mean ± 2σ from exact-cents window
+    # moments (the w9 discipline: BIGINT sums, doubles only in the final
+    # combine, round(4)).  NULL band until the frame holds 2 rows.
+    "WITH " + _EV + ", c AS (SELECT event_id, event_type, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev), "
+    "m AS (SELECT event_id, event_type, xc, "
+    "count(*) OVER w AS n, SUM(xc) OVER w AS sx, SUM(xc * xc) OVER w AS sxx "
+    "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, event_type, "
+    "round(CAST(sx AS DOUBLE) / n / 100.0, 4) AS mid, "
+    "CASE WHEN n > 1 THEN round((CAST(sx AS DOUBLE) / n + 2.0 * "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+    ") / 100.0, 4) END AS upper_band, "
+    "CASE WHEN n > 1 THEN round((CAST(sx AS DOUBLE) / n - 2.0 * "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+    ") / 100.0, 4) END AS lower_band "
+    "FROM m",
+)
+def w11(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    c = ev.select("event_id", "event_type", "ts", xc.alias("xc"))
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("xc").over(w)
+    sxx = F.sum(F.col("xc") * F.col("xc")).over(w)
+    mean_c = sx.cast("double") / n
+    sd_c = F.sqrt(
+        (n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1))
+    )
+    band = lambda sign: F.when(
+        n > 1, F.round((mean_c + sign * 2.0 * sd_c) / 100.0, 4)
+    )
+    return c.select(
+        "event_id",
+        "event_type",
+        F.round(mean_c / 100.0, 4).alias("mid"),
+        band(1).alias("upper_band"),
+        band(-1).alias("lower_band"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

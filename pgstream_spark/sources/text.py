@@ -1,0 +1,83 @@
+"""Delimited/JSONL file sources with explicit schemas and quarantine.
+
+The reference reads exactly one source (a Postgres wire connection); a
+pipeline engine also ingests files.  Two rules make file ingestion safe
+at 100 TB, both enforced here:
+
+* **Explicit schema, always.**  Schema inference is a full extra pass
+  over the data (Spark reads everything once just to guess types) and
+  non-deterministic under sampling — at scale it is both slow and a
+  correctness hazard.  These helpers REQUIRE a schema string.
+* **Quarantine, don't crash, don't silently drop.**  A malformed row in
+  100 TB is a certainty.  PERMISSIVE mode + ``columnNameOfCorruptRecord``
+  captures each bad line in a ``_corrupt`` column so the caller can
+  route it to a quarantine sink and keep the job running — FAILFAST is
+  for CI, DROPMALFORMED for nothing (silent loss).
+
+Both readers are plain ``spark.read`` wrappers, so every downstream
+optimization (column pruning, predicate pushdown into the parser,
+partition-parallel splitting of large files) applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_jsonl", "read_csv", "split_corrupt"]
+
+_CORRUPT = "_corrupt"
+
+
+def _with_corrupt(schema: str) -> T.StructType:
+    st = T.StructType.fromDDL(schema)
+    return st.add(T.StructField(_CORRUPT, T.StringType(), True))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read JSON-lines with a declared schema; malformed lines land in
+    the ``_corrupt`` column (PERMISSIVE) instead of killing the job."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read CSV with a declared schema and corrupt-row quarantine."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): rows that parsed fully vs captured raw lines.
+    Route the quarantine side to its own sink; never drop it silently.
+
+    The quarantine side keeps the FULL row (any partially-parsed fields
+    plus the raw line in ``_corrupt``) — also what Spark requires: a
+    projection referencing only the corrupt column straight off a raw
+    file scan is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    bad = df.filter(F.col(_CORRUPT).isNotNull())
+    return clean, bad

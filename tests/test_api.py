@@ -217,3 +217,50 @@ class TestTransactions:
         mode = pg.TransactionMode(isolation=pg.IsolationLevel.SERIALIZABLE)
         with engine.transaction(mode) as txn:
             assert txn.rows("SELECT 1 AS one")[0].one == 1
+
+
+class TestFileSources:
+    """sources/text — explicit-schema JSONL/CSV readers with quarantine."""
+
+    def test_jsonl_corrupt_rows_quarantined(self, spark, tmp_path):
+        from pgstream_spark.sources.text import read_jsonl, split_corrupt
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "alpha"}\n'
+            "this is not json at all\n"
+            '{"doc_id": 2, "text": "beta"}\n'
+            '{"doc_id": "not-a-number", "text": "gamma"}\n'
+        )
+        df = read_jsonl(spark, str(p), "doc_id long, text string")
+        clean, bad = split_corrupt(df)
+        got = {(r.doc_id, r.text) for r in clean.collect()}
+        assert got == {(1, "alpha"), (2, "beta")}
+        bad_lines = [r._corrupt for r in bad.collect()]
+        assert len(bad_lines) == 2
+        assert any("not json" in b for b in bad_lines)
+        # quarantine keeps the raw line, so nothing is silently lost
+        assert any("not-a-number" in b for b in bad_lines)
+
+    def test_csv_schema_and_quarantine(self, spark, tmp_path):
+        from pgstream_spark.sources.text import read_csv, split_corrupt
+
+        p = tmp_path / "t.csv"
+        p.write_text("id,price\n1,10.5\n2,oops\n3,30.25\n")
+        df = read_csv(spark, str(p), "id long, price double")
+        clean, bad = split_corrupt(df)
+        assert {(r.id, r.price) for r in clean.collect()} == {
+            (1, 10.5),
+            (3, 30.25),
+        }
+        assert [r._corrupt for r in bad.collect()] == ["2,oops"]
+
+    def test_failfast_mode_raises(self, spark, tmp_path):
+        from pgstream_spark.errors import QueryError  # noqa: F401  (import parity)
+        from pgstream_spark.sources.text import read_jsonl
+
+        p = tmp_path / "bad.jsonl"
+        p.write_text('{"doc_id": 1}\nnot json\n')
+        df = read_jsonl(spark, str(p), "doc_id long", mode="FAILFAST")
+        with pytest.raises(Exception):
+            df.collect()
