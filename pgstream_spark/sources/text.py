@@ -70,14 +70,22 @@ def read_csv(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_corrupt(
+    df: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): rows that parsed fully vs captured raw lines.
     Route the quarantine side to its own sink; never drop it silently.
 
     The quarantine side keeps the FULL row (any partially-parsed fields
-    plus the raw line in ``_corrupt``) — also what Spark requires: a
-    projection referencing only the corrupt column straight off a raw
-    file scan is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    plus the raw line in ``_corrupt``).  The parsed frame is cached by
+    default: Spark rejects any column-pruned query that reaches the raw
+    file scan referencing only the corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. ``quarantine.count()``),
+    and caching the parse is the documented contract for it.  Pass
+    ``cache=False`` only when both sides are written out once, full-row.
+    """
+    if cache:
+        df = df.cache()
     clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull())
     return clean, bad

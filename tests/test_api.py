@@ -264,3 +264,15 @@ class TestFileSources:
         df = read_jsonl(spark, str(p), "doc_id long", mode="FAILFAST")
         with pytest.raises(Exception):
             df.collect()
+
+    def test_quarantine_supports_pruned_queries(self, spark, tmp_path):
+        # count() prunes to zero columns — without the cached parse Spark
+        # rejects corrupt-only queries off the raw scan; split_corrupt
+        # must keep this working (the monitoring query every quarantine
+        # pipeline runs)
+        from pgstream_spark.sources.text import read_jsonl, split_corrupt
+
+        p = tmp_path / "c.jsonl"
+        p.write_text('{"a": 1}\nbroken\n')
+        clean, bad = split_corrupt(read_jsonl(spark, str(p), "a long"))
+        assert bad.count() == 1 and clean.count() == 1
