@@ -3985,6 +3985,86 @@ def w11(spark, sf_dir):
     )
 
 
+@q(
+    "t19_ohlc_daily_rollup",
+    # Bar-tier rollup (operators/ohlc.ohlc_rollup): daily candles
+    # aggregate the HOURLY BARS, not the ticks — t9's continuous-
+    # aggregate economics applied to OHLC.  open/close pick the
+    # first/last hour-bar via arg_min/arg_max on the unique bucket.
+    "WITH " + _EV + ", b AS (SELECT event_type, "
+    "epoch_ns(ts) // 1000000000 // 3600 * 3600 AS h, ts, event_id, value "
+    "FROM ev), "
+    "rn AS (SELECT *, row_number() OVER (PARTITION BY event_type, h "
+    "ORDER BY ts, event_id) AS ra, "
+    "row_number() OVER (PARTITION BY event_type, h "
+    "ORDER BY ts DESC, event_id DESC) AS rd FROM b), "
+    "hourly AS (SELECT event_type, h, "
+    "max(CASE WHEN ra = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rd = 1 THEN value END) AS close, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM rn GROUP BY 1, 2) "
+    "SELECT event_type, h // 86400 * 86400 AS bar_epoch_s, "
+    "arg_min(open, h) AS open, max(high) AS high, min(low) AS low, "
+    "arg_max(close, h) AS close, "
+    "CAST(sum(n_events) AS BIGINT) AS n_events "
+    "FROM hourly GROUP BY 1, 2",
+)
+def t19(spark, sf_dir):
+    from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ohlc_bars(
+        ev, "ts", "value", key_cols=["event_type"], bucket_seconds=3600,
+        tie_col="event_id", scale=_SCALE,
+    ).drop("avg_value")
+    return ohlc_rollup(hourly, ["event_type"], 86400)
+
+
+@q(
+    "g37_regression_slope",
+    # Per-group OLS slope of price vs quantity from the w9 discipline:
+    # five exact BIGINT sums, one double combine, round(6).  The
+    # aggregate-level counterpart of w9's windowed correlation.
+    # Integer-DOLLAR y and a bounded supplier slice keep every product
+    # under 2^63 through sf1 (the rolling.py scaling bound, applied to
+    # unbounded group sizes).
+    "WITH b AS (SELECT l_returnflag, "
+    "CAST(round(l_quantity * 1) AS BIGINT) AS xi, "
+    "CAST(round(l_extendedprice) AS BIGINT) AS yi FROM lineitem "
+    "WHERE l_suppkey <= 50), "
+    "s AS (SELECT l_returnflag, count(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy, "
+    "SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy FROM b GROUP BY 1) "
+    "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+    "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_unit "
+    "FROM s",
+)
+def g37(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 50)
+    xi = F.round(F.col("l_quantity") * 1).cast("bigint")
+    yi = F.round(F.col("l_extendedprice")).cast("bigint")
+    s = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope_per_unit"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from pgstream_spark.functions.datetime import epoch_seconds
 
-__all__ = ["ohlc_bars"]
+__all__ = ["ohlc_bars", "ohlc_rollup"]
 
 
 def ohlc_bars(
@@ -89,4 +89,39 @@ def ohlc_bars(
         F.max(F.when(F.col("_rd") == 1, F.col(value_col))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents).cast("double") / scale / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+def ohlc_rollup(
+    bars: DataFrame,
+    key_cols: Sequence[str],
+    coarse_bucket_seconds: int,
+    bucket_col: str = "bar_epoch_s",
+) -> DataFrame:
+    """Roll fine OHLC bars up to a coarser tier (hour bars → day bars).
+
+    The continuous-aggregate property that makes bar pipelines cheap at
+    100 TB (same argument as ``rollup_time``): a day bar aggregates ~24
+    hour-bars, not the raw ticks, so each coarser tier costs an
+    aggregation over the previous tier's output (~10³-10⁶× smaller than
+    the tick stream).  open/close pick the first/last fine bar's
+    open/close via ``min_by``/``max_by`` on the bucket timestamp —
+    deterministic because fine buckets are unique per key; high/low/count
+    compose associatively.
+    """
+    keys = list(key_cols)
+    coarse = (
+        (F.col(bucket_col) / F.lit(coarse_bucket_seconds)).cast("bigint")
+        * coarse_bucket_seconds
+    ).alias(bucket_col)
+    b = F.col(bucket_col)
+    return (
+        bars.groupBy(*keys, coarse)
+        .agg(
+            F.min_by("open", b).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", b).alias("close"),
+            F.sum("n_events").alias("n_events"),
+        )
     )

@@ -1618,3 +1618,27 @@ class TestIvfIndexPersistence:
         assert "PartitionFilters" in plan
         m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
         assert any("bucket" in ln for ln in m)
+
+
+class TestOhlcRollup:
+    """operators/ohlc.ohlc_rollup — bar tiers compose associatively."""
+
+    def test_daily_rollup_equals_direct_daily_bars(self, spark, sf_dir):
+        from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
+        from pgstream_spark.sources.parquet import load_events
+
+        ev = load_events(spark, sf_dir)
+        hourly = ohlc_bars(
+            ev, "ts", "value", ["event_type"], 3600, tie_col="event_id"
+        ).drop("avg_value")
+        rolled = {
+            (r.event_type, r.bar_epoch_s): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in ohlc_rollup(hourly, ["event_type"], 86400).collect()
+        }
+        direct = {
+            (r.event_type, r.bar_epoch_s): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in ohlc_bars(
+                ev, "ts", "value", ["event_type"], 86400, tie_col="event_id"
+            ).collect()
+        }
+        assert rolled == direct and len(rolled) > 0
