@@ -4065,6 +4065,65 @@ def g37(spark, sf_dir):
     )
 
 
+@q(
+    "u4_multiset_ops",
+    # INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving set ops
+    # (u2/u3 are the DISTINCT forms).  Duplicate counts must survive:
+    # the result is bag semantics, checked by hashing all rows.
+    "WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey <= 20), "
+    "b AS (SELECT l_suppkey AS k FROM lineitem "
+    "WHERE l_suppkey BETWEEN 11 AND 30) "
+    "SELECT 'intersect' AS op, k, CAST(count(*) AS BIGINT) AS n FROM "
+    "(SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'except' AS op, k, CAST(count(*) AS BIGINT) AS n FROM "
+    "(SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 2",
+)
+def u4(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_suppkey") <= 20).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_suppkey").between(11, 30)).select(
+        F.col("l_suppkey").alias("k")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "k", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "k", "n")
+    )
+    return inter.unionAll(exc)
+
+
+@q(
+    "o5_null_ordering",
+    # Explicit NULLS FIRST/LAST discipline: a nullable sort expression
+    # (clerk-priority NULLified for low-priority orders) ordered NULLS
+    # LAST then key — the engines' default null placement DIFFERS
+    # (Spark NULLS FIRST asc, standard SQL engines vary), so the
+    # explicit spelling is the only portable one.
+    "SELECT o_orderkey, o_orderpriority, "
+    "NULLIF(o_orderpriority, '5-LOW') AS effective_priority "
+    "FROM orders WHERE o_orderkey <= 500 "
+    "ORDER BY effective_priority NULLS LAST, o_orderkey",
+)
+def o5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    eff = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        eff.alias("effective_priority"),
+    ).orderBy(
+        F.col("effective_priority").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
