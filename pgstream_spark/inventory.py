@@ -4124,6 +4124,65 @@ def o5(spark, sf_dir):
     )
 
 
+@q(
+    "x6_cogrouped_map",
+    # applyInPandas over a COGROUP — the X-family member the other x*
+    # queries don't touch: two keyed frames delivered side-by-side to
+    # one Arrow kernel per key (order header vs its line items,
+    # reconciled in pandas).  All integer cents, so the kernel's output
+    # hash-matches a full-outer-join SQL oracle exactly.
+    "WITH o AS (SELECT o_orderkey AS k, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS oc FROM orders "
+    "WHERE o_orderkey <= 2000), "
+    "l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n, "
+    "COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS lc "
+    "FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1) "
+    "SELECT COALESCE(o.k, l.k) AS k, o.oc AS order_cents, "
+    "CAST(COALESCE(l.n, 0) AS BIGINT) AS n_lines, "
+    "CAST(COALESCE(l.lc, 0) AS BIGINT) AS line_cents "
+    "FROM o FULL OUTER JOIN l ON o.k = l.k",
+)
+def x6(spark, sf_dir):
+    import pandas as pd
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("oc"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("lc"),
+        )
+    )
+
+    def reconcile(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        oc = int(opdf["oc"].iloc[0]) if len(opdf) else None
+        return pd.DataFrame(
+            {
+                "k": [int(key[0])],
+                "order_cents": [oc],
+                "n_lines": [len(lpdf)],
+                "line_cents": [int(lpdf["lc"].sum()) if len(lpdf) else 0],
+            }
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(li.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            "k long, order_cents long, n_lines long, line_cents long",
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

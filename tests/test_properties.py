@@ -174,3 +174,38 @@ def test_sessionize_gap_property(spark, pts, gap):
             assert idxs[i] == idxs[i - 1] + 1
         else:
             assert idxs[i] == idxs[i - 1]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_rolling_corr_is_bounded(spark, pairs):
+    """|r| <= 1 wherever defined; NULL exactly when a frame has zero
+    variance on either side."""
+    from pgstream_spark.operators.rolling import rolling_corr
+
+    rows = [("k", i, float(x), float(y)) for i, (x, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "k string, seq long, x double, y double")
+    out = rolling_corr(
+        df, "x", "y", ["k"], ["seq"], frame_rows=8, x_scale=1, y_scale=100
+    ).collect()
+    xs = [round(x) for x, _ in pairs]
+    ys = [round(y * 100) for _, y in pairs]
+    for r in sorted(out, key=lambda r: r.seq):
+        i = r.seq
+        lo = max(0, i - 7)
+        fx, fy = xs[lo : i + 1], ys[lo : i + 1]
+        degenerate = len(set(fx)) < 2 or len(set(fy)) < 2
+        if degenerate:
+            assert r.rolling_corr is None
+        else:
+            assert r.rolling_corr is not None
+            assert -1.0 <= r.rolling_corr <= 1.0
