@@ -4183,6 +4183,51 @@ def x6(spark, sf_dir):
     )
 
 
+@q(
+    "p10_scalar_subquery",
+    # Correlated scalar subquery in the SELECT list, handed to Catalyst
+    # in its NATIVE SQL form (g17 hand-rewrites the same shape as
+    # agg+join; this verifies the engine's own decorrelation does it).
+    "SELECT c_custkey, c_mktsegment, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey) AS n_orders "
+    "FROM customer c WHERE c_custkey <= 300",
+)
+def p10(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("p10_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("p10_orders")
+    return spark.sql(
+        "SELECT c_custkey, c_mktsegment, "
+        "(SELECT count(*) FROM p10_orders o "
+        "WHERE o.o_custkey = c.c_custkey) AS n_orders "
+        "FROM p10_customer c WHERE c_custkey <= 300"
+    )
+
+
+@q(
+    "p11_lateral_topn",
+    # CROSS JOIN LATERAL with ORDER BY … LIMIT 1 — "top order per
+    # customer" in its native SQL form (o3 does the same via window
+    # rank).  Total tie-break keeps the picked row deterministic;
+    # customers with no orders drop on both engines (inner lateral).
+    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+    "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice "
+    "FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t "
+    "WHERE c.c_custkey <= 300",
+)
+def p11(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("p11_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("p11_orders")
+    return spark.sql(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+        "FROM p11_customer c, LATERAL (SELECT o_orderkey, o_totalprice "
+        "FROM p11_orders o WHERE o.o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t "
+        "WHERE c.c_custkey <= 300"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
