@@ -4228,6 +4228,83 @@ def p11(spark, sf_dir):
     )
 
 
+@q(
+    "l29_canonical_docs",
+    # The curation SURVIVOR step: near-dup clusters (l8's proven
+    # closure) + quality scores (l4d's proven formula) → keep exactly
+    # the best-quality doc per family, singletons surviving as their
+    # own cluster.  Ranking is on the RAW quality double (bit-identical
+    # per l4d) with doc_id tie-break; output quality rounded for
+    # display only.
+    "WITH RECURSIVE toks AS (SELECT doc_id, text, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "prs AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM prs "
+    "UNION SELECT id_b, id_a FROM prs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a), "
+    "clus AS (SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node), "
+    "s2 AS (SELECT doc_id, len(t) AS n_tokens, "
+    "CASE WHEN len(t) > 0 THEN "
+    "list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t) "
+    "ELSE 0.0 END AS avg_token_len, "
+    "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+    "/ greatest(length(text), 1) AS punct_ratio, "
+    "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
+    "/ greatest(length(text), 1) AS digit_ratio FROM toks), "
+    "qual AS (SELECT doc_id, "
+    "0.4 * least(n_tokens / 100.0, 1.0) "
+    "+ 0.2 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 "
+    "THEN 1.0 ELSE 0.5 END) "
+    "+ 0.4 * greatest(0.0, 1.0 - 2.0 * (punct_ratio + digit_ratio)) "
+    "AS quality FROM s2), "
+    "alldocs AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster "
+    "FROM documents d LEFT JOIN clus c ON c.node = d.doc_id), "
+    "ranked AS (SELECT a.doc_id, a.cluster, q.quality, "
+    "row_number() OVER (PARTITION BY a.cluster "
+    "ORDER BY q.quality DESC, a.doc_id) AS rn "
+    "FROM alldocs a JOIN qual q ON q.doc_id = a.doc_id) "
+    "SELECT doc_id, cluster, round(quality, 6) AS quality "
+    "FROM ranked WHERE rn = 1",
+)
+def l29(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters
+    from pgstream_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    docs = (
+        d.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+        )
+    )
+    q = quality_score(d).select("doc_id", "quality")
+    ranked = docs.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.col("quality").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster", F.round("quality", 6).alias("quality")
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
