@@ -4305,6 +4305,28 @@ def l29(spark, sf_dir):
     )
 
 
+@q(
+    "f19_datetime_format",
+    # String rendering of timestamps — the to_char surface.  Format
+    # DSLs differ (Spark SimpleDateFormat vs DuckDB strftime) but the
+    # RENDERED STRINGS must agree; ISO date, compact timestamp, and
+    # 12-hour clock with zero-padded fields cover the codepaths.
+    "SELECT o_orderkey, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS iso_date, "
+    "strftime(o_orderdate, '%Y%m%d_%H%M%S') AS compact_ts, "
+    "strftime(o_orderdate, '%I:%M %p') AS clock12 "
+    "FROM orders WHERE o_orderkey <= 1000",
+)
+def f19(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_format("o_orderdate", "yyyyMMdd_HHmmss").alias("compact_ts"),
+        F.date_format("o_orderdate", "hh:mm a").alias("clock12"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
