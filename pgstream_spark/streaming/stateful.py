@@ -34,6 +34,7 @@ __all__ = [
     "gap_change_detector",
     "watermarked_window_counts",
     "ewma_stream",
+    "running_extrema",
 ]
 
 
@@ -303,6 +304,75 @@ def gap_change_detector(
         detect,
         outputStructType=out_schema,
         stateStructType="prev double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_extrema(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-key running peak/trough and current drawdown across
+    micro-batches — the streaming form of t18's batch drawdown window.
+
+    State per key: (peak, trough) — two doubles, O(1) at any stream
+    length.  Emits one row per input row (append): the value, the
+    running extrema INCLUDING it, and ``drawdown = peak − value`` in the
+    value's own units (the peak is tracked after the row applies, so
+    drawdown is 0 at a fresh high).  Rows are folded in ``order_col``
+    order within each batch; cross-batch order is the source's delivery
+    order (the cursor contract), as with ``ewma_stream``.
+    """
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        peak, trough = state.get if state.exists else (None, None)
+        out_o, out_v, out_p, out_t, out_d = [], [], [], [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in pdf.sort_values(order_col, kind="stable").iterrows():
+            v = row[value_col]
+            if v is None or pd.isna(v):
+                continue
+            v = float(v)
+            peak = v if peak is None else max(peak, v)
+            trough = v if trough is None else min(trough, v)
+            out_o.append(row[order_col])
+            out_v.append(v)
+            out_p.append(peak)
+            out_t.append(trough)
+            out_d.append(peak - v)
+        state.update((peak, trough))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out_v),
+                "ord": out_o,
+                "value": out_v,
+                "peak": out_p,
+                "trough": out_t,
+                "drawdown": out_d,
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("ord", sdf.schema[order_col].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("trough", T.DoubleType()),
+            T.StructField("drawdown", T.DoubleType()),
+        ]
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="peak double, trough double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

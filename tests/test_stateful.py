@@ -221,3 +221,42 @@ def test_ewma_stream_matches_batch_fold(spark, tmp_path, two_batch_source):
             closed = sum(wi * vi for wi, vi in zip(w, vv)) / sum(w)
             assert got[(k, t)] == pytest.approx(closed, rel=1e-9)
     assert len(got) == len(rows)
+
+
+def test_running_extrema_matches_batch_window(spark, tmp_path, two_batch_source):
+    """Cross-batch streamed extrema == the batch running-max/min window."""
+    from pgstream_spark.streaming.stateful import running_extrema
+
+    src, schema = two_batch_source
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _run(
+        running_extrema(sdf, "user_id", "value", "seq"), tmp_path, "extrema"
+    )
+    got = {
+        (r.key, r.ord): (r.peak, r.trough, r.drawdown)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = spark.read.parquet(src).select(
+        "user_id",
+        "seq",
+        F.max("value").over(w).alias("peak"),
+        F.min("value").over(w).alias("trough"),
+        (F.max("value").over(w) - F.col("value")).alias("drawdown"),
+    )
+    want = {
+        (r.user_id, r.seq): (r.peak, r.trough, r.drawdown)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 6

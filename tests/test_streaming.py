@@ -620,3 +620,49 @@ class TestMaterializedReplicaSink:
         assert snap() == applied
         sink(df1, 2)   # fully stale replay: every seq is older
         assert snap() == applied
+
+
+class TestStreamStaticJoin:
+    """Stream enriched by a static dimension table — the broadcast
+    enrichment pattern every streaming ingest uses.  The static side is
+    planned per micro-batch; results must equal the batch join."""
+
+    def test_stream_static_enrichment_matches_batch(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+
+        dim_rows = [(i, f"seg{i % 3}") for i in range(50)]
+        dim = spark.createDataFrame(dim_rows, "user_id long, segment string")
+
+        fact_rows = [(i, i % 50, float(i)) for i in range(400)]
+        schema = "event_id long, user_id long, value double"
+        src = str(tmp_path / "facts")
+        write_flat_parquet(spark, fact_rows[:200], schema, src + "/a.parquet")
+        write_flat_parquet(spark, fact_rows[200:], schema, src + "/b.parquet")
+
+        enrich = lambda df: df.join(F.broadcast(dim), "user_id").groupBy(
+            "segment"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        q = (
+            enrich(sdf)
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {(r.segment, r.n) for r in spark.table("enriched").collect()}
+        want = {
+            (r.segment, r.n)
+            for r in enrich(spark.read.parquet(src)).collect()
+        }
+        assert got == want and len(want) == 3
