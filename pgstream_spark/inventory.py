@@ -4327,6 +4327,41 @@ def f19(spark, sf_dir):
     )
 
 
+@q(
+    "l30_shard_manifest",
+    # Export manifest: per-shard row count, byte totals, id extent, and
+    # an order-free content checksum (sum of per-doc md5-derived ints —
+    # associative, so identical under any partitioning).  The audit
+    # record a reproducible training-data export publishes next to its
+    # shards; md5 bucketing here so the DuckDB oracle can replay the
+    # shard function bit-for-bit (sinks.export_shards uses xxhash64 for
+    # speed — same layout contract, different hash).
+    "SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 8 AS INT) AS shard, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) "
+    "AS checksum, "
+    "min(doc_id) AS min_id, max(doc_id) AS max_id "
+    "FROM documents GROUP BY 1",
+)
+def l30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+    ).cast("int")
+    doc_sig = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(doc_sig).alias("checksum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
