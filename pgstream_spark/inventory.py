@@ -4362,6 +4362,54 @@ def l30(spark, sf_dir):
     )
 
 
+@q(
+    "f20_array_set_ops",
+    # Array set algebra (intersect/union/except) on token vocabularies
+    # of consecutive docs — both engines dedup; sorting canonicalizes
+    # the order difference; counts and the exact-int jaccard ride
+    # integers.  DuckDB has no list_except, so the oracle spells it as
+    # a filtered distinct — same set semantics.
+    "WITH toks AS (SELECT doc_id, list_distinct(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t "
+    "FROM documents WHERE doc_id <= 100) "
+    "SELECT a.doc_id, "
+    "list_sort(list_intersect(a.t, b.t)) AS common_terms, "
+    "CAST(len(list_intersect(a.t, b.t)) AS INT) AS n_common, "
+    "CAST(len(list_distinct(list_concat(a.t, b.t))) AS INT) AS n_union, "
+    "CAST(len(list_filter(a.t, x -> NOT list_contains(b.t, x))) AS INT) "
+    "AS n_only_left, "
+    "CAST(len(list_intersect(a.t, b.t)) * 10000 // "
+    "len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS jaccard_bp "
+    "FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1",
+)
+def f20(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    a = toks.select(F.col("doc_id"), F.col("t").alias("ta"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("tb"))
+    j = a.join(b, "doc_id")
+    inter = F.array_intersect("ta", "tb")
+    uni = F.array_union("ta", "tb")
+    return j.select(
+        "doc_id",
+        F.array_sort(inter).alias("common_terms"),
+        F.size(inter).alias("n_common"),
+        F.size(uni).alias("n_union"),
+        F.size(F.array_except("ta", "tb")).alias("n_only_left"),
+        (F.size(inter).cast("bigint") * 10000 / F.size(uni))
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
