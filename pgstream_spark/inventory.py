@@ -4410,6 +4410,78 @@ def f20(spark, sf_dir):
     )
 
 
+@q(
+    "o6_topk_with_ties",
+    # Tie-INCLUSIVE top-k (RANK <= k): o3's row_number form picks
+    # exactly k rows; WITH TIES keeps every row tying the kth value —
+    # the SQL-standard FETCH FIRST ... WITH TIES semantics.  Ranking on
+    # exact integer quantity makes tie groups identical across engines.
+    "SELECT l_suppkey, l_orderkey, l_linenumber, "
+    "CAST(l_quantity AS BIGINT) AS qty, rnk FROM ("
+    "SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, "
+    "CAST(rank() OVER (PARTITION BY l_suppkey "
+    "ORDER BY CAST(l_quantity AS BIGINT) DESC) AS INT) AS rnk "
+    "FROM lineitem WHERE l_suppkey <= 10) WHERE rnk <= 3",
+)
+def o6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    qty = F.col("l_quantity").cast("bigint")
+    w = Window.partitionBy("l_suppkey").orderBy(qty.desc())
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            qty.alias("qty"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "t20_count_anomaly",
+    # Volume-anomaly monitor: hourly event counts per type, z-scored
+    # against that type's own hourly distribution (two-level aggregate —
+    # t4's buckets feeding g35's moments).  Counts are exact ints, so
+    # the single double combine is identical; round(4).
+    "WITH " + _EV + ", h AS (SELECT event_type, "
+    "epoch_ns(ts) // 1000000000 // 3600 * 3600 AS bucket_s, "
+    "CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2), "
+    "m AS (SELECT event_type, bucket_s, n, "
+    "count(*) OVER w AS k, SUM(n) OVER w AS sn, SUM(n * n) OVER w AS snn "
+    "FROM h WINDOW w AS (PARTITION BY event_type)) "
+    "SELECT event_type, bucket_s, n, "
+    "CASE WHEN k > 1 AND k * snn - sn * sn > 0 THEN "
+    "round((CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / k) / "
+    "sqrt(CAST(k * snn - sn * sn AS DOUBLE) / (CAST(k AS DOUBLE) * (k - 1))), "
+    "4) END AS count_z FROM m",
+)
+def t20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    bucket = (
+        (epoch_seconds(F.col("ts")) / 3600).cast("bigint") * 3600
+    ).alias("bucket_s")
+    h = ev.groupBy("event_type", bucket).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(w)
+    sn = F.sum("n").over(w)
+    snn = F.sum(F.col("n") * F.col("n")).over(w)
+    z = F.when(
+        (k > 1) & (k * snn - sn * sn > 0),
+        F.round(
+            (F.col("n").cast("double") - sn.cast("double") / k)
+            / F.sqrt(
+                (k * snn - sn * sn).cast("double") / (k.cast("double") * (k - 1))
+            ),
+            4,
+        ),
+    )
+    return h.select("event_type", "bucket_s", "n", z.alias("count_z"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
