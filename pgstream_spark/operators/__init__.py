@@ -26,7 +26,20 @@ from pgstream_spark.operators.similarity import (
     quantize_embeddings,
     with_cosine,
 )
-from pgstream_spark.operators.ivf import assign_buckets, ivf_top_k, train_centroids
+from pgstream_spark.operators.ivf import (
+    assign_buckets,
+    ivf_query_index,
+    ivf_top_k,
+    train_centroids,
+    write_ivf_index,
+)
+from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
+from pgstream_spark.operators.decay import ewma_time_decay
+from pgstream_spark.operators.robust import robust_zscore_stats
+from pgstream_spark.operators.rolling import rolling_corr
+from pgstream_spark.operators.sessionize import sessionize
+from pgstream_spark.operators.retrieval import bm25_ranks, bm25_scores, rrf_fusion
+from pgstream_spark.operators.mixture import weighted_sample_ares
 from pgstream_spark.operators.sketch import cms_build, cms_estimate
 from pgstream_spark.operators.snapshot import corpus_diff
 from pgstream_spark.operators.rollup_time import time_rollup
@@ -59,6 +72,18 @@ __all__ = [
     "train_centroids",
     "assign_buckets",
     "ivf_top_k",
+    "write_ivf_index",
+    "ivf_query_index",
+    "ohlc_bars",
+    "ohlc_rollup",
+    "ewma_time_decay",
+    "robust_zscore_stats",
+    "rolling_corr",
+    "sessionize",
+    "bm25_scores",
+    "bm25_ranks",
+    "rrf_fusion",
+    "weighted_sample_ares",
     "cms_build",
     "cms_estimate",
     "corpus_diff",
