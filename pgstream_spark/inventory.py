@@ -4482,6 +4482,75 @@ def t20(spark, sf_dir):
     return h.select("event_type", "bucket_s", "n", z.alias("count_z"))
 
 
+@q(
+    "t21_growth_accounting",
+    # Weekly growth accounting — the standard user-lifecycle ledger:
+    # per ISO week, users split into NEW (first-ever week), RETAINED
+    # (active the previous week), RESURRECTED (active before, gap > 1
+    # week); CHURN is attributed to the week after a user's last
+    # activity in any active-week run.  Pure calendar-integer logic on
+    # distinct (user, week) pairs — exact on both engines.
+    "WITH " + _EV + ", uw AS (SELECT DISTINCT user_id, "
+    "CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev), "
+    "m AS (SELECT user_id, wk, "
+    "lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk, "
+    "lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk FROM uw), "
+    "act AS (SELECT wk, "
+    "CAST(count(CASE WHEN prev_wk IS NULL THEN 1 END) AS BIGINT) AS n_new, "
+    "CAST(count(CASE WHEN datediff('day', prev_wk, wk) = 7 THEN 1 END) "
+    "AS BIGINT) AS n_retained, "
+    "CAST(count(CASE WHEN datediff('day', prev_wk, wk) > 7 THEN 1 END) "
+    "AS BIGINT) AS n_resurrected FROM m GROUP BY 1), "
+    "ch AS (SELECT date_add(wk, INTERVAL 7 DAY) AS wk, "
+    "CAST(count(*) AS BIGINT) AS n_churned FROM m "
+    "WHERE next_wk IS NULL OR datediff('day', wk, next_wk) > 7 GROUP BY 1) "
+    "SELECT COALESCE(act.wk, CAST(ch.wk AS DATE)) AS wk, "
+    "COALESCE(act.n_new, 0) AS n_new, "
+    "COALESCE(act.n_retained, 0) AS n_retained, "
+    "COALESCE(act.n_resurrected, 0) AS n_resurrected, "
+    "COALESCE(ch.n_churned, 0) AS n_churned "
+    "FROM act FULL OUTER JOIN ch ON act.wk = CAST(ch.wk AS DATE)",
+)
+def t21(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    m = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wu).alias("prev_wk"),
+        F.lead("wk").over(wu).alias("next_wk"),
+    )
+    act = m.groupBy("wk").agg(
+        F.count(F.when(F.col("prev_wk").isNull(), 1)).alias("n_new"),
+        F.count(
+            F.when(F.datediff("wk", "prev_wk") == 7, 1)
+        ).alias("n_retained"),
+        F.count(
+            F.when(F.datediff("wk", "prev_wk") > 7, 1)
+        ).alias("n_resurrected"),
+    )
+    ch = (
+        m.filter(
+            F.col("next_wk").isNull() | (F.datediff("next_wk", "wk") > 7)
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(ch, "wk", "full_outer")
+        .select(
+            "wk",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
