@@ -4551,6 +4551,53 @@ def t21(spark, sf_dir):
     )
 
 
+@q(
+    "l31_distribution_drift",
+    # Population-stability-index (PSI) drift between two corpus slices'
+    # length distributions — the data-drift gate a training pipeline
+    # runs between dataset versions.  Counts are exact ints with
+    # Laplace +1 smoothing (so no bucket is empty and the ln is always
+    # defined); the float combine is the same op sequence on both
+    # engines, rounded(4) for the libm ln.
+    "WITH b AS (SELECT CASE WHEN source <= 'm' THEN 'A' ELSE 'B' END AS grp, "
+    "CAST(least(n_chars // 50, 9) AS INT) AS bucket FROM documents), "
+    "cnt AS (SELECT bucket, "
+    "CAST(1 + count(CASE WHEN grp = 'A' THEN 1 END) AS BIGINT) AS ca, "
+    "CAST(1 + count(CASE WHEN grp = 'B' THEN 1 END) AS BIGINT) AS cb "
+    "FROM b GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, "
+    "CAST(SUM(cb) AS BIGINT) AS tb FROM cnt) "
+    "SELECT cnt.bucket, cnt.ca, cnt.cb, "
+    "round((CAST(cnt.ca AS DOUBLE) / tot.ta - CAST(cnt.cb AS DOUBLE) / tot.tb) "
+    "* ln(CAST(cnt.ca AS DOUBLE) / tot.ta / (CAST(cnt.cb AS DOUBLE) / tot.tb)), "
+    "4) AS psi_term FROM cnt CROSS JOIN tot",
+)
+def l31(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        F.when(F.col("source") <= "m", "A").otherwise("B").alias("grp"),
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        (1 + F.count(F.when(F.col("grp") == "A", 1))).alias("ca"),
+        (1 + F.count(F.when(F.col("grp") == "B", 1))).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    return j.select(
+        "bucket",
+        "ca",
+        "cb",
+        F.round((pa - pb) * F.log(pa / pb), 4).alias("psi_term"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

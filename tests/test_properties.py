@@ -209,3 +209,28 @@ def test_rolling_corr_is_bounded(spark, pairs):
         else:
             assert r.rolling_corr is not None
             assert -1.0 <= r.rolling_corr <= 1.0
+
+
+@given(pts=_events, factor=st.sampled_from([2, 3, 4, 6]))
+@settings(**SETTINGS)
+def test_ohlc_rollup_associativity(spark, pts, factor):
+    """Rolling fine bars to a coarser tier must equal computing the
+    coarse bars directly from ticks — for any tier ratio."""
+    from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
+
+    df = _ev_df(spark, pts)
+    fine = ohlc_bars(df, "ts", "value", ["sym"], 600, tie_col="event_id").drop(
+        "avg_value"
+    )
+    coarse_s = 600 * factor
+    rolled = {
+        r.bar_epoch_s: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_rollup(fine, ["sym"], coarse_s).collect()
+    }
+    direct = {
+        r.bar_epoch_s: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(
+            df, "ts", "value", ["sym"], coarse_s, tie_col="event_id"
+        ).drop("avg_value").collect()
+    }
+    assert rolled == direct
