@@ -4598,6 +4598,51 @@ def l31(spark, sf_dir):
     )
 
 
+@q(
+    "l32_token_budget",
+    # Token-budget ledger per source — the Pareto view a mixture planner
+    # (l9's solver) reads: exact token totals, integer-basis-point share
+    # of the corpus, and the cumulative share walking sources from
+    # largest down.  Every number is an exact integer; the running sum
+    # is over a deterministic (tokens desc, source) order.
+    "WITH toks AS (SELECT source, CAST(len(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) "
+    "AS n_tok FROM documents), "
+    "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM toks GROUP BY 1), "
+    "t AS (SELECT *, SUM(n_tokens) OVER () AS total FROM s) "
+    "SELECT source, n_docs, n_tokens, "
+    "CAST(n_tokens * 10000 // total AS BIGINT) AS share_bp, "
+    "CAST(SUM(n_tokens * 10000 // total) OVER "
+    "(ORDER BY n_tokens DESC, source "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_share_bp FROM t",
+)
+def l32(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    ).cast("bigint")
+    s = d.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.floor(F.col("n_tokens") * 10000 / total).cast("bigint")
+    cum = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("source").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share_bp"),
+        F.sum(share).over(cum).cast("bigint").alias("cum_share_bp"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
