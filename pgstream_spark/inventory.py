@@ -4643,6 +4643,62 @@ def l32(spark, sf_dir):
     )
 
 
+@q(
+    "w12_ignore_nulls_carry",
+    # IGNORE NULLS window pick — the carry-forward semantic (last
+    # observation carried over a NULLified gap) as a first-class query
+    # (t12's gapfill uses it inside the operator; this pins the bare
+    # window form).  Values NULLified on a deterministic predicate, then
+    # carried with last_value IGNORE NULLS over (ts, event_id) order.
+    "WITH " + _EV + " SELECT event_id, user_id, "
+    "last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_good_value "
+    "FROM ev",
+)
+def w12(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
+    )
+
+
+@q(
+    "g38_argminmax",
+    # arg_min/arg_max aggregates — "the value at the extremum" without a
+    # self-join (Spark min_by/max_by).  The sort key is a UNIQUE
+    # composite integer (cents · 10^7 + event_id) because value ties are
+    # real on a 2-decimal grid and DuckDB's arg_min has no struct
+    # comparator — integer keys make the pick deterministic everywhere.
+    "WITH " + _EV + ", c AS (SELECT event_type, event_id, value, "
+    "CAST(round(value * 100) AS BIGINT) * 10000000 + event_id AS vk FROM ev) "
+    "SELECT event_type, "
+    "arg_min(event_id, vk) AS cheapest_event, "
+    "arg_max(event_id, vk) AS priciest_event, "
+    "min(value) AS lo, max(value) AS hi FROM c GROUP BY 1",
+)
+def g38(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vk = F.round(F.col("value") * 100).cast("bigint") * 10_000_000 + F.col(
+        "event_id"
+    )
+    c = ev.select("event_type", "event_id", "value", vk.alias("vk"))
+    return c.groupBy("event_type").agg(
+        F.min_by("event_id", F.col("vk")).alias("cheapest_event"),
+        F.max_by("event_id", F.col("vk")).alias("priciest_event"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
