@@ -4699,6 +4699,28 @@ def g38(spark, sf_dir):
     )
 
 
+@q(
+    "f21_try_cast",
+    # Error-safe casts under ANSI mode: TRY_CAST yields NULL instead of
+    # failing the job — the quarantine philosophy (sources/text.py) at
+    # expression level.  Letters → NULL, digit prefixes → numbers,
+    # identically on both engines.
+    "SELECT p_partkey, "
+    "try_cast(substr(p_name, 1, 2) AS INT) AS first2_as_int, "
+    "try_cast(CAST(p_partkey AS VARCHAR) AS INT) AS roundtrip_int, "
+    "try_cast(p_name AS DOUBLE) AS name_as_double "
+    "FROM part WHERE p_partkey <= 500",
+)
+def f21(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 2).try_cast("int").alias("first2_as_int"),
+        F.col("p_partkey").cast("string").try_cast("int").alias("roundtrip_int"),
+        F.col("p_name").try_cast("double").alias("name_as_double"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
