@@ -1765,9 +1765,13 @@ def t10(spark, sf_dir):
     "l5_multimodal_features",
     # L-5's Arrow mapInPandas plumbing, driver-gated with a FULL oracle:
     # the stub featurizer is sha256-based, which DuckDB computes
-    # identically (byte j of the digest / 255.0, bit-exact doubles).
-    "SELECT doc_id AS id, list_transform(range(8), j -> "
-    "CAST(('0x' || substr(sha256(text), j*2+1, 2)) AS INT) / 255.0) AS features "
+    # identically.  The features are byte_j/255.0 doubles; the gate row
+    # serializes the lossless byte integers as a CSV string (round-2
+    # lesson: the driver's pandas canonicalizer cannot sort array cells,
+    # and float→string formatting differs across engines — integer CSV is
+    # a bijection of the feature vector with neither problem).
+    "SELECT doc_id AS id, array_to_string(list_transform(range(8), j -> "
+    "CAST(('0x' || substr(sha256(text), j*2+1, 2)) AS INT)), ',') AS features_csv "
     "FROM documents",
 )
 def l5(spark, sf_dir):
@@ -1776,7 +1780,17 @@ def l5(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return extract_features(d, "payload", "doc_id", decode_stub=True)
+    feats = extract_features(d, "payload", "doc_id", decode_stub=True)
+    # features[j] == byte_j/255.0 exactly; round(x*255) recovers byte_j.
+    return feats.select(
+        "id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.round(x * 255, 0).cast("int").cast("string")
+            ),
+        ).alias("features_csv"),
+    )
 
 
 @q(
@@ -1831,7 +1845,14 @@ def g17(spark, sf_dir):
     "f12_regexp_extract_all",
     # regexp table-function shape: all long words per document, in order,
     # plus their count — list-valued column parity across engines.
-    "SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS long_words, "
+    # Space-joined string rather than a list column: the driver's pandas
+    # canonicalizer cannot sort array cells (round-2 lesson); the words
+    # are [a-z]{6,} so ' ' can never collide with word content.
+    # coalesce: DuckDB's array_to_string is NULL on the empty list where
+    # Spark's concat_ws is '' — pin the no-match case to '' on both.
+    "SELECT doc_id, "
+    "coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ' '), '') "
+    "AS long_words, "
     "len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long "
     "FROM documents WHERE doc_id < 1000",
 )
@@ -1839,7 +1860,9 @@ def f12(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     words = F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")
     return d.select(
-        "doc_id", words.alias("long_words"), F.size(words).alias("n_long")
+        "doc_id",
+        F.concat_ws(" ", words).alias("long_words"),
+        F.size(words).alias("n_long"),
     )
 
 
@@ -2804,14 +2827,22 @@ def l16(spark, sf_dir):
     "FROM (SELECT doc_id, unnest(t) AS term FROM toks)), "
     "keep AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs "
     "GROUP BY term QUALIFY row_number() OVER (ORDER BY df, term) <= 16) "
-    "SELECT p.term, k.df, list_sort(list(p.doc_id)) AS postings "
+    # CSV-serialized postings: the driver gate cannot sort array cells.
+    "SELECT p.term, k.df, "
+    "array_to_string(list_sort(list(p.doc_id)), ',') AS postings "
     "FROM pairs p JOIN keep k USING (term) GROUP BY p.term, k.df",
 )
 def l17(spark, sf_dir):
     from pgstream_spark.operators.terms import posting_lists
 
     d = _t(spark, sf_dir, "documents")
-    return posting_lists(d, rarest_k=16).select("term", "df", "postings")
+    return posting_lists(d, rarest_k=16).select(
+        "term",
+        "df",
+        F.concat_ws(
+            ",", F.transform("postings", lambda x: x.cast("string"))
+        ).alias("postings"),
+    )
 
 
 @q(
@@ -2885,17 +2916,23 @@ def l18(spark, sf_dir):
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
     "m AS (SELECT vec_id, label, v, "
     "list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e) "
-    "SELECT vec_id, label, max_abs, "
+    # CSV-serialized qvec: the driver gate cannot sort array cells.
+    "SELECT vec_id, label, max_abs, array_to_string("
     "CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0) "
     "ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) "
-    "END AS qvec FROM m",
+    "END, ',') AS qvec FROM m",
 )
 def l19(spark, sf_dir):
     from pgstream_spark.operators.similarity import quantize_embeddings
 
     e = _t(spark, sf_dir, "embeddings")
     return quantize_embeddings(e, "vec_id", "embedding", keep_cols=("label",)).select(
-        "vec_id", "label", "max_abs", "qvec"
+        "vec_id",
+        "label",
+        "max_abs",
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias(
+            "qvec"
+        ),
     )
 
 
@@ -3060,12 +3097,21 @@ def l23(spark, sf_dir):
     "AS tid FROM (SELECT DISTINCT term FROM tok)), "
     "enc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM tok "
     "JOIN vocab USING (term) GROUP BY doc_id) "
-    "SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens FROM enc",
+    # CSV-serialized ids: the driver gate cannot sort array cells.
+    "SELECT doc_id, array_to_string(ids, ',') AS ids, "
+    "CAST(len(ids) AS BIGINT) AS n_tokens FROM enc",
 )
 def l24(spark, sf_dir):
     from pgstream_spark.operators.terms import encode_token_ids
 
-    return encode_token_ids(_t(spark, sf_dir, "documents"))
+    enc = encode_token_ids(_t(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias(
+            "ids"
+        ),
+        "n_tokens",
+    )
 
 
 @q(
@@ -3719,13 +3765,15 @@ def w10(spark, sf_dir):
 @q(
     "l28_weighted_sample",
     # Deterministic weighted sampling without replacement (A-Res,
-    # operators/mixture.weighted_sample_ares): priority = u^(1/w) with a
-    # content-derived uniform — top-20 per source ∝ document length.
-    # Priority rounded(6) before ranking (one libm pow), ties on doc_id.
+    # operators/mixture.weighted_sample_ares): ranking key ln(u)/w — the
+    # log-domain equivalent of priority = u^(1/w) (same order, no
+    # saturation at 1.0 for heavy weights) — with a content-derived
+    # uniform; top-20 per source ∝ document length.  Key rounded(9)
+    # before ranking (one libm log), ties on doc_id.
     "WITH p AS (SELECT doc_id, source, "
-    "round(pow(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
-    "AS BIGINT) AS DOUBLE) / 281474976710656.0, "
-    "1.0 / n_chars), 6) AS priority FROM documents) "
+    "round(ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) AS DOUBLE) / 281474976710656.0) "
+    "/ n_chars, 9) AS priority FROM documents) "
     "SELECT doc_id, source, priority, sample_rank FROM ("
     "SELECT doc_id, source, priority, CAST(row_number() OVER "
     "(PARTITION BY source ORDER BY priority DESC, doc_id) AS INT) "
@@ -3924,15 +3972,22 @@ def t18(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     peak = F.max(xc).over(w)
-    dd = F.floor(
-        (peak - xc) * 10000
-        / F.when(peak == 0, F.lit(None)).otherwise(peak)
-    ).cast("bigint")
-    return ev.select(
+    # DIV, not F.floor(a/b): DuckDB's // truncates toward zero while
+    # floor rounds toward -inf — they differ whenever the running peak
+    # is negative.  Spark's integral DIV truncates identically.
+    c = ev.select(
         "event_id",
         "event_type",
         peak.alias("peak_cents"),
-        dd.alias("drawdown_bp"),
+        ((peak - xc) * 10000).alias("__num"),
+    )
+    return c.select(
+        "event_id",
+        "event_type",
+        "peak_cents",
+        F.expr("__num DIV nullif(peak_cents, 0)")
+        .cast("bigint")
+        .alias("drawdown_bp"),
     )
 
 
@@ -4372,8 +4427,11 @@ def l30(spark, sf_dir):
     "WITH toks AS (SELECT doc_id, list_distinct(list_filter("
     "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t "
     "FROM documents WHERE doc_id <= 100) "
+    # Space-joined common_terms (driver gate cannot sort array cells);
+    # coalesce pins DuckDB's NULL-on-empty-list to Spark's ''.
     "SELECT a.doc_id, "
-    "list_sort(list_intersect(a.t, b.t)) AS common_terms, "
+    "coalesce(array_to_string(list_sort(list_intersect(a.t, b.t)), ' '), '') "
+    "AS common_terms, "
     "CAST(len(list_intersect(a.t, b.t)) AS INT) AS n_common, "
     "CAST(len(list_distinct(list_concat(a.t, b.t))) AS INT) AS n_union, "
     "CAST(len(list_filter(a.t, x -> NOT list_contains(b.t, x))) AS INT) "
@@ -4400,7 +4458,7 @@ def f20(spark, sf_dir):
     uni = F.array_union("ta", "tb")
     return j.select(
         "doc_id",
-        F.array_sort(inter).alias("common_terms"),
+        F.concat_ws(" ", F.array_sort(inter)).alias("common_terms"),
         F.size(inter).alias("n_common"),
         F.size(uni).alias("n_union"),
         F.size(F.array_except("ta", "tb")).alias("n_only_left"),

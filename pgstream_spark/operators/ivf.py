@@ -206,10 +206,16 @@ def write_ivf_index(
     vectors the index is the corpus; reading 4/64ths of it per query
     batch IS the ANN speedup, persisted.
     """
+    # Normalized on-disk layout: (neighbor_id, embedding, bucket=K/)
+    # regardless of the caller's corpus_id/vec_col names, so readers
+    # (ivf_query_index, append_ivf_index) never need the writer's names.
     bucketed = assign_buckets(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col)),
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
         centroids,
-        vec_col=vec_col,
+        vec_col="embedding",
     )
     (
         bucketed.repartition("bucket")
@@ -265,13 +271,17 @@ def ivf_query_index(
     vectors = spark.read.parquet(path + "/vectors").filter(
         F.col("bucket").isin(sorted(probe_set))
     )
+    # Query-id type follows the caller's schema (string ids, ints, ...):
+    # hard-coding `long` here broke non-long ids despite the query_id
+    # parameter accepting any column.
+    id_type = queries.schema[query_id].dataType.simpleString()
     qdf = spark.createDataFrame(
         [
             (qid, vec, b)
             for qid, vec in qv
             for b in probes_per_q[qid]
         ],
-        f"query_id long, __qv array<float>, bucket int",
+        f"query_id {id_type}, __qv array<float>, bucket int",
     )
     cand = (
         F.broadcast(qdf)

@@ -84,8 +84,12 @@ def weighted_sample_ares(
     This is how a curation pipeline takes "sample 1M docs ∝ quality"
     reproducibly: map-only scoring + the W-family top-k pattern
     (rank-limit pushdown truncates to k per partition before the
-    shuffle).  The priority is rounded (6) before ranking so the one
-    libm ``pow`` can't flip cross-engine order; ties break on the id.
+    shuffle).  Ranking uses the log-domain key ``ln(u)/w`` — the same
+    order as A-Res's ``u^(1/w)`` (ln is monotone) but without its
+    saturation toward 1.0 at large weights, where rounding collapsed
+    exactly the heaviest contenders into id-ordered ties and biased the
+    sample toward low ids.  The key is rounded (9) so the one libm
+    ``log`` can't flip cross-engine order; ties break on the id.
     """
     groups = list(group_cols or [])
     # 12 md5 hex digits → uniform in [0,1) with 2^-48 resolution;
@@ -93,7 +97,7 @@ def weighted_sample_ares(
     u = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
     ).cast("double") / float(16**12)
-    pri = F.round(F.pow(u, 1.0 / F.col(weight_col)), 6)
+    pri = F.round(F.log(u) / F.col(weight_col), 9)
     from pyspark.sql import Window
 
     w = Window.partitionBy(*groups).orderBy(

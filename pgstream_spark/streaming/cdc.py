@@ -34,6 +34,34 @@ from pyspark.sql.window import Window
 __all__ = ["apply_changes", "materialized_replica_sink", "read_replica"]
 
 
+def _recover_replica(replica_dir: str) -> None:
+    """Repair an interrupted swap so a restart never loses the replica.
+
+    The swap sequence is: write ``__tmp__`` fully → rename ``current`` →
+    ``__bak__`` → rename ``__tmp__`` → ``current`` → rmtree ``__bak__``.
+    A crash can strand three states, each with an unambiguous repair:
+
+    * ``current`` missing, ``__tmp__`` present — died between the two
+      renames; ``__tmp__`` is the *complete* new state (it is only ever
+      renamed after its write finished), so promote it.
+    * ``current`` missing, only ``__bak__`` present — defensive: restore
+      the backup rather than silently reinitializing to empty.
+    * ``current`` AND ``__bak__`` present — died before the final rmtree
+      (or ``__tmp__`` write itself died, which overwrite-mode clobbers);
+      drop the stale backup.
+    """
+    cur = os.path.join(replica_dir, "current")
+    tmp = os.path.join(replica_dir, "__tmp__")
+    bak = os.path.join(replica_dir, "__bak__")
+    if not os.path.exists(cur):
+        if os.path.exists(tmp):
+            os.rename(tmp, cur)
+        elif os.path.exists(bak):
+            os.rename(bak, cur)
+    if os.path.exists(cur) and os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,
@@ -121,6 +149,7 @@ def materialized_replica_sink(
         payload = [
             c for c in batch_df.columns if c not in (*keys, seq_col, op_col)
         ]
+        _recover_replica(replica_dir)
         cur = os.path.join(replica_dir, "current")
         if os.path.exists(cur):
             state = spark.read.parquet(cur)
@@ -182,5 +211,6 @@ def materialized_replica_sink(
 def read_replica(spark: SparkSession, replica_dir: str) -> DataFrame:
     """Current state of a ``materialized_replica_sink`` table: tombstones
     filtered, bookkeeping columns dropped."""
+    _recover_replica(replica_dir)
     cur = spark.read.parquet(os.path.join(replica_dir, "current"))
     return cur.filter(~F.col("__deleted")).drop("__seq", "__deleted")

@@ -72,13 +72,25 @@ def rowset(columns, rows):
 def compare(name, sdf, con, sql):
     srows = sdf.collect()
     scols = sdf.columns
+    problems = []
+    # Driver-shape guard (round-2 lesson, l5/f12): the driver's pandas
+    # canonicalizer sorts the result frame and cannot hash/sort container
+    # cells — any array/map/struct output column errors its gate row even
+    # when values match.  Local-green must imply driver-green for shape.
+    for cname, dtype in sdf.dtypes:
+        if dtype.startswith(("array", "map", "struct")):
+            problems.append(
+                f"driver-unsortable column '{cname}' ({dtype}): serialize "
+                "to string (concat_ws/to_json) for the gate"
+            )
+    if problems:
+        return problems
     ores = con.execute(sql)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
 
     sn, sd = rowset(scols, srows)
     on, od = rowset(ocols, orows)
-    problems = []
     if sn != on:
         problems.append(f"columns differ: spark={sn} oracle={on}")
     if len(sd) != len(od):

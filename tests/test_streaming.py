@@ -621,6 +621,46 @@ class TestMaterializedReplicaSink:
         sink(df1, 2)   # fully stale replay: every seq is older
         assert snap() == applied
 
+    def test_interrupted_swap_recovers(self, spark, tmp_path):
+        """Crash windows in the tmp/bak/current rename dance must never
+        lose the replica: each stranded state is repaired on the next
+        batch (and on read), not silently reinitialized to empty."""
+        import os
+        import shutil
+
+        from pgstream_spark.streaming.cdc import (
+            materialized_replica_sink,
+            read_replica,
+        )
+
+        b1, b2 = self._changes()
+        replica = str(tmp_path / "replica3")
+        sink = materialized_replica_sink(spark, replica, ["k"], "seq")
+        sink(spark.createDataFrame(b1, self._SCHEMA), 0)
+        snap = lambda: sorted(
+            (r.k, r.val) for r in read_replica(spark, replica).collect()
+        )
+        after_b1 = snap()
+        cur = os.path.join(replica, "current")
+
+        # Window 1: died between rename(cur, bak) and rename(tmp, cur) —
+        # tmp is complete, current is missing.  Simulate by moving the
+        # committed state into both stranded names.
+        shutil.copytree(cur, os.path.join(replica, "__tmp__"))
+        os.rename(cur, os.path.join(replica, "__bak__"))
+        assert snap() == after_b1  # read-side recovery promotes tmp
+        assert not os.path.exists(os.path.join(replica, "__bak__"))
+
+        # Window 2: died between rename(tmp, cur) and rmtree(bak).
+        shutil.copytree(cur, os.path.join(replica, "__bak__"))
+        sink(spark.createDataFrame(b2, self._SCHEMA), 1)  # batch-side recovery
+        assert not os.path.exists(os.path.join(replica, "__bak__"))
+        assert snap() == [(1, "a2"), (3, "c1"), (4, "d1")]
+
+        # Window 3: only bak survives (defensive) — restored, not empty.
+        os.rename(cur, os.path.join(replica, "__bak__"))
+        assert snap() == [(1, "a2"), (3, "c1"), (4, "d1")]
+
 
 class TestStreamStaticJoin:
     """Stream enriched by a static dimension table — the broadcast
