@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import uuid
 from dataclasses import dataclass
 from decimal import Decimal
 from typing import Any, Callable, Iterator, Sequence
@@ -200,6 +201,45 @@ class PgWireClient:
                     raise QueryError(error, sql)
                 return fields, rows
             # 'C' CommandComplete / 'N' NoticeResponse: informational
+
+    def stream_query(
+        self, sql: str, batch_size: int = 1000
+    ) -> Iterator[tuple[list[tuple[str, int]], list[tuple[Any, ...]]]]:
+        """Cursor-batched streaming read — the reference library's core
+        delivery shape (`/root/reference/src/Database/PostgreSQL/Stream.hs:244-284`):
+        open a transaction, ``DECLARE <uuid-name> NO SCROLL CURSOR FOR
+        <sql>``, loop ``FETCH FORWARD <batch_size>`` yielding each batch
+        until an empty fetch, then COMMIT; any error (or an abandoned
+        generator) ROLLBACKs before propagating.
+
+        Yields ``(fields, rows)`` per batch; peak client memory is one
+        batch, and the server never materializes the full result for a
+        real Postgres (the portal streams from the executor).
+        """
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        name = "cursor" + uuid.uuid4().hex
+        self.simple_query("BEGIN")
+        try:
+            self.simple_query(f'DECLARE "{name}" NO SCROLL CURSOR FOR {sql}')
+            while True:
+                fields, rows = self.simple_query(
+                    f'FETCH FORWARD {int(batch_size)} FROM "{name}"'
+                )
+                if not rows:
+                    break
+                yield fields, rows
+        except BaseException:
+            # mirrors the reference's tryC/rollback: the transaction (and
+            # with it the cursor) must not outlive a failed stream
+            try:
+                self.simple_query("ROLLBACK")
+            except Exception:
+                pass  # connection may be unusable; surface the original
+            raise
+        else:
+            self.simple_query(f'CLOSE "{name}"')
+            self.simple_query("COMMIT")
 
     def close(self) -> None:
         try:

@@ -56,7 +56,8 @@ class _Handler(socketserver.BaseRequestHandler):
         self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
 
     def _ready(self) -> None:
-        self._msg(b"Z", b"I")
+        status = {"idle": b"I", "in": b"T", "failed": b"E"}[self._txn]
+        self._msg(b"Z", status)
 
     def _error(self, text: str) -> None:
         body = b"SERROR\x00C42601\x00M" + text.encode() + b"\x00\x00"
@@ -73,6 +74,8 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def handle(self) -> None:
         self._rbuf = b""
+        self._txn = "idle"  # idle | in | failed — drives the Z status byte
+        self._cursors: dict[str, dict[str, Any]] = {}
         try:
             self._handshake()
             self._query_loop()
@@ -102,6 +105,123 @@ class _Handler(socketserver.BaseRequestHandler):
         self._msg(b"S", b"server_version\x0016.0 (duckdb stub)\x00")
         self._ready()
 
+    # -- transaction + server-cursor emulation ---------------------------
+    # DuckDB has no server-side cursors, so DECLARE/FETCH/CLOSE are
+    # emulated here (eager materialization per cursor) with Postgres's
+    # observable semantics: DECLARE outside a transaction errors, an
+    # error inside a transaction moves it to the aborted state where
+    # every statement except ROLLBACK is refused, and the ReadyForQuery
+    # status byte tracks idle/in/failed.  A `/*fail_after:N*/` marker in
+    # the cursor query makes the (N+1)th FETCH fail — the test hook for
+    # mid-stream server errors.
+
+    def _send_rowset(self, cols, rows, complete: bytes) -> None:
+        desc = struct.pack("!h", len(cols))
+        for i, (name, duck_type) in enumerate(cols):
+            desc += name.encode() + b"\x00"
+            desc += struct.pack("!ihihih", 0, i + 1, _oid_for(duck_type), -1, -1, 0)
+        self._msg(b"T", desc)
+        for row in rows:
+            body = struct.pack("!h", len(row))
+            for v in row:
+                r = _render(v)
+                if r is None:
+                    body += struct.pack("!i", -1)
+                else:
+                    body += struct.pack("!i", len(r)) + r
+            self._msg(b"D", body)
+        self._msg(b"C", complete + b"\x00")
+
+    def _txn_or_cursor_statement(self, sql: str) -> bool:
+        """Handle BEGIN/COMMIT/ROLLBACK/DECLARE/FETCH/CLOSE; True if the
+        statement was consumed (response already sent)."""
+        import re
+
+        stmt = sql.strip().rstrip(";").strip()
+        u = stmt.upper()
+        if self._txn == "failed" and u not in ("ROLLBACK", "ABORT"):
+            self._error(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block"
+            )
+            self._ready()
+            return True
+        if u in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
+            self._txn = "in"
+            self._msg(b"C", b"BEGIN\x00")
+            self._ready()
+            return True
+        if u in ("COMMIT", "END", "ROLLBACK", "ABORT"):
+            word = b"ROLLBACK" if u in ("ROLLBACK", "ABORT") else b"COMMIT"
+            self._txn = "idle"
+            self._cursors.clear()
+            self._msg(b"C", word + b"\x00")
+            self._ready()
+            return True
+        m = re.match(
+            r'DECLARE\s+"?([A-Za-z0-9_]+)"?\s+(?:NO\s+SCROLL\s+)?CURSOR\s+FOR\s+(.*)',
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            if self._txn != "in":
+                self._error("DECLARE CURSOR can only be used in transaction blocks")
+                self._ready()
+                return True
+            name, inner = m.group(1), m.group(2)
+            fail = re.search(r"/\*fail_after:(\d+)\*/", inner)
+            try:
+                rel = self.server.db.cursor().sql(inner)
+                cols = list(zip(rel.columns, [str(t) for t in rel.types]))
+                rows = rel.fetchall()
+            except Exception as exc:
+                self._txn = "failed"
+                self._error(str(exc).splitlines()[0])
+                self._ready()
+                return True
+            self._cursors[name] = {
+                "cols": cols,
+                "rows": rows,
+                "pos": 0,
+                "fail_after": int(fail.group(1)) if fail else None,
+                "fetches": 0,
+            }
+            self._msg(b"C", b"DECLARE CURSOR\x00")
+            self._ready()
+            return True
+        m = re.match(r'FETCH\s+(?:FORWARD\s+)?(\d+)\s+FROM\s+"?([A-Za-z0-9_]+)"?', stmt, re.I)
+        if m:
+            n, name = int(m.group(1)), m.group(2)
+            cur = self._cursors.get(name)
+            if cur is None:
+                if self._txn == "in":
+                    self._txn = "failed"
+                self._error(f'cursor "{name}" does not exist')
+                self._ready()
+                return True
+            cur["fetches"] += 1
+            if cur["fail_after"] is not None and cur["fetches"] > cur["fail_after"]:
+                self._txn = "failed"
+                self._error("simulated mid-stream failure (fail_after hook)")
+                self._ready()
+                return True
+            batch = cur["rows"][cur["pos"] : cur["pos"] + n]
+            cur["pos"] += n
+            self._send_rowset(cur["cols"], batch, f"FETCH {len(batch)}".encode())
+            self._ready()
+            return True
+        m = re.match(r'CLOSE\s+"?([A-Za-z0-9_]+)"?', stmt, re.I)
+        if m:
+            if self._cursors.pop(m.group(1), None) is None:
+                if self._txn == "in":
+                    self._txn = "failed"
+                self._error(f'cursor "{m.group(1)}" does not exist')
+            else:
+                self._msg(b"C", b"CLOSE CURSOR\x00")
+            self._ready()
+            return True
+        return False
+
     def _query_loop(self) -> None:
         while True:
             tag = self._recv_exact(1)
@@ -114,6 +234,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._ready()
                 continue
             sql = payload.rstrip(b"\x00").decode()
+            if self._txn_or_cursor_statement(sql):
+                continue
             try:
                 # per-connection cursor on the shared db (thread-safe);
                 # the relation API exposes REAL DuckDB types (the PEP-249
@@ -126,6 +248,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 cols = list(zip(rel.columns, [str(t) for t in rel.types]))
                 rows = rel.fetchall()
             except Exception as exc:  # surface as ErrorResponse
+                if self._txn == "in":
+                    self._txn = "failed"
                 self._error(str(exc).splitlines()[0])
                 self._ready()
                 continue

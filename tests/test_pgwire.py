@@ -151,3 +151,91 @@ class TestSparkWrites:
             st = _settings(srv)
             with pytest.raises(Exception):  # QueryError crosses the Py4J boundary wrapped
                 write_partitioned(df, st, "sink_t")
+
+
+class TestCursorStreaming:
+    """The reference's core delivery shape (`Stream.hs:244-284`): DECLARE
+    NO SCROLL CURSOR + FETCH FORWARD loop inside one transaction —
+    batch==stream equality, commit on success, rollback on error."""
+
+    def test_stream_matches_one_shot_query(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                _, want = c.simple_query("SELECT * FROM t ORDER BY k")
+                batches = list(
+                    c.stream_query("SELECT * FROM t ORDER BY k", batch_size=128)
+                )
+                # every batch full except the last; fields stable
+                sizes = [len(rows) for _, rows in batches]
+                assert sizes == [128] * 7 + [1000 - 128 * 7]
+                fieldsets = {tuple(f) for f, _ in batches}
+                assert len(fieldsets) == 1
+                got = [r for _, rows in batches for r in rows]
+                assert got == want
+                # transaction committed: connection idle and reusable
+                _, n = c.simple_query("SELECT count(*) FROM t")
+                assert n[0][0] == 1000
+
+    def test_stream_empty_result(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                assert list(c.stream_query("SELECT * FROM t WHERE k < 0")) == []
+                _, n = c.simple_query("SELECT 1")
+                assert n == [(1,)]
+
+    def test_mid_stream_error_rolls_back(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                # the stub's fail_after hook errors the 3rd FETCH — a
+                # mid-stream server failure, after data has flowed
+                got = []
+                with pytest.raises(QueryError):
+                    for _, rows in c.stream_query(
+                        "SELECT * FROM t ORDER BY k /*fail_after:2*/",
+                        batch_size=100,
+                    ):
+                        got.extend(rows)
+                assert len(got) == 200  # two successful batches delivered
+                # client rolled back: a failed transaction left open would
+                # refuse this statement ("current transaction is aborted")
+                _, n = c.simple_query("SELECT count(*) FROM t")
+                assert n[0][0] == 1000
+
+    def test_bad_cursor_sql_rolls_back(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                with pytest.raises(QueryError):
+                    list(c.stream_query("SELECT * FROM nonexistent_table"))
+                _, n = c.simple_query("SELECT 42")
+                assert n == [(42,)]
+
+    def test_abandoned_stream_rolls_back(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                gen = c.stream_query("SELECT * FROM t ORDER BY k", batch_size=10)
+                next(gen)
+                gen.close()  # GeneratorExit inside the loop → ROLLBACK
+                _, n = c.simple_query("SELECT count(*) FROM t")
+                assert n[0][0] == 1000
+
+    def test_declare_outside_transaction_is_refused_by_server(self, stub_db):
+        # pin the stub's Postgres-faithful guard the client relies on
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with PgWireClient(_settings(srv)) as c:
+                with pytest.raises(QueryError, match="transaction block"):
+                    c.simple_query('DECLARE "x" NO SCROLL CURSOR FOR SELECT 1')

@@ -363,3 +363,29 @@ def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
     # rank-limit pushdown: per-partition top-k heaps truncate BEFORE the
     # exchange, so the shuffle carries <= k rows per group per map task
     assert "WindowGroupLimit" in plan
+
+
+def test_hybrid_rrf_ann_vector_side_has_no_cross_join(spark, sf_dir):
+    # VERDICT r2: l27's vector ranking was brute-force all-pairs cosine —
+    # a scale-killer at corpus size.  l27b must source vector candidates
+    # from the LSH (table, bucket) equi-join: no cartesian / nested-loop
+    # anywhere in the fused plan except the one-row full-outer RRF join.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l27b_hybrid_rrf_ann"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+
+
+def test_salted_asof_plan_has_no_join_node(spark, sf_dir):
+    # j8b: salting must keep the union + window carry-forward shape (no
+    # Join operator — the salt only widens the window partitioning key).
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["j8b_asof_salted"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "SortMergeJoin" not in txt
+    assert "ShuffledHashJoin" not in txt
+    assert "CartesianProduct" not in txt
