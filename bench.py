@@ -82,17 +82,37 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     only = set(sys.argv[1:])
+
+    def run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {dt}s", file=sys.stderr)
+        spark.catalog.clearCache()  # drop per-query caches (e.g. LSH signatures)
+        spark.sparkContext._jvm.System.gc()  # isolate queries from prior-query garbage
+        return dt
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if only and name not in only:
             continue
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
-        spark.catalog.clearCache()  # drop per-query caches (e.g. LSH signatures)
-        spark.sparkContext._jvm.System.gc()  # isolate queries from prior-query garbage
+        timings[name] = run_one(name)
+
+    # Full-inventory sweep (VERDICT r2 item 6): one timing row per
+    # registered query so a regression in the long tail is visible, not
+    # just in the 21 headline entries.  Headline timings are reused (the
+    # headline pass ran first, under the same protocol); the headline
+    # total stays the BASELINE.md-comparable metric.
+    sweep: dict[str, float] = dict(timings)
+    if not only:
+        for name in QUERIES:
+            if name not in sweep:
+                try:
+                    sweep[name] = run_one(name)
+                except Exception as e:  # noqa: BLE001 — a broken query must
+                    # show up as a -1 row, not kill the whole bench record
+                    print(f"  {name}: FAILED {type(e).__name__}", file=sys.stderr)
+                    sweep[name] = -1.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,6 +122,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sweep": sweep,
+                "sweep_total": round(sum(v for v in sweep.values() if v > 0), 3),
                 "sf": SF_DIR,
             }
         )

@@ -37,6 +37,9 @@ __all__ = [
     "write_ivf_index",
     "load_ivf_centroids",
     "ivf_query_index",
+    "append_ivf_index",
+    "ivf_bucket_stats",
+    "ivf_rebuild_needed",
 ]
 
 
@@ -298,3 +301,94 @@ def ivf_query_index(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingestion into a persisted index: assign the new batch
+    to the EXISTING centroids and append into the bucket partitions.
+
+    This is the 100 TB ingestion path — a partitioned ``append`` write
+    touches only the ``bucket=K/`` directories the batch lands in; no
+    retrain, no rewrite of standing data, and readers see the same
+    normalized ``(neighbor_id, embedding, bucket)`` layout, so
+    ``ivf_query_index`` needs no code path for "old vs appended" rows.
+    The trade-off is centroid drift: appends assign against centroids
+    trained on yesterday's distribution, so bucket sizes skew over time —
+    monitor with ``ivf_rebuild_needed`` and retrain+rewrite when it
+    trips (rebuild cost amortizes across the append window).
+    """
+    spark = new_vectors.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    bucketed = assign_buckets(
+        new_vectors.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        centroids,
+        vec_col="embedding",
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path + "/vectors")
+    )
+
+
+def ivf_bucket_stats(spark: SparkSession, path: str) -> dict:
+    """Bucket-occupancy profile of a persisted index.
+
+    One count-only aggregation (n_lists result rows); the scan reads no
+    vector bytes — column pruning keeps it at parquet-footer speed.
+    Returns ``{n_lists, n_vectors, mean, max, n_empty, imbalance}`` where
+    ``imbalance = max_bucket / mean_bucket``.
+    """
+    n_lists = len(load_ivf_centroids(spark, path))
+    rows = (
+        spark.read.parquet(path + "/vectors")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = [r["n"] for r in rows]
+    total = sum(sizes)
+    mean = total / n_lists if n_lists else 0.0
+    mx = max(sizes, default=0)
+    return {
+        "n_lists": n_lists,
+        "n_vectors": total,
+        "mean": mean,
+        "max": mx,
+        "n_empty": n_lists - len(sizes),
+        "imbalance": (mx / mean) if mean else 0.0,
+    }
+
+
+def ivf_rebuild_needed(
+    spark: SparkSession,
+    path: str,
+    max_imbalance: float = 4.0,
+    max_empty_frac: float = 0.5,
+) -> tuple[bool, dict]:
+    """Rebuild-trigger heuristic for an append-drifted index.
+
+    Probe cost is proportional to the probed buckets' sizes; a bucket
+    ``max_imbalance``× the mean means worst-case probes scan that factor
+    more than the ``n_probes/n_lists`` design point, and mostly-empty
+    centroid lists (``n_empty``) waste probe slots on no candidates —
+    both are symptoms of the data distribution walking away from the
+    trained centroids.  Returns ``(needs_rebuild, stats)`` so callers
+    can log the evidence; the rebuild itself is ``train_centroids`` on a
+    fresh sample + ``write_ivf_index`` (overwrite), scheduled off-peak.
+    """
+    stats = ivf_bucket_stats(spark, path)
+    needs = stats["imbalance"] > max_imbalance or (
+        stats["n_lists"] > 0
+        and stats["n_empty"] / stats["n_lists"] > max_empty_frac
+    )
+    return needs, stats

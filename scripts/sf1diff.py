@@ -1,0 +1,113 @@
+"""sf1 DIFFERENTIAL sweep (VERDICT r2 item 7): prove the cross-engine
+canonicalization discipline — exact integer-scaled sums, bounded window
+moments, md5-derived signatures — holds at 10× the driver-gate scale,
+not just that timings slope linearly (scaleprobe.py covers timing).
+
+Builds a full sf1 table set under /tmp (testdata is read-only):
+documents/events/embeddings via ``scaleprobe.generate`` (near-dup
+replica families, ns-timestamps preserved), lineitem replicated 10×
+with offset order keys, the remaining dimension tables copied through.
+Then runs the diffcheck compare (Spark vs DuckDB, typed canonical
+rowsets) for the exact-arithmetic-heavy queries and prints one JSON
+line {query: "ok" | [problems]}.
+
+Usage: python scripts/sf1diff.py [query ...]
+Default queries: g1 (dsum 2^53 discipline), w9 (five-sum windows),
+g37 (regression slopes), t19 (two-level OHLC rollup), l4b (md5
+fingerprints), l2d (MinHash+LSH signature pipeline — slowest, last).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/pgstream_scale/sf1"
+REPLICAS = 10
+DEFAULT = [
+    "g1_tpch_q1",
+    "w9_rolling_corr",
+    "g37_regression_slope",
+    "t19_ohlc_daily_rollup",
+    "l4b_fingerprint",
+    "l2d_minhash_lsh_md5",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def generate_full(spark) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scripts.scaleprobe import generate
+
+    generate(spark)  # documents / events / embeddings (10×)
+
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        li = pq.read_table(f"{SRC}/lineitem.parquet")
+        max_ok = pc.max(li.column("l_orderkey")).as_py() + 1
+        parts = []
+        for k in range(REPLICAS):
+            parts.append(
+                li.set_column(
+                    li.schema.get_field_index("l_orderkey"),
+                    "l_orderkey",
+                    pc.add(li.column("l_orderkey"), k * max_ok),
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), f"{DST}/lineitem.parquet")
+
+    for t in TABLES:
+        dst = f"{DST}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SRC}/{t}.parquet", dst)
+
+
+def main() -> None:
+    only = sys.argv[1:] or DEFAULT
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("sf1diff")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_full(spark)
+
+    from pgstream_spark.inventory import ORACLE, QUERIES
+    from scripts.diffcheck import compare, connect_duckdb
+
+    con = connect_duckdb(DST)
+    out: dict[str, object] = {}
+    fails = 0
+    for name in only:
+        try:
+            problems = compare(name, QUERIES[name](spark, DST), con, ORACLE[name])
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            problems = [f"ERROR {type(e).__name__}: {str(e)[:200]}"]
+        out[name] = "ok" if not problems else problems
+        fails += bool(problems)
+        print(f"  {'✓' if not problems else '✗'} {name}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1619,6 +1619,81 @@ class TestIvfIndexPersistence:
         m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
         assert any("bucket" in ln for ln in m)
 
+    def test_incremental_append_matches_full_rewrite(self, spark, sf_dir, tmp_path):
+        """append_ivf_index: assigning a new batch to the EXISTING
+        centroids and appending into bucket partitions must be
+        bit-identical to writing the whole corpus at once with those
+        centroids — the no-retrain ingestion contract."""
+        from pgstream_spark.operators.ivf import (
+            append_ivf_index,
+            ivf_query_index,
+            train_centroids,
+            write_ivf_index,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 2 == 0)
+        new = emb.filter(F.col("vec_id") % 2 == 1)
+        cents = train_centroids(old, n_lists=8, sample_size=256, iters=5)
+
+        inc = str(tmp_path / "ivf_inc")
+        write_ivf_index(old, cents, inc)
+        append_ivf_index(new, inc)
+
+        full = str(tmp_path / "ivf_full")
+        write_ivf_index(emb, cents, full)
+
+        q = emb.filter(F.col("vec_id") < 5)
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_index(spark, inc, q, k=5, n_probes=4).collect()
+        }
+        want = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_index(spark, full, q, k=5, n_probes=4).collect()
+        }
+        assert got == want and len(got) == 25
+
+    def test_rebuild_trigger_fires_on_drifted_appends(self, spark, sf_dir, tmp_path):
+        """ivf_rebuild_needed: healthy index → False; after appending a
+        heavily skewed batch (every vector a near-copy of one corpus
+        vector, so one bucket absorbs the whole batch) → True."""
+        import pandas as pd
+
+        from pgstream_spark.operators.ivf import (
+            append_ivf_index,
+            ivf_rebuild_needed,
+            train_centroids,
+            write_ivf_index,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        path = str(tmp_path / "ivf_drift")
+        write_ivf_index(emb, cents, path)
+
+        needs, stats = ivf_rebuild_needed(spark, path, max_imbalance=4.0)
+        assert not needs, f"fresh index flagged for rebuild: {stats}"
+        assert stats["n_vectors"] == emb.count() and stats["n_lists"] == 8
+
+        base = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        n0 = stats["n_vectors"]
+        skew = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [n0 + i for i in range(4 * n0)],
+                    "embedding": [list(base)] * (4 * n0),
+                }
+            )
+        )
+        append_ivf_index(skew, path)
+        needs2, stats2 = ivf_rebuild_needed(spark, path, max_imbalance=4.0)
+        assert needs2, f"drifted index not flagged: {stats2}"
+        assert stats2["imbalance"] > 4.0
+
+
 
 class TestOhlcRollup:
     """operators/ohlc.ohlc_rollup — bar tiers compose associatively."""
