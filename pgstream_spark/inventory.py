@@ -4784,6 +4784,90 @@ def f21(spark, sf_dir):
 # the oracle, library error-surface probe
 # =====================================================================
 
+@q(
+    "l33_lexical_diversity",
+    # Vocabulary-shape quality features (textstats.lexical_diversity):
+    # distinct terms, hapax fraction, top-term concentration — the
+    # Gopher-rule complement to l4f's TTR/bigram dominance.  All three
+    # are exact integer ratios; round(6) for the two doubles.
+    "WITH " + _TOKS + ", "
+    "tok AS (SELECT doc_id, unnest(t) AS term, len(t) AS n FROM toks "
+    "WHERE len(t) >= 1), "
+    "tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c, "
+    "any_value(n) AS n FROM tok GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
+    "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*), 6) AS hapax_frac, "
+    "round(CAST(max(c) AS DOUBLE) / any_value(n), 6) AS top_term_frac "
+    "FROM tc GROUP BY doc_id",
+)
+def l33(spark, sf_dir):
+    from pgstream_spark.operators.textstats import lexical_diversity
+
+    out = lexical_diversity(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_terms",
+        F.round("hapax_frac", 6).alias("hapax_frac"),
+        F.round("top_term_frac", 6).alias("top_term_frac"),
+    )
+
+
+@q(
+    "l34_epoch_shuffle",
+    # Deterministic sharded training-epoch shuffle (mixture.epoch_shuffle):
+    # per-(epoch, row) md5 key → shard + within-shard rank.  Reading
+    # shards in order IS the epoch's global order, but every window is
+    # shard-sized — no single-partition sort anywhere.  Two epochs over
+    # the first 2000 docs; bit-exact across engines by construction.
+    "WITH e AS (SELECT doc_id, ep.epoch FROM documents "
+    "CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep WHERE doc_id < 2000), "
+    "k AS (SELECT doc_id, epoch, "
+    "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key, "
+    "CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' || "
+    "CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard FROM e) "
+    "SELECT doc_id, epoch, CAST(shard AS INT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY epoch, shard "
+    "ORDER BY key, doc_id) AS INT) AS shard_pos FROM k",
+)
+def l34(spark, sf_dir):
+    from pgstream_spark.operators.mixture import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select("doc_id")
+    return epoch_shuffle(d, epochs=2, shards=8).select(
+        "doc_id", "epoch", "shard", "shard_pos"
+    )
+
+
+def _pq_oracle() -> str:
+    from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
+
+    return pq_encode_oracle_sql(default_codebooks(dim=64, m_subspaces=8, n_codes=16))
+
+
+@q(
+    "l35_pq_codes",
+    # Product quantization (operators/pq.py): 64-dim float vectors → 8
+    # 4-bit codes (64× compression for the corpus-scale ANN index).
+    # Codebooks are the seeded data-independent default (the LSH-
+    # hyperplane trick), so the oracle embeds identical literals; the
+    # argmin fold order and (distance, index) tie-break match exactly —
+    # every code is hash-gated bit-for-bit.  CSV codes (gate shape).
+    _pq_oracle(),
+)
+def l35(spark, sf_dir):
+    from pgstream_spark.operators.pq import default_codebooks, pq_encode
+
+    books = default_codebooks(dim=64, m_subspaces=8, n_codes=16)
+    enc = pq_encode(_t(spark, sf_dir, "embeddings"), books)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias(
+            "codes"
+        ),
+    )
+
+
 def _l27b_ann_oracle() -> str:
     from pgstream_spark.operators.similarity import lsh_topk_oracle_sql
 

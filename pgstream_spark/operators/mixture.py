@@ -32,6 +32,7 @@ __all__ = [
     "plan_mixture_weights",
     "hash_bucket_bp",
     "weighted_sample_ares",
+    "epoch_shuffle",
 ]
 
 
@@ -138,3 +139,48 @@ def plan_mixture_weights(
         keep = 0 if n_s == 0 else min(1.0, share * n_total / n_s)
         out[s] = int(round(keep * 10_000))
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 1,
+    shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle, sharded for scale.
+
+    Training pipelines need a different document order every epoch that
+    is nonetheless bit-reproducible on any cluster.  A global
+    ``ORDER BY random()`` is neither (and a global row_number is a
+    single-partition scale-killer); instead each (epoch, row) gets a
+    content-derived key ``md5(epoch:id)``, the key's top bits pick one
+    of ``shards`` shards, and the row's position *within its shard* is
+    ranked by the key.  Consumers read shards in order (shard 0's rows,
+    then shard 1's, ...), so (shard, shard_pos) IS the global epoch
+    order — but every window is shard-sized, the shuffle is keyed by
+    (epoch, shard), and rank-limit pushdown applies per shard.  The
+    md5 draw makes orders of different epochs independent.
+
+    Returns the input columns plus (epoch, shard, shard_pos).
+    """
+    if epochs < 1 or shards < 1:
+        raise ValueError(f"epochs and shards must be >= 1, got {epochs}, {shards}")
+    from pyspark.sql import Window
+
+    e = df.withColumn(
+        "epoch", F.explode(F.array(*[F.lit(i) for i in range(epochs)]))
+    )
+    key = F.md5(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    # first 12 hex digits: uniform 48-bit int — shard via mod, order via key
+    kint = F.conv(F.substring(key, 1, 12), 16, 10).cast("bigint")
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        e.withColumn("__key", key)
+        .withColumn("shard", (kint % shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__key")
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "document_fingerprint",
     "repetition_stats",
+    "lexical_diversity",
     "bigram_lm_scores",
     "pii_scrub",
     "STOPWORDS",
@@ -170,6 +171,43 @@ def repetition_stats(
     return per_bg.groupBy(id_col).agg(
         (F.first("__nd").cast("double") / F.first("__n")).alias("ttr"),
         (F.max("__c").cast("double") / (F.first("__n") - 1)).alias("top_bigram_frac"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity features — the vocabulary-shape
+    complement to ``repetition_stats`` (which covers TTR and bigram
+    dominance):
+
+    * ``n_terms``       — distinct terms;
+    * ``hapax_frac``    — share of distinct terms occurring exactly once
+      (low → formulaic/templated text);
+    * ``top_term_frac`` — share of ALL tokens taken by the single most
+      frequent term (high → degenerate repetition of one token).
+
+    Scale shape: explode → one (doc, term) count aggregation → one doc
+    aggregation; both shuffles are doc-keyed with map-side partial
+    aggregation, so cost is linear in corpus tokens and embarrassingly
+    parallel over documents.
+    """
+    base = (
+        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= 1)
+    )
+    per_term = (
+        base.select(id_col, "__n", F.explode("__t").alias("__term"))
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").alias("__c"), F.first("__n").alias("__n"))
+    )
+    return per_term.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        (
+            F.sum((F.col("__c") == 1).cast("long")).cast("double") / F.count("*")
+        ).alias("hapax_frac"),
+        (F.max("__c").cast("double") / F.first("__n")).alias("top_term_frac"),
     )
 
 
