@@ -4839,6 +4839,21 @@ def l34(spark, sf_dir):
     )
 
 
+@q("l36_ivf_adc")  # composed IVF×PQ×re-rank; recall + plan pytest-pinned,
+# approximate by nature (data-trained centroids) → rows-only, NOT gated
+def l36(spark, sf_dir):
+    from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
+    from pgstream_spark.operators.pq import default_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_lists=16, sample_size=1024, iters=8)
+    books = default_codebooks(dim=64, m_subspaces=16, n_codes=16)
+    return ivf_adc_top_k(
+        emb.filter(F.col("vec_id") < 10), emb, cents, books,
+        k=5, n_probes=4, shortlist=64,
+    )
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 

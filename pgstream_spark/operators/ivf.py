@@ -40,6 +40,7 @@ __all__ = [
     "append_ivf_index",
     "ivf_bucket_stats",
     "ivf_rebuild_needed",
+    "ivf_adc_top_k",
 ]
 
 
@@ -392,3 +393,118 @@ def ivf_rebuild_needed(
         and stats["n_empty"] / stats["n_lists"] > max_empty_frac
     )
     return needs, stats
+
+
+def ivf_adc_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probes: int = 4,
+    shortlist: int = 32,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC: the full corpus-scale ANN pipeline in one operator —
+    IVF probe pruning × PQ-code scanning × exact re-rank.
+
+    1. **Probe** (driver-side, per query in the dimension-sized batch):
+       the ``n_probes`` nearest centroids, plus the query's ADC lookup
+       table (m × n_codes squared distances — a few KB).
+    2. **Scan codes**: candidates come from the (bucket) equi-join of
+       the broadcast query batch against the PQ-encoded corpus; the ADC
+       distance is ``m`` array reads + a fold per candidate — the scan
+       touches 4-bit codes, never vector bytes, and only in probed
+       buckets (``n_probes/n_lists`` of the corpus).
+    3. **Re-rank**: the ADC top-``shortlist`` per query (rank-limit
+       pushdown truncates pre-shuffle) joins back to real vectors for
+       exact cosine — vector bytes are read for shortlist×|queries|
+       rows only.
+
+    At 10¹¹ vectors this is the difference between scanning 25 TB of
+    floats and scanning ~100 GB of codes in probed buckets + a
+    shortlist-sized exact pass.  Returns (query_id, neighbor_id,
+    cosine, rank).
+    """
+    from pgstream_spark.operators.pq import pq_encode
+
+    m, n_codes, sub = codebooks.shape
+    spark = queries.sparkSession
+
+    enc = pq_encode(
+        assign_buckets(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv"),
+            ),
+            centroids,
+            vec_col="__cv",
+        ),
+        codebooks,
+        vec_col="__cv",
+        id_col="neighbor_id",
+        keep_cols=("bucket",),
+    )
+
+    qrows = [
+        (r[0], np.asarray(r[1], dtype="float64"))
+        for r in queries.select(query_id, query_vec).collect()
+    ]
+    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    batch = []
+    for qid, v in qrows:
+        scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
+        probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
+        lut = [
+            float(((v[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
+            for s in range(m)
+            for c in range(n_codes)
+        ]
+        for b in probes:
+            batch.append((qid, [float(x) for x in v], lut, b))
+    id_type = queries.schema[query_id].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        batch,
+        f"query_id {id_type}, __qv array<double>, __lut array<double>, bucket int",
+    )
+
+    code_idx = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, i: i * n_codes + c + 1,
+    )
+    adc = F.aggregate(
+        F.transform(code_idx, lambda ix: F.element_at("__lut", ix.cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        F.broadcast(qdf)
+        .join(enc, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+    )
+    short = top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("__adc").asc(), F.col("neighbor_id").asc()],
+        shortlist,
+        rank_col="__srank",
+    ).select("query_id", "__qv", "neighbor_id")
+
+    vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    rer = short.join(vecs, "neighbor_id").withColumn(
+        "cosine", cosine_expr(F.col("__qv"), F.col("__cv"))
+    )
+    return top_k_per_group(
+        rer,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cosine", "rank")

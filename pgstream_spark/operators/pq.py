@@ -157,13 +157,16 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "codes",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Map-only PQ encode: ``(id, codes array<int> of length m)``."""
+    """Map-only PQ encode: ``(id, *keep_cols, codes array<int>)``."""
     m, _, sub = codebooks.shape
     codes = F.array(
         *[_sub_argmin(F.col(vec_col), codebooks[s], s * sub) for s in range(m)]
     )
-    return df.select(F.col(id_col), codes.alias(out_col))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias(out_col)
+    )
 
 
 def pq_decode_error(

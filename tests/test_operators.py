@@ -1812,3 +1812,50 @@ class TestProductQuantization:
         got = {(r.query_id, r.neighbor_id) for r in shortlist.collect()}
         recall = len(exact & got) / len(exact)
         assert recall >= 0.6, f"ADC shortlist recall too low: {recall}"
+
+
+class TestIvfAdc:
+    """operators/ivf.ivf_adc_top_k — the composed IVF × PQ × re-rank
+    pipeline: probe pruning, code scanning, exact shortlist re-rank."""
+
+    def test_recall_and_agreement_with_exact_rerank(self, spark, sf_dir):
+        import numpy as np
+
+        from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
+        from pgstream_spark.operators.pq import default_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        books = default_codebooks(dim=64, m_subspaces=16, n_codes=16)
+        q = emb.filter(F.col("vec_id") < 10)
+
+        got = ivf_adc_top_k(
+            q, emb, cents, books, k=3, n_probes=4, shortlist=64
+        ).collect()
+        assert len(got) == 30  # 10 queries × top-3, all ranks filled
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_top_k(q, emb, k=3).collect()
+        }
+        hits = {(r.query_id, r.neighbor_id) for r in got}
+        recall = len(exact & hits) / len(exact)
+        # IVF probes (4/8 buckets) bound recall; ADC shortlist + exact
+        # re-rank must not degrade it further than the probe celling
+        assert recall >= 0.4, f"IVF-ADC recall too low: {recall}"
+
+    def test_plan_has_no_cartesian_and_reads_codes_only_for_scan(self, spark, sf_dir):
+        from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
+        from pgstream_spark.operators.pq import default_codebooks
+        from pgstream_spark.plans.explain import explain_string
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        books = default_codebooks(dim=64, m_subspaces=8, n_codes=16)
+        plan = explain_string(
+            ivf_adc_top_k(emb.filter(F.col("vec_id") == 0), emb, cents, books, k=3)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # everything JVM-side

@@ -109,6 +109,68 @@ class TestClusteredWrite:
         # row parity
         assert spark.read.parquet(path).count() == o.count()
 
+    def test_zorder_skips_on_both_columns(self, spark, sf_dir, tmp_path):
+        """write_zordered: per-file min/max must be materially narrower
+        than the global domain on BOTH z-columns — the multi-column
+        data-skipping property lexicographic clustering cannot give
+        (its trailing column's spans cover the whole domain)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from pgstream_spark.sinks import write_clustered, write_zordered
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+
+        def spans(path, col):
+            out = []
+            for f in glob.glob(path + "/*.parquet"):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                out.append((min(mins), max(maxs)))
+            return out
+
+        zpath = str(tmp_path / "li_zorder")
+        write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+        lpath = str(tmp_path / "li_lex")
+        write_clustered(li, lpath, ["l_partkey", "l_suppkey"], n_files=16)
+
+        def mean_cover(path, col):
+            sp = spans(path, col)
+            glo = min(s[0] for s in sp), max(s[1] for s in sp)
+            width = glo[1] - glo[0] or 1
+            return sum((hi - lo) / width for lo, hi in sp) / len(sp)
+
+        # z-order: BOTH columns' per-file coverage is a fraction of the
+        # domain; lexicographic: the trailing column's files each cover
+        # ~the whole domain (no skipping possible)
+        for col in ("l_partkey", "l_suppkey"):
+            assert mean_cover(zpath, col) < 0.6, (col, "z-order not local")
+        assert mean_cover(lpath, "l_suppkey") > 0.8  # the failure z-order fixes
+        assert mean_cover(zpath, "l_suppkey") < mean_cover(lpath, "l_suppkey")
+        # row parity
+        assert spark.read.parquet(zpath).count() == li.count()
+
+    def test_zorder_rejects_single_column_and_overflow(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from pgstream_spark.sinks import write_zordered
+
+        li = load_table(spark, sf_dir, "lineitem")
+        with _pytest.raises(ValueError):
+            write_zordered(li, "/tmp/x", ["l_partkey"], n_files=4)
+        with _pytest.raises(ValueError):
+            write_zordered(
+                li, "/tmp/x", ["l_partkey", "l_suppkey"], n_files=4, bits=32
+            )
+
     def test_compact_dir_reduces_files_preserves_rows(self, spark, sf_dir, tmp_path):
         import glob
 
