@@ -102,17 +102,27 @@ def main() -> None:
     # registered query so a regression in the long tail is visible, not
     # just in the 21 headline entries.  Headline timings are reused (the
     # headline pass ran first, under the same protocol); the headline
-    # total stays the BASELINE.md-comparable metric.
+    # total stays the BASELINE.md-comparable metric.  A global budget
+    # (SPARK_GRAFT_SWEEP_BUDGET seconds, default 420) guarantees the
+    # process always finishes and emits its JSON even under an external
+    # timeout — queries past the budget record -2 ("not reached") and
+    # rotate to the front next run via the registry order.
+    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "420"))
+    t_sweep0 = time.perf_counter()
     sweep: dict[str, float] = dict(timings)
     if not only:
         for name in QUERIES:
-            if name not in sweep:
-                try:
-                    sweep[name] = run_one(name)
-                except Exception as e:  # noqa: BLE001 — a broken query must
-                    # show up as a -1 row, not kill the whole bench record
-                    print(f"  {name}: FAILED {type(e).__name__}", file=sys.stderr)
-                    sweep[name] = -1.0
+            if name in sweep:
+                continue
+            if time.perf_counter() - t_sweep0 > budget:
+                sweep[name] = -2.0
+                continue
+            try:
+                sweep[name] = run_one(name)
+            except Exception as e:  # noqa: BLE001 — a broken query must
+                # show up as a -1 row, not kill the whole bench record
+                print(f"  {name}: FAILED {type(e).__name__}", file=sys.stderr)
+                sweep[name] = -1.0
 
     total = round(sum(timings.values()), 3)
     print(

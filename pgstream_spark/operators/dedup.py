@@ -432,6 +432,12 @@ def dedup_clusters(
         )
         .distinct()
     )
+    # Materialize edges ONCE: every propagation round joins against them,
+    # and `pairs` is typically an expensive generator (shingle self-join)
+    # that would otherwise re-execute per round — measured as 3× the
+    # whole operator's cost at sf0.1 (bench round 3).
+    edges.persist()
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -456,6 +462,9 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    # labels is persisted AND materialized (the changed-count), so edges
+    # can release its cache without re-triggering the pair generator
+    edges.unpersist()
     return labels.select("node", F.col("label").alias("cluster"))
 
 
@@ -474,24 +483,35 @@ def simhash_signatures(
 
     Returns ``(id, simhash: bigint)``.
     """
-    sh = shingles_col(tokens_col(F.col(text_col)), n)
-    # One per-row aggregate per bit, extracting the bit with an AND mask
-    # (mask arithmetic is lambda-variable-safe); pure map-side column
-    # arithmetic, no shuffle.
-    def _voter(m: int):
-        # closure factory: PySpark requires the lambda arity to be exactly 2
-        return lambda acc, s: acc + F.when(
-            F.xxhash64(s).bitwiseAND(F.lit(m)) != 0, 1
-        ).otherwise(-1)
-
+    # Explode + ONE grouped aggregate with `bits` conditional sums — the
+    # simhash_signatures_md5 shape.  The earlier per-row formulation (64
+    # nested HOF folds) re-hashed every shingle once per BIT and fell out
+    # of whole-stage codegen, costing ~50× at sf0.1 (bench round 3);
+    # here the hash is computed once per shingle and the conditional
+    # sums stay inside codegen with map-side partial aggregation.  The
+    # signature VALUES are identical (same hash, same votes, same
+    # packing); only the execution shape changed.
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
+    )
+    h = F.xxhash64(F.col("__sh"))
+    votes = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
     packed = F.lit(0).cast("long")
-    for bpos in range(bits):
-        mask = -(1 << 63) if bpos == 63 else (1 << bpos)
-        vote = F.aggregate(sh, F.lit(0).cast("long"), _voter(mask))
+    for b in range(bits):
         packed = packed.bitwiseOR(
-            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return docs.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    return votes.select("id", packed.alias("simhash"))
 
 
 def simhash_signatures_md5(
@@ -607,16 +627,26 @@ def embedding_neardup_lsh(
         F.col(vec_col).alias("v"),
         F.explode(flat_buckets).alias("bucket"),
     )
-    left = b.select(F.col("id").alias("id_a"), F.col("v").alias("__va"), "bucket")
-    right = b.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"), "bucket")
+    # Candidate generation and dedup carry IDS ONLY: a pair colliding in
+    # several tables must count once, and running the distinct over
+    # (id, id, vector, vector) rows shuffled the 64-float payloads with
+    # every duplicate (measured 3× the whole operator's budget at sf0.1).
+    # Vectors re-attach afterwards — exactly once per distinct pair —
+    # via two key joins against the (id, vector) projection.
+    left = b.select(F.col("id").alias("id_a"), "bucket")
+    right = b.select(F.col("id").alias("id_b"), "bucket")
     cand = (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .distinct()  # a pair may collide in several tables — count it once
     )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cand.withColumn("__cos", cosine_expr(F.col("__va"), F.col("__vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__cos", cosine_expr(F.col("__va"), F.col("__vb")))
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )

@@ -706,3 +706,67 @@ class TestStreamStaticJoin:
             for r in enrich(spark.read.parquet(src)).collect()
         }
         assert got == want and len(want) == 3
+
+
+class TestStreamingIvfIngest:
+    """The 100 TB vector-ingestion shape end-to-end: a stream of new
+    embeddings folds into a persisted IVF index via foreachBatch →
+    append_ivf_index — micro-batch appends land in bucket partitions,
+    and the final index answers queries identically to a one-shot build
+    with the same centroids."""
+
+    def test_streamed_appends_match_batch_build(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.operators.ivf import (
+            append_ivf_index,
+            ivf_query_index,
+            train_centroids,
+            write_ivf_index,
+        )
+        from pgstream_spark.sources.parquet import load_table
+        from tests.conftest import write_flat_parquet
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        seed_df = emb.filter(F.col("vec_id") < 100)
+        cents = train_centroids(seed_df, n_lists=8, sample_size=256, iters=5)
+
+        streamed = str(tmp_path / "ivf_streamed")
+        write_ivf_index(seed_df, cents, streamed)
+
+        # two micro-batches of "new" vectors arriving as files
+        rows = emb.filter(F.col("vec_id") >= 100).collect()
+        half = len(rows) // 2
+        src = str(tmp_path / "arrivals")
+        schema = "vec_id long, embedding array<float>, label string"
+        cols = lambda rs: [(r.vec_id, r.embedding, r.label) for r in rs]
+        write_flat_parquet(spark, cols(rows[:half]), schema, src + "/b1.parquet")
+        write_flat_parquet(spark, cols(rows[half:]), schema, src + "/b2.parquet")
+
+        def ingest(batch_df, batch_id):
+            append_ivf_index(batch_df, streamed)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        batch = str(tmp_path / "ivf_batch")
+        write_ivf_index(emb, cents, batch)
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_index(spark, streamed, queries, k=5, n_probes=4).collect()
+        }
+        want = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_query_index(spark, batch, queries, k=5, n_probes=4).collect()
+        }
+        assert got == want and len(got) == 25
