@@ -4854,6 +4854,35 @@ def l36(spark, sf_dir):
     )
 
 
+@q(
+    "l37_duplicate_spans",
+    # Exact duplicate-substring stats (dedup.duplicate_span_stats, Lee
+    # et al. 2022 shape): every 8-token window hashed, a window is a dup
+    # span if its hash occurs in >= 2 distinct docs; per-doc dup share
+    # in exact basis points.  Linear explode + hash agg + join-back —
+    # no doc self-join.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "wins AS (SELECT doc_id, "
+    "unnest([md5(array_to_string(t[i:i+7], ' ')) "
+    "FOR i IN generate_series(1, len(t) - 7)]) AS h "
+    "FROM toks WHERE len(t) >= 8), "
+    "dph AS (SELECT h, count(DISTINCT doc_id) AS docs FROM wins GROUP BY h) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+    "CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, "
+    "CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 10000 "
+    "// count(*) AS BIGINT) AS dup_bp "
+    "FROM wins JOIN dph USING (h) GROUP BY doc_id",
+)
+def l37(spark, sf_dir):
+    from pgstream_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), window=8).select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_bp"
+    )
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 

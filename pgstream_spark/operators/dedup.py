@@ -41,6 +41,7 @@ __all__ = [
     "verify_candidate_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
+    "duplicate_span_stats",
 ]
 
 
@@ -692,4 +693,68 @@ def embedding_neardup_lsh_oracle_sql(
         "round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
         "FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b "
         f"WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}"
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact duplicate-substring statistics — the token-window form of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): a span duplicated verbatim across documents keeps getting
+    memorized however the *documents* differ, so document-level dedup
+    (L-1/L-2) misses it.
+
+    Every length-``window`` token window of every document is hashed
+    (md5 of the space-joined tokens — engine-reproducible); a window is
+    a DUPLICATE SPAN if the same hash occurs in ≥2 distinct documents.
+    Returns per document: ``n_windows``, ``n_dup_windows``, and
+    ``dup_bp`` (basis points of windows that are duplicated — exact
+    integer, the span-level contamination score used to drop or trim).
+
+    Scale shape: windows explode linearly (window × tokens rows), the
+    hash groupBy is partial-aggregated (one count per DISTINCT window
+    text), and the verdict joins back on the hash — no self-join of
+    documents, no quadratic pair set; at 100 TB this is the same
+    explode/agg/join budget as the contamination check.  Suffix-array
+    exactness (arbitrary-length spans) trades to fixed-window exactness,
+    which parallelizes; run at two window sizes to bracket span lengths.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    wins = (
+        toks.filter(n >= window)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - window + 1),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, window)),
+                )
+            ).alias("__w"),
+        )
+        .withColumn("__h", F.md5(F.col("__w")))
+        .select("id", "__h")
+    )
+    docs_per_hash = wins.groupBy("__h").agg(
+        F.count_distinct("id").alias("__docs")
+    )
+    per_doc = (
+        wins.join(docs_per_hash, "__h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("__docs") >= 2).cast("long")).cast("bigint").alias("n_dup_windows"),
+        )
+    )
+    # integer DIV, not double-divide + cast: a true quotient 1 ulp below
+    # an integer would round UP in the double then truncate wrong
+    return per_doc.select(
+        F.col("id"),
+        "n_windows",
+        "n_dup_windows",
+        F.expr("(n_dup_windows * 10000) DIV n_windows").alias("dup_bp"),
     )

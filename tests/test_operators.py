@@ -1859,3 +1859,44 @@ class TestIvfAdc:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # everything JVM-side
+
+
+class TestDuplicateSpans:
+    """dedup.duplicate_span_stats — exact token-window substring dedup."""
+
+    def test_shared_span_counted_on_both_sides_only(self, spark):
+        from pgstream_spark.operators.dedup import duplicate_span_stats
+
+        span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (1, f"one two three four five six seven {span} nine ten"),
+            (2, f"{span} completely different trailing words here now ok"),
+            (3, "fully unique text with enough tokens to form windows yes"),
+            (4, "short text"),  # < 8 tokens → no windows, absent from output
+        ]
+        out = {
+            r.id: (r.n_windows, r.n_dup_windows, r.dup_bp)
+            for r in duplicate_span_stats(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                window=8,
+            ).collect()
+        }
+        assert 4 not in out
+        # doc 3: all windows unique
+        assert out[3][1] == 0 and out[3][2] == 0
+        # docs 1 and 2 share EXACTLY the one 8-token window of `span`
+        # (every other window straddles differing context)
+        assert out[1][1] == 1 and out[2][1] == 1
+        # doc 1 has 17 tokens → 10 windows; doc 2 has 15 → 8
+        assert out[1][0] == 10 and out[2][0] == 8
+        assert out[1][2] == 1000 and out[2][2] == 1250  # exact bp floor
+
+    def test_intra_document_repeat_is_not_cross_doc_dup(self, spark):
+        from pgstream_spark.operators.dedup import duplicate_span_stats
+
+        text = "a b c d e f g h " * 4  # the same windows repeat WITHIN one doc
+        out = duplicate_span_stats(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"),
+            window=8,
+        ).collect()[0]
+        assert out.n_dup_windows == 0  # distinct-doc count is 1
