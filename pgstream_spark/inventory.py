@@ -4883,6 +4883,40 @@ def l37(spark, sf_dir):
     )
 
 
+@q(
+    "l38_dedup_clusters_twostar",
+    # Same connected-components RESULT as l8, computed by the alternating
+    # large-star/small-star algorithm (dedup_clusters_twostar) — the
+    # O(log^2 n)-round, bounded-degree variant for extreme scale.  Reuses
+    # l8's recursive-CTE oracle verbatim: algorithm equivalence under the
+    # hard signal, not just pytest.
+    "WITH RECURSIVE toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a) "
+    "SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node",
+)
+def l38(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters_twostar
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return dedup_clusters_twostar(pairs)
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 

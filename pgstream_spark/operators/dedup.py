@@ -42,6 +42,7 @@ __all__ = [
     "simhash_signatures",
     "embedding_neardup_pairs",
     "duplicate_span_stats",
+    "dedup_clusters_twostar",
 ]
 
 
@@ -758,3 +759,90 @@ def duplicate_span_stats(
         "n_dup_windows",
         F.expr("(n_dup_windows * 10000) DIV n_windows").alias("dup_bp"),
     )
+
+
+def dedup_clusters_twostar(
+    pairs: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the extreme-scale variant :func:`dedup_clusters` points at.
+
+    Plain min-label propagation needs O(component diameter) rounds and a
+    high-degree hub's whole neighborhood lands in one reduce group every
+    round.  The two-star operations contract paths doubly-exponentially
+    (O(log² n) rounds worst case) and, crucially, BOUND intermediate
+    degrees: large-star hangs every larger neighbor off the
+    neighborhood's minimum, small-star re-hangs the smaller ones, so no
+    reduce group ever exceeds the current star's fan-out.  Each round is
+    one grouped min + one join — the same shuffle budget per round as
+    propagation, with far fewer rounds on long-path graphs.
+
+    Returns ``(node, cluster)`` with ``cluster`` the component minimum —
+    identical output to :func:`dedup_clusters` (pytest- and
+    oracle-pinned), so the two are drop-in interchangeable.
+    """
+    # Edges directed large → small (u > v), deduped; isolated self-pairs
+    # drop out (callers re-attach singletons, as dedup_clusters users do).
+    # Each round references the previous edge set several times, so the
+    # logical plan would NEST exponentially across iterations; truncate
+    # lineage with an eager localCheckpoint per round (driver OOMs on
+    # plan analysis otherwise — observed at a mere 64-node path).  On a
+    # real cluster prefer `spark.sparkContext.setCheckpointDir` +
+    # `.checkpoint()` for executor-loss resilience; the algorithm is
+    # identical.
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # ---- large-star: connect strictly-larger neighbors to the min
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output (edges already u > v)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        small = small.localCheckpoint()
+        changed = (
+            small.join(e, ["u", "v"], "left_anti").limit(1).count()
+            + e.join(small, ["u", "v"], "left_anti").limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+
+    # Fixpoint is a star forest: every non-root points straight at its
+    # component min.  Roots (the mins) appear only on the v side.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    return members.union(roots).distinct()

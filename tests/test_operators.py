@@ -1900,3 +1900,55 @@ class TestDuplicateSpans:
             window=8,
         ).collect()[0]
         assert out.n_dup_windows == 0  # distinct-doc count is 1
+
+
+class TestTwoStarComponents:
+    """dedup_clusters_twostar == dedup_clusters on every input shape."""
+
+    def _clusters(self, df):
+        return {(r.node, r.cluster) for r in df.collect()}
+
+    def test_matches_propagation_on_real_pairs(self, spark, sf_dir):
+        from pgstream_spark.operators.dedup import (
+            dedup_clusters,
+            dedup_clusters_twostar,
+            ngram_jaccard_pairs,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+        pairs.persist()
+        a = self._clusters(dedup_clusters(pairs))
+        b = self._clusters(dedup_clusters_twostar(pairs))
+        pairs.unpersist()
+        assert a == b and len(a) > 0
+
+    def test_long_path_converges_fast(self, spark):
+        """A 64-node path is the propagation worst case (64 rounds of
+        min-label); two-star must still produce the right single
+        component within its default iteration budget."""
+        from pgstream_spark.operators.dedup import dedup_clusters_twostar
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+        )
+        got = self._clusters(dedup_clusters_twostar(pairs))
+        assert got == {(i, 0) for i in range(65)}
+
+    def test_mixed_components_and_cliques(self, spark):
+        from pgstream_spark.operators.dedup import (
+            dedup_clusters,
+            dedup_clusters_twostar,
+        )
+
+        edges = (
+            [(1, 2), (2, 3), (3, 1)]          # triangle
+            + [(10, 11)]                        # pair
+            + [(20, 21), (21, 22), (22, 23)]   # path
+            + [(30, 31), (32, 31), (33, 30)]   # star-ish
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        assert self._clusters(dedup_clusters_twostar(pairs)) == self._clusters(
+            dedup_clusters(pairs)
+        )
