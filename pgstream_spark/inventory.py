@@ -4917,6 +4917,78 @@ def l38(spark, sf_dir):
     return dedup_clusters_twostar(pairs)
 
 
+@q(
+    "l39_source_quota_cap",
+    # Per-source contribution cap (the C4/RefinedWeb "no domain may
+    # exceed N docs" curation rule): deterministic md5-order rank within
+    # each source, keep <= 150.  The hash order makes the kept set a
+    # uniform draw that replays identically anywhere — capping by file
+    # order would keep whatever happened to sort first.  WindowGroupLimit
+    # truncates to the cap per partition before the exchange (the
+    # l28/o3 top-k discipline).
+    "WITH r AS (SELECT doc_id, source, "
+    "CAST(row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS keep_rank "
+    "FROM documents) "
+    "SELECT doc_id, source, keep_rank FROM r WHERE keep_rank <= 150",
+)
+def l39(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= 150)
+        .select("doc_id", "source", "keep_rank")
+    )
+
+
+@q(
+    "j8c_asof_tolerance",
+    # As-of join with a staleness bound: the latest order at-or-before
+    # each event counts only if it is at most 7 days old — the "don't
+    # join against ancient state" rule every time-series enrichment
+    # needs.  Semantics = unbounded as-of match, then invalidate stale
+    # matches (identical to a bounded backward search: anything newer
+    # would have matched first); both engines express it as the same
+    # post-match filter, so j8's oracle shape carries over.
+    "WITH " + _EV + ", ord AS (SELECT o_custkey, o_orderdate, "
+    "max(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey, o_orderdate) "
+    "SELECT event_id, user_id, matched_orderkey, age_s FROM ("
+    "SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey, "
+    "CAST(date_diff('second', o.o_orderdate, e.ts) AS BIGINT) AS age_s "
+    "FROM ev e ASOF JOIN ord o "
+    "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) "
+    "WHERE age_s <= 7 * 86400",
+)
+def j8c(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ordd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev, ordd, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        direction="backward", tolerance_seconds=7 * 86400,
+    )
+    age = (
+        F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate_r")
+    ).cast("bigint")
+    return (
+        joined.filter(F.col("o_orderdate_r").isNotNull())
+        .withColumn("age_s", age)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey_r").alias("matched_orderkey"),
+            "age_s",
+        )
+    )
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 

@@ -90,7 +90,10 @@ def asof_join(
         return out.drop("__salt")
 
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
-    lcols = [c for c in left.columns if c not in keys]
+    # left_ts is carried as the __ts axis and renamed back at the end —
+    # including it here too emitted a DUPLICATE ts column, ambiguous to
+    # any downstream reference (latent until j8c touched it)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
 
     # Build the union frame: keys, event time, side marker, left payload,
     # suffixed right payload.

@@ -770,3 +770,68 @@ class TestStreamingIvfIngest:
             for r in ivf_query_index(spark, batch, queries, k=5, n_probes=4).collect()
         }
         assert got == want and len(got) == 25
+
+
+class TestStreamingIncrementalDedup:
+    """Continuous corpus ingestion: each micro-batch folds through
+    dedup_against_history against the accumulated survivors and appends
+    — the streaming form of l22.  The standing corpus after the stream
+    must equal one-shot exact dedup of all arrivals."""
+
+    def test_streamed_dedup_matches_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.operators.dedup import (
+            dedup_against_history,
+            exact_dedup,
+        )
+        from tests.conftest import write_flat_parquet
+
+        # 300 docs, every third a duplicate text of an earlier one,
+        # arriving across three micro-batches (dupes cross batches)
+        rows = [
+            (i, f"document body number {i % 100} with shared text")
+            for i in range(300)
+        ]
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "arrivals")
+        for b in range(3):
+            write_flat_parquet(
+                spark, rows[b * 100 : (b + 1) * 100], schema, f"{src}/b{b}.parquet"
+            )
+
+        corpus = str(tmp_path / "corpus")
+
+        def ingest(batch_df, batch_id):
+            import os
+
+            if os.path.exists(corpus):
+                history = spark.read.parquet(corpus)
+            else:
+                history = spark.createDataFrame([], schema)
+            survivors = dedup_against_history(
+                batch_df, history, ["text"], keep_order_col="doc_id"
+            )
+            survivors.write.mode("append").parquet(corpus)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+        }
+        want = {
+            (r.doc_id, r.text)
+            for r in exact_dedup(
+                spark.createDataFrame(rows, schema), ["text"], keep_order_col="doc_id"
+            ).collect()
+        }
+        assert got == want and len(want) == 100
