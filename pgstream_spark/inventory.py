@@ -4989,6 +4989,148 @@ def j8c(spark, sf_dir):
     )
 
 
+@q(
+    "x7_arrow_kernel",
+    # mapInArrow — the zero-copy Arrow-RecordBatch UDF surface (X-family
+    # completion: x1 pandas_udf, x3/x6 applyInPandas, x5 UDTF, x7 raw
+    # Arrow).  pandas_udf pays an Arrow→pandas conversion per batch;
+    # mapInArrow hands the pyarrow batch itself — the right tier when
+    # the kernel is already columnar (here: int32 token-count bucketing
+    # + exact integer char sums, computed with pyarrow.compute only).
+    "WITH toks AS (SELECT doc_id, n_chars, "
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) "
+    "AS n_tokens FROM documents) "
+    "SELECT CAST(n_tokens // 16 AS INT) AS tok_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM toks GROUP BY 1",
+)
+def x7(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("n_tokens"),
+    )
+
+    def bucketize(batches):
+        for batch in batches:
+            tb = pc.cast(
+                pc.floor(pc.divide(pc.cast(batch.column(2), pa.float64()), 16.0)),
+                pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [tb, batch.column(1)], names=["tok_bucket", "n_chars"]
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    buck = d.repartition(nparts).mapInArrow(
+        bucketize, "tok_bucket int, n_chars long"
+    )
+    return buck.groupBy("tok_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "f22_url_parsing",
+    # URL decomposition — the web-corpus curation primitive (domain
+    # quotas, path filters, tracker-param stripping all start here).
+    # Spark's parse_url is Java-side; DuckDB spells the same pieces as
+    # anchored regexps.  URLs are constructed deterministically from row
+    # data so every component is exercised with real variety.
+    "WITH u AS (SELECT doc_id, "
+    "'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/docs/' "
+    "|| source || '/' || CAST(doc_id AS VARCHAR) "
+    "|| '?lang=' || lang || '&sz=' || CAST(n_chars AS VARCHAR) AS url "
+    "FROM documents WHERE doc_id < 400) "
+    "SELECT doc_id, "
+    "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+    "regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path, "
+    "regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param, "
+    "CAST(regexp_extract(url, '[?&]sz=([0-9]+)', 1) AS BIGINT) AS sz_param "
+    "FROM u",
+)
+def f22(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/docs/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("sz")).cast("bigint").alias("sz_param"),
+    )
+
+
+@q(
+    "g39_welch_ttest",
+    # Two-sample Welch t-statistic per event_type vs the REST of the
+    # corpus — the experimentation/segment-comparison primitive.  All
+    # moments are exact BIGINT cents sums (group + grand totals; the
+    # rest-side is a subtraction, no second scan), doubles only in the
+    # final combine, round(6) absorbing the sqrt.
+    "WITH " + _EV + ", c AS (SELECT event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev), "
+    "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "SUM(xc) AS s, SUM(xc * xc) AS ss FROM c GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts_, SUM(ss) AS tss FROM g) "
+    "SELECT event_type, n AS n_group, "
+    "round((CAST(s AS DOUBLE) / n - CAST(ts_ - s AS DOUBLE) / (tn - n)) / "
+    "sqrt((CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) / n "
+    "+ (CAST((tn - n) * (tss - ss) - (ts_ - s) * (ts_ - s) AS DOUBLE) "
+    "/ (CAST(tn - n AS DOUBLE) * (tn - n - 1))) / (tn - n)), 6) AS welch_t "
+    "FROM g CROSS JOIN t WHERE n >= 2 AND tn - n >= 2",
+)
+def g39(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        ev.select("event_type", xc.alias("xc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xc").alias("s"),
+            F.sum(F.col("xc") * F.col("xc")).alias("ss"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").alias("ts_"),
+        F.sum("ss").alias("tss"),
+    )
+    j = g.crossJoin(F.broadcast(t)).filter(
+        (F.col("n") >= 2) & (F.col("tn") - F.col("n") >= 2)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    rn, rs, rss = F.col("tn") - n, F.col("ts_") - s, F.col("tss") - ss
+    var1 = (n * ss - s * s).cast("double") / (n.cast("double") * (n - 1))
+    var2 = (rn * rss - rs * rs).cast("double") / (rn.cast("double") * (rn - 1))
+    welch = (s.cast("double") / n - rs.cast("double") / rn) / F.sqrt(
+        var1 / n + var2 / rn
+    )
+    return j.select(
+        "event_type", n.alias("n_group"), F.round(welch, 6).alias("welch_t")
+    )
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 
