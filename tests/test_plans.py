@@ -389,3 +389,24 @@ def test_salted_asof_plan_has_no_join_node(spark, sf_dir):
     assert "SortMergeJoin" not in txt
     assert "ShuffledHashJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_duplicate_spans_has_no_doc_self_join(spark, sf_dir):
+    # l37's verdict join is hash-keyed (window-hash), never a doc×doc
+    # self-join — the property that keeps span dedup linear at corpus
+    # scale.  No cartesian/nested-loop anywhere.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l37_duplicate_spans"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+
+
+def test_source_quota_cap_uses_window_group_limit(spark, sf_dir):
+    # l39: the cap must truncate per partition BEFORE the exchange
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l39_source_quota_cap"](spark, sf_dir))
+    assert "WindowGroupLimit" in txt
