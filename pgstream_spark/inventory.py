@@ -5131,6 +5131,57 @@ def g39(spark, sf_dir):
     )
 
 
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
+
+
+@q(
+    "l41_hll_distinct",
+    # Deterministic HyperLogLog (sketch.hll_registers/hll_estimate):
+    # per-source distinct-token cardinality — the third md5-derived
+    # sketch (CMS l20 counts frequency, HLL counts cardinality), and
+    # like l20 the APPROXIMATE structure itself is hash-gated exactly:
+    # registers are integer ops, 2^-rho sums are exact powers of two
+    # (order-independent in IEEE), doubles only in the rounded final
+    # estimate.  n_exact rides along so the row also measures accuracy.
+    "WITH toks AS (SELECT source, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "pairs AS (SELECT DISTINCT source, unnest(t) AS term FROM toks), "
+    "h AS (SELECT source, CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) "
+    "AS hv FROM pairs), "
+    "r AS (SELECT source, CAST(hv >> 40 AS INT) AS register, "
+    "CASE WHEN (hv & 1099511627775) = 0 THEN 41 "
+    "ELSE 41 - length(bin(hv & 1099511627775)) END AS rho FROM h), "
+    "regs AS (SELECT source, register, max(rho) AS max_rho FROM r GROUP BY 1, 2), "
+    "e AS (SELECT source, sum(pow(2.0, -max_rho)) AS s, "
+    "CAST(count(*) AS BIGINT) AS nz FROM regs GROUP BY 1), "
+    "ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact "
+    "FROM pairs GROUP BY source), "
+    "est AS (SELECT source, " + _HLL_ALPHA_M2 + " / (s + (256 - nz)) AS raw, "
+    "256 - nz AS zeros FROM e) "
+    "SELECT ex.source, ex.n_exact, "
+    "round(CASE WHEN raw <= 640.0 AND zeros > 0 "
+    "THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS hll_est "
+    "FROM est JOIN ex USING (source)",
+)
+def l41(spark, sf_dir):
+    from pgstream_spark.operators.sketch import hll_estimate, hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    ).distinct()
+    regs = hll_registers(toks, "term", group_cols=["source"], b=8)
+    est = hll_estimate(regs, group_cols=["source"], b=8)
+    exact = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return exact.join(est, "source").select(
+        "source", "n_exact", F.round("hll_est", 4).alias("hll_est")
+    )
+
+
 def _pq_oracle() -> str:
     from pgstream_spark.operators.pq import default_codebooks, pq_encode_oracle_sql
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_bucket", "cms_build", "cms_estimate"]
+__all__ = ["cms_bucket", "cms_build", "cms_estimate", "hll_registers", "hll_estimate"]
 
 
 def cms_bucket(term: Column, depth_row: Column | int, width: int) -> Column:
@@ -102,3 +102,77 @@ def cms_estimate(
     return joined.groupBy(term_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n")
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table (2^b registers) per group — the
+    mergeable distinct-count sketch, built DETERMINISTICALLY from md5 so
+    the whole structure is engine-reproducible (the l20 CMS discipline,
+    applied to cardinality instead of frequency).
+
+    Register index = top ``b`` bits of a 48-bit md5 hash; rho = position
+    of the first 1-bit in the remaining ``48-b`` bits (all-zero tail →
+    ``48-b+1``), computed with exact integer/string ops (``bin`` +
+    leading-zero count) — no float anywhere, so two engines agree
+    bit-for-bit on every register.  One explode-free aggregation:
+    ``max(rho)`` per (group, register) with map-side partial aggregation;
+    the register table is ``2^b`` rows per group, mergeable by max — the
+    union of two corpora's sketches is elementwise max, which is how
+    incremental corpus accounting composes.
+
+    Returns ``(*group_cols, register, max_rho)``.
+    """
+    groups = list(group_cols or [])
+    tail_bits = 48 - b
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    reg = F.shiftright(h, tail_bits).cast("int")
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    # rho: 1 + leading zeros of the tail within tail_bits.  bin() has no
+    # leading zeros, so zeros = tail_bits - length(bin(tail)); tail==0 →
+    # tail_bits + 1 (the HLL convention).  Pure integer/string ops.
+    rho = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits) + 1 - F.length(F.bin(tail))
+    )
+    return (
+        df.select(*groups, reg.alias("register"), rho.cast("int").alias("__rho"))
+        .groupBy(*groups, "register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """Cardinality estimate from an HLL register table (raw HLL formula
+    ``alpha_m * m^2 / sum(2^-rho)`` with the standard small-range
+    linear-counting correction; empty registers count as rho=0).
+
+    The doubles appear only here, in the final combine over 2^b exact
+    integers — round the result for cross-engine gating.  Relative error
+    ~= 1.04/sqrt(2^b) (~6.5% at b=8).
+    """
+    groups = list(group_cols or [])
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard alpha_m for m >= 128
+    agg = registers.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"),
+    )
+    # empty registers contribute 2^0 = 1 each
+    s = F.col("__s") + (F.lit(m) - F.col("__nz"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("__nz")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*groups, est.alias("hll_est"))

@@ -1952,3 +1952,51 @@ class TestTwoStarComponents:
         assert self._clusters(dedup_clusters_twostar(pairs)) == self._clusters(
             dedup_clusters(pairs)
         )
+
+
+class TestHllSketch:
+    """sketch.hll_registers / hll_estimate — deterministic mergeable
+    cardinality sketch."""
+
+    def test_estimate_within_error_bound(self, spark):
+        from pgstream_spark.operators.sketch import hll_estimate, hll_registers
+
+        n = 5000
+        df = spark.createDataFrame(
+            [(f"item-{i}",) for i in range(n)], "item string"
+        )
+        est = hll_estimate(hll_registers(df, "item", b=8), b=8).first()["hll_est"]
+        # 1.04/sqrt(256) ~= 6.5% relative error; allow 3 sigma
+        assert abs(est - n) / n < 0.2, est
+
+    def test_registers_merge_by_elementwise_max(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.operators.sketch import hll_registers
+
+        rows = [(f"x-{i}",) for i in range(2000)]
+        full = spark.createDataFrame(rows, "item string")
+        a = spark.createDataFrame(rows[:1200], "item string")
+        b = spark.createDataFrame(rows[800:], "item string")  # overlapping
+
+        merged = (
+            hll_registers(a, "item")
+            .union(hll_registers(b, "item"))
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        want = {
+            (r.register, r.max_rho) for r in hll_registers(full, "item").collect()
+        }
+        got = {(r.register, r.max_rho) for r in merged.collect()}
+        assert got == want  # sketch of a union == max-merge of sketches
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        from pgstream_spark.operators.sketch import hll_estimate, hll_registers
+
+        base = [(f"d-{i}",) for i in range(1000)]
+        once = spark.createDataFrame(base, "item string")
+        thrice = spark.createDataFrame(base * 3, "item string")
+        e1 = hll_estimate(hll_registers(once, "item")).first()["hll_est"]
+        e3 = hll_estimate(hll_registers(thrice, "item")).first()["hll_est"]
+        assert e1 == e3  # cardinality, not frequency
