@@ -835,3 +835,65 @@ class TestStreamingIncrementalDedup:
             ).collect()
         }
         assert got == want and len(want) == 100
+
+
+class TestStreamingHllAccounting:
+    """Incremental corpus cardinality: each micro-batch's HLL registers
+    max-merge into a standing register table — mergeability is exactly
+    what makes the sketch streamable.  The final estimate must equal the
+    one-shot batch estimate over all arrivals."""
+
+    def test_streamed_register_merge_matches_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.operators.sketch import hll_estimate, hll_registers
+        from tests.conftest import write_flat_parquet
+
+        rows = [(f"src{i % 3}", f"token-{i % 700}") for i in range(2000)]
+        schema = "source string, term string"
+        src = str(tmp_path / "terms")
+        write_flat_parquet(spark, rows[:1000], schema, src + "/b1.parquet")
+        write_flat_parquet(spark, rows[1000:], schema, src + "/b2.parquet")
+
+        regdir = str(tmp_path / "registers")
+
+        def fold(batch_df, batch_id):
+            import os
+
+            regs = hll_registers(batch_df, "term", group_cols=["source"])
+            if os.path.exists(regdir):
+                regs = regs.union(spark.read.parquet(regdir))
+            merged = regs.groupBy("source", "register").agg(
+                F.max("max_rho").alias("max_rho")
+            )
+            merged.write.mode("overwrite").parquet(regdir + "__tmp")
+            merged_back = spark.read.parquet(regdir + "__tmp")
+            merged_back.write.mode("overwrite").parquet(regdir)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r.source, r.hll_est)
+            for r in hll_estimate(
+                spark.read.parquet(regdir), group_cols=["source"]
+            ).collect()
+        }
+        want = {
+            (r.source, r.hll_est)
+            for r in hll_estimate(
+                hll_registers(
+                    spark.createDataFrame(rows, schema), "term", group_cols=["source"]
+                ),
+                group_cols=["source"],
+            ).collect()
+        }
+        assert got == want and len(want) == 3
