@@ -158,6 +158,33 @@ class Engine:
         if batch:
             yield batch
 
+    def stream_pg(
+        self,
+        settings: Any,
+        sql: str,
+        args: Any = None,
+        batch_size: int = 50_000,
+    ) -> "Iterator[list[tuple]]":
+        """Stream a LIVE Postgres query in cursor batches — the
+        reference's ``stream conn q args n`` verbatim (`Stream.hs:249-277`):
+        ``{n}``-bound SQL, DECLARE NO SCROLL CURSOR inside a transaction,
+        one yielded batch per FETCH FORWARD, commit on success, rollback
+        on error.  ``settings`` is a ``sources.pgwire.ConnSettings``; the
+        connection lives exactly as long as the stream.
+
+        This is the pure-wire path (no JDBC jar, rows land driver-side) —
+        for bulk extraction into a DataFrame use
+        ``sources.pgwire.read_partitioned``, which opens per-task
+        connections instead.
+        """
+        from pgstream_spark.querybuilder import format_query
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        bound = format_query(sql, args, dialect="postgres")
+        with PgWireClient(settings) as client:
+            for _fields, rows in client.stream_query(bound, batch_size=batch_size):
+                yield rows
+
     # -- transactions (reference Stream.hs:166-231) -------------------------
 
     def transaction(self, mode: "TransactionMode | None" = None):

@@ -64,11 +64,16 @@ class Identifier:
 _HOLE_RE = re.compile(r"\{(\d+)\}")
 
 
-def render_literal(value: Any) -> str:
-    """Render a Python value as a Spark SQL literal.
+def render_literal(value: Any, dialect: str = "spark") -> str:
+    """Render a Python value as a SQL literal.
 
     Port of the reference's ``ToField`` dispatch (`QueryBuilder.hs:40-100`)
-    to Python/Spark types, plus escaping.
+    to Python/Spark types, plus escaping.  ``dialect`` controls STRING
+    escaping only: Spark SQL escapes quotes with a backslash, while
+    Postgres (standard_conforming_strings, the default since 9.1) and
+    DuckDB double the quote and treat backslash literally — one rendering
+    cannot serve both, and sending the Spark form to a live Postgres is
+    a syntax error (or, worse, a quoting bug).
     """
     if value is None:
         return "null"
@@ -93,6 +98,8 @@ def render_literal(value: Any) -> str:
     if isinstance(value, _uuid.UUID):
         return f"'{value}'"
     if isinstance(value, str):
+        if dialect == "postgres":
+            return "'" + value.replace("'", "''") + "'"
         return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if isinstance(value, bytes):
         return f"X'{value.hex()}'"
@@ -108,7 +115,11 @@ def render_literal(value: Any) -> str:
     raise ConversionError(f"no SQL literal rendering for {type(value).__name__}")
 
 
-def format_query(template: str, args: Sequence[Any] | dict[str, Any] | None) -> str:
+def format_query(
+    template: str,
+    args: Sequence[Any] | dict[str, Any] | None,
+    dialect: str = "spark",
+) -> str:
     """Substitute ``{1}…{n}`` holes (1-indexed, as in the reference's
     ``runFormatter``, `QueryBuilder.hs:170-177`) or ``:name`` named holes
     with rendered literals.
@@ -124,7 +135,9 @@ def format_query(template: str, args: Sequence[Any] | dict[str, Any] | None) -> 
             pat = re.compile(r":" + re.escape(name) + r"\b")
             if not pat.search(out):
                 raise QueryError(f"named parameter :{name} not found", template)
-            out = pat.sub(render_literal(value).replace("\\", "\\\\"), out)
+            out = pat.sub(
+                render_literal(value, dialect).replace("\\", "\\\\"), out
+            )
         return out
 
     if not isinstance(args, (list, tuple)):
@@ -140,6 +153,6 @@ def format_query(template: str, args: Sequence[Any] | dict[str, Any] | None) -> 
         )
 
     def _sub(m: re.Match[str]) -> str:
-        return render_literal(args[int(m.group(1)) - 1])
+        return render_literal(args[int(m.group(1)) - 1], dialect)
 
     return _HOLE_RE.sub(_sub, template)

@@ -2000,3 +2000,43 @@ class TestHllSketch:
         e1 = hll_estimate(hll_registers(once, "item")).first()["hll_est"]
         e3 = hll_estimate(hll_registers(thrice, "item")).first()["hll_est"]
         assert e1 == e3  # cardinality, not frequency
+
+
+class TestEpochShuffle:
+    """mixture.epoch_shuffle — reproducible sharded training order."""
+
+    def test_order_is_repartition_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.mixture import epoch_shuffle
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        a = {
+            (r.doc_id, r.epoch, r.shard, r.shard_pos)
+            for r in epoch_shuffle(d, epochs=2, shards=8).collect()
+        }
+        b = {
+            (r.doc_id, r.epoch, r.shard, r.shard_pos)
+            for r in epoch_shuffle(d.repartition(13), epochs=2, shards=8).collect()
+        }
+        assert a == b  # content-derived keys: cluster layout is irrelevant
+
+    def test_epochs_are_distinct_orders_and_complete(self, spark, sf_dir):
+        from pgstream_spark.operators.mixture import epoch_shuffle
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = d.count()
+        out = epoch_shuffle(d, epochs=2, shards=8)
+        per_epoch = {
+            e: sorted(
+                (r.shard, r.shard_pos, r.doc_id)
+                for r in out.filter(F.col("epoch") == e).collect()
+            )
+            for e in (0, 1)
+        }
+        # every epoch is a complete permutation of the corpus
+        assert all(len(v) == n for v in per_epoch.values())
+        # and the two epoch orders differ (independent md5 draws)
+        order0 = [doc for _, _, doc in per_epoch[0]]
+        order1 = [doc for _, _, doc in per_epoch[1]]
+        assert order0 != order1 and sorted(order0) == sorted(order1)

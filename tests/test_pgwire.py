@@ -239,3 +239,39 @@ class TestCursorStreaming:
             with PgWireClient(_settings(srv)) as c:
                 with pytest.raises(QueryError, match="transaction block"):
                     c.simple_query('DECLARE "x" NO SCROLL CURSOR FOR SELECT 1')
+
+
+class TestEngineStreamPg:
+    """Engine.stream_pg — the reference's `stream conn q args n` surface:
+    {n} binding + cursor-batched live-Postgres delivery via the engine."""
+
+    def test_bound_stream_matches_query(self, stub_db, spark):
+        import pgstream_spark as pg
+
+        eng = pg.Engine(spark)
+        with PgStubServer(stub_db) as srv:
+            batches = list(
+                eng.stream_pg(
+                    _settings(srv),
+                    "SELECT k, s FROM t WHERE k BETWEEN {1} AND {2} ORDER BY k",
+                    (100, 499),
+                    batch_size=150,
+                )
+            )
+            got = [r for b in batches for r in b]
+            assert [len(b) for b in batches] == [150, 150, 100]
+            assert got[0] == (100, "row-100") and got[-1] == (499, "row-499")
+
+    def test_injection_stays_literal_over_the_wire(self, stub_db, spark):
+        import pgstream_spark as pg
+
+        eng = pg.Engine(spark)
+        with PgStubServer(stub_db) as srv:
+            out = list(
+                eng.stream_pg(
+                    _settings(srv),
+                    "SELECT k FROM t WHERE s = {1}",
+                    ("x' OR '1'='1",),
+                )
+            )
+            assert out == []  # no row matches the LITERAL string
