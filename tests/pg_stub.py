@@ -51,6 +51,41 @@ def _render(v: Any) -> bytes | None:
     return str(v).encode()
 
 
+# COPY text-format escaping — implemented independently of the client's
+# codec (pgstream_spark.sources.pgwire) so the contract test is a real
+# two-implementation agreement check, not a tautology.
+def _copy_field(v: Any) -> str:
+    if v is None:
+        return "\\N"
+    s = _render(v).decode()
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\b", "\\b")
+        .replace("\f", "\\f")
+        .replace("\v", "\\v")
+    )
+
+
+_STUB_UNESC = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v", "\\": "\\"}
+
+
+def _copy_parse_field(s: str) -> str | None:
+    if s == "\\N":
+        return None
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(_STUB_UNESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def _msg(self, tag: bytes, payload: bytes = b"") -> None:
         self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
@@ -222,6 +257,137 @@ class _Handler(socketserver.BaseRequestHandler):
             return True
         return False
 
+    # -- COPY sub-protocol ------------------------------------------------
+
+    def _copy_to_stdout(self, source: str) -> None:
+        """``COPY (query)|table TO STDOUT`` — text format.  CopyData
+        frames are deliberately NOT row-aligned (fixed-size chunks) so
+        clients must reassemble rows across frame boundaries, as a real
+        server's network layer may split them."""
+        inner = source.strip()
+        sql = inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}"
+        try:
+            rel = self.server.db.cursor().sql(sql)
+            ncols = len(rel.columns)
+            rows = rel.fetchall()
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        self._msg(b"H", bytes([0]) + struct.pack("!h", ncols) + b"\x00\x00" * ncols)
+        text = "".join(
+            "\t".join(_copy_field(v) for v in row) + "\n" for row in rows
+        ).encode()
+        for off in range(0, len(text), 1000):
+            self._msg(b"d", text[off : off + 1000])
+        self._msg(b"c")
+        self._msg(b"C", f"COPY {len(rows)}".encode() + b"\x00")
+        self._ready()
+
+    def _copy_from_stdin(self, table: str, collist: str | None) -> None:
+        """``COPY table (cols) FROM STDIN`` — read CopyData until
+        CopyDone/CopyFail, parse text rows, insert via parameter binding
+        with probe-typed conversion (BLOB hex, BOOLEAN t/f)."""
+        cols = (
+            [c.strip().strip('"') for c in collist.split(",")] if collist else None
+        )
+        try:
+            cur = self.server.db.cursor()
+            probe = cur.sql(
+                f"SELECT {', '.join(cols) if cols else '*'} FROM {table} LIMIT 0"
+            )
+            names = probe.columns
+            types = [str(t).upper() for t in probe.types]
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        self._msg(b"G", bytes([0]) + struct.pack("!h", len(names)) + b"\x00\x00" * len(names))
+        chunks: list[bytes] = []
+        failed: str | None = None
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            if tag == b"d":
+                chunks.append(payload)
+            elif tag == b"c":
+                break
+            elif tag == b"f":
+                failed = payload.rstrip(b"\x00").decode() or "client abort"
+                break
+            elif tag == b"X":
+                raise ConnectionError("client gone mid-COPY")
+            else:
+                failed = f"unexpected message {tag!r} during COPY"
+                break
+        if failed is not None:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(f"COPY from stdin failed: {failed}")
+            self._ready()
+            return
+
+        def convert(field: str | None, duck_type: str) -> Any:
+            if field is None:
+                return None
+            if duck_type == "BLOB":
+                if not field.startswith("\\x"):
+                    raise ValueError(f"bad bytea input {field!r}")
+                return bytes.fromhex(field[2:])
+            if duck_type == "BOOLEAN":
+                return field == "t"
+            return field  # DuckDB casts VARCHAR to the column type
+
+        try:
+            data = b"".join(chunks).decode()
+            params = []
+            for line in data.split("\n"):
+                if line in ("", "\r"):
+                    continue
+                fields = [_copy_parse_field(f) for f in line.split("\t")]
+                if len(fields) != len(names):
+                    raise ValueError(
+                        f"row has {len(fields)} fields, expected {len(names)}"
+                    )
+                params.append([convert(f, t) for f, t in zip(fields, types)])
+            if params:
+                ph = ", ".join("?" for _ in names)
+                cur.executemany(
+                    f"INSERT INTO {table} ({', '.join(names)}) VALUES ({ph})",
+                    params,
+                )
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        self._msg(b"C", f"COPY {len(params)}".encode() + b"\x00")
+        self._ready()
+
+    def _copy_statement(self, sql: str) -> bool:
+        import re
+
+        stmt = sql.strip().rstrip(";").strip()
+        m = re.match(r"COPY\s+(.+)\s+TO\s+STDOUT$", stmt, re.I | re.S)
+        if m:
+            self._copy_to_stdout(m.group(1))
+            return True
+        m = re.match(
+            r"COPY\s+([A-Za-z0-9_.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            self._copy_from_stdin(m.group(1), m.group(2))
+            return True
+        return False
+
     def _query_loop(self) -> None:
         while True:
             tag = self._recv_exact(1)
@@ -235,6 +401,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 continue
             sql = payload.rstrip(b"\x00").decode()
             if self._txn_or_cursor_statement(sql):
+                continue
+            if self._copy_statement(sql):
                 continue
             try:
                 # per-connection cursor on the shared db (thread-safe);

@@ -275,3 +275,143 @@ class TestEngineStreamPg:
                 )
             )
             assert out == []  # no row matches the LITERAL string
+
+
+class TestCopyProtocol:
+    """COPY sub-protocol (text format) — the Postgres bulk path.  The
+    stub renders/parses COPY text with its OWN codec (tests/pg_stub.py),
+    so round-trips are a two-implementation agreement check on the
+    public format: tab/newline/backslash escapes, \\N vs empty string,
+    bytea hex, frames split mid-row."""
+
+    def test_copy_out_matches_simple_query(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            fields, rows = c.simple_query(
+                "SELECT k, s, maybe FROM t ORDER BY k"
+            )
+            copied = list(c.copy_out("(SELECT k, s, maybe FROM t ORDER BY k)"))
+        assert len(copied) == len(rows) == 1000
+        # text fields decode to the same values the row protocol carried
+        assert [
+            (int(a), b, None if m is None else int(m)) for a, b, m in copied
+        ] == rows
+
+    def test_copy_out_whole_table_form(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            copied = list(c.copy_out("t"))
+        assert len(copied) == 1000 and len(copied[0]) == 7
+
+    def test_copy_in_roundtrip_hostile_strings(self, stub_db):
+        """Tabs, newlines, CRs, backslashes, \\N-lookalikes, empty string
+        vs NULL — byte-exact through escape → wire → stub parse → insert."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute("CREATE OR REPLACE TABLE copy_t (id BIGINT, txt VARCHAR)")
+        hostile = [
+            "plain",
+            "tab\there",
+            "new\nline",
+            "cr\rreturn",
+            "back\\slash",
+            "\\N",  # literal two characters, NOT null
+            "",  # empty string, distinct from NULL
+            "mix\t\n\\\r\x0b\x0c\x08end",
+            None,
+        ]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in(
+                "copy_t",
+                ["id", "txt"],
+                ([str(i), s] for i, s in enumerate(hostile)),
+            )
+        assert n == len(hostile)
+        back = dict(stub_db.execute("SELECT id, txt FROM copy_t").fetchall())
+        assert back == {i: s for i, s in enumerate(hostile)}
+
+    def test_copy_in_small_frames_split_rows(self, stub_db):
+        """flush_bytes far below the row size → every row spans frames."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute("CREATE OR REPLACE TABLE copy_f (id BIGINT, txt VARCHAR)")
+        rows = [[str(i), "x" * 100] for i in range(50)]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in("copy_f", ["id", "txt"], iter(rows), flush_bytes=16)
+        assert n == 50
+        assert stub_db.execute(
+            "SELECT count(*), sum(len(txt)) FROM copy_f"
+        ).fetchone() == (50, 5000)
+
+    def test_copy_in_bad_table_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            with pytest.raises(QueryError):
+                c.copy_in("no_such_table", ["a"], iter([["1"]]))
+            # connection still usable afterwards
+            _, rows = c.simple_query("SELECT 1 AS one")
+            assert rows == [(1,)]
+
+    def test_copy_out_bad_query_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            with pytest.raises(QueryError):
+                list(c.copy_out("(SELECT * FROM nope_t)"))
+            _, rows = c.simple_query("SELECT 2 AS two")
+            assert rows == [(2,)]
+
+
+class TestCopySparkPaths:
+    def test_read_partitioned_via_copy_matches_rowset_path(self, spark, stub_db):
+        from pgstream_spark.sources.pgwire import read_partitioned
+
+        with PgStubServer(stub_db) as srv:
+            st = _settings(srv)
+            a = read_partitioned(
+                spark, st, "t", "k", 0, 999, num_partitions=4
+            ).collect()
+            b = read_partitioned(
+                spark, st, "t", "k", 0, 999, num_partitions=4, via_copy=True
+            ).collect()
+        assert sorted(a, key=lambda r: r.k) == sorted(b, key=lambda r: r.k)
+        assert len(b) == 1000
+
+    def test_write_partitioned_via_copy_matches_insert_path(self, spark, stub_db):
+        import datetime
+
+        from pgstream_spark.sources.pgwire import read_table, write_partitioned
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE sink_c "
+            "(id BIGINT, name VARCHAR, score DOUBLE, flag BOOLEAN, "
+            "blob BLOB, seen TIMESTAMP)"
+        )
+        rows = [
+            (
+                i,
+                None if i % 9 == 0 else f"v\t{i}\nq'\\",
+                i / 7.0,
+                i % 2 == 0,
+                bytes([i % 256, 255 - i % 256]),
+                datetime.datetime(2024, 3, 1) + datetime.timedelta(seconds=i),
+            )
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id long, name string, score double, flag boolean, "
+            "blob binary, seen timestamp_ntz",
+        ).repartition(3)
+        with PgStubServer(stub_db) as srv:
+            st = _settings(srv)
+            n = write_partitioned(df, st, "sink_c", via_copy=True)
+            assert n == 120
+            back = read_table(spark, st, "SELECT * FROM sink_c").collect()
+        got = {(r.id, r.name, r.score, r.flag, bytes(r.blob), r.seen) for r in back}
+        assert got == set(rows)
