@@ -5373,6 +5373,93 @@ def a12(spark, sf_dir):
     )
 
 
+@q(
+    "j12_bloom_prefilter_join",
+    # Bloom semi-join reduction (operators/bloom.py): a two-seed
+    # partitioned Bloom filter over the selective dimension's keys
+    # prunes fact rows map-side BEFORE the join shuffle; the exact join
+    # then removes the filter's false positives, so the result is
+    # bit-identical to the plain join the oracle runs.  m_bits=12 at
+    # sf0.01 keeps each seed's bucket table broadcast-sized; at corpus
+    # scale m_bits grows with log2(|dim keys|), never with |fact|.
+    "SELECT l.l_returnflag AS returnflag, CAST(count(*) AS BIGINT) AS n, "
+    + _dsum("l.l_extendedprice")
+    + " AS revenue "
+    "FROM lineitem l JOIN (SELECT o_orderkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT') o "
+    "ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY l.l_returnflag",
+)
+def j12(spark, sf_dir):
+    from pgstream_spark.operators.bloom import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_prefilter_join(
+        li, urgent, "l_orderkey", "o_orderkey", m_bits=12, seeds=(101, 211)
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
+    )
+
+
+@q(
+    "g40_salted_agg",
+    # Two-stage salted aggregation (operators/skew.salted_agg) under the
+    # hard gate: identical semantics to the direct GROUP BY the oracle
+    # runs — count and exact-cents sums are algebraic, so partials over
+    # (key, salt) combine losslessly — different shuffle shape (the hot
+    # key spreads across salt_buckets reducers before the combine).
+    "WITH " + _EV + " SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+    "FROM ev GROUP BY event_type",
+)
+def g40(spark, sf_dir):
+    from pgstream_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(ev, ["event_type"], sum_cols=["cents"], salt_buckets=8)
+    return out.select(
+        "event_type", "n", F.col("sum_cents").cast("bigint").alias("sum_cents")
+    )
+
+
+@q(
+    "w13_window_median",
+    # Exact trailing-20 running median per event_type — Spark's exact
+    # `percentile` aggregate as a window function over exact cents vs
+    # DuckDB's `median` window aggregate (both linear-interpolate the
+    # even-count midpoint; integer cents + round(4) pin the double).
+    "WITH " + _EV + ", c AS (SELECT event_id, event_type, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev) "
+    "SELECT event_id, event_type, "
+    "round(CAST(median(xc) OVER w AS DOUBLE) / 100.0, 4) AS med "
+    "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)",
+)
+def w13(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile(xc, F.lit(0.5)).over(w) / 100.0, 4).alias("med"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

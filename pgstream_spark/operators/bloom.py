@@ -1,0 +1,113 @@
+"""Bloom-style semi-join reduction — the 100 TB join-pruning pattern.
+
+A fact-side scan joining a selective dimension subset ships EVERY fact
+row through the shuffle, even though most will not survive the join.
+The classic fix is a Bloom filter over the dimension keys, applied
+map-side to the fact table before the exchange (what Spark's own
+runtime-filtering rule injects for some shapes, and what warehouses call
+a semi-join reducer).  Spark 4's ``bloom_filter_agg`` / ``might_contain``
+expressions are internal-only (not in the public FunctionRegistry), so
+this module builds the same machine from public DataFrame ops:
+
+* ``keyset_buckets`` — for each hash seed, the DISTINCT ``xxhash64(key,
+  seed) % 2^m_bits`` buckets present on the dimension side.  This is a
+  partitioned ("blocked") Bloom filter: one bitmap per seed, represented
+  as a bucket-id table small enough to broadcast (≤ 2^m_bits rows per
+  seed, regardless of dimension cardinality).
+* ``bloom_prefilter`` — chained **broadcast LEFT SEMI joins**, one per
+  seed, each a map-only membership probe against that seed's bitmap.  A
+  fact row survives only if ALL seeds match (the Bloom AND), so the
+  false-positive rate after k seeds with n keys in 2^m buckets is
+  ≈ (1 - (1 - 2^-m)^n)^k — two seeds at n/2^m = 10 % occupancy leave
+  ~1 % of non-matching rows.
+* ``bloom_prefilter_join`` — prefilter, then the EXACT equi-join.  False
+  positives are eliminated by the final join, so the composed result is
+  bit-identical to the plain join at any m/k; the filter only changes
+  how many fact rows reach the shuffle.
+
+Everything stays JVM-side (xxhash64, pmod, broadcast hash joins — no
+Python in the hot path), and the hashes are content-deterministic, so
+task retries reproduce identical filters.
+
+Reference parity: the reference delegates join execution to Postgres
+(`/root/reference/src/Database/PostgreSQL/Stream.hs:97` ships SQL), whose
+planner applies its own semi-join reduction; this is the Spark-native
+equivalent for the one shape Catalyst does not already cover.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["keyset_buckets", "bloom_prefilter", "bloom_prefilter_join"]
+
+
+def _bucket(key: Column, seed: int, m_bits: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(1 << m_bits))
+
+
+def keyset_buckets(
+    dim: DataFrame, key_col: str, m_bits: int = 20, seeds: Sequence[int] = (101, 211)
+) -> list[DataFrame]:
+    """One distinct-bucket table per seed over ``dim[key_col]``.
+
+    Each table has ≤ ``2^m_bits`` rows — bounded by the filter size, not
+    the dimension size — so it broadcasts even when the dimension's full
+    key set would not.
+    """
+    return [
+        dim.select(_bucket(F.col(key_col), s, m_bits).alias("__bucket")).distinct()
+        for s in seeds
+    ]
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    bucket_tables: Sequence[DataFrame],
+    m_bits: int = 20,
+    seeds: Sequence[int] = (101, 211),
+) -> DataFrame:
+    """Drop fact rows whose key misses ANY seed's bucket set.
+
+    Each probe is a broadcast LEFT SEMI join on the computed bucket id —
+    map-only on the fact side, no shuffle, no schema change.  Sound
+    (never drops a true match) because a key present in ``dim`` has its
+    bucket present for every seed by construction.
+    """
+    out = fact
+    for seed, buckets in zip(seeds, bucket_tables):
+        out = out.join(
+            F.broadcast(buckets),
+            _bucket(F.col(fact_key), seed, m_bits) == F.col("__bucket"),
+            "leftsemi",
+        )
+    return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 20,
+    seeds: Sequence[int] = (101, 211),
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join with a Bloom prefilter on the fact side.
+
+    Result is identical to ``fact.join(dim, fact[fact_key] ==
+    dim[dim_key], how)`` for ``inner``/``leftsemi`` — the exact join
+    removes the filter's false positives — while the shuffle only
+    carries surviving fact rows.  Use when ``dim``'s key set is too
+    large to broadcast outright but its bucket bitmap is not; when the
+    dim side IS broadcastable, a plain broadcast join dominates and this
+    adds nothing.
+    """
+    filtered = bloom_prefilter(
+        fact, fact_key, keyset_buckets(dim, dim_key, m_bits, seeds), m_bits, seeds
+    )
+    return filtered.join(dim, F.col(fact_key) == dim[dim_key], how)

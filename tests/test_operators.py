@@ -2040,3 +2040,54 @@ class TestEpochShuffle:
         order0 = [doc for _, _, doc in per_epoch[0]]
         order1 = [doc for _, _, doc in per_epoch[1]]
         assert order0 != order1 and sorted(order0) == sorted(order1)
+
+
+class TestBloomPrefilter:
+    """operators/bloom — Bloom-style semi-join reduction: sound (never
+    drops a true match), composed join bit-identical to the plain join,
+    and the prefilter actually prunes non-matching fact rows."""
+
+    def test_composed_join_equals_plain_join(self, spark):
+        from pgstream_spark.operators.bloom import bloom_prefilter_join
+        import pyspark.sql.functions as F
+
+        fact = spark.range(0, 5000).select(
+            (F.col("id") % 997).alias("fk"), F.col("id").alias("payload")
+        )
+        dim = spark.range(0, 997, 13).select(F.col("id").alias("dk"))
+        got = bloom_prefilter_join(fact, dim, "fk", "dk", m_bits=6, seeds=(7, 31))
+        want = fact.join(dim, F.col("fk") == F.col("dk"))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_prefilter_is_sound_and_prunes(self, spark):
+        from pgstream_spark.operators.bloom import bloom_prefilter, keyset_buckets
+        import pyspark.sql.functions as F
+
+        fact = spark.range(0, 20000).select((F.col("id") % 4096).alias("fk"))
+        dim = spark.range(0, 4096, 64).select(F.col("id").alias("dk"))  # 64 keys
+        m_bits, seeds = 10, (7, 31)
+        kept = bloom_prefilter(
+            fact, "fk", keyset_buckets(dim, "dk", m_bits, seeds), m_bits, seeds
+        )
+        kept_keys = {r.fk for r in kept.select("fk").distinct().collect()}
+        true_keys = {r.dk for r in dim.collect()}
+        assert true_keys <= kept_keys  # sound: every real match survives
+        # 64 keys in 1024 buckets, two seeds → FP rate ≈ (64/1024)^2;
+        # far fewer than the 4096 distinct fact keys must survive.
+        assert len(kept_keys) < 4096 * 0.25
+
+    def test_single_seed_weaker_than_two(self, spark):
+        from pgstream_spark.operators.bloom import bloom_prefilter, keyset_buckets
+        import pyspark.sql.functions as F
+
+        fact = spark.range(0, 8192).select(F.col("id").alias("fk"))
+        dim = spark.range(0, 8192, 128).select(F.col("id").alias("dk"))
+        m_bits = 8
+
+        def survivors(seeds):
+            kept = bloom_prefilter(
+                fact, "fk", keyset_buckets(dim, "dk", m_bits, seeds), m_bits, seeds
+            )
+            return kept.count()
+
+        assert survivors((7, 31)) <= survivors((7,))

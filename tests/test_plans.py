@@ -410,3 +410,17 @@ def test_source_quota_cap_uses_window_group_limit(spark, sf_dir):
 
     txt = explain_string(QUERIES["l39_source_quota_cap"](spark, sf_dir))
     assert "WindowGroupLimit" in txt
+
+
+def test_bloom_prefilter_join_plan_shape(spark, sf_dir):
+    # j12: the Bloom probes must be BROADCAST semi-joins (map-only on
+    # the fact side — no exchange before the filters), and the final
+    # exact join must not be a cartesian/nested-loop.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["j12_bloom_prefilter_join"](spark, sf_dir), "simple")
+    assert txt.count("BroadcastHashJoin") >= 2  # one per Bloom seed
+    assert "LeftSemi" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
