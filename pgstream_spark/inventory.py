@@ -5460,6 +5460,67 @@ def w13(spark, sf_dir):
     )
 
 
+@q(
+    "l42_pagerank",
+    # Iterative algorithm under the hash gate (operators/graph.py):
+    # 3 power iterations of integer-exact PageRank over a deterministic
+    # 2-regular doc graph (node i links to (31i+7) mod N and (17i+3)
+    # mod N).  All arithmetic is scaled-BIGINT with truncating division
+    # — integer sums are order-free, so the shuffle order that makes
+    # float PageRank drift cannot, and a SQL oracle can hash-check an
+    # iterative computation bit-for-bit.
+    "WITH idx AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS node "
+    "FROM documents), "
+    "edges AS ("
+    "SELECT node AS src, (node * 31 + 7) % (SELECT count(*) FROM idx) AS dst "
+    "FROM idx "
+    "UNION ALL "
+    "SELECT node, (node * 17 + 3) % (SELECT count(*) FROM idx) FROM idx), "
+    "outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src), "
+    "r0 AS (SELECT node, 1000000000000 // (SELECT count(*) FROM idx) "
+    "AS rank_units FROM idx), "
+    "it1 AS (SELECT i.node, "
+    "(15 * (1000000000000 // (SELECT count(*) FROM idx))) // 100 "
+    "+ (85 * coalesce(s.inflow, 0)) // 100 AS rank_units "
+    "FROM idx i LEFT JOIN ("
+    "SELECT e.dst, SUM(r.rank_units // o.odeg) AS inflow FROM edges e "
+    "JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src "
+    "GROUP BY e.dst) s ON i.node = s.dst), "
+    "it2 AS (SELECT i.node, "
+    "(15 * (1000000000000 // (SELECT count(*) FROM idx))) // 100 "
+    "+ (85 * coalesce(s.inflow, 0)) // 100 AS rank_units "
+    "FROM idx i LEFT JOIN ("
+    "SELECT e.dst, SUM(r.rank_units // o.odeg) AS inflow FROM edges e "
+    "JOIN it1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src "
+    "GROUP BY e.dst) s ON i.node = s.dst), "
+    "it3 AS (SELECT i.node, "
+    "(15 * (1000000000000 // (SELECT count(*) FROM idx))) // 100 "
+    "+ (85 * coalesce(s.inflow, 0)) // 100 AS rank_units "
+    "FROM idx i LEFT JOIN ("
+    "SELECT e.dst, SUM(r.rank_units // o.odeg) AS inflow FROM edges e "
+    "JOIN it2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src "
+    "GROUP BY e.dst) s ON i.node = s.dst) "
+    "SELECT node, CAST(rank_units AS BIGINT) AS rank_units FROM it3",
+)
+def l42(spark, sf_dir):
+    from pgstream_spark.operators.graph import pagerank_integer
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    nodes = docs.select((F.row_number().over(w) - 1).alias("node"))
+    n = nodes.count()
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 31 + 7) % n).alias("dst"),
+    ).union(
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    return pagerank_integer(nodes, edges, iterations=3, damping_pct=85)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1,0 +1,88 @@
+"""Iterative graph algorithms as unrolled DataFrame plans.
+
+Connected components (large-star/small-star) lives with the dedup
+pipeline (`operators/dedup.py`); this module holds the *weighted
+propagation* family — PageRank-style scores used to weight documents by
+link centrality in corpus curation.
+
+``pagerank_integer`` runs a FIXED number of power iterations with every
+quantity held as scaled BIGINT ("micro-units" of total rank mass):
+
+* rank₀(v)      = M DIV N                      (M = 10¹² mass units)
+* contrib(u)    = rank(u) DIV outdeg(u)        (truncating division)
+* rankₜ₊₁(v)    = (15·(M DIV N)) DIV 100
+                + (85·Σ_in contrib(u)) DIV 100  (damping 0.85 = 85/100)
+
+Integer addition is associative and commutative, so the shuffle-order
+nondeterminism that makes floating-point PageRank drift between runs
+(and between engines) cannot appear: the result is bit-identical on any
+partitioning, any engine — which is what lets a SQL oracle hash-check an
+iterative algorithm.  Max intermediate 85·10¹² < 2⁵³.
+
+Each iteration is one shuffle (groupBy dst) plus one join back to the
+rank table; the edge table is scan-pruned to (src, dst, outdeg).  At
+100 TB-scale graphs the same plan holds — iterations are a fixed small
+constant, and each round's exchange is keyed by dst exactly like any
+large aggregation.  Dangling mass (sinks) is deliberately NOT
+redistributed — truncation already leaks sub-unit mass, and the oracle
+mirrors the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_integer"]
+
+MASS = 10**12  # total rank mass in integer units
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank over ``nodes(node)`` / ``edges(src, dst)``.
+
+    Returns ``(node, rank_units)`` with rank in MASS units (BIGINT).
+    ``damping_pct`` is the damping factor in percent (85 → 0.85), kept
+    integral so every arithmetic step is exact.
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("bigint").alias("rank_units")
+        )
+    base = MASS // n_nodes
+    teleport = ((100 - damping_pct) * base) // 100
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranked = nodes.select("node", F.lit(base).cast("bigint").alias("rank_units"))
+
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranked, edges["src"] == ranked["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("rank_units DIV outdeg").alias("contrib"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("contrib").alias("inflow"))
+        ranked = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0)) DIV 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_units"),
+            )
+        )
+    return ranked

@@ -2091,3 +2091,60 @@ class TestBloomPrefilter:
             return kept.count()
 
         assert survivors((7, 31)) <= survivors((7,))
+
+
+class TestPagerankInteger:
+    """operators/graph.pagerank_integer — integer-exact power iteration:
+    hand-computed small graphs, symmetry preservation, dangling rule."""
+
+    def test_cycle_stays_uniform(self, spark):
+        from pgstream_spark.operators.graph import pagerank_integer
+
+        nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        out = {r.node: r.rank_units for r in pagerank_integer(nodes, edges, 3).collect()}
+        # symmetric graph → identical ranks, preserved every iteration
+        assert len(set(out.values())) == 1
+        base = 10**12 // 3
+        expect = base
+        for _ in range(3):  # truncation leaks sub-unit mass each round
+            expect = (15 * base) // 100 + (85 * expect) // 100
+        assert out[0] == expect
+
+    def test_star_concentrates_mass_exactly(self, spark):
+        from pgstream_spark.operators.graph import pagerank_integer
+
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+        )
+        out = {r.node: r.rank_units for r in pagerank_integer(nodes, edges, 1).collect()}
+        base = 10**12 // 4
+        teleport = (15 * base) // 100
+        assert out[0] == teleport + (85 * 3 * base) // 100
+        assert out[1] == out[2] == out[3] == teleport
+
+    def test_no_edges_all_teleport(self, spark):
+        from pgstream_spark.operators.graph import pagerank_integer
+
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        out = pagerank_integer(nodes, edges, 2).collect()
+        base = 10**12 // 5
+        assert {r.rank_units for r in out} == {(15 * base) // 100}
+
+    def test_partitioning_invariant(self, spark):
+        """Bit-identical under different shuffle widths — the property
+        that makes the oracle hash possible."""
+        from pgstream_spark.operators.graph import pagerank_integer
+        import pyspark.sql.functions as F
+
+        nodes = spark.range(0, 200).select(F.col("id").alias("node"))
+        edges = nodes.select(
+            F.col("node").alias("src"), ((F.col("node") * 7 + 1) % 200).alias("dst")
+        )
+        a = pagerank_integer(nodes.repartition(1), edges.repartition(1), 3).collect()
+        b = pagerank_integer(nodes.repartition(16), edges.repartition(16), 3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
