@@ -8,6 +8,7 @@ from pgstream_spark.streaming.windows import (
     stateful_dedup,
 )
 from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
+from pgstream_spark.streaming.neardup import streaming_minhash_candidates
 from pgstream_spark.streaming.stateful import gap_change_detector, running_totals
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "idempotent_parquet_sink",
     "running_totals",
     "gap_change_detector",
+    "streaming_minhash_candidates",
 ]

@@ -260,3 +260,86 @@ def test_running_extrema_matches_batch_window(spark, tmp_path, two_batch_source)
         for r in batch.collect()
     }
     assert got == want and len(got) == 6
+
+
+class TestStreamingNearDup:
+    """streaming/neardup.py — MinHash+LSH candidates over bucket state:
+    the dup-involved doc set must equal the batch LSH bucket membership
+    at the same parameters, however the stream is cut into batches."""
+
+    _DOCS = [
+        # three clone families + two singletons (texts > 3 tokens)
+        (1, "the quick brown fox jumps over the lazy dog every morning"),
+        (2, "the quick brown fox jumps over the lazy dog every morning"),
+        (3, "the quick brown fox jumps over the lazy dog every single morning"),
+        (4, "completely different text about distributed query engines at scale"),
+        (5, "completely different text about distributed query engines at scale"),
+        (6, "a unique document that matches nothing else in this tiny corpus"),
+        (7, "streaming state keeps the first canonical per locality bucket"),
+        (8, "streaming state keeps the first canonical per locality bucket"),
+        (9, "another singleton row with its own vocabulary and no twin here"),
+    ]
+    _KW = dict(n=3, num_perm=16, seed=42, bands=4, rows_per_band=4)
+
+    def _batch_involved(self, spark):
+        from pgstream_spark.streaming.neardup import batch_band_rows
+
+        docs = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        rows = batch_band_rows(docs, **self._KW).collect()
+        by_bucket: dict = {}
+        for r in rows:
+            by_bucket.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+        return {d for members in by_bucket.values() if len(members) > 1 for d in members}
+
+    def _stream_involved(self, spark, tmp_path, batch_cut: int):
+        from tests.conftest import write_flat_parquet
+        from pgstream_spark.streaming.neardup import streaming_minhash_candidates
+
+        src = str(tmp_path / f"nd_src_{batch_cut}")
+        schema = "doc_id long, text string"
+        write_flat_parquet(spark, self._DOCS[:batch_cut], schema, src + "/b1.parquet")
+        if batch_cut < len(self._DOCS):
+            write_flat_parquet(
+                spark, self._DOCS[batch_cut:], schema, src + "/b2.parquet"
+            )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_minhash_candidates(sdf, **self._KW)
+        sink = _run(out, tmp_path, f"neardup_{batch_cut}")
+        got = spark.read.parquet(sink).collect()
+        return {r.doc_id for r in got} | {r.dup_of for r in got}
+
+    def test_single_batch_matches_batch_lsh(self, spark, tmp_path):
+        involved = self._stream_involved(spark, tmp_path, len(self._DOCS))
+        assert involved == self._batch_involved(spark)
+        assert {1, 2, 4, 5, 7, 8} <= involved  # the exact clones must collide
+        assert 6 not in involved and 9 not in involved
+
+    def test_two_batch_cut_is_equivalent(self, spark, tmp_path):
+        # families split across the cut: 1,2,3,4 | 5,...,9 — state must
+        # carry bucket canonicals across micro-batches
+        involved = self._stream_involved(spark, tmp_path, 4)
+        assert involved == self._batch_involved(spark)
+
+    def test_dup_of_is_earlier_seen_canonical(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+        from pgstream_spark.streaming.neardup import streaming_minhash_candidates
+
+        src = str(tmp_path / "nd_canon")
+        schema = "doc_id long, text string"
+        # batch 1 holds doc 2 only; its twin doc 1 arrives later → the
+        # later, smaller id must be flagged AGAINST the stored canonical
+        write_flat_parquet(spark, [self._DOCS[1]], schema, src + "/b1.parquet")
+        write_flat_parquet(spark, [self._DOCS[0]], schema, src + "/b2.parquet")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_minhash_candidates(sdf, **self._KW)
+        sink = _run(out, tmp_path, "nd_canon_q")
+        got = spark.read.parquet(sink).collect()
+        assert got and all(r.doc_id == 1 and r.dup_of == 2 for r in got)
