@@ -5521,6 +5521,99 @@ def l42(spark, sf_dir):
     return pagerank_integer(nodes, edges, iterations=3, damping_pct=85)
 
 
+@q(
+    "t22_scd2_history",
+    # SCD type-2 history build (operators/scd2.py): the changelog→
+    # versioned-dimension window pass — valid_from = own change time,
+    # valid_to = lead() per key (NULL while current), half-open
+    # intervals tiling each key's timeline.  One shuffle+sort per key,
+    # the read side (point_in_time_join) is pytest-pinned against the
+    # as-of machinery.  Treats each customer's orders as state changes.
+    "SELECT o_custkey, o_orderdate AS valid_from, "
+    "lead(o_orderdate) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS valid_to, "
+    "o_totalprice AS price FROM orders",
+)
+def t22(spark, sf_dir):
+    from pgstream_spark.operators.scd2 import scd2_history
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_totalprice", "price")
+    return scd2_history(
+        o,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        seq_col="o_orderkey",
+        payload_cols=["price"],
+    )
+
+
+@q(
+    "l43_expectations",
+    # Declarative data-quality gate (operators/quality.expect): all
+    # row-wise rules compile into ONE conditional-aggregation scan
+    # (map-side-combinable sums), uniqueness adds a count-distinct,
+    # referential integrity one broadcast anti-join.  The report —
+    # exact integer counts — is what an ingest pipeline asserts on.
+    "SELECT 'not_null(l_orderkey)' AS check, "
+    "CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations, "
+    "CAST(count(*) AS BIGINT) AS total, "
+    "count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS passed FROM lineitem "
+    "UNION ALL SELECT 'in_range(l_quantity)', "
+    "CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL "
+    "AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "count(*) FILTER (WHERE l_quantity IS NOT NULL "
+    "AND (l_quantity < 1 OR l_quantity > 50)) = 0 FROM lineitem "
+    "UNION ALL SELECT 'in_range(l_extendedprice)', "
+    "CAST(count(*) FILTER (WHERE l_extendedprice IS NOT NULL "
+    "AND (l_extendedprice < 0 OR l_extendedprice > 50000)) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "count(*) FILTER (WHERE l_extendedprice IS NOT NULL "
+    "AND (l_extendedprice < 0 OR l_extendedprice > 50000)) = 0 FROM lineitem "
+    "UNION ALL SELECT 'accepted(l_returnflag)', "
+    "CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+    "AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+    "AND l_returnflag NOT IN ('A', 'N', 'R')) = 0 FROM lineitem "
+    "UNION ALL SELECT 'matches(l_linestatus)', "
+    "CAST(count(*) FILTER (WHERE l_linestatus IS NOT NULL "
+    "AND NOT regexp_matches(l_linestatus, '^[OF]$')) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "count(*) FILTER (WHERE l_linestatus IS NOT NULL "
+    "AND NOT regexp_matches(l_linestatus, '^[OF]$')) = 0 FROM lineitem "
+    "UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', "
+    "CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "count(*) = count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem "
+    "UNION ALL SELECT 'ref(l_orderkey->o_orderkey)', "
+    "CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+    "AND NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT), "
+    "CAST(count(*) AS BIGINT), "
+    "(SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+    "AND NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey)) = 0 FROM lineitem",
+)
+def l43(spark, sf_dir):
+    from pgstream_spark.operators.quality import expect
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return expect(
+        li,
+        [
+            ("not_null", "l_orderkey"),
+            ("in_range", "l_quantity", 1, 50),
+            ("in_range", "l_extendedprice", 0, 50000),
+            ("accepted", "l_returnflag", ("A", "N", "R")),
+            ("matches", "l_linestatus", "^[OF]$"),
+            ("unique", ("l_orderkey", "l_linenumber")),
+            ("ref", "l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -127,21 +127,41 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
+    # Carry the right payload as ONE struct, not per-column lasts: a
+    # per-column `last(ignorenulls)` would skip a legitimately-NULL field
+    # in the matched row and resurrect an OLDER row's value for just that
+    # column (latent until SCD2 histories joined on their NULL-able
+    # `valid_to`).  The struct is NULL exactly on left rows, so
+    # ignorenulls skips rows, never fields.
+    r_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(*[F.col(c + suffix).alias(c + suffix) for c in right_payload]),
+    )
     carried = unioned.select(
         *keys,
         "__ts",
         "__is_left",
         *lcols,
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in right_payload
-        ],
+        *(
+            [F.last(r_struct, ignorenulls=True).over(w).alias("__rp")]
+            if right_payload
+            else []
+        ),
         F.last(
             F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
         ).over(w).alias("__matched_ts"),
     )
 
     out = carried.filter(F.col("__is_left") == 1)
+    if right_payload:
+        out = out.select(
+            *keys,
+            "__ts",
+            "__is_left",
+            *lcols,
+            *[F.col("__rp")[c + suffix].alias(c + suffix) for c in right_payload],
+            "__matched_ts",
+        )
 
     if tolerance_seconds is not None:
         # timezone-free, microsecond-exact epoch seconds: TIMESTAMP_NTZ

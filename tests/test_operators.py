@@ -2148,3 +2148,161 @@ class TestPagerankInteger:
         a = pagerank_integer(nodes.repartition(1), edges.repartition(1), 3).collect()
         b = pagerank_integer(nodes.repartition(16), edges.repartition(16), 3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestScd2History:
+    """operators/scd2 — changelog → versioned dimension + point-in-time
+    reads: interval tiling, delete holes, as-of consistency."""
+
+    _CH = [
+        # key, ts, seq, op, val
+        (1, "2024-01-01", 1, "U", 10.0),
+        (1, "2024-02-01", 2, "U", 20.0),
+        (1, "2024-03-01", 3, "D", None),
+        (1, "2024-04-01", 4, "U", 40.0),
+        (2, "2024-01-15", 5, "U", 99.0),
+    ]
+
+    def _history(self, spark):
+        from pgstream_spark.operators.scd2 import scd2_history
+        import pyspark.sql.functions as F
+
+        ch = spark.createDataFrame(
+            self._CH, "k long, ts string, seq long, op string, val double"
+        ).withColumn("ts", F.col("ts").cast("date"))
+        return scd2_history(
+            ch, key_col="k", ts_col="ts", seq_col="seq", op_col="op",
+            payload_cols=["val"],
+        )
+
+    def test_intervals_tile_with_delete_hole(self, spark):
+        import datetime as dt
+
+        rows = {
+            (r.k, r.valid_from): (r.valid_to, r.val)
+            for r in self._history(spark).collect()
+        }
+        d = dt.date
+        # delete row emits no version but closes v2 at the delete date
+        assert rows[(1, d(2024, 1, 1))] == (d(2024, 2, 1), 10.0)
+        assert rows[(1, d(2024, 2, 1))] == (d(2024, 3, 1), 20.0)
+        assert (1, d(2024, 3, 1)) not in rows
+        assert rows[(1, d(2024, 4, 1))] == (None, 40.0)
+        assert rows[(2, d(2024, 1, 15))] == (None, 99.0)
+
+    def test_point_in_time_respects_holes(self, spark):
+        from pgstream_spark.operators.scd2 import point_in_time_join
+        import pyspark.sql.functions as F
+
+        facts = spark.createDataFrame(
+            [
+                (100, 1, "2024-01-20"),  # inside v1
+                (101, 1, "2024-02-15"),  # inside v2
+                (102, 1, "2024-03-10"),  # deletion hole → NULL
+                (103, 1, "2024-12-01"),  # current open version
+                (104, 1, "2023-06-01"),  # before first version → NULL
+                (105, 2, "2024-06-01"),
+            ],
+            "fid long, k long, fts string",
+        ).withColumn("fts", F.col("fts").cast("date"))
+        out = point_in_time_join(facts, self._history(spark), on="k", fact_ts="fts")
+        vals = {r.fid: r.val_r for r in out.collect()}
+        assert vals == {100: 10.0, 101: 20.0, 102: None, 103: 40.0,
+                        104: None, 105: 99.0}
+
+    def test_salted_matches_unsalted(self, spark):
+        from pgstream_spark.operators.scd2 import point_in_time_join
+        import pyspark.sql.functions as F
+
+        facts = spark.range(0, 300).select(
+            F.col("id").alias("fid"),
+            (F.col("id") % 2 + 1).alias("k"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 400).cast("int")).alias("fts"),
+        )
+        h = self._history(spark)
+        a = point_in_time_join(facts, h, on="k", fact_ts="fts").collect()
+        b = point_in_time_join(facts, h, on="k", fact_ts="fts", salt_buckets=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestExpectations:
+    """operators/quality.expect — rule grammar, exact counts, scan shape."""
+
+    def _df(self, spark):
+        rows = [
+            (1, 5.0, "A", "ok1"),
+            (2, -1.0, "A", "ok2"),     # range violation
+            (3, 7.0, "X", "ok3"),      # accepted violation
+            (None, 3.0, "B", "bad!"),  # null + matches violations
+            (5, 2.0, "B", "ok5"),
+            (5, 2.0, "B", "ok5"),      # duplicate id
+        ]
+        return spark.createDataFrame(rows, "id long, v double, cat string, tag string")
+
+    def test_counts_exact(self, spark):
+        from pgstream_spark.operators.quality import expect
+
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        rep = {
+            r.check: (r.violations, r.total, r.passed)
+            for r in expect(
+                self._df(spark),
+                [
+                    ("not_null", "id"),
+                    ("in_range", "v", 0, 10),
+                    ("accepted", "cat", ("A", "B")),
+                    ("matches", "tag", "^ok[0-9]$"),
+                    ("unique", "id"),
+                    ("ref", "id", dim, "k"),
+                ],
+            ).collect()
+        }
+        assert rep["not_null(id)"] == (1, 6, False)
+        assert rep["in_range(v)"] == (1, 6, False)
+        assert rep["accepted(cat)"] == (1, 6, False)
+        assert rep["matches(tag)"] == (1, 6, False)
+        assert rep["unique(id)"] == (1, 6, False)  # 5 appears twice
+        assert rep["ref(id->k)"] == (2, 6, False)  # ids 5,5 orphaned; NULL exempt
+
+    def test_all_passing_and_empty_rules(self, spark):
+        from pgstream_spark.operators.quality import expect
+
+        df = self._df(spark).filter("id = 1")
+        rep = expect(df, [("not_null", "id"), ("in_range", "v", 0, 10)]).collect()
+        assert all(r.passed and r.violations == 0 for r in rep)
+        assert expect(df, []).count() == 0
+
+    def test_unknown_rule_rejected(self, spark):
+        from pgstream_spark.operators.quality import expect
+
+        with pytest.raises(ValueError):
+            expect(self._df(spark), [("no_such", "id")])
+
+    def test_rowwise_rules_share_one_aggregate(self, spark):
+        from pgstream_spark.operators.quality import expect
+        from pgstream_spark.plans.explain import explain_string
+
+        rep = expect(
+            self._df(spark),
+            [("not_null", "id"), ("in_range", "v", 0, 10), ("accepted", "cat", ("A",))],
+        )
+        # one scan for all row-wise rules: a single HashAggregate pair,
+        # no join, no extra exchange per rule
+        txt = explain_string(rep, "simple")
+        assert txt.count("Scan") <= 2  # logical scan may appear in reused subtree
+
+
+def test_asof_null_payload_field_not_resurrected(spark):
+    """Regression: a NULL field in the MATCHED right row must come back
+    NULL — per-column ignorenulls carries would resurrect the previous
+    row's value for just that column (found via SCD2 open valid_to)."""
+    from pgstream_spark.operators.asof import asof_join
+    import pyspark.sql.functions as F
+
+    right = spark.createDataFrame(
+        [(1, 10, "closed"), (1, 20, None)], "k long, rts long, note string"
+    )
+    left = spark.createDataFrame([(1, 25)], "k long, lts long")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    assert out[0].rts_r == 20 and out[0].note_r is None
