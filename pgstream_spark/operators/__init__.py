@@ -44,6 +44,10 @@ from pgstream_spark.operators.sketch import cms_build, cms_estimate
 from pgstream_spark.operators.snapshot import corpus_diff
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
+from pgstream_spark.operators.bloom import bloom_prefilter_join
+from pgstream_spark.operators.graph import pagerank_integer
+from pgstream_spark.operators.scd2 import point_in_time_join, scd2_history
+from pgstream_spark.operators.quality import expect
 from pgstream_spark.operators.textstats import (
     with_text_stats,
     language_id,
@@ -89,6 +93,11 @@ __all__ = [
     "corpus_diff",
     "time_rollup",
     "salted_agg",
+    "bloom_prefilter_join",
+    "pagerank_integer",
+    "scd2_history",
+    "point_in_time_join",
+    "expect",
     "with_text_stats",
     "language_id",
     "quality_score",
