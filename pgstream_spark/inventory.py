@@ -5614,6 +5614,34 @@ def l43(spark, sf_dir):
     )
 
 
+@q(
+    "l44_bpe_pair_counts",
+    # The inner statistic of BPE tokenizer training (terms.bpe_pair_counts):
+    # adjacent character-pair frequencies over word tokens — every merge
+    # decision is argmax over this table.  explode→explode→one map-side-
+    # combinable count, linear in corpus characters; the 20-char token cap
+    # bounds the pair space against pathological unbroken strings.  The
+    # full merge-learning loop (learn_bpe_merges) is pytest-pinned against
+    # a pure-Python reference BPE.
+    "WITH toks AS (SELECT substr(t.tok, 1, 20) AS tok FROM documents d, "
+    "unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(tok) "
+    "WHERE t.tok <> '') "
+    "SELECT substr(tok, g.i, 1) AS left_sym, substr(tok, g.i + 1, 1) AS right_sym, "
+    "CAST(count(*) AS BIGINT) AS cnt "
+    "FROM toks JOIN generate_series(1, 19) g(i) ON g.i <= length(tok) - 1 "
+    "GROUP BY left_sym, right_sym",
+)
+def l44(spark, sf_dir):
+    from pgstream_spark.operators.terms import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, text_col="text", max_token_chars=20).select(
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "cnt",
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -171,3 +171,127 @@ def encode_token_ids(
     return assembled.select(
         id_col, ids.alias("ids"), F.size("__seq").cast("long").alias("n_tokens")
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_token_chars: int = 20,
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies — the inner statistic of BPE
+    tokenizer training (Sennrich et al. 2016): every merge decision is
+    ``argmax`` over exactly this table.
+
+    Symbols start as characters within word tokens (lowercased,
+    ``[^a-z0-9]+``-split, capped at ``max_token_chars`` so pathological
+    unbroken strings cannot explode the pair space quadratically).  The
+    plan is explode → explode → one map-side-combinable count: linear in
+    corpus characters, the same shape at any scale.  Returns
+    ``(left, right, cnt)``.
+    """
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("__tok")
+    chars = docs.select(toks).select(
+        F.split(F.substring("__tok", 1, max_token_chars), "").alias("__cs")
+    )
+    pairs = chars.select(
+        F.explode(
+            F.when(
+                F.size("__cs") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__cs") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__cs", i + 1).alias("left"),
+                        F.element_at("__cs", i + 2).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p")["left"].alias("left"), F.col("__p")["right"].alias("right")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_token_chars: int = 20,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from the corpus.
+
+    Each round: distributed adjacent-pair count over the CURRENT symbol
+    sequences, then the driver takes the argmax (ties broken
+    lexicographically, so the learned table is deterministic on any
+    partitioning) and rewrites the sequences with the merged symbol.
+    The rewrite runs as an Arrow-batched ``mapInPandas`` fold over the
+    word list — one distributed pass per merge, ``num_merges`` is a
+    small constant, and only the (pair, count) argmax row ever reaches
+    the driver.  Word sequences are cached between rounds.
+
+    Returns the ordered merge list — apply with any standard BPE encoder.
+    """
+    import pandas as pd
+
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("__tok")
+    seqs = docs.select(toks).select(
+        F.split(F.substring("__tok", 1, max_token_chars), "").alias("__cs")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        seqs = seqs.cache()
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.when(
+                        F.size("__cs") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("__cs") - 2),
+                            lambda i: F.concat_ws(
+                                "\x00",
+                                F.element_at("__cs", i + 1),
+                                F.element_at("__cs", i + 2),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("__pair")
+            )
+            .groupBy("__pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("__pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        left, right = pairs[0]["__pair"].split("\x00")
+        merges.append((left, right))
+
+        def rewrite(pdfs, left=left, right=right):
+            for pdf in pdfs:
+                out = []
+                for cs in pdf["__cs"]:
+                    cs = list(cs)
+                    merged, i = [], 0
+                    while i < len(cs):
+                        if i + 1 < len(cs) and cs[i] == left and cs[i + 1] == right:
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(cs[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"__cs": out})
+
+        seqs = seqs.mapInPandas(rewrite, "__cs array<string>")
+    return merges

@@ -2306,3 +2306,78 @@ def test_asof_null_payload_field_not_resurrected(spark):
     out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
     assert len(out) == 1
     assert out[0].rts_r == 20 and out[0].note_r is None
+
+
+class TestBpeLearning:
+    """terms.learn_bpe_merges — distributed merge learning pinned
+    against a pure-Python reference implementation on the same corpus."""
+
+    @staticmethod
+    def _reference_bpe(texts, num_merges, cap=20):
+        import re
+
+        seqs = []
+        for t in texts:
+            for tok in re.split(r"[^a-z0-9]+", t.lower()):
+                if tok:
+                    seqs.append(list(tok[:cap]))
+        merges = []
+        for _ in range(num_merges):
+            counts = {}
+            for cs in seqs:
+                for a, b in zip(cs, cs[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            # deterministic: max count, ties broken lexicographically smallest
+            top = max(counts.values())
+            best = min(k for k, v in counts.items() if v == top)
+            if counts[best] < 2:
+                break
+            merges.append(best)
+            l, r = best
+            out = []
+            for cs in seqs:
+                m, i = [], 0
+                while i < len(cs):
+                    if i + 1 < len(cs) and cs[i] == l and cs[i + 1] == r:
+                        m.append(l + r); i += 2
+                    else:
+                        m.append(cs[i]); i += 1
+                out.append(m)
+            seqs = out
+        return merges
+
+    _TEXTS = [
+        "the theme of the thesis is the theory of these themes",
+        "low lower lowest newer newest wider widest",
+        "banana bandana banner and an anagram",
+    ]
+
+    def test_matches_reference_implementation(self, spark):
+        from pgstream_spark.operators.terms import learn_bpe_merges
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self._TEXTS)], "doc_id long, text string"
+        )
+        got = learn_bpe_merges(docs, num_merges=6)
+        want = self._reference_bpe(self._TEXTS, 6)
+        assert got == want
+        assert len(got) == 6 and got[0] == ("a", "n")  # banana family dominates
+
+    def test_partitioning_invariant(self, spark):
+        from pgstream_spark.operators.terms import learn_bpe_merges
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self._TEXTS * 3)], "doc_id long, text string"
+        )
+        a = learn_bpe_merges(docs.repartition(1), num_merges=4)
+        b = learn_bpe_merges(docs.repartition(8), num_merges=4)
+        assert a == b
+
+    def test_stops_when_no_repeating_pair(self, spark):
+        from pgstream_spark.operators.terms import learn_bpe_merges
+
+        docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+        got = learn_bpe_merges(docs, num_merges=10)
+        assert got == []  # every pair occurs once → below min count
