@@ -5642,6 +5642,110 @@ def l44(spark, sf_dir):
     )
 
 
+@q(
+    "p12_recursive_cte",
+    # Native WITH RECURSIVE (Spark 4's recursive-CTE support) — the
+    # Postgres feature the reference's pass-through SQL surface gets for
+    # free.  Each nation seeds a bounded integer walk (depth = key mod 7),
+    # aggregated back per key: exact integers, both engines run the SAME
+    # recursion.  The DataFrame-operator analogues for unbounded graph
+    # work remain l8/l38/l42 (recursion depth there is log- or
+    # constant-bounded by design, not data-bounded).
+    "WITH RECURSIVE r(nk, n) AS ("
+    "SELECT n_nationkey, CAST(0 AS BIGINT) FROM nation "
+    "UNION ALL SELECT nk, n + 1 FROM r WHERE n < nk % 7) "
+    "SELECT nk, CAST(count(*) AS BIGINT) AS steps, CAST(sum(n) AS BIGINT) AS path_sum "
+    "FROM r GROUP BY nk",
+)
+def p12(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        "WITH RECURSIVE r(nk, n) AS ("
+        "SELECT n_nationkey, CAST(0 AS BIGINT) FROM nation "
+        "UNION ALL SELECT nk, n + 1 FROM r WHERE n < nk % 7) "
+        "SELECT nk, CAST(count(*) AS BIGINT) AS steps, "
+        "CAST(sum(n) AS BIGINT) AS path_sum FROM r GROUP BY nk"
+    )
+
+
+@q(
+    "j13_null_safe_join",
+    # NULL-safe equality join (Spark eqNullSafe <=> / standard IS NOT
+    # DISTINCT FROM): NULL keys MATCH each other instead of silently
+    # dropping — the semantic needed when joining on nullable business
+    # keys.  NULLs injected deterministically (custkey 7) so the
+    # null-group product stays bounded.
+    "WITH a AS (SELECT o_orderkey, nullif(o_custkey, 7) AS k FROM orders "
+    "WHERE o_orderkey % 5 = 0), "
+    "b AS (SELECT o_orderkey, nullif(o_custkey, 7) AS k FROM orders "
+    "WHERE o_orderkey % 5 = 1) "
+    "SELECT CASE WHEN a.k IS NULL THEN -1 ELSE a.k END AS key_class, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k "
+    "GROUP BY key_class",
+)
+def j13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.nullif("o_custkey", F.lit(7)).alias("ka")
+    )
+    b = o.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.nullif("o_custkey", F.lit(7)).alias("kb")
+    )
+    joined = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return joined.groupBy(
+        F.coalesce(F.col("ka"), F.lit(-1)).alias("key_class")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "f23_array_hof",
+    # Higher-order array functions as the vector micro-kernel tier:
+    # zip_with product + sequential aggregate fold (both engines fold
+    # LEFT-TO-RIGHT over the same list order, so even the double sums
+    # are bit-identical), element count above a threshold, and a
+    # clamped-normalize transform checksum.
+    "SELECT vec_id, "
+    "round(list_reduce(list_transform(list_zip(embedding, embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v), 6) "
+    "AS self_dot, "
+    "CAST(len(list_filter(embedding, x -> x > 0.25)) AS BIGINT) AS n_above, "
+    "round(list_reduce(list_transform(embedding, "
+    "x -> CAST(greatest(least(x, CAST(0.5 AS FLOAT)), CAST(-0.5 AS FLOAT)) AS DOUBLE)), "
+    "(acc, v) -> acc + v), 6) AS clamped_sum "
+    "FROM embeddings",
+)
+def f23(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(e, e, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("self_dot"),
+        F.size(F.filter(e, lambda x: x > F.lit(0.25))).cast("bigint").alias("n_above"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    e,
+                    lambda x: F.greatest(
+                        F.least(x, F.lit(0.5).cast("float")),
+                        F.lit(-0.5).cast("float"),
+                    ).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("clamped_sum"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
