@@ -424,3 +424,37 @@ def test_bloom_prefilter_join_plan_shape(spark, sf_dir):
     assert "LeftSemi" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoop" not in txt
+
+
+def test_pagerank_iterations_have_no_cartesian(spark, sf_dir):
+    # l42: every iteration joins by key (hash/sort-merge); the classic
+    # failure mode — an accidental cross product from a missing join
+    # condition in the rank re-attach — must never appear.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l42_pagerank"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+
+
+def test_null_safe_join_compiles_to_hash_join(spark, sf_dir):
+    # j13: eqNullSafe must become a hash join on (coalesce(k), isnull(k))
+    # — NOT a nested-loop theta join; NULL-safe equality is still an
+    # equi-join to the planner.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["j13_null_safe_join"](spark, sf_dir), "simple")
+    assert "HashJoin" in txt and "coalesce" in txt
+    assert "BroadcastNestedLoop" not in txt and "CartesianProduct" not in txt
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_dir):
+    # p12: native recursion executes as UnionLoop — proof the engine
+    # feature (not a hand-unrolled emulation) carries the query.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["p12_recursive_cte"](spark, sf_dir), "simple")
+    assert "UnionLoop" in txt
