@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "audio_frame_energy"]
 
 # Typed metadata for an opaque media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -272,6 +272,117 @@ def sample_frames(
             yield pd.DataFrame(
                 {"id": ids, "frame_index": idxs, "frame_payload": frames}
             )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def extract_patches(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    patch: int = 8,
+) -> DataFrame:
+    """ViT-style patch grid: decode each image and emit one row per
+    non-overlapping ``patch×patch`` tile with its mean RGB vector —
+    the embedding-ready shape a vision encoder consumes (here the
+    pixel-mean stands in for the patch projection; the tiling,
+    schema, and batch plumbing are the real thing).
+
+    Output ``(id, patch_row, patch_col, mean_rgb array<double>)``; rows
+    per asset = ⌊h/patch⌋·⌊w/patch⌋, so the fan-out is bounded by image
+    geometry, never corpus size.  Arrow-batched ``mapInPandas``; images
+    that don't tile evenly lose the ragged margin (standard ViT crop).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("patch_row", T.IntegerType(), False),
+            T.StructField("patch_col", T.IntegerType(), False),
+            T.StructField("mean_rgb", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+
+        for pdf in it:
+            ids, prs, pcs, vecs = [], [], [], []
+            for asset_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                img = codecs.decode_image(bytes(raw or b""))
+                h, w, _ = img.shape
+                nr, nc = h // patch, w // patch
+                if nr == 0 or nc == 0:
+                    continue
+                tiles = (
+                    img[: nr * patch, : nc * patch]
+                    .reshape(nr, patch, nc, patch, 3)
+                    .astype("float64")
+                    / 255.0
+                )
+                means = tiles.mean(axis=(1, 3))  # (nr, nc, 3)
+                for r in range(nr):
+                    for c in range(nc):
+                        ids.append(int(asset_id))
+                        prs.append(r)
+                        pcs.append(c)
+                        vecs.append([float(v) for v in means[r, c]])
+            yield pd.DataFrame(
+                {"id": ids, "patch_row": prs, "patch_col": pcs, "mean_rgb": vecs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    frame_ms: int = 100,
+) -> DataFrame:
+    """Fixed-length audio framing: decode WAV payloads and emit one row
+    per ``frame_ms`` window with RMS energy and zero-crossing rate —
+    the front half of voice-activity detection / silence trimming in an
+    audio curation pipeline.  Trailing partial frames are kept (their
+    true sample count divides the energy).  Output ``(id, frame,
+    rms, zcr)``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("frame", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("zcr", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+
+        for pdf in it:
+            ids, frames, rmss, zcrs = [], [], [], []
+            for asset_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = codecs.decode_wav(bytes(raw or b""))
+                mono = samples.astype("float64").mean(axis=1) / 32768.0
+                step = max(int(rate * frame_ms / 1000), 1)
+                for fi in range(0, len(mono), step):
+                    chunk = mono[fi : fi + step]
+                    ids.append(int(asset_id))
+                    frames.append(fi // step)
+                    rmss.append(float(np.sqrt((chunk**2).mean())))
+                    zcrs.append(
+                        float((np.diff(np.signbit(chunk)) != 0).mean())
+                        if len(chunk) > 1
+                        else 0.0
+                    )
+            yield pd.DataFrame({"id": ids, "frame": frames, "rms": rmss, "zcr": zcrs})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema=out_schema

@@ -2381,3 +2381,66 @@ class TestBpeLearning:
         docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
         got = learn_bpe_merges(docs, num_merges=10)
         assert got == []  # every pair occurs once → below min count
+
+
+class TestMultimodalPatchesAndFrames:
+    """operators/multimodal.extract_patches / audio_frame_energy — real
+    codec decode, deterministic tile/frame math on synthesized assets."""
+
+    def test_patch_grid_means(self, spark):
+        import numpy as np
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import extract_patches
+
+        # 8×8 image, 4×4 patches: quadrants solid R / G / B / white
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:4, :4, 0] = 255
+        img[:4, 4:, 1] = 255
+        img[4:, :4, 2] = 255
+        img[4:, 4:] = 255
+        df = spark.createDataFrame(
+            [(1, bytearray(codecs.encode_ppm(img)))], "asset_id long, payload binary"
+        )
+        out = {
+            (r.patch_row, r.patch_col): r.mean_rgb
+            for r in extract_patches(df, "payload", "asset_id", patch=4).collect()
+        }
+        assert out[(0, 0)] == [1.0, 0.0, 0.0]
+        assert out[(0, 1)] == [0.0, 1.0, 0.0]
+        assert out[(1, 0)] == [0.0, 0.0, 1.0]
+        assert out[(1, 1)] == [1.0, 1.0, 1.0]
+
+    def test_ragged_margin_cropped(self, spark):
+        import numpy as np
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import extract_patches
+
+        img = np.full((10, 7, 3), 128, dtype=np.uint8)  # 10×7, patch 4 → 2×1
+        df = spark.createDataFrame(
+            [(2, bytearray(codecs.encode_ppm(img)))], "asset_id long, payload binary"
+        )
+        rows = extract_patches(df, "payload", "asset_id", patch=4).collect()
+        assert {(r.patch_row, r.patch_col) for r in rows} == {(0, 0), (1, 0)}
+
+    def test_audio_frames_detect_silence_vs_tone(self, spark):
+        import numpy as np
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import audio_frame_energy
+
+        rate = 1000
+        # 100 ms silence, then 100 ms full-scale square wave at 250 Hz
+        silence = np.zeros(100, dtype=np.int16)
+        t = np.arange(100)
+        tone = (np.sign(np.sin(2 * np.pi * 250 * t / rate)) * 20000).astype(np.int16)
+        wav = codecs.encode_wav(
+            np.concatenate([silence, tone]).reshape(-1, 1), rate
+        )
+        df = spark.createDataFrame(
+            [(3, bytearray(wav))], "asset_id long, payload binary"
+        )
+        out = {r.frame: r for r in audio_frame_energy(
+            df, "payload", "asset_id", frame_ms=100
+        ).collect()}
+        assert len(out) == 2
+        assert out[0].rms < 1e-9 and out[0].zcr == 0.0
+        assert out[1].rms > 0.5 and out[1].zcr > 0.3  # 250 Hz square flips often
