@@ -234,3 +234,86 @@ def test_ohlc_rollup_associativity(spark, pts, factor):
         ).drop("avg_value").collect()
     }
     assert rolled == direct
+
+
+# ---------------------------------------------------------------------
+# COPY text-format codec: escape/unescape must round-trip ANY string,
+# and must never emit a bare separator (tab / newline / CR) on the wire.
+# ---------------------------------------------------------------------
+
+
+@given(s=st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_copy_escape_roundtrip(s):
+    from pgstream_spark.sources.pgwire import copy_escape, copy_unescape
+
+    wire = copy_escape(s)
+    assert "\t" not in wire and "\n" not in wire and "\r" not in wire
+    assert copy_unescape(wire) == s
+
+
+@given(fields=st.lists(st.one_of(st.none(), st.text(max_size=50)), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_copy_row_framing_roundtrip(fields):
+    """A full row encoded the way copy_in frames it decodes back exactly,
+    preserving NULL vs empty-string vs the literal two-char '\\N'."""
+    from pgstream_spark.sources.pgwire import (
+        _copy_split_lines,
+        copy_escape,
+        copy_unescape,
+    )
+
+    line = "\t".join("\\N" if f is None else copy_escape(f) for f in fields) + "\n"
+    rows, rest = _copy_split_lines(line)
+    assert rest == "" and len(rows) == 1
+    decoded = [None if f == "\\N" else copy_unescape(f) for f in rows[0].split("\t")]
+    assert decoded == list(fields)
+
+
+# ---------------------------------------------------------------------
+# Bloom prefilter: SOUND for any keyset/params (never drops a key that
+# is actually present on the dimension side).
+# ---------------------------------------------------------------------
+
+
+@given(
+    dim_keys=st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=30),
+    m_bits=st.integers(min_value=2, max_value=10),
+    seeds=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_prefilter_soundness_property(spark, dim_keys, m_bits, seeds):
+    from pgstream_spark.operators.bloom import bloom_prefilter, keyset_buckets
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "dk long")
+    fact = spark.createDataFrame([(k,) for k in dim_keys], "fk long")
+    kept = bloom_prefilter(
+        fact, "fk", keyset_buckets(dim, "dk", m_bits, seeds), m_bits, seeds
+    )
+    assert {r.fk for r in kept.collect()} == dim_keys
+
+
+# ---------------------------------------------------------------------
+# Integer PageRank: total mass never exceeds MASS and never leaks more
+# than the truncation bound (≤ 1 unit per node per division, 3 divisions
+# per iteration), for any graph.
+# ---------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=30
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_mass_conservation(spark, n, edges, iters):
+    from pgstream_spark.operators.graph import MASS, pagerank_integer
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = [(a % n, b % n) for a, b in edges]
+    edf = spark.createDataFrame(e, "src long, dst long") if e else spark.createDataFrame([], "src long, dst long")
+    total = sum(r.rank_units for r in pagerank_integer(nodes, edf, iters).collect())
+    assert total <= MASS
+    assert total >= 0
