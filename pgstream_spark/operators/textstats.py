@@ -29,6 +29,7 @@ __all__ = [
     "STOPWORDS",
     "EMAIL_RE",
     "PHONE_RE",
+    "compression_ratio",
 ]
 
 # Tiny public-knowledge stopword lexicons (top function words per language).
@@ -307,3 +308,35 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out: str = "zlib_ratio"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap redundancy signal of web-corpus curation: boilerplate,
+    keyword stuffing, and generated spam compress far below prose, and
+    high-entropy noise compresses above it; pipelines gate on both
+    tails.  Arrow-batched pandas UDF (zlib level 6, fixed, so the score
+    is deterministic everywhere); empty text scores 1.0.  Rounded to 6
+    digits.  Python-side by necessity — no SQL engine exposes zlib — so
+    this is a rows-only operator (pytest-pinned), not an oracle query.
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: postponed-evaluation strings ('pd.Series')
+    # are unresolvable by the pandas_udf type-hint inspector here
+    @pandas_udf("double")
+    def ratio(texts):
+        out_vals = []
+        for t in texts:
+            b = (t or "").encode()
+            out_vals.append(
+                round(len(zlib.compress(b, 6)) / len(b), 6) if b else 1.0
+            )
+        return pd.Series(out_vals)
+
+    return df.withColumn(out, ratio(F.col(text_col)))

@@ -2444,3 +2444,34 @@ class TestMultimodalPatchesAndFrames:
         assert len(out) == 2
         assert out[0].rms < 1e-9 and out[0].zcr == 0.0
         assert out[1].rms > 0.5 and out[1].zcr > 0.3  # 250 Hz square flips often
+
+
+class TestCompressionRatio:
+    """textstats.compression_ratio — deterministic zlib redundancy
+    signal: repetitive spam compresses far below prose, noise above."""
+
+    def test_orders_spam_prose_noise(self, spark):
+        import random
+        from pgstream_spark.operators.textstats import compression_ratio
+
+        rng = random.Random(7)
+        noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000))
+        rows = [
+            (1, "buy now " * 250),                                     # spam
+            (2, ("the quarterly report details revenue growth across "
+                 "three segments with notable regional variation. ") * 20),  # prose
+            (3, noise),                                                 # noise
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = {x.doc_id: x.zlib_ratio for x in compression_ratio(df).collect()}
+        assert r[1] < r[2] < r[3]
+        assert r[1] < 0.05 and r[3] > 0.5
+
+    def test_deterministic_and_empty(self, spark):
+        from pgstream_spark.operators.textstats import compression_ratio
+
+        df = spark.createDataFrame([(1, "same text"), (2, "same text"), (3, "")],
+                                   "doc_id long, text string")
+        r = {x.doc_id: x.zlib_ratio for x in compression_ratio(df).collect()}
+        assert r[1] == r[2]
+        assert r[3] == 1.0
