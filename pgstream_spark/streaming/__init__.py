@@ -9,6 +9,7 @@ from pgstream_spark.streaming.windows import (
 )
 from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
 from pgstream_spark.streaming.neardup import streaming_minhash_candidates
+from pgstream_spark.streaming.pg_sink import postgres_exactly_once_sink
 from pgstream_spark.streaming.stateful import gap_change_detector, running_totals
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "running_totals",
     "gap_change_detector",
     "streaming_minhash_candidates",
+    "postgres_exactly_once_sink",
 ]

@@ -111,11 +111,20 @@ class _Handler(socketserver.BaseRequestHandler):
         self._rbuf = b""
         self._txn = "idle"  # idle | in | failed — drives the Z status byte
         self._cursors: dict[str, dict[str, Any]] = {}
+        # ONE DuckDB cursor per connection: BEGIN/COMMIT/ROLLBACK execute
+        # for real, so DML inside a transaction actually rolls back —
+        # per-statement cursors would silently auto-commit everything
+        self._cur = self.server.db.cursor()
         try:
             self._handshake()
             self._query_loop()
         except (ConnectionError, OSError):
             pass
+        finally:
+            try:
+                self._cur.close()
+            except Exception:
+                pass
 
     def _handshake(self) -> None:
         (length,) = struct.unpack("!i", self._recv_exact(4))
@@ -182,12 +191,22 @@ class _Handler(socketserver.BaseRequestHandler):
             self._ready()
             return True
         if u in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
+            if self._txn != "in":  # Postgres warns on nested BEGIN, no-op
+                try:
+                    self._cur.execute("BEGIN TRANSACTION")
+                except Exception:
+                    pass
             self._txn = "in"
             self._msg(b"C", b"BEGIN\x00")
             self._ready()
             return True
         if u in ("COMMIT", "END", "ROLLBACK", "ABORT"):
+            rollback = u in ("ROLLBACK", "ABORT") or self._txn == "failed"
             word = b"ROLLBACK" if u in ("ROLLBACK", "ABORT") else b"COMMIT"
+            try:
+                self._cur.execute("ROLLBACK" if rollback else "COMMIT")
+            except Exception:
+                pass  # no transaction active on the duckdb side
             self._txn = "idle"
             self._cursors.clear()
             self._msg(b"C", word + b"\x00")
@@ -206,7 +225,7 @@ class _Handler(socketserver.BaseRequestHandler):
             name, inner = m.group(1), m.group(2)
             fail = re.search(r"/\*fail_after:(\d+)\*/", inner)
             try:
-                rel = self.server.db.cursor().sql(inner)
+                rel = self._cur.sql(inner)
                 cols = list(zip(rel.columns, [str(t) for t in rel.types]))
                 rows = rel.fetchall()
             except Exception as exc:
@@ -267,7 +286,7 @@ class _Handler(socketserver.BaseRequestHandler):
         inner = source.strip()
         sql = inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}"
         try:
-            rel = self.server.db.cursor().sql(sql)
+            rel = self._cur.sql(sql)
             ncols = len(rel.columns)
             rows = rel.fetchall()
         except Exception as exc:
@@ -294,7 +313,7 @@ class _Handler(socketserver.BaseRequestHandler):
             [c.strip().strip('"') for c in collist.split(",")] if collist else None
         )
         try:
-            cur = self.server.db.cursor()
+            cur = self._cur
             probe = cur.sql(
                 f"SELECT {', '.join(cols) if cols else '*'} FROM {table} LIMIT 0"
             )
@@ -405,10 +424,10 @@ class _Handler(socketserver.BaseRequestHandler):
             if self._copy_statement(sql):
                 continue
             try:
-                # per-connection cursor on the shared db (thread-safe);
-                # the relation API exposes REAL DuckDB types (the PEP-249
+                # the connection's own cursor (transaction-scoped); the
+                # relation API exposes REAL DuckDB types (the PEP-249
                 # description only has generic 'NUMBER'/'STRING')
-                rel = self.server.db.cursor().sql(sql)
+                rel = self._cur.sql(sql)
                 if rel is None:  # DDL/DML — no result set
                     self._msg(b"C", b"OK\x00")
                     self._ready()

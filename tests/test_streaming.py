@@ -897,3 +897,84 @@ class TestStreamingHllAccounting:
             ).collect()
         }
         assert got == want and len(want) == 3
+
+
+class TestPostgresExactlyOnceSink:
+    """streaming/pg_sink.py — transactional batch-ledger delivery into a
+    wire-protocol Postgres: replays skipped, mid-batch failure atomic."""
+
+    def _settings(self, srv):
+        from pgstream_spark.sources.pgwire import ConnSettings
+
+        return ConnSettings(
+            host="127.0.0.1", dbname="stub", user="t", password=None, port=srv.port
+        )
+
+    def test_stream_delivers_once_and_replay_skips(self, spark, tmp_path):
+        import duckdb
+        from tests.conftest import write_flat_parquet
+        from tests.pg_stub import PgStubServer
+        from pgstream_spark.streaming.pg_sink import (
+            ensure_ledger,
+            postgres_exactly_once_sink,
+        )
+
+        db = duckdb.connect(":memory:")
+        db.execute("CREATE TABLE sunk (k BIGINT, v DOUBLE)")
+        src = str(tmp_path / "src")
+        schema = "k long, v double"
+        write_flat_parquet(spark, [(1, 1.0), (2, 2.0)], schema, src + "/b1.parquet")
+        write_flat_parquet(spark, [(3, 3.0), (4, 4.0)], schema, src + "/b2.parquet")
+
+        with PgStubServer(db) as srv:
+            st = self._settings(srv)
+            ensure_ledger(st, "ledger")
+            sink = postgres_exactly_once_sink(st, "sunk", "s1", "ledger")
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            # manual REPLAY of batch 0 (the crash-between-commits case)
+            b0 = spark.read.parquet(src + "/b1.parquet")
+            sink(b0, 0)
+
+        rows = sorted(db.execute("SELECT k, v FROM sunk").fetchall())
+        assert rows == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]  # no dupes
+        assert db.execute("SELECT count(*) FROM ledger").fetchone()[0] == 2
+
+    def test_mid_batch_failure_rolls_back_ledger_and_rows(self, spark):
+        import duckdb
+        from tests.pg_stub import PgStubServer
+        from pgstream_spark.streaming.pg_sink import (
+            ensure_ledger,
+            postgres_exactly_once_sink,
+        )
+
+        db = duckdb.connect(":memory:")
+        db.execute("CREATE TABLE sunk2 (k BIGINT)")
+        with PgStubServer(db) as srv:
+            st = self._settings(srv)
+            ensure_ledger(st, "ledger2")
+            # array column is unrenderable → fails after the ledger insert
+            bad = spark.createDataFrame([([1, 2],)], "k array<int>")
+            sink = postgres_exactly_once_sink(st, "sunk2", "s2", "ledger2")
+            import pytest as _pytest
+
+            with _pytest.raises(Exception):
+                sink(bad, 7)
+            # the aborted transaction must leave NO ledger row: the batch
+            # stays redoable
+            assert db.execute("SELECT count(*) FROM ledger2").fetchone()[0] == 0
+            assert db.execute("SELECT count(*) FROM sunk2").fetchone()[0] == 0
+            # and a good redo of the same batch id succeeds
+            good = spark.createDataFrame([(9,)], "k long")
+            sink(good, 7)
+            assert db.execute("SELECT k FROM sunk2").fetchall() == [(9,)]
