@@ -391,6 +391,66 @@ class TestStreamStreamJoin:
         }
         assert streamed == batch and streamed
 
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path):
+        """leftOuter stream-stream join: an impression with no click in
+        its tolerance window must surface with NULL click columns once
+        BOTH watermarks pass its eligibility bound."""
+        import datetime
+
+        from tests.conftest import write_flat_parquet
+        from pgstream_spark.streaming.joins import stream_stream_time_join
+
+        def ts(sec):
+            return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+        imp_dir = str(tmp_path / "lo_imp")
+        clk_dir = str(tmp_path / "lo_clk")
+        i_schema = "user_id long, imp_id long, imp_ts timestamp"
+        c_schema = "user_id long, click_id long, click_ts timestamp"
+        write_flat_parquet(
+            spark,
+            [(1, 10, ts(0)), (2, 20, ts(10))],
+            i_schema,
+            imp_dir + "/b1.parquet",
+        )
+        write_flat_parquet(spark, [(1, 100, ts(30))], c_schema, clk_dir + "/b1.parquet")
+        # watermark pushers: far-future rows on BOTH sides so the join
+        # watermark passes imp 20's window and the NULL row can emit
+        write_flat_parquet(
+            spark, [(9, 90, ts(100000))], i_schema, imp_dir + "/b2.parquet"
+        )
+        write_flat_parquet(
+            spark, [(9, 900, ts(100000))], c_schema, clk_dir + "/b2.parquet"
+        )
+
+        imp_s = (
+            spark.readStream.schema(i_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(imp_dir)
+        )
+        clk_s = (
+            spark.readStream.schema(c_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(clk_dir)
+        )
+        joined = stream_stream_time_join(
+            imp_s, clk_s, "user_id", "imp_ts", "click_ts",
+            tolerance="5 minutes", watermark="1 minute", how="leftOuter",
+        )
+        sink = str(tmp_path / "lo_sink")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "lo_ckpt"))
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {(r.imp_id, r.click_id) for r in spark.read.parquet(sink).collect()}
+        assert (10, 100) in got          # matched pair
+        assert (20, None) in got         # unmatched impression emitted NULL
+        assert (10, None) not in got     # matched imp must NOT also emit NULL
+
 
 def _ts(epoch):
     import datetime
