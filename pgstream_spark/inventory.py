@@ -5746,6 +5746,49 @@ def f23(spark, sf_dir):
     )
 
 
+@q(
+    "x8_grouped_arrow",
+    # Grouped zero-copy Arrow kernel (applyInArrow) — the grouped
+    # counterpart of x7's mapInArrow: per-key exact-cents stats computed
+    # with pyarrow.compute on the group's RecordBatch, no pandas
+    # conversion.  round_mode half_towards_infinity matches Spark/DuckDB
+    # round(); integer sums keep it bit-exact.
+    "WITH " + _EV + " SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents, "
+    "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
+    "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
+    "FROM ev GROUP BY event_type",
+)
+def x8(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table.column("value"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "sum_cents": [pc.sum(cents).as_py()],
+                "min_cents": [pc.min(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n bigint, sum_cents bigint, "
+        "min_cents bigint, max_cents bigint",
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -213,3 +213,29 @@ class TestExportShards:
         sizes = Counter(s for _, s in a)
         assert len(sizes) == 8
         assert max(sizes.values()) < 3 * (len(a) / 8)
+
+
+def test_orc_roundtrip_parity(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively — a sink
+    target must round-trip values and schema identically to parquet
+    (the interchange case: ORC-consuming warehouses downstream)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("maybe"),
+    )
+    orc_path = str(tmp_path / "orc_out")
+    pq_path = str(tmp_path / "pq_out")
+    df.write.orc(orc_path)
+    df.write.parquet(pq_path)
+    a = sorted(map(tuple, spark.read.orc(orc_path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(pq_path).collect()))
+    assert a == b and len(a) == 1000
+    # ORC reads everything nullable — names and types must survive
+    assert [(f.name, f.dataType) for f in spark.read.orc(orc_path).schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
