@@ -5789,6 +5789,43 @@ def x8(spark, sf_dir):
     )
 
 
+@q(
+    "l45_grid_quantiles",
+    # Deterministic MERGEABLE quantile sketch (sketch.grid_histogram /
+    # grid_quantiles): exact equi-width bin counts over a declared
+    # domain, quantile = first bin whose cumsum reaches ceil(q·total),
+    # reported at the bin's upper edge (error ≤ one bin width).  The
+    # hash-checkable complement of g34's rows-only t-digest: two grids
+    # merge by ADDING counts, so per-shard sketches roll up losslessly
+    # at any scale.  All integers until the final edge arithmetic.
+    "WITH " + _EV + ", b AS (SELECT event_type, "
+    "greatest(0, least(255, CAST(floor((value - 0.0) / 500.0 * 256) AS INT))) "
+    "AS bin FROM ev), "
+    "h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin), "
+    "c AS (SELECT event_type, bin, "
+    "SUM(n) OVER (PARTITION BY event_type ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "SUM(n) OVER (PARTITION BY event_type) AS total FROM h), "
+    "q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q) "
+    "SELECT event_type, q, "
+    "round(0.0 + (min(bin) + 1) * (500.0 / 256), 6) AS est "
+    "FROM c CROSS JOIN q "
+    "WHERE cum >= CAST(ceil(q * total) AS BIGINT) "
+    "GROUP BY event_type, q",
+)
+def l45(spark, sf_dir):
+    from pgstream_spark.operators.sketch import grid_histogram, grid_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    hist = grid_histogram(
+        ev, "value", lo=0.0, hi=500.0, bins=256, group_cols=["event_type"]
+    )
+    return grid_quantiles(
+        hist, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, bins=256,
+        group_cols=["event_type"],
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_bucket", "cms_build", "cms_estimate", "hll_registers", "hll_estimate"]
+__all__ = ["cms_bucket", "cms_build", "cms_estimate", "hll_registers", "hll_estimate", "grid_histogram", "grid_quantiles"]
 
 
 def cms_bucket(term: Column, depth_row: Column | int, width: int) -> Column:
@@ -176,3 +176,84 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*groups, est.alias("hll_est"))
+
+
+def grid_histogram(
+    df: DataFrame,
+    value_col: Column | str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: exact counts per equi-width bin over
+    a declared [lo, hi) domain (out-of-range values clamp to the edge
+    bins).  The deterministic, MERGEABLE quantile sketch — two grids
+    merge by adding counts, a property t-digest family sketches (g34)
+    trade away for adaptivity — with error bounded by the bin width,
+    and every number an exact integer, so the whole sketch is
+    hash-checkable cross-engine (same discipline as the CMS and HLL
+    sketches above).  One map-side-combinable count per (group, bin).
+    Returns ``(group…, bin, n)``.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    span = float(hi) - float(lo)
+    raw = F.floor((c - F.lit(float(lo))) / F.lit(span) * F.lit(int(bins)))
+    bin_id = F.greatest(
+        F.lit(0), F.least(F.lit(int(bins) - 1), raw.cast("int"))
+    ).alias("bin")
+    groups = [F.col(g) for g in (group_cols or [])]
+    return (
+        df.select(*groups, bin_id)
+        .groupBy(*[g for g in (group_cols or [])], "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def grid_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`grid_histogram` — the first bin
+    whose running count reaches ``q·total``, reported as that bin's
+    UPPER edge (a value ≥ the true quantile, off by at most one bin
+    width).  Pure integer cumsum + one window, deterministic; the same
+    arithmetic spells in SQL, so estimates stay oracle-checkable.
+    Returns ``(group…, q, est)``.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*groups)
+    cum = hist.select(
+        *groups,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    width = (float(hi) - float(lo)) / int(bins)
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("cum") >= F.ceil(F.col("q") * F.col("total")).cast("bigint")
+        )
+        .groupBy(*groups, "q")
+        .agg(F.min("bin").alias("__bin"))
+    )
+    return hit.select(
+        *groups,
+        "q",
+        F.round(
+            F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width), 6
+        ).alias("est"),
+    )

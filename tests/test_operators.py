@@ -2475,3 +2475,43 @@ class TestCompressionRatio:
         r = {x.doc_id: x.zlib_ratio for x in compression_ratio(df).collect()}
         assert r[1] == r[2]
         assert r[3] == 1.0
+
+
+class TestGridQuantileSketch:
+    """sketch.grid_histogram / grid_quantiles — mergeability (the
+    property t-digest lacks) and the one-bin-width error bound."""
+
+    def test_merge_of_shards_equals_whole(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.sketch import grid_histogram
+
+        df = spark.range(0, 10000).select((F.col("id") % 997 / 10.0).alias("v"))
+        a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+        whole = grid_histogram(df, "v", 0, 100, bins=64)
+        merged = (
+            grid_histogram(a, "v", 0, 100, bins=64)
+            .unionByName(grid_histogram(b, "v", 0, 100, bins=64))
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    def test_error_bounded_by_bin_width(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.sketch import grid_histogram, grid_quantiles
+
+        df = spark.range(0, 100000).select((F.col("id") / 1000.0).alias("v"))  # uniform [0,100)
+        bins = 200
+        hist = grid_histogram(df, "v", 0, 100, bins=bins)
+        est = {r.q: r.est for r in grid_quantiles(hist, [0.25, 0.5, 0.9], 0, 100, bins=bins).collect()}
+        width = 100 / bins
+        for q, true_v in [(0.25, 25.0), (0.5, 50.0), (0.9, 90.0)]:
+            assert true_v - 1e-9 <= est[q] <= true_v + width + 1e-9
+
+    def test_out_of_range_clamps(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.sketch import grid_histogram
+
+        df = spark.createDataFrame([(-50.0,), (999.0,), (5.0,)], "v double")
+        h = {r.bin: r.n for r in grid_histogram(df, "v", 0, 10, bins=10).collect()}
+        assert h[0] == 1 and h[9] == 1 and h[5] == 1
