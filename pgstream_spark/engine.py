@@ -185,6 +185,28 @@ class Engine:
             for _fields, rows in client.stream_query(bound, batch_size=batch_size):
                 yield rows
 
+    def write_pg(
+        self,
+        df: "DataFrame",
+        settings: Any,
+        table: str,
+        via_copy: bool = True,
+        batch_rows: int = 500,
+    ) -> int:
+        """Write a DataFrame into a LIVE Postgres table — the sink
+        symmetric to :meth:`stream_pg`'s source edge, delegating to
+        ``sources.pgwire.write_partitioned`` (one wire connection per
+        Spark partition).  ``via_copy`` (default) streams COPY text
+        framing — the canonical bulk path; set False for portable
+        multi-row INSERT batches of ``batch_rows``.  Returns rows
+        written.
+        """
+        from pgstream_spark.sources.pgwire import write_partitioned
+
+        return write_partitioned(
+            df, settings, table, batch_rows=batch_rows, via_copy=via_copy
+        )
+
     # -- transactions (reference Stream.hs:166-231) -------------------------
 
     def transaction(self, mode: "TransactionMode | None" = None):

@@ -415,3 +415,21 @@ class TestCopySparkPaths:
             back = read_table(spark, st, "SELECT * FROM sink_c").collect()
         got = {(r.id, r.name, r.score, r.flag, bytes(r.blob), r.seen) for r in back}
         assert got == set(rows)
+
+
+class TestEngineWritePg:
+    def test_engine_write_pg_copy_roundtrip(self, spark, stub_db):
+        import pgstream_spark as pg
+
+        stub_db.execute("CREATE OR REPLACE TABLE eng_sink (k BIGINT, s VARCHAR)")
+        eng = pg.Engine(spark)
+        df = spark.createDataFrame(
+            [(i, f"r{i}\t!") for i in range(40)], "k long, s string"
+        ).repartition(2)
+        with PgStubServer(stub_db) as srv:
+            n = eng.write_pg(df, _settings(srv), "eng_sink")
+        assert n == 40
+        assert stub_db.execute("SELECT count(*), min(s) FROM eng_sink").fetchone() == (
+            40,
+            "r0\t!",
+        )
