@@ -2515,3 +2515,54 @@ class TestGridQuantileSketch:
         df = spark.createDataFrame([(-50.0,), (999.0,), (5.0,)], "v double")
         h = {r.bin: r.n for r in grid_histogram(df, "v", 0, 10, bins=10).collect()}
         assert h[0] == 1 and h[9] == 1 and h[5] == 1
+
+
+class TestIncrementalRollup:
+    """rollup_time.merge_rollups / incremental_rollup — continuous-
+    aggregate maintenance: merge(delta) == full recompute, persisted
+    store survives crash-in-swap."""
+
+    def _events(self, spark, start, n):
+        import datetime
+        rows = [
+            (datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=start + i),
+             float((start + i) % 13))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "ts timestamp, v double")
+
+    def test_merge_equals_full_recompute(self, spark):
+        from pgstream_spark.operators.rollup_time import merge_rollups, time_rollup
+
+        a = self._events(spark, 0, 300)
+        b = self._events(spark, 200, 300)  # OVERLAPPING minutes with a
+        full = time_rollup(a.unionByName(b), "ts", "v", ("minute", "hour"))
+        merged = merge_rollups(
+            time_rollup(a, "ts", "v", ("minute", "hour")),
+            time_rollup(b, "ts", "v", ("minute", "hour")),
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+    def test_persisted_incremental_matches_full(self, spark, tmp_path):
+        from pgstream_spark.operators.rollup_time import incremental_rollup, time_rollup
+
+        state = str(tmp_path / "ca_state")
+        a, b = self._events(spark, 0, 120), self._events(spark, 120, 120)
+        incremental_rollup(state, a, "ts", "v", ("minute", "hour"))
+        got = incremental_rollup(state, b, "ts", "v", ("minute", "hour"))
+        full = time_rollup(a.unionByName(b), "ts", "v", ("minute", "hour"))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_crash_in_swap_recovers(self, spark, tmp_path):
+        import os
+        from pgstream_spark.operators.rollup_time import incremental_rollup
+
+        state = str(tmp_path / "ca_crash")
+        a = self._events(spark, 0, 60)
+        incremental_rollup(state, a, "ts", "v", ("minute",))
+        # simulate a crash BETWEEN rename(cur, bak) and rename(tmp, cur)
+        os.rename(os.path.join(state, "current"), os.path.join(state, "__bak__"))
+        b = self._events(spark, 60, 60)
+        got = incremental_rollup(state, b, "ts", "v", ("minute",))
+        # recovery must restore the bak store, not restart from empty
+        assert got.count() == 120  # 120 distinct minutes across both loads
