@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_diff"]
+__all__ = ["corpus_diff", "write_version", "list_versions", "read_version", "diff_versions"]
 
 
 def corpus_diff(
@@ -63,4 +63,90 @@ def corpus_diff(
     return joined.select(
         F.coalesce(F.col("__id_a"), F.col("__id_b")).alias(id_col),
         status.alias("status"),
+    )
+
+
+def write_version(
+    store_dir: str,
+    df: DataFrame,
+    note: str = "",
+) -> int:
+    """Append an immutable dataset version under ``store_dir`` and
+    return its version number — time-travel on plain parquet.
+
+    Layout: ``v<NNNN>/data/`` (the parquet) + ``v<NNNN>/manifest.json``
+    (row count, schema DDL, note) + a ``latest`` pointer file.  The
+    manifest is written LAST, so a crashed write leaves a version dir
+    without a manifest, which readers skip — commit is the manifest
+    rename, not the data write.  Versions are never rewritten; takedowns
+    and cleaning-rule changes land as NEW versions, and `corpus_diff`
+    answers what changed between any two.
+    """
+    import json
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    existing = list_versions(store_dir)
+    version = (existing[-1] if existing else 0) + 1
+    vdir = os.path.join(store_dir, f"v{version:04d}")
+    df.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+    spark = df.sparkSession
+    n = spark.read.parquet(os.path.join(vdir, "data")).count()
+    manifest = {
+        "version": version,
+        "rows": n,
+        "schema": df.schema.simpleString(),
+        "note": note,
+    }
+    tmp = os.path.join(vdir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(vdir, "manifest.json"))  # the commit point
+    with open(os.path.join(store_dir, "latest.tmp"), "w") as f:
+        f.write(str(version))
+    os.rename(os.path.join(store_dir, "latest.tmp"), os.path.join(store_dir, "latest"))
+    return version
+
+
+def list_versions(store_dir: str) -> list[int]:
+    """Committed versions (manifest present), ascending."""
+    import os
+
+    if not os.path.isdir(store_dir):
+        return []
+    out = []
+    for name in os.listdir(store_dir):
+        if name.startswith("v") and os.path.exists(
+            os.path.join(store_dir, name, "manifest.json")
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_version(spark, store_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: a specific committed version, or the latest."""
+    import os
+
+    versions = list_versions(store_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {store_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not committed in {store_dir}")
+    return spark.read.parquet(os.path.join(store_dir, f"v{version:04d}", "data"))
+
+
+def diff_versions(
+    spark,
+    store_dir: str,
+    v_old: int,
+    v_new: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`corpus_diff` between two committed versions of the store."""
+    return corpus_diff(
+        read_version(spark, store_dir, v_old),
+        read_version(spark, store_dir, v_new),
+        id_col=id_col,
     )

@@ -2566,3 +2566,62 @@ class TestIncrementalRollup:
         got = incremental_rollup(state, b, "ts", "v", ("minute",))
         # recovery must restore the bak store, not restart from empty
         assert got.count() == 120  # 120 distinct minutes across both loads
+
+
+class TestDatasetVersioning:
+    """snapshot.write_version / read_version / diff_versions — immutable
+    time-travel store: manifest-commit semantics, uncommitted skipped."""
+
+    def test_versions_immutable_and_time_travel(self, spark, tmp_path):
+        from pgstream_spark.operators.snapshot import (
+            diff_versions,
+            list_versions,
+            read_version,
+            write_version,
+        )
+
+        store = str(tmp_path / "store")
+        v1_data = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        v2_data = spark.createDataFrame(
+            [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string"
+        )
+        assert write_version(store, v1_data, "initial") == 1
+        assert write_version(store, v2_data, "cleaned") == 2
+        assert list_versions(store) == [1, 2]
+        # time travel: v1 still reads exactly as written
+        assert {r.text for r in read_version(spark, store, 1).collect()} == {"a", "b", "c"}
+        assert read_version(spark, store).count() == 3  # latest = v2
+        statuses = {r.doc_id: r.status for r in diff_versions(spark, store, 1, 2).collect()}
+        assert statuses == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+    def test_uncommitted_version_is_invisible(self, spark, tmp_path):
+        import os
+        from pgstream_spark.operators.snapshot import (
+            list_versions,
+            read_version,
+            write_version,
+        )
+
+        store = str(tmp_path / "store2")
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        write_version(store, df)
+        # simulate a crash: data written, manifest never committed
+        os.makedirs(os.path.join(store, "v0002", "data"), exist_ok=True)
+        assert list_versions(store) == [1]
+        assert read_version(spark, store).count() == 1
+        # next write claims v2... no — it must go AFTER the highest
+        # COMMITTED version; the orphan dir is overwritten
+        v = write_version(store, df)
+        assert v == 2 and list_versions(store) == [1, 2]
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        from pgstream_spark.operators.snapshot import read_version, write_version
+
+        store = str(tmp_path / "store3")
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, store)
+        write_version(store, spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, store, 99)
