@@ -458,3 +458,59 @@ def test_recursive_cte_uses_union_loop(spark, sf_dir):
 
     txt = explain_string(QUERIES["p12_recursive_cte"](spark, sf_dir), "simple")
     assert "UnionLoop" in txt
+
+
+class TestExecutedMetrics:
+    """plans/metrics.py — evidence, not eyeballs: executed-plan metrics
+    prove the shuffle-economy claims the docstrings make."""
+
+    def test_map_side_combine_shrinks_shuffle(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+        from pgstream_spark.plans.metrics import metric_totals
+
+        t = metric_totals(QUERIES["g1_tpch_q1"](spark, sf_dir))
+        # partial aggregation must combine before the exchange: the
+        # shuffle carries per-(partition, group) partials, orders of
+        # magnitude below the scanned lineitem rows
+        assert t["scan_rows"] >= 6000
+        assert 0 < t["shuffle_records"] < t["scan_rows"] / 10
+        assert t["spill_bytes"] == 0
+
+    def test_bloom_prefilter_reduces_join_shuffle(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.bloom import bloom_prefilter_join
+        from pgstream_spark.plans.metrics import metric_totals
+        from pgstream_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        urgent = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        # model the big-dimension case the operator exists for: broadcast
+        # off, so both joins must shuffle — the filter tables themselves
+        # stay broadcast (explicit F.broadcast hint survives the config)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+            pre = bloom_prefilter_join(
+                li, urgent, "l_orderkey", "o_orderkey", m_bits=10
+            )
+            t_plain = metric_totals(plain)
+            t_pre = metric_totals(pre)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # identical results (proven elsewhere); the prefilter must move
+        # FEWER fact rows through the join exchange
+        assert t_pre["shuffle_records"] < t_plain["shuffle_records"]
+
+    def test_executed_metrics_node_listing(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+        from pgstream_spark.plans.metrics import executed_metrics
+
+        nodes = executed_metrics(QUERIES["g2_global_agg"](spark, sf_dir))
+        names = [n for n, _, _ in nodes]
+        assert names[0].startswith("AdaptiveSparkPlan") or "HashAggregate" in names
+        assert any("HashAggregate" in n for n in names)
