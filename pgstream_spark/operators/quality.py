@@ -35,7 +35,7 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect"]
+__all__ = ["expect", "expect_split"]
 
 
 def _violation(rule: tuple) -> Column:
@@ -147,3 +147,35 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def expect_split(
+    df: DataFrame, rules: Sequence[tuple]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement of the row-wise rule subset: returns
+    ``(clean, quarantined)`` where ``quarantined`` carries a
+    ``_violations`` array naming every failed rule — the quarantine
+    pattern `sources/text.py` applies to unparseable rows, extended to
+    semantic rules.  One map-only pass, no shuffle; aggregate rules
+    (unique/ref) don't identify rows and belong to :func:`expect`.
+    """
+    rowwise = [
+        r for r in rules if r[0] in ("not_null", "in_range", "matches", "accepted")
+    ]
+    other = [r for r in rules if r not in rowwise]
+    if other:
+        raise ValueError(
+            f"expect_split handles row-wise rules only, got {[r[0] for r in other]}"
+        )
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation(r), F.lit(_label(r)))
+                for r in rowwise
+            ]
+        )
+    )
+    tagged = df.withColumn("_violations", tags)
+    clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    quarantined = tagged.filter(F.size("_violations") > 0)
+    return clean, quarantined

@@ -2625,3 +2625,25 @@ class TestDatasetVersioning:
         write_version(store, spark.createDataFrame([(1, "x")], "doc_id long, text string"))
         with pytest.raises(FileNotFoundError):
             read_version(spark, store, 99)
+
+
+def test_expect_split_quarantines_with_reasons(spark):
+    from pgstream_spark.operators.quality import expect_split
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, -1.0, "A"), (None, 3.0, "X"), (4, 2.0, "B")],
+        "id long, v double, cat string",
+    )
+    clean, quar = expect_split(
+        df,
+        [("not_null", "id"), ("in_range", "v", 0, 10), ("accepted", "cat", ("A", "B"))],
+    )
+    assert {r.id for r in clean.collect()} == {1, 4}
+    reasons = {tuple(sorted(r._violations)) for r in quar.collect()}
+    assert ("in_range(v)",) in reasons
+    assert ("accepted(cat)", "not_null(id)") in reasons
+    # aggregate rules rejected loudly
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        expect_split(df, [("unique", "id")])
