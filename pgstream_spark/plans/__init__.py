@@ -1,6 +1,7 @@
 """Plan inspection: explain text + structural assertions used to keep
 operators on their intended physical strategy."""
 
+from pgstream_spark.plans.metrics import executed_metrics, metric_totals
 from pgstream_spark.plans.explain import (
     explain_string,
     pushed_filters,
