@@ -5379,9 +5379,10 @@ def a12(spark, sf_dir):
     # partitioned Bloom filter over the selective dimension's keys
     # prunes fact rows map-side BEFORE the join shuffle; the exact join
     # then removes the filter's false positives, so the result is
-    # bit-identical to the plain join the oracle runs.  m_bits=12 at
-    # sf0.01 keeps each seed's bucket table broadcast-sized; at corpus
-    # scale m_bits grows with log2(|dim keys|), never with |fact|.
+    # bit-identical to the plain join the oracle runs.  m_bits=18 per
+    # the measured sizing rule (SCALE.md: ≈log2(|dim keys|/0.1)); the
+    # bucket tables stay ≤|dim keys| rows regardless (only OCCUPIED
+    # buckets materialize), so head-room costs nothing at small SF.
     "SELECT l.l_returnflag AS returnflag, CAST(count(*) AS BIGINT) AS n, "
     + _dsum("l.l_extendedprice")
     + " AS revenue "
@@ -5402,7 +5403,7 @@ def j12(spark, sf_dir):
         .select("o_orderkey")
     )
     joined = bloom_prefilter_join(
-        li, urgent, "l_orderkey", "o_orderkey", m_bits=12, seeds=(101, 211)
+        li, urgent, "l_orderkey", "o_orderkey", m_bits=18, seeds=(101, 211)
     )
     return joined.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
