@@ -276,3 +276,28 @@ class TestFileSources:
         p.write_text('{"a": 1}\nbroken\n')
         clean, bad = split_corrupt(read_jsonl(spark, str(p), "a long"))
         assert bad.count() == 1 and clean.count() == 1
+
+
+def test_concurrent_queries_share_one_session(engine):
+    """A-5/A-18: one Engine serves concurrent callers — eight threads
+    running distinct parameterized queries all return correct results
+    (Spark actions are thread-safe on a shared session; this pins the
+    Engine wrapper doesn't break that)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i: int) -> tuple[int, int]:
+        rows = engine.rows(
+            "SELECT count(*) AS n FROM orders WHERE o_orderkey % {1} = 0",
+            (i + 2,),
+        )
+        return i, rows[0][0]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(one, range(8)))
+    serial = {
+        i: engine.rows(
+            "SELECT count(*) AS n FROM orders WHERE o_orderkey % {1} = 0", (i + 2,)
+        )[0][0]
+        for i in range(8)
+    }
+    assert got == serial and all(v > 0 for v in got.values())
