@@ -5827,6 +5827,59 @@ def l45(spark, sf_dir):
     )
 
 
+@q(
+    "o7_keyset_pagination",
+    # Keyset (seek) pagination — the SCALE-correct pager: o4's OFFSET
+    # must scan and discard every skipped row (O(offset) per page,
+    # quadratic over a full walk), while the keyset predicate on the
+    # ordered composite (date, key) is a pushed-down range scan —
+    # O(page) forever.  Row-value comparison spelled as struct/tuple
+    # comparison on both engines.
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '2024-03-01', 0) "
+    "ORDER BY o_orderdate, o_orderkey LIMIT 50",
+)
+def o7(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cursor = F.struct(
+        F.lit("2024-03-01").cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(0).cast("bigint").alias("o_orderkey"),
+    )
+    return (
+        o.filter(F.struct("o_orderdate", "o_orderkey") > cursor)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )
+
+
+@q(
+    "t23_sliding_distinct",
+    # Distinct users per hopping window (1h width / 30min slide) — the
+    # usage-metrics staple t11's additive counts can't answer: distinct
+    # is NOT additive across slides, so each window recomputes over its
+    # own membership (bucket-offset explode + count_distinct; exact).
+    "WITH " + _EV + ", "
+    "w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) "
+    "- o * INTERVAL '30 minutes' AS window_start, user_id "
+    "FROM ev CROSS JOIN unnest([0, 1]) AS t(o)) "
+    "SELECT window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM w GROUP BY 1",
+)
+def t23(spark, sf_dir):
+    from pgstream_spark.streaming.windows import tumbling_windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_windowed_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [F.count_distinct("user_id").alias("n_users")],
+        slide="30 minutes",
+    )
+    return out.drop("window_end")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
