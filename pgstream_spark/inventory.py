@@ -5831,22 +5831,24 @@ def l45(spark, sf_dir):
     "o7_keyset_pagination",
     # Keyset (seek) pagination — the SCALE-correct pager: o4's OFFSET
     # must scan and discard every skipped row (O(offset) per page,
-    # quadratic over a full walk), while the keyset predicate on the
-    # ordered composite (date, key) is a pushed-down range scan —
-    # O(page) forever.  Row-value comparison spelled as struct/tuple
-    # comparison on both engines.
+    # quadratic over a full walk).  The tuple comparison is DECOMPOSED
+    # into `lead >= cursor AND (lead > cursor OR tiebreak > key)`
+    # because a struct comparison does not reach the parquet scan
+    # (verified: no PushedFilters) — the leading >= conjunct is what
+    # row-group statistics can skip on; plan-pinned in test_plans.
     "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
-    "WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '2024-03-01', 0) "
+    "WHERE o_orderdate >= TIMESTAMP '2024-03-01' "
+    "AND (o_orderdate > TIMESTAMP '2024-03-01' OR o_orderkey > 0) "
     "ORDER BY o_orderdate, o_orderkey LIMIT 50",
 )
 def o7(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    cursor = F.struct(
-        F.lit("2024-03-01").cast("timestamp_ntz").alias("o_orderdate"),
-        F.lit(0).cast("bigint").alias("o_orderkey"),
-    )
+    cdate = F.lit("2024-03-01").cast("timestamp_ntz")
     return (
-        o.filter(F.struct("o_orderdate", "o_orderkey") > cursor)
+        o.filter(
+            (F.col("o_orderdate") >= cdate)
+            & ((F.col("o_orderdate") > cdate) | (F.col("o_orderkey") > 0))
+        )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_orderdate", "o_orderkey")
         .limit(50)

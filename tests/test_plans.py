@@ -514,3 +514,16 @@ class TestExecutedMetrics:
         names = [n for n, _, _ in nodes]
         assert names[0].startswith("AdaptiveSparkPlan") or "HashAggregate" in names
         assert any("HashAggregate" in n for n in names)
+
+
+def test_keyset_pagination_pushes_leading_bound(spark, sf_dir):
+    # o7: the decomposed keyset predicate must reach the scan — the
+    # leading-column bound is what makes seek pagination O(page) via
+    # row-group skipping (a struct comparison never pushes; verified
+    # when this query was authored).
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["o7_keyset_pagination"](spark, sf_dir), "formatted")
+    assert "PushedFilters" in txt
+    assert "GreaterThanOrEqual(o_orderdate" in txt
