@@ -5882,6 +5882,69 @@ def t23(spark, sf_dir):
     return out.drop("window_end")
 
 
+@q(
+    "w14_distribution_functions",
+    # cume_dist / percent_rank / ntile — the distribution third of the
+    # window family (w1 covers rank/dense_rank, w5 covers the ranks-as-
+    # shares rewrite).  All three are rank-derived rationals of exact
+    # integer counts — deterministic doubles on any engine; round(6)
+    # guards the two divisions.
+    "SELECT o_orderkey, o_custkey, "
+    "round(cume_dist() OVER w, 6) AS cd, "
+    "round(percent_rank() OVER w, 6) AS pr, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice, o_orderkey)",
+)
+def w14(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@q(
+    "g41_null_aggregate_semantics",
+    # NULL discipline at the AGGREGATE level (the A-12 companion): on a
+    # NULL-bearing derived column, count(col) skips NULLs, count(*)
+    # does not, sum/min of an all-NULL group is NULL (not 0), distinct
+    # counts exclude NULLs, and count_if/sum-of-case disagree on NULL
+    # rows only if spelled wrong — every cell here pins one of those
+    # rules identically across engines.
+    "WITH d AS (SELECT o_custkey % 7 AS g, "
+    "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey END AS v "
+    "FROM orders) "
+    "SELECT g, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(v) AS BIGINT) AS n_vals, "
+    "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "
+    "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+    "CAST(min(v) AS BIGINT) AS min_v, "
+    "CAST(sum(CASE WHEN g = 0 THEN v END) AS BIGINT) AS sum_only_g0 "
+    "FROM d GROUP BY g",
+)
+def g41(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 7).alias("g"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderkey"))
+        .alias("v"),
+    )
+    return d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.count_distinct("v").alias("n_distinct"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.min("v").alias("min_v"),
+        F.sum(F.when(F.col("g") == 0, F.col("v"))).alias("sum_only_g0"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
