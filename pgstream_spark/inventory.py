@@ -5945,6 +5945,31 @@ def g41(spark, sf_dir):
     )
 
 
+@q(
+    "u5_union_by_name_evolution",
+    # Schema-evolution union: two snapshots of "the same" table whose
+    # column sets drifted (one gained a column) combine BY NAME with
+    # missing columns nulled — Spark `unionByName(allowMissingColumns)`
+    # vs DuckDB `UNION ALL BY NAME`.  The positional u1 union would
+    # silently misalign here; this is the ingest-across-versions shape.
+    "SELECT o_orderkey, o_totalprice, priority FROM ("
+    "SELECT o_orderkey, o_totalprice, o_orderpriority AS priority "
+    "FROM orders WHERE o_orderkey % 100 = 0 "
+    "UNION ALL BY NAME "
+    "SELECT o_totalprice, o_orderkey "
+    "FROM orders WHERE o_orderkey % 100 = 1)",
+)
+def u5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    new_schema = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    old_schema = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_totalprice", "o_orderkey"
+    )
+    return new_schema.unionByName(old_schema, allowMissingColumns=True)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

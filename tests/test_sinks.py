@@ -239,3 +239,26 @@ def test_orc_roundtrip_parity(spark, tmp_path):
     assert [(f.name, f.dataType) for f in spark.read.orc(orc_path).schema] == [
         (f.name, f.dataType) for f in df.schema
     ]
+
+
+def test_parquet_schema_evolution_merge_read(spark, tmp_path):
+    """A table whose writes gained a column over time reads as ONE
+    evolved schema via mergeSchema — old files surface NULL for the new
+    column; without the option the read sees only the footer-sampled
+    subset.  The on-disk half of u5's by-name union semantics."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 50).select(F.col("id"), F.lit("v1").alias("src")).write.parquet(
+        path + "/batch=1"
+    )
+    spark.range(50, 100).select(
+        F.col("id"), F.lit("v2").alias("src"), (F.col("id") * 2).alias("extra")
+    ).write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "src", "extra", "batch"}
+    assert merged.count() == 100
+    old = merged.filter("batch = 1")
+    assert old.filter(F.col("extra").isNull()).count() == 50
+    new = merged.filter("batch = 2")
+    assert new.filter(F.col("extra") == F.col("id") * 2).count() == 50
