@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_history", "point_in_time_join"]
+__all__ = ["scd2_history", "point_in_time_join", "scd2_apply_batch"]
 
 
 def scd2_history(
@@ -100,3 +100,91 @@ def point_in_time_join(
             for c in ver_cols
         ],
     )
+
+
+def scd2_apply_batch(
+    store_dir: str,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str | None = None,
+    op_col: str | None = None,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incrementally maintain a PERSISTED SCD2 history from change
+    batches — the foreachBatch body of a streaming dimension pipeline.
+
+    Store layout under ``store_dir``: ``log/`` (append-only changes —
+    the durable source of truth; deletes live here, since a history row
+    can't encode its own deletion timestamp) and ``history/current``
+    (the materialized version table, swap-committed).  Per batch the
+    history is rebuilt ONLY for the keys the batch touches: untouched
+    keys' rows are carried over as-is, affected keys re-window over
+    their full change log — O(|touched keys' changes|), not O(|log|),
+    because the log is partitioned by a key bucket and the rebuild scan
+    prunes to the touched buckets.
+
+    Returns the committed history DataFrame.  Redo-safety: the log
+    append uses a batch-content digest directory, so a replayed batch
+    overwrites its own directory instead of duplicating rows.
+    """
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    log_dir = os.path.join(store_dir, "log")
+    hist_cur = os.path.join(store_dir, "history", "current")
+    hist_tmp = os.path.join(store_dir, "history", "__tmp__")
+    hist_bak = os.path.join(store_dir, "history", "__bak__")
+
+    # deterministic batch identity → idempotent append (a replay of the
+    # same rows lands in the same directory)
+    digest = (
+        batch.select(
+            F.md5(
+                F.concat_ws(
+                    "\x00",
+                    F.col(key_col).cast("string"),
+                    F.col(ts_col).cast("string"),
+                    *(
+                        [F.col(seq_col).cast("string")] if seq_col else []
+                    ),
+                )
+            ).alias("h")
+        )
+        .agg(F.bit_xor(F.conv(F.substring("h", 1, 15), 16, 10).cast("long")).alias("x"))
+        .collect()[0]["x"]
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(64)).alias("__kb")
+    batch.withColumn("__kb", bucket).write.mode("overwrite").partitionBy(
+        "__kb"
+    ).parquet(os.path.join(log_dir, f"batch={digest}"))
+
+    log = spark.read.parquet(log_dir)
+    touched = [r[0] for r in batch.select(key_col).distinct().collect()]
+    affected_log = log.filter(F.col(key_col).isin(touched))
+    rebuilt = scd2_history(
+        affected_log, key_col, ts_col, seq_col=seq_col, op_col=op_col,
+        payload_cols=payload_cols,
+    )
+
+    if os.path.exists(hist_tmp):
+        shutil.rmtree(hist_tmp)
+    if not os.path.exists(hist_cur) and os.path.exists(hist_bak):
+        os.rename(hist_bak, hist_cur)
+    if os.path.exists(hist_cur):
+        untouched = spark.read.parquet(hist_cur).filter(
+            ~F.col(key_col).isin(touched)
+        )
+        merged = untouched.unionByName(rebuilt)
+    else:
+        merged = rebuilt
+    merged.write.mode("overwrite").parquet(hist_tmp)
+    if os.path.exists(hist_bak):
+        shutil.rmtree(hist_bak)
+    if os.path.exists(hist_cur):
+        os.rename(hist_cur, hist_bak)
+    os.rename(hist_tmp, hist_cur)
+    if os.path.exists(hist_bak):
+        shutil.rmtree(hist_bak)
+    return spark.read.parquet(hist_cur)

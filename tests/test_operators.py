@@ -2647,3 +2647,57 @@ def test_expect_split_quarantines_with_reasons(spark):
 
     with _p.raises(ValueError):
         expect_split(df, [("unique", "id")])
+
+
+class TestScd2ApplyBatch:
+    """operators/scd2.scd2_apply_batch — persisted incremental SCD2:
+    batch-fold == one-shot history, replays idempotent, deletes honored."""
+
+    _B1 = [(1, "2024-01-01", 1, "U", 10.0), (2, "2024-01-05", 2, "U", 50.0)]
+    _B2 = [(1, "2024-02-01", 3, "U", 20.0), (1, "2024-03-01", 4, "D", None),
+           (3, "2024-02-10", 5, "U", 99.0)]
+
+    def _df(self, spark, rows):
+        import pyspark.sql.functions as F
+        return spark.createDataFrame(
+            rows, "k long, ts string, seq long, op string, val double"
+        ).withColumn("ts", F.col("ts").cast("date"))
+
+    def _apply(self, spark, store, rows):
+        from pgstream_spark.operators.scd2 import scd2_apply_batch
+        return scd2_apply_batch(
+            store, self._df(spark, rows), key_col="k", ts_col="ts",
+            seq_col="seq", op_col="op", payload_cols=["val"],
+        )
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        from pgstream_spark.operators.scd2 import scd2_history
+
+        store = str(tmp_path / "scd2_store")
+        self._apply(spark, store, self._B1)
+        got = self._apply(spark, store, self._B2)
+        want = scd2_history(
+            self._df(spark, self._B1 + self._B2), "k", "ts",
+            seq_col="seq", op_col="op", payload_cols=["val"],
+        )
+        cols = ["k", "valid_from", "valid_to", "val"]
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        )
+        # the delete left a hole: key 1 has versions at 01-01 and NOT 03-01
+        k1 = {r.valid_from.isoformat() for r in got.filter("k = 1").collect()}
+        assert "2024-03-01" not in k1
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        store = str(tmp_path / "scd2_replay")
+        self._apply(spark, store, self._B1)
+        a = sorted(map(tuple, self._apply(spark, store, self._B2).collect()))
+        b = sorted(map(tuple, self._apply(spark, store, self._B2).collect()))
+        assert a == b  # same digest directory overwritten, no dup rows
+
+    def test_untouched_keys_carry_over(self, spark, tmp_path):
+        store = str(tmp_path / "scd2_carry")
+        self._apply(spark, store, self._B1)
+        got = self._apply(spark, store, [(3, "2024-04-01", 9, "U", 1.0)])
+        k2 = got.filter("k = 2").collect()
+        assert len(k2) == 1 and k2[0].val == 50.0 and k2[0].valid_to is None
