@@ -161,8 +161,11 @@ def scd2_apply_batch(
     ).parquet(os.path.join(log_dir, f"batch={digest}"))
 
     log = spark.read.parquet(log_dir)
-    touched = [r[0] for r in batch.select(key_col).distinct().collect()]
-    affected_log = log.filter(F.col(key_col).isin(touched))
+    # touched keys as a broadcast semi/anti join, never a collected
+    # isin() list — a wide batch would otherwise inflate the plan with
+    # a million-literal predicate
+    touched = F.broadcast(batch.select(key_col).distinct())
+    affected_log = log.join(touched, key_col, "leftsemi")
     rebuilt = scd2_history(
         affected_log, key_col, ts_col, seq_col=seq_col, op_col=op_col,
         payload_cols=payload_cols,
@@ -173,8 +176,8 @@ def scd2_apply_batch(
     if not os.path.exists(hist_cur) and os.path.exists(hist_bak):
         os.rename(hist_bak, hist_cur)
     if os.path.exists(hist_cur):
-        untouched = spark.read.parquet(hist_cur).filter(
-            ~F.col(key_col).isin(touched)
+        untouched = spark.read.parquet(hist_cur).join(
+            touched, key_col, "left_anti"
         )
         merged = untouched.unionByName(rebuilt)
     else:
