@@ -334,6 +334,11 @@ class PgWireClient:
         format.  The bulk-extract path: one streaming response, no
         RowDescription/DataRow per-row framing, no result-set
         materialization on the client.
+
+        Consume the iterator fully (or ``close()`` the client): unlike
+        :meth:`stream_query` there is no server-side cursor to cancel —
+        an abandoned generator leaves unread CopyData frames on the
+        socket, and the next command would misparse them.
         """
         q = f"COPY {source_sql} TO STDOUT".encode() + b"\x00"
         self._send(b"Q" + struct.pack("!i", len(q) + 4) + q)
