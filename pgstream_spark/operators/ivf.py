@@ -508,3 +508,168 @@ def ivf_adc_top_k(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the composed IVF-PQ index — the FAISS-style on-disk ANN
+    layout, assembled from the pieces this module already proves:
+
+    * ``codes/bucket=K/`` — (neighbor_id, codes): the 4-bit PQ codes,
+      bucket-partitioned.  This is what query-time ADC scans: at 64×
+      compression the probed partitions are ~1.6 % of the vector bytes.
+    * ``vectors/bucket=K/`` — (neighbor_id, embedding): exact vectors,
+      same partitioning, touched only for the shortlist re-rank.
+    * ``centroids/`` + ``codebooks/`` — the tiny trained tables.
+
+    Both data trees share the bucket partitioning, so a probe prunes
+    BOTH scans to ``n_probes/n_lists`` of their files.
+    """
+    from pgstream_spark.operators.pq import pq_encode
+
+    spark = corpus.sparkSession
+    bucketed = assign_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        centroids,
+        vec_col="embedding",
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path + "/vectors")
+    )
+    enc = pq_encode(
+        spark.read.parquet(path + "/vectors"),
+        codebooks,
+        vec_col="embedding",
+        id_col="neighbor_id",
+        keep_cols=("bucket",),
+    )
+    (
+        enc.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path + "/codes")
+    )
+    cdf = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cdf, "centroid_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode(mode).parquet(path + "/centroids")
+    m, n_codes, sub = codebooks.shape
+    cb = [
+        (s, c, [float(x) for x in codebooks[s][c]])
+        for s in range(m)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        cb, "sub int, code int, center array<double>"
+    ).coalesce(1).write.mode(mode).parquet(path + "/codebooks")
+
+
+def load_ivfpq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path + "/codebooks").orderBy("sub", "code").collect()
+    m = max(r.sub for r in rows) + 1
+    n_codes = max(r.code for r in rows) + 1
+    sub = len(rows[0].center)
+    out = np.zeros((m, n_codes, sub), dtype="float64")
+    for r in rows:
+        out[r.sub][r.code] = r.center
+    return out
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 4,
+    shortlist: int = 32,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index: probe → pruned CODE scan
+    (ADC) → shortlist → pruned VECTOR fetch → exact cosine.
+
+    Identical ranking to the in-memory ``ivf_adc_top_k`` at the same
+    centroids/codebooks/parameters (pytest-pinned); the difference is
+    what gets READ — probed code partitions plus shortlist-sized vector
+    rows, never the full index.
+    """
+    centroids = load_ivf_centroids(spark, path)
+    codebooks = load_ivfpq_codebooks(spark, path)
+    m, n_codes, sub = codebooks.shape
+
+    qrows = [
+        (r[0], np.asarray(r[1], dtype="float64"))
+        for r in queries.select(query_id, query_vec).collect()
+    ]
+    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    batch, probe_set = [], set()
+    for qid, v in qrows:
+        scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
+        probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
+        probe_set.update(probes)
+        lut = [
+            float(((v[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
+            for s in range(m)
+            for c in range(n_codes)
+        ]
+        for b in probes:
+            batch.append((qid, [float(x) for x in v], lut, b))
+    id_type = queries.schema[query_id].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        batch,
+        f"query_id {id_type}, __qv array<double>, __lut array<double>, bucket int",
+    )
+
+    codes = spark.read.parquet(path + "/codes").filter(
+        F.col("bucket").isin(sorted(probe_set))
+    )
+    code_idx = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, i: i * n_codes + c + 1,
+    )
+    adc = F.aggregate(
+        F.transform(code_idx, lambda ix: F.element_at("__lut", ix.cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        F.broadcast(qdf)
+        .join(codes, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+    )
+    short = top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("__adc").asc(), F.col("neighbor_id").asc()],
+        shortlist,
+        rank_col="__srank",
+    ).select("query_id", "__qv", "neighbor_id", "bucket")
+
+    vectors = spark.read.parquet(path + "/vectors").filter(
+        F.col("bucket").isin(sorted(probe_set))
+    )
+    rer = short.join(
+        vectors.select("neighbor_id", "embedding"), "neighbor_id"
+    ).withColumn("cosine", cosine_expr(F.col("__qv"), F.col("embedding")))
+    return top_k_per_group(
+        rer,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cosine", "rank")

@@ -2701,3 +2701,51 @@ class TestScd2ApplyBatch:
         got = self._apply(spark, store, [(3, "2024-04-01", 9, "U", 1.0)])
         k2 = got.filter("k = 2").collect()
         assert len(k2) == 1 and k2[0].val == 50.0 and k2[0].valid_to is None
+
+
+class TestIvfPqPersistedIndex:
+    """ivf.write_ivfpq_index / ivfpq_query_index — the persisted
+    IVF-PQ composition: ranking identical to the in-memory ivf_adc
+    pipeline; both code and vector scans partition-pruned."""
+
+    @pytest.fixture(scope="class")
+    def fixture(self, spark, sf_dir, tmp_path_factory):
+        from pgstream_spark.operators.ivf import train_centroids, write_ivfpq_index
+        from pgstream_spark.operators.pq import default_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(corpus, n_lists=8, sample_size=256)
+        dim = len(corpus.select("embedding").first()[0])
+        cbs = default_codebooks(dim=dim, m_subspaces=8, n_codes=16)
+        path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+        write_ivfpq_index(corpus, cents, cbs, path)
+        return corpus, cents, cbs, path
+
+    def test_matches_in_memory_composition(self, spark, fixture):
+        from pgstream_spark.operators.ivf import ivf_adc_top_k, ivfpq_query_index
+
+        corpus, cents, cbs, path = fixture
+        queries = corpus.limit(5)
+        a = ivfpq_query_index(
+            spark, path, queries, k=4, n_probes=3, shortlist=16
+        ).collect()
+        b = ivf_adc_top_k(
+            queries, corpus, cents, cbs, k=4, n_probes=3, shortlist=16
+        ).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(((r.query_id, r.rank, r.neighbor_id) for r in a)) == sorted(
+            ((r.query_id, r.rank, r.neighbor_id) for r in b)
+        )
+
+    def test_both_scans_partition_pruned(self, spark, fixture):
+        from pgstream_spark.operators.ivf import ivfpq_query_index
+        from pgstream_spark.plans.explain import explain_string
+
+        corpus, _, _, path = fixture
+        df = ivfpq_query_index(spark, path, corpus.limit(2), k=3, n_probes=2)
+        txt = explain_string(df, "formatted")
+        pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+        pruned = [ln for ln in pf if "bucket" in ln and "IN (" in ln.replace("in(", "IN (")]
+        assert len(pruned) >= 2, pf  # codes scan AND vectors scan
+        assert "CartesianProduct" not in txt
