@@ -27,6 +27,8 @@ from pgstream_spark.operators.similarity import (
     with_cosine,
 )
 from pgstream_spark.operators.ivf import (
+    ivfpq_query_index,
+    write_ivfpq_index,
     assign_buckets,
     ivf_query_index,
     ivf_top_k,
@@ -76,6 +78,8 @@ __all__ = [
     "train_centroids",
     "assign_buckets",
     "ivf_top_k",
+    "write_ivfpq_index",
+    "ivfpq_query_index",
     "write_ivf_index",
     "ivf_query_index",
     "ohlc_bars",

@@ -10,7 +10,11 @@ from pgstream_spark.streaming.windows import (
 from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
 from pgstream_spark.streaming.neardup import streaming_minhash_candidates
 from pgstream_spark.streaming.pg_sink import postgres_exactly_once_sink
-from pgstream_spark.streaming.stateful import gap_change_detector, running_totals
+from pgstream_spark.streaming.stateful import (
+    gap_change_detector,
+    running_totals,
+    streaming_top_k,
+)
 
 __all__ = [
     "stream_query",
@@ -22,4 +26,5 @@ __all__ = [
     "gap_change_detector",
     "streaming_minhash_candidates",
     "postgres_exactly_once_sink",
+    "streaming_top_k",
 ]

@@ -376,3 +376,74 @@ def running_extrema(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_top_k(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-key continuous top-k leaderboard — the streaming form of the
+    W-family top-k (o3): state per key is the current top-``k``
+    (value, id) list, O(k) regardless of stream length.
+
+    Each micro-batch merges its rows into the state (value DESC, id ASC
+    tie-break — the o3 ordering) and emits the key's FULL refreshed
+    leaderboard as ``k`` append rows stamped with the batch's rank, so
+    downstream consumers always see a complete standings snapshot per
+    update.  Equivalent to re-running batch ``top_k_per_group`` over
+    everything seen so far (pytest-pinned).
+    """
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (vals, ids) = state.get
+            board = list(zip(vals, ids))
+        else:
+            board = []
+        for pdf in pdfs:
+            for v, i in zip(pdf[value_col], pdf[id_col]):
+                if v is None or pd.isna(v):
+                    continue
+                board.append((float(v), int(i)))
+        board.sort(key=lambda t: (-t[0], t[1]))
+        # drop same-id duplicates (later updates of an id replace it only
+        # if better — leaderboard semantics over event streams)
+        seen: set = set()
+        dedup = []
+        for v, i in board:
+            if i not in seen:
+                seen.add(i)
+                dedup.append((v, i))
+        board = dedup[:k]
+        state.update(([v for v, _ in board], [i for _, i in board]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(board),
+                "rank": list(range(1, len(board) + 1)),
+                "id": [i for _, i in board],
+                "value": [v for v, _ in board],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="vals array<double>, ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
