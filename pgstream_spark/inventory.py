@@ -6046,8 +6046,48 @@ _GATE_ORDER = [
 ]
 
 
+# Round-4 rotation, PRE-STAGED but NOT active (the round-3 window above
+# must stay stable until its driver CORRECTNESS run records).  To
+# activate next round: `_GATE_ORDER = _GATE_ORDER_R4` here.  54
+# candidates for 50 slots, ordered by user impact — the overflow tail
+# (plus any round-3 reds to retry) rolls to round 5.  Every name below
+# is hash-checkable and diffcheck-green at sf0.001/sf0.01 (and the
+# round-3 additions at generated sf1) as of the round-3 close.
+_GATE_ORDER_R4 = [
+    # round-3 scale/lifecycle additions — highest novelty, zero driver rows
+    "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
+    "l42_pagerank", "t22_scd2_history", "l43_expectations",
+    "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
+    "j13_null_safe_join", "f23_array_hof", "x8_grouped_arrow",
+    "o7_keyset_pagination", "t23_sliding_distinct",
+    "w14_distribution_functions", "g41_null_aggregate_semantics",
+    "u5_union_by_name_evolution",
+    # LLM-pipeline + sketch remainder
+    "l33_lexical_diversity", "l34_epoch_shuffle", "l35_pq_codes",
+    "l37_duplicate_spans", "l38_dedup_clusters_twostar",
+    "l39_source_quota_cap", "l41_hll_distinct",
+    # joins / arrow / asof remainder
+    "j8c_asof_tolerance", "x7_arrow_kernel",
+    # TPC-H + statistics remainder
+    "g23_tpch_q12_priority_class", "g24_tpch_q13_order_distribution",
+    "g25_tpch_q15_top_supplier", "g26_tpch_q21_sole_late",
+    "g27_tpch_q8_market_share", "g28_cube_grouping", "g31_winsorized_agg",
+    "g32_robust_zscore", "g33_grouping_sets", "g35_standardize",
+    "g36_equidepth_bins", "g37_regression_slope", "g38_argminmax",
+    "g39_welch_ttest",
+    # functions / order / subquery remainder
+    "f15_edit_distance", "f17_string_extended", "f18_date_extended",
+    "f19_datetime_format", "f20_array_set_ops", "f21_try_cast",
+    "f22_url_parsing", "o5_null_ordering", "o6_topk_with_ties",
+    "p10_scalar_subquery", "p11_lateral_topn",
+    # overflow tail (near-twins of already-green queries) → round 5
+    "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
+]
+
+
 def _reorder_registry() -> None:
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
+    unknown += [n for n in _GATE_ORDER_R4 if n not in QUERIES]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}
