@@ -22,6 +22,10 @@ Rules (each a plain tuple, so rule sets are data, not code):
   distinct)
 * ``("ref", col, dim_df, dim_col)`` — orphaned foreign keys (broadcast
   anti-join; dimension side must be broadcast-sized)
+* ``("check", name, sql_bool)`` — free-form row predicate (any SQL
+  boolean over the row's columns, e.g. cross-column invariants like
+  ``valid_to IS NULL OR valid_to > valid_from``); violation = predicate
+  NOT satisfied (NULL counts as a violation — unproven is failed)
 
 Every count is exact integer arithmetic, so the whole report is
 oracle-checkable (`l43_expectations`).
@@ -54,6 +58,10 @@ def _violation(rule: tuple) -> Column:
         _, col, values = rule
         c = F.col(col)
         return c.isNotNull() & ~c.isin(list(values))
+    if kind == "check":
+        _, _name, sql_bool = rule
+        # NOT-true (false or NULL): an unprovable invariant is a failure
+        return ~F.coalesce(F.expr(sql_bool), F.lit(False))
     raise ValueError(f"unknown rowwise rule kind {kind!r}")
 
 
@@ -65,7 +73,7 @@ def _label(rule: tuple) -> str:
         return f"unique({key})"
     if kind == "ref":
         return f"ref({rule[1]}->{rule[3]})"
-    return f"{kind}({rule[1]})"
+    return f"{kind}({rule[1]})"  # for "check", rule[1] IS the name
 
 
 def expect(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
@@ -74,10 +82,10 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     rule grammar and the scan economics.
     """
     spark = df.sparkSession
-    rowwise = [r for r in rules if r[0] in ("not_null", "in_range", "matches", "accepted")]
+    rowwise = [r for r in rules if r[0] in ("not_null", "in_range", "matches", "accepted", "check")]
     uniques = [r for r in rules if r[0] == "unique"]
     refs = [r for r in rules if r[0] == "ref"]
-    unknown = [r for r in rules if r[0] not in ("not_null", "in_range", "matches", "accepted", "unique", "ref")]
+    unknown = [r for r in rules if r[0] not in ("not_null", "in_range", "matches", "accepted", "check", "unique", "ref")]
     if unknown:
         raise ValueError(f"unknown rule kinds: {[r[0] for r in unknown]}")
 
@@ -160,7 +168,9 @@ def expect_split(
     (unique/ref) don't identify rows and belong to :func:`expect`.
     """
     rowwise = [
-        r for r in rules if r[0] in ("not_null", "in_range", "matches", "accepted")
+        r
+        for r in rules
+        if r[0] in ("not_null", "in_range", "matches", "accepted", "check")
     ]
     other = [r for r in rules if r not in rowwise]
     if other:

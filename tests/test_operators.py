@@ -2749,3 +2749,23 @@ class TestIvfPqPersistedIndex:
         pruned = [ln for ln in pf if "bucket" in ln and "IN (" in ln.replace("in(", "IN (")]
         assert len(pruned) >= 2, pf  # codes scan AND vectors scan
         assert "CartesianProduct" not in txt
+
+
+def test_expect_check_rule_cross_column(spark):
+    from pgstream_spark.operators.quality import expect, expect_split
+
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 10, 5), (3, 10, None)],
+        "id long, lo long, hi long",
+    )
+    rep = {r.check: r.violations for r in expect(
+        df, [("check", "hi_after_lo", "hi IS NULL OR hi > lo")]
+    ).collect()}
+    assert rep["check(hi_after_lo)"] == 1  # only id 2 violates; NULL hi allowed
+    # NULL-producing predicate counts as violation (unproven = failed)
+    rep2 = {r.check: r.violations for r in expect(
+        df, [("check", "strict", "hi > lo")]
+    ).collect()}
+    assert rep2["check(strict)"] == 2  # id 2 false, id 3 NULL
+    clean, quar = expect_split(df, [("check", "strict", "hi > lo")])
+    assert {r.id for r in clean.collect()} == {1}
