@@ -2769,3 +2769,27 @@ def test_expect_check_rule_cross_column(spark):
     assert rep2["check(strict)"] == 2  # id 2 false, id 3 NULL
     clean, quar = expect_split(df, [("check", "strict", "hi > lo")])
     assert {r.id for r in clean.collect()} == {1}
+
+
+def test_scd2_history_passes_interval_expectations(spark):
+    """Compositional: the SCD2 invariants expressed as quality rules —
+    every emitted interval is well-formed, checked by the same engine an
+    ingest pipeline would gate on."""
+    import pyspark.sql.functions as F
+    from pgstream_spark.operators.quality import expect
+    from pgstream_spark.operators.scd2 import scd2_history
+
+    ch = spark.createDataFrame(
+        [(k, f"2024-0{m}-01", k * 10 + m, "U", float(m)) for k in (1, 2) for m in (1, 2, 3)],
+        "k long, ts string, seq long, op string, val double",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    hist = scd2_history(ch, "k", "ts", seq_col="seq", op_col="op", payload_cols=["val"])
+    rep = expect(
+        hist,
+        [
+            ("not_null", "valid_from"),
+            ("check", "half_open", "valid_to IS NULL OR valid_to > valid_from"),
+            ("unique", ("k", "valid_from")),
+        ],
+    )
+    assert all(r.passed for r in rep.collect())
