@@ -38,7 +38,7 @@ drop the filters; the read itself works either way).
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Sequence
+from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -65,8 +65,6 @@ class _PgWireReader(DataSourceReader):
         self.extra_where: list[str] = []
 
     def pushFilters(self, filters):  # noqa: N802 — Spark API name
-        from pyspark.sql.datasource import EqualTo
-
         unsupported = []
         for f in filters:
             # public Filter dataclasses: EqualTo / GreaterThan / ... with
