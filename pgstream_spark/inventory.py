@@ -5971,6 +5971,194 @@ def u5(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 continuation: point-in-time SCD2 read, entity-resolution
+# fuzzy join, skyline, embedding Gram matrix, HLL set algebra
+# =====================================================================
+
+@q(
+    "j14_scd2_pit",
+    # The READ side of SCD2 (operators/scd2.point_in_time_join): each
+    # fact row joined to the dimension version valid at fact time.  The
+    # oracle states it as the textbook interval-containment LEFT JOIN;
+    # the Spark plan is the as-of carry (ONE shuffle + ONE sort — see
+    # asof.py), never the |facts|×|versions-per-key| intermediate.
+    # Zero-width versions (same-ts change bursts) are dropped on both
+    # sides so the surviving history tiles deterministically.
+    "WITH " + _EV + ", "
+    "h0 AS (SELECT user_id, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "value FROM ev WHERE event_type = 'click'), "
+    "h AS (SELECT * FROM h0 WHERE valid_to IS NULL OR valid_from < valid_to), "
+    "f AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') "
+    "SELECT f.event_id, f.user_id, f.ts, h.valid_from AS valid_from_r, "
+    "h.valid_to AS valid_to_r, h.value AS value_r "
+    "FROM f LEFT JOIN h ON h.user_id = f.user_id AND f.ts >= h.valid_from "
+    "AND (h.valid_to IS NULL OR f.ts < h.valid_to)",
+)
+def j14(spark, sf_dir):
+    from pgstream_spark.operators.scd2 import point_in_time_join, scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hist = scd2_history(
+        clicks, key_col="user_id", ts_col="ts", seq_col="event_id",
+        payload_cols=["value"],
+    ).filter(F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to")))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(facts, hist, on="user_id", fact_ts="ts")
+    return out.select(
+        "event_id", "user_id", "ts", "valid_from_r", "valid_to_r", "value_r"
+    )
+
+
+@q(
+    "j15_fuzzy_blocked",
+    # Entity resolution's approximate join (operators/fuzzy.fuzzy_join):
+    # blocking key (last name token) equi-join + banded-Levenshtein
+    # residual — the quadratic term bounded by block size, the residual
+    # O(len·max_dist) per candidate via the threshold early-exit.  The
+    # oracle is the same blocked self-join with plain levenshtein.
+    "WITH p AS (SELECT p_partkey, p_name, "
+    "string_split(p_name, ' ')[-1] AS blk FROM part) "
+    "SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, "
+    "levenshtein(a.p_name, b.p_name) AS edit_dist "
+    "FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey "
+    "WHERE levenshtein(a.p_name, b.p_name) <= 4",
+)
+def j15(spark, sf_dir):
+    from pgstream_spark.operators.fuzzy import fuzzy_join
+
+    p = _t(spark, sf_dir, "part")
+    left = p.select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"))
+    right = p.select(F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"))
+    blk = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    out = fuzzy_join(
+        left, right,
+        left_block=blk(F.col("a_name")), right_block=blk(F.col("b_name")),
+        left_text="a_name", right_text="b_name", max_dist=4,
+    )
+    return out.filter(F.col("a_key") < F.col("b_key")).select(
+        "a_key", "b_key", "edit_dist"
+    )
+
+
+@q(
+    "o8_pareto_frontier",
+    # 2-D skyline (operators/skyline.pareto_frontier_2d): orders no
+    # other order beats on BOTH price (lower) and recency (later).  The
+    # oracle is the quadratic NOT EXISTS dominance test on a keyed
+    # subset; the Spark plan is the linear staircase sweep with a
+    # two-level distributed prefix maximum — no self-join, no
+    # single-partition window (see skyline.py's scale notes).
+    "WITH s AS (SELECT o_orderkey, o_totalprice, o_orderdate "
+    "FROM orders WHERE o_orderkey % 10 = 0) "
+    "SELECT o_orderkey, o_totalprice, o_orderdate FROM s r "
+    "WHERE NOT EXISTS (SELECT 1 FROM s x "
+    "WHERE x.o_totalprice <= r.o_totalprice "
+    "AND x.o_orderdate >= r.o_orderdate "
+    "AND (x.o_totalprice < r.o_totalprice OR x.o_orderdate > r.o_orderdate))",
+)
+def o8(spark, sf_dir):
+    from pgstream_spark.operators.skyline import pareto_frontier_2d
+
+    s = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return pareto_frontier_2d(s, minimize="o_totalprice", maximize="o_orderdate")
+
+
+@q(
+    "l46_embedding_gram",
+    # Distributed exact Gram matrix (operators/linalg.gram_upper): the
+    # tall-skinny second-moment reduction behind PCA/whitening/drift —
+    # 100 TB of vectors in, d(d+1)/2 BIGINT cells out, one shuffle
+    # carrying one partial row per (partition, i, j).  Integer-scaled
+    # components make every cell exact and order-free (SURVEY §5.3);
+    # the eigh stage is pytest-pinned against numpy (test_operators).
+    "WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i, "
+    "CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q "
+    "FROM embeddings, range(0, 64) t(i)) "
+    "SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy "
+    "FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i "
+    "GROUP BY 1, 2",
+)
+def l46(spark, sf_dir):
+    from pgstream_spark.operators.linalg import gram_upper
+
+    e = _t(spark, sf_dir, "embeddings")
+    return gram_upper(e, vec_col="embedding", scale=1_000_000)
+
+
+@q(
+    "l47_hll_setops",
+    # HLL set ALGEBRA: the register tables of two corpus slices merge by
+    # elementwise max into the union's sketch — the property that lets
+    # per-shard sketches compose without re-reading data — and
+    # inclusion-exclusion prices the intersection.  Register arithmetic
+    # is exact integers; the 2^-rho sums are exact in IEEE (≤ 48-bit
+    # span), so like l20/l41 the approximate structure itself is
+    # hash-gated exactly (doubles rounded only in the final estimates).
+    "WITH pairs AS (SELECT DISTINCT lang, unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+    "FROM documents WHERE lang IN ('en', 'de')), "
+    "h AS (SELECT lang, CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) "
+    "AS hv FROM pairs), "
+    "r AS (SELECT lang, CAST(hv >> 40 AS INT) AS register, "
+    "CASE WHEN (hv & 1099511627775) = 0 THEN 41 "
+    "ELSE 41 - length(bin(hv & 1099511627775)) END AS rho FROM h), "
+    "regs AS (SELECT lang, register, max(rho) AS max_rho FROM r GROUP BY 1, 2), "
+    "ur AS (SELECT register, max(max_rho) AS max_rho FROM regs GROUP BY 1), "
+    "e AS (SELECT lang, sum(pow(2.0, -max_rho)) AS s, count(*) AS nz "
+    "FROM regs GROUP BY 1), "
+    "eu AS (SELECT sum(pow(2.0, -max_rho)) AS s, count(*) AS nz FROM ur), "
+    "est AS (SELECT lang, CASE WHEN " + _HLL_ALPHA_M2 + " / (s + (256 - nz)) "
+    "<= 640.0 AND nz < 256 THEN 256.0 * ln(256.0 / (256 - nz)) "
+    "ELSE " + _HLL_ALPHA_M2 + " / (s + (256 - nz)) END AS v FROM e), "
+    "estu AS (SELECT CASE WHEN " + _HLL_ALPHA_M2 + " / (s + (256 - nz)) "
+    "<= 640.0 AND nz < 256 THEN 256.0 * ln(256.0 / (256 - nz)) "
+    "ELSE " + _HLL_ALPHA_M2 + " / (s + (256 - nz)) END AS v FROM eu) "
+    "SELECT round(a.v, 4) AS est_en, round(b.v, 4) AS est_de, "
+    "round(u.v, 4) AS est_union, round(a.v + b.v - u.v, 4) AS est_intersect "
+    "FROM (SELECT v FROM est WHERE lang = 'en') a, "
+    "(SELECT v FROM est WHERE lang = 'de') b, estu u",
+)
+def l47(spark, sf_dir):
+    from pgstream_spark.operators.sketch import hll_estimate, hll_registers
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    pairs = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    ).distinct()
+    regs = hll_registers(pairs, "term", group_cols=["lang"], b=8)
+    union_regs = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    per = hll_estimate(regs, group_cols=["lang"], b=8)
+    a = per.filter(F.col("lang") == "en").select(F.col("hll_est").alias("__a"))
+    b = per.filter(F.col("lang") == "de").select(F.col("hll_est").alias("__b"))
+    u = hll_estimate(union_regs, b=8).select(F.col("hll_est").alias("__u"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            F.round("__a", 4).alias("est_en"),
+            F.round("__b", 4).alias("est_de"),
+            F.round("__u", 4).alias("est_union"),
+            F.round(F.col("__a") + F.col("__b") - F.col("__u"), 4).alias(
+                "est_intersect"
+            ),
+        )
+    )
+
+
+# =====================================================================
 # Driver-gate registration order
 # =====================================================================
 # The driver's CORRECTNESS gate evaluates queries in registration order
@@ -6055,6 +6243,8 @@ _GATE_ORDER = [
 # round-3 additions at generated sf1) as of the round-3 close.
 _GATE_ORDER_R4 = [
     # round-3 scale/lifecycle additions — highest novelty, zero driver rows
+    "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
+    "l46_embedding_gram", "l47_hll_setops",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

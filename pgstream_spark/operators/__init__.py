@@ -50,6 +50,9 @@ from pgstream_spark.operators.bloom import bloom_prefilter_join
 from pgstream_spark.operators.graph import pagerank_integer
 from pgstream_spark.operators.scd2 import point_in_time_join, scd2_history
 from pgstream_spark.operators.quality import expect
+from pgstream_spark.operators.skyline import pareto_frontier_2d
+from pgstream_spark.operators.fuzzy import fuzzy_join
+from pgstream_spark.operators.linalg import gram_upper, pca_from_gram, pca_project
 from pgstream_spark.operators.textstats import (
     with_text_stats,
     language_id,
@@ -102,6 +105,11 @@ __all__ = [
     "scd2_history",
     "point_in_time_join",
     "expect",
+    "pareto_frontier_2d",
+    "fuzzy_join",
+    "gram_upper",
+    "pca_from_gram",
+    "pca_project",
     "with_text_stats",
     "language_id",
     "quality_score",

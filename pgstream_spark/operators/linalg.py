@@ -1,0 +1,142 @@
+"""Distributed exact Gram matrix + PCA over an embedding column.
+
+The covariance/Gram step of embedding analytics (whitening, PCA
+projection, dataset drift in embedding space) reduces 100 TB of vectors
+to a d×d matrix — the textbook "tall-skinny" reduction (Spark MLlib's
+``RowMatrix.computeGramianMatrix`` shape): every row contributes its
+outer product, the cluster sums them, and only the d×d result (d ≤ a few
+hundred) ever leaves the executors.  Eigen-decomposition of d×d happens
+on the driver with numpy — that is not a scale compromise, it is the
+right division of labor (the matrix is tiny; the DATA never moves).
+
+Determinism discipline (SURVEY §5.3): float dot products are
+order-dependent, so the Gram sums here are computed over integer-scaled
+components (``round(x * scale)`` → BIGINT) — exact, associative,
+partition-order-free, and reproducible bit-for-bit on any cluster *and*
+in the DuckDB oracle.  Overflow bound: |x| ≤ B ⇒ each product ≤
+(B·scale)², so n rows need n·(B·scale)² < 2^63 — at scale=10^6 and unit
+vectors that is ~9000 rows per *unique* (i,j) cell times 10^12, i.e.
+~9M rows; pass a smaller ``scale`` for larger corpora (scale=10^4
+admits ~90B rows).
+
+The upper-triangle pair products are built with nested HOF transforms
+(whole-stage codegen, no Python), exploded once, and hash-aggregated:
+shuffle carries one partial row per (partition, i, j) — d(d+1)/2 groups
+(2080 at d=64), a broadcast-sized result at any input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["gram_upper", "pca_from_gram", "pca_project"]
+
+
+def _q(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(scale)).cast("bigint"),
+    )
+
+
+def gram_upper(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact upper-triangle Gram sums: ``(i, j, sxy)`` for j >= i, where
+    ``sxy = Σ_rows round(x_i·scale)·round(x_j·scale)`` (BIGINT).
+    First moments (for centering) come from `component_sums`.
+    """
+    q = _q(vec_col, scale)
+    pairs = F.flatten(
+        F.transform(
+            q,
+            lambda xi, i: F.transform(
+                F.slice(q, i + 1, F.size(q) - i),
+                lambda xj, jo: F.struct(
+                    i.alias("i"), (i + jo).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("sxy"))
+    )
+
+
+def component_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-component sums ``(i, sx)`` plus a row count, for
+    centering the Gram matrix into a covariance matrix."""
+    q = _q(vec_col, scale)
+    return (
+        df.select(F.posexplode(q).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pca_from_gram(
+    gram_rows: list,
+    sum_rows: list,
+    d: int,
+    scale: int = 1_000_000,
+    k: int = 8,
+) -> np.ndarray:
+    """Top-k principal axes (k×d, rows = components) from collected
+    `gram_upper` and `component_sums` rows — a driver-side d×d eigh.
+
+    Sign convention: each eigenvector is flipped so its
+    largest-absolute-value entry is positive (eigenvectors are only
+    defined up to sign; pinning makes the result reproducible).
+    """
+    s2 = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        s2[r["i"], r["j"]] = s2[r["j"], r["i"]] = float(r["sxy"])
+    s1 = np.zeros(d, dtype=np.float64)
+    n = 0
+    for r in sum_rows:
+        s1[r["i"]] = float(r["sx"])
+        n = int(r["n"])
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    cov = (s2 - np.outer(s1, s1) / n) / (n - 1) / (scale * scale)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    top = vecs[:, ::-1][:, :k].T.copy()
+    for row in top:
+        m = np.argmax(np.abs(row))
+        if row[m] < 0:
+            row *= -1
+    return top
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each vector onto the (broadcast-literal) component rows —
+    a map-only JVM expression per component, no shuffle, no Python."""
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(c)) for c in comp]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*dots))

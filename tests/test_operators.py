@@ -2793,3 +2793,178 @@ def test_scd2_history_passes_interval_expectations(spark):
         ],
     )
     assert all(r.passed for r in rep.collect())
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline.pareto_frontier_2d)
+# ---------------------------------------------------------------------------
+
+
+class TestParetoFrontier:
+    def _brute(self, rows):
+        out = []
+        for r in rows:
+            dominated = any(
+                s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+                for s in rows
+            )
+            if not dominated:
+                out.append(r)
+        return sorted(out)
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from pgstream_spark.operators.skyline import pareto_frontier_2d
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(0, 50), rng.randint(0, 50)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, price long, freshness long")
+        got = sorted(
+            tuple(r) for r in pareto_frontier_2d(df, "price", "freshness").collect()
+        )
+        assert got == self._brute(rows)
+
+    def test_partition_count_invariant(self, spark):
+        """The two-level prefix must agree for any partition count,
+        including more partitions than distinct values."""
+        from pgstream_spark.operators.skyline import pareto_frontier_2d
+
+        rows = [(i, i % 7, (i * 13) % 11) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, p long, d long")
+        expected = self._brute(rows)
+        for k in (1, 3, 64):
+            got = sorted(
+                tuple(r)
+                for r in pareto_frontier_2d(df, "p", "d", num_partitions=k).collect()
+            )
+            assert got == expected, f"num_partitions={k}"
+
+    def test_ties_survive_together(self, spark):
+        """Rows equal on both axes dominate nothing and survive jointly."""
+        from pgstream_spark.operators.skyline import pareto_frontier_2d
+
+        df = spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 5), (3, 20, 4)], "id long, p long, d long"
+        )
+        got = {r.id for r in pareto_frontier_2d(df, "p", "d").collect()}
+        assert got == {1, 2}  # id 3 dominated: pricier AND staler
+
+    def test_nulls_excluded(self, spark):
+        from pgstream_spark.operators.skyline import pareto_frontier_2d
+
+        df = spark.createDataFrame(
+            [(1, None, 5), (2, 10, None), (3, 10, 5)], "id long, p long, d long"
+        )
+        assert {r.id for r in pareto_frontier_2d(df, "p", "d").collect()} == {3}
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy blocked join (fuzzy.fuzzy_join)
+# ---------------------------------------------------------------------------
+
+
+class TestFuzzyJoin:
+    def test_blocked_edit_distance(self, spark):
+        import pyspark.sql.functions as F
+
+        from pgstream_spark.operators.fuzzy import fuzzy_join
+
+        left = spark.createDataFrame(
+            [(1, "red widget"), (2, "small ring")], "lid long, lname string"
+        )
+        right = spark.createDataFrame(
+            [(10, "blue widget"), (11, "red widgett"), (12, "small wing")],
+            "rid long, rname string",
+        )
+        blk = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+        got = {
+            (r.lid, r.rid): r.edit_dist
+            for r in fuzzy_join(
+                left, right,
+                left_block=blk(F.col("lname")), right_block=blk(F.col("rname")),
+                left_text="lname", right_text="rname", max_dist=4,
+            ).collect()
+        }
+        # same block "widget": levenshtein("red widget", "blue widget")=4
+        # in-block; "red widgett" blocks under "widgett" -- BLOCKING
+        # MISSES it by design (recall = key recall).
+        assert got == {(1, 10): 4}
+
+    def test_threshold_excludes_far_pairs(self, spark):
+        import pyspark.sql.functions as F
+
+        from pgstream_spark.operators.fuzzy import fuzzy_join
+
+        left = spark.createDataFrame([(1, "aaaa x")], "lid long, lname string")
+        right = spark.createDataFrame([(2, "bbbb x")], "rid long, rname string")
+        blk = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+        out = fuzzy_join(
+            left, right,
+            left_block=blk(F.col("lname")), right_block=blk(F.col("rname")),
+            left_text="lname", right_text="rname", max_dist=3,
+        )
+        assert out.count() == 0  # distance 4 > 3, banded DP returns -1
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix + PCA (linalg)
+# ---------------------------------------------------------------------------
+
+
+class TestLinalg:
+    def test_gram_matches_numpy_and_is_partition_free(self, spark):
+        import numpy as np
+
+        from pgstream_spark.operators.linalg import gram_upper
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(200, 6)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<float>",
+        )
+        Q = np.round(X.astype(np.float64) * 1e6)
+        expected = (Q.T @ Q).astype(np.int64)
+        for parts in (1, 8):
+            got = {
+                (r.i, r.j): r.sxy
+                for r in gram_upper(df.repartition(parts), scale=1_000_000).collect()
+            }
+            assert len(got) == 6 * 7 // 2
+            for (i, j), v in got.items():
+                assert v == expected[i, j], (i, j)
+
+    def test_pca_recovers_dominant_axis(self, spark):
+        import numpy as np
+
+        from pgstream_spark.operators.linalg import (
+            component_sums,
+            gram_upper,
+            pca_from_gram,
+            pca_project,
+        )
+
+        rng = np.random.default_rng(11)
+        # variance concentrated on axis 2
+        X = rng.normal(size=(500, 5)) * np.array([0.1, 0.1, 5.0, 0.1, 0.1])
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<float>",
+        )
+        comps = pca_from_gram(
+            gram_upper(df).collect(), component_sums(df).collect(), d=5, k=2
+        )
+        assert abs(comps[0][2]) > 0.99  # first PC is the high-variance axis
+        assert comps[0][np.argmax(np.abs(comps[0]))] > 0  # sign pinned
+        # numpy cross-check of the full PCA on the same (float32-read) data
+        Xr = np.array(
+            [row.embedding for row in df.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        C = np.cov(Xr, rowvar=False)
+        _, vecs = np.linalg.eigh(C)
+        ref = vecs[:, -1]
+        assert abs(float(np.dot(comps[0], ref))) > 0.999
+        # projection is a plain JVM expression: spot-check row 0
+        p0 = pca_project(df, comps).filter("vec_id = 0").collect()[0].pca
+        assert abs(p0[0] - float(np.dot(Xr[0], comps[0]))) < 1e-6
