@@ -6158,6 +6158,69 @@ def l47(spark, sf_dir):
     )
 
 
+@q(
+    "l48_sparse_cosine",
+    # Lexical cosine top-k through the inverted-index join
+    # (retrieval.sparse_cosine_top_k): similarity search with no
+    # embeddings — documents meet only through shared terms, so the cost
+    # is posting-list sizes, never |q|×|corpus|.  Dot products exact
+    # BIGINT, norms IEEE sqrt of exact ints → scores bit-identical on
+    # both engines, ranks deterministic at full precision.
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm "
+    "FROM tf GROUP BY 1), "
+    "q AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id < 5), "
+    "dots AS (SELECT q.query_id, t.doc_id AS neighbor_id, "
+    "CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dot FROM q JOIN tf t USING (term) "
+    "WHERE t.doc_id <> q.query_id GROUP BY 1, 2), "
+    "scored AS (SELECT d.query_id, d.neighbor_id, "
+    "d.dot / (qn.nrm * dn.nrm) AS c FROM dots d "
+    "JOIN norms qn ON qn.doc_id = d.query_id "
+    "JOIN norms dn ON dn.doc_id = d.neighbor_id) "
+    "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM ("
+    "SELECT query_id, neighbor_id, c, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank "
+    "FROM scored) WHERE rank <= 5",
+)
+def l48(spark, sf_dir):
+    from pgstream_spark.operators.retrieval import sparse_cosine_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    return sparse_cosine_top_k(d, query_pred=F.col("doc_id") < 5, k=5)
+
+
+@q(
+    "l49_triangle_count",
+    # Exact triangle count on the co-purchase graph (parts sharing an
+    # order) via degree-ordered orientation (graph.triangle_count) —
+    # each triangle counted at its unique two-out-edge node, wedge work
+    # bounded by O(sqrt(m)) out-degrees so star vertices cost zero.  The
+    # oracle spells the naive ordered-triple join; identical count.
+    "WITH ed AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+    "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey "
+    "AND l1.l_partkey < l2.l_partkey) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM ed e1 "
+    "JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b",
+)
+def l49(spark, sf_dir):
+    from pgstream_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -6244,7 +6307,8 @@ _GATE_ORDER = [
 _GATE_ORDER_R4 = [
     # round-3 scale/lifecycle additions — highest novelty, zero driver rows
     "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
-    "l46_embedding_gram", "l47_hll_setops",
+    "l46_embedding_gram", "l47_hll_setops", "l48_sparse_cosine",
+    "l49_triangle_count",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

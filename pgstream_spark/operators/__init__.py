@@ -40,14 +40,19 @@ from pgstream_spark.operators.decay import ewma_time_decay
 from pgstream_spark.operators.robust import robust_zscore_stats
 from pgstream_spark.operators.rolling import rolling_corr
 from pgstream_spark.operators.sessionize import sessionize
-from pgstream_spark.operators.retrieval import bm25_ranks, bm25_scores, rrf_fusion
+from pgstream_spark.operators.retrieval import (
+    bm25_ranks,
+    bm25_scores,
+    rrf_fusion,
+    sparse_cosine_top_k,
+)
 from pgstream_spark.operators.mixture import weighted_sample_ares
 from pgstream_spark.operators.sketch import cms_build, cms_estimate
 from pgstream_spark.operators.snapshot import corpus_diff
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.bloom import bloom_prefilter_join
-from pgstream_spark.operators.graph import pagerank_integer
+from pgstream_spark.operators.graph import pagerank_integer, triangle_count
 from pgstream_spark.operators.scd2 import point_in_time_join, scd2_history
 from pgstream_spark.operators.quality import expect
 from pgstream_spark.operators.skyline import pareto_frontier_2d
@@ -102,6 +107,8 @@ __all__ = [
     "salted_agg",
     "bloom_prefilter_join",
     "pagerank_integer",
+    "triangle_count",
+    "sparse_cosine_top_k",
     "scd2_history",
     "point_in_time_join",
     "expect",

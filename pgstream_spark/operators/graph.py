@@ -86,3 +86,57 @@ def pagerank_integer(
             )
         )
     return ranked
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count by degree-ordered orientation — the standard
+    distributed formulation (compact-forward / MapReduce NodeIterator++).
+
+    Input: undirected edges as ``a < b`` pairs (dedup upstream).  Each
+    edge is oriented from its lower-(degree, id) endpoint to the higher;
+    the orientation is acyclic, and every triangle then has EXACTLY one
+    node with two out-edges, so counting (wedge from u) ∩ (closing
+    oriented edge) counts each triangle once.
+
+    Why orient: wedge generation from node u costs out-deg(u)², and
+    degree-ordering bounds out-degree by O(sqrt(m)) — a star vertex with
+    10^6 neighbors contributes ZERO wedges (all its edges point inward)
+    instead of 10^12.  That is the difference between feasible and not
+    at 100 TB; the naive ordered-triple join (the oracle's spelling)
+    has no such bound.  Cost: two hash shuffles (degrees, wedges) + one
+    semi-join against the oriented edge set.
+
+    Returns a single row ``(n_triangles)``.
+    """
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    key = lambda dcol, ncol: F.struct(F.col(dcol).alias("d"), F.col(ncol).alias("n"))  # noqa: E731
+    ed = (
+        e.join(deg.select(F.col("n").alias("x"), F.col("d").alias("__dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("__dy")), "y")
+        .select(
+            "x", "y", key("__dx", "x").alias("__kx"), key("__dy", "y").alias("__ky")
+        )
+    )
+    oriented = ed.select(
+        F.when(F.col("__kx") < F.col("__ky"), F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(F.col("__kx") < F.col("__ky"), F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(F.col("__kx") < F.col("__ky"), F.col("__ky")).otherwise(F.col("__kx")).alias("dst_key"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dst_key").alias("kv")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dst_key").alias("kw")
+    )
+    wedges = e1.join(e2, "src").filter(F.col("kv") < F.col("kw")).select("v", "w")
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return (
+        wedges.join(closing, ["v", "w"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )

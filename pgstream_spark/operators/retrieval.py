@@ -142,3 +142,86 @@ def rrf_fusion(
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
     return fused.withColumn("rrf_rank", F.row_number().over(w))
+
+
+def sparse_cosine_top_k(
+    corpus: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Lexical cosine top-k via the inverted-index join — similarity
+    search with NO embeddings: score(q, d) = tf_q·tf_d / (|tf_q||tf_d|).
+
+    The sparse analogue of `similarity.brute_force_top_k`: instead of a
+    query×corpus cross join over dense vectors, documents meet ONLY
+    through shared terms (join on ``term``), so cost is Σ_t |P_t(q)|·|P_t|
+    — the posting-list sizes, not |q|×|corpus|.  Dot products are exact
+    BIGINT sums of term counts; norms are IEEE ``sqrt`` of exact integer
+    sums — every score is bit-reproducible on any partitioning (and in
+    the DuckDB oracle, l48).
+
+    ``max_df`` is the stop-term guard: terms in more than ``max_df``
+    documents are dropped from BOTH sides before the join (impact
+    pruning).  At corpus scale the head of the vocabulary ("the") would
+    otherwise produce a posting list of nearly |corpus| and a quadratic
+    bucket — same discipline as LSH's ``bucket_cap``.  None = exact.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)`` with rank <= k,
+    self-matches excluded, ties broken by ascending neighbor id.
+    """
+    from pyspark.sql import Window
+
+    from pgstream_spark.operators.terms import term_frequencies
+
+    tf = term_frequencies(corpus, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        keep = tf.groupBy("term").agg(F.count("*").alias("__df")).filter(
+            F.col("__df") <= max_df
+        )
+        tf = tf.join(keep.select("term"), "term")
+    norms = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("__norm")
+    )
+    q = corpus.filter(query_pred).select(F.col(id_col).alias("query_id"))
+    qtf = tf.join(q, tf[id_col] == q["query_id"]).select(
+        "query_id", "term", F.col("tf").alias("__qtf")
+    )
+    dots = (
+        qtf.join(
+            tf.select(
+                F.col(id_col).alias("neighbor_id"), "term", F.col("tf").alias("__dtf")
+            ),
+            "term",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("__qtf") * F.col("__dtf")).alias("__dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col(id_col).alias("query_id"), F.col("__norm").alias("__qn")),
+            "query_id",
+        )
+        .join(
+            norms.select(
+                F.col(id_col).alias("neighbor_id"), F.col("__norm").alias("__dn")
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "__cos", F.col("__dot").cast("double") / (F.col("__qn") * F.col("__dn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"), "rank"
+        )
+    )

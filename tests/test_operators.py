@@ -2968,3 +2968,99 @@ class TestLinalg:
         # projection is a plain JVM expression: spot-check row 0
         p0 = pca_project(df, comps).filter("vec_id = 0").collect()[0].pca
         assert abs(p0[0] - float(np.dot(Xr[0], comps[0]))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Triangle count (graph.triangle_count) + sparse cosine (retrieval)
+# ---------------------------------------------------------------------------
+
+
+class TestTriangleCount:
+    def _naive(self, edges):
+        es = set(edges)
+        nodes = sorted({n for e in edges for n in e})
+        cnt = 0
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if (x, y) not in es:
+                    continue
+                for z in nodes:
+                    if z > y and (x, z) in es and (y, z) in es:
+                        cnt += 1
+        return cnt
+
+    def test_matches_naive_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(5)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(30), 2)))
+                for _ in range(120)
+            }
+        )
+        from pgstream_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = triangle_count(df).collect()[0].n_triangles
+        assert got == self._naive(edges)
+
+    def test_star_vertex_contributes_no_wedges(self, spark):
+        """A hub connected to everything forms triangles only through
+        edges among its neighbors — and K4 plus extra spokes has exactly
+        the K4's four triangles."""
+        from pgstream_spark.operators.graph import triangle_count
+
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        spokes = [(1, n) for n in range(5, 25)]  # hub 1, degree 23
+        df = spark.createDataFrame(k4 + spokes, "a long, b long")
+        assert triangle_count(df).collect()[0].n_triangles == 4
+
+    def test_triangle_free_graph(self, spark):
+        from pgstream_spark.operators.graph import triangle_count
+
+        path = [(i, i + 1) for i in range(20)]  # no triangles
+        df = spark.createDataFrame(path, "a long, b long")
+        assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+class TestSparseCosine:
+    def test_identical_docs_score_one(self, spark):
+        import pyspark.sql.functions as F
+
+        from pgstream_spark.operators.retrieval import sparse_cosine_top_k
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma"),
+                (1, "alpha beta gamma"),
+                (2, "delta epsilon zeta"),
+                (3, "alpha delta"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in sparse_cosine_top_k(df, F.col("doc_id") == 0, k=3).collect()
+        }
+        assert got[(0, 1)] == 1.0          # exact duplicate
+        assert (0, 0) not in got           # self excluded
+        assert got[(0, 3)] > 0             # shares 'alpha'
+        assert (0, 2) not in got           # no shared terms -> no row
+
+    def test_max_df_drops_stop_terms(self, spark):
+        import pyspark.sql.functions as F
+
+        from pgstream_spark.operators.retrieval import sparse_cosine_top_k
+
+        # 'the' in every doc; with max_df=2 only the rare terms connect
+        df = spark.createDataFrame(
+            [(0, "the cat"), (1, "the dog"), (2, "the cat")],
+            "doc_id long, text string",
+        )
+        full = sparse_cosine_top_k(df, F.col("doc_id") == 0, k=3).collect()
+        assert {r.neighbor_id for r in full} == {1, 2}  # 'the' links all
+        pruned = sparse_cosine_top_k(
+            df, F.col("doc_id") == 0, k=3, max_df=2
+        ).collect()
+        assert {r.neighbor_id for r in pruned} == {2}   # only via 'cat'
