@@ -6221,6 +6221,47 @@ def l49(spark, sf_dir):
     return triangle_count(edges)
 
 
+@q(
+    "t24_interval_coverage",
+    # Uptime/coverage metric (interval.interval_coverage): events open
+    # 30-minute half-open intervals; overlaps cover their union ONCE.
+    # Islands-and-gaps in one windowed pass (interval starts a new
+    # island iff it begins after the running max of previous ends) —
+    # the t17 sessionize economics applied to interval union length.
+    # All integer epoch-seconds; the tie column makes the sort total.
+    "WITH " + _EV + ", e AS (SELECT user_id, event_id, "
+    "epoch_ns(ts) // 1000000000 AS s, "
+    "epoch_ns(ts) // 1000000000 + 1800 AS e2 FROM ev), "
+    "m AS (SELECT user_id, s, e2, event_id, "
+    "max(e2) OVER (PARTITION BY user_id ORDER BY s, e2, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e), "
+    "i AS (SELECT user_id, s, e2, "
+    "SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY s, e2, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), "
+    "g AS (SELECT user_id, island, max(e2) - min(s) AS cov "
+    "FROM i GROUP BY 1, 2) "
+    "SELECT user_id, CAST(sum(cov) AS BIGINT) AS covered, "
+    "CAST(count(*) AS BIGINT) AS n_islands FROM g GROUP BY user_id",
+)
+def t24(spark, sf_dir):
+    from pgstream_spark.operators.interval import interval_coverage
+
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    es = epoch_seconds(F.col("ts")).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        es.alias("s"),
+        (es + 1800).alias("e2"),
+    )
+    return interval_coverage(
+        iv, keys="user_id", start_col="s", end_col="e2", tie_col="event_id"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -6308,7 +6349,7 @@ _GATE_ORDER_R4 = [
     # round-3 scale/lifecycle additions — highest novelty, zero driver rows
     "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
     "l46_embedding_gram", "l47_hll_setops", "l48_sparse_cosine",
-    "l49_triangle_count",
+    "l49_triangle_count", "t24_interval_coverage",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

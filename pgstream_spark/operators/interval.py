@@ -19,7 +19,9 @@ interval width keeps the explode factor ≤ 2-3.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["interval_join", "broadcast_range_join"]
@@ -90,3 +92,53 @@ def broadcast_range_join(
     equi-keys are gone).
     """
     return big.join(F.broadcast(small), on=predicate, how="inner")
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    keys: Sequence[str] | str,
+    start_col: str,
+    end_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Total covered length and island count of (possibly overlapping)
+    half-open intervals per key — the uptime/coverage/SLA metric: N
+    overlapping sessions cover their union once, not N times.
+
+    Islands-and-gaps in one windowed pass: order intervals by start, an
+    interval opens a NEW island iff its start exceeds the running max of
+    all previous ends; the island id is the running sum of those flags.
+    Then one aggregation per (key, island) — ``max(end) - min(start)`` is
+    the island's covered length (positions inside an island are covered
+    by construction) — and one per key.
+
+    Cost: ONE shuffle on the keys + one in-partition sort, then hash
+    aggregations — the t17 sessionize economics applied to intervals.
+    All arithmetic is on the caller's integer units (epoch seconds);
+    ``tie_col`` must make the sort total so the running max is
+    deterministic under any partitioning.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(start_col).asc(), F.col(end_col).asc(), F.col(tie_col).asc()]
+    w_prev = (
+        Window.partitionBy(*ks)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*ks)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pmax = F.max(end_col).over(w_prev)
+    new_island = F.when(
+        pmax.isNull() | (F.col(start_col) > pmax), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = intervals.withColumn("__island", F.sum(new_island).over(w_run))
+    per_island = tagged.groupBy(*ks, "__island").agg(
+        (F.max(end_col) - F.min(start_col)).alias("__cov")
+    )
+    return per_island.groupBy(*ks).agg(
+        F.sum("__cov").alias("covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )

@@ -3064,3 +3064,34 @@ class TestSparseCosine:
             df, F.col("doc_id") == 0, k=3, max_df=2
         ).collect()
         assert {r.neighbor_id for r in pruned} == {2}   # only via 'cat'
+
+
+class TestIntervalCoverage:
+    def test_overlap_merge_and_islands(self, spark):
+        from pgstream_spark.operators.interval import interval_coverage
+
+        rows = [
+            # key 1: [0,10) ∪ [5,15) ∪ [14,20) -> one island, 20 covered
+            (1, 1, 0, 10), (1, 2, 5, 15), (1, 3, 14, 20),
+            # then a gap, [30,40) -> second island, +10
+            (1, 4, 30, 40),
+            # key 2: touching-at-boundary [0,10),[10,20) merge (half-open
+            # adjacency: start == running max end -> NOT a new island)
+            (2, 5, 0, 10), (2, 6, 10, 20),
+        ]
+        df = spark.createDataFrame(rows, "k long, id long, s long, e2 long")
+        got = {
+            r.k: (r.covered, r.n_islands)
+            for r in interval_coverage(df, "k", "s", "e2", "id").collect()
+        }
+        assert got[1] == (30, 2)
+        assert got[2] == (20, 1)
+
+    def test_contained_interval_adds_nothing(self, spark):
+        from pgstream_spark.operators.interval import interval_coverage
+
+        df = spark.createDataFrame(
+            [(1, 1, 0, 100), (1, 2, 10, 20)], "k long, id long, s long, e2 long"
+        )
+        r = interval_coverage(df, "k", "s", "e2", "id").collect()[0]
+        assert (r.covered, r.n_islands) == (100, 1)
