@@ -6262,6 +6262,273 @@ def t24(spark, sf_dir):
     )
 
 
+@q(
+    "t25_transition_matrix",
+    # First-order Markov transitions over each user's event sequence
+    # (sessionize.transition_matrix): lag pairs per user, ONE global
+    # (prev, next) aggregation bounded by |event types|²; probability is
+    # a single long÷long division over the tiny aggregate, rounded.
+    "WITH " + _EV + ", p AS (SELECT event_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev FROM ev), "
+    "c AS (SELECT prev AS prev_state, event_type AS next_state, "
+    "CAST(count(*) AS BIGINT) AS n FROM p WHERE prev IS NOT NULL "
+    "GROUP BY 1, 2) "
+    "SELECT prev_state, next_state, n, "
+    "round(CAST(n AS DOUBLE) / "
+    "CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS p FROM c",
+)
+def t25(spark, sf_dir):
+    from pgstream_spark.operators.sessionize import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "event_type", key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+
+
+@q(
+    "t26_seasonal_decompose",
+    # Additive seasonal decomposition of the hourly event-count series
+    # (seasonal.regularize + seasonal_decompose): zero-filled hourly
+    # grid, centered 25-hour moving-average trend (full windows only),
+    # hour-of-day seasonal means over the scaled-integer detrended
+    # series, residual remainder.  Every window runs over the |hours|
+    # aggregate, not raw events; counts are exact ints, each double is
+    # one division + one rounding — identical on both engines.
+    "WITH " + _EV + ", hourly AS (SELECT date_trunc('hour', ts) AS h, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1), "
+    "bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly), "
+    "grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h "
+    "FROM bounds), "
+    "series AS (SELECT g.h, COALESCE(cnt, CAST(0 AS BIGINT)) AS cnt "
+    "FROM grid g LEFT JOIN hourly USING (h)), "
+    "tr AS (SELECT h, cnt, "
+    "CAST(SUM(cnt) OVER w AS DOUBLE) / 25.0 AS trend, "
+    "COUNT(*) OVER w AS cov FROM series "
+    "WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+    "se AS (SELECT h, cnt, trend, "
+    "CAST(round((CAST(cnt AS DOUBLE) - trend) * 10000) AS BIGINT) AS det, "
+    "CAST(hour(h) AS INT) AS hod FROM tr WHERE cov = 25), "
+    "fin AS (SELECT h, cnt, trend, "
+    "round(CAST(SUM(det) OVER (PARTITION BY hod) AS DOUBLE) / "
+    "CAST(COUNT(*) OVER (PARTITION BY hod) AS DOUBLE) / 10000.0, 6) "
+    "AS seasonal FROM se) "
+    "SELECT h, cnt, round(trend, 6) AS trend, seasonal, "
+    "round(CAST(cnt AS DOUBLE) - trend - seasonal, 6) AS residual FROM fin",
+)
+def t26(spark, sf_dir):
+    from pgstream_spark.operators.seasonal import regularize, seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    series = regularize(hourly, "h", "cnt", step="1 hour", fill=0)
+    return seasonal_decompose(
+        series, "h", "cnt", phase=F.hour("h").cast("int"), half_window=12
+    )
+
+
+@q(
+    "t27_cusum_changepoint",
+    # CUSUM change-point per user (changepoint.cusum_changepoint): the
+    # |n·S_t| = |n·prefix − t·total| argmax in pure BIGINT — an exact,
+    # order-free statistic from one shuffle + one sort; doubles appear
+    # only in the three reported magnitudes, one division each.
+    "WITH " + _EV + ", s AS (SELECT user_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t, "
+    "SUM(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS prefix, "
+    "COUNT(*) OVER (PARTITION BY user_id) AS n, "
+    "SUM(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id) "
+    "AS total FROM ev), "
+    "b AS (SELECT user_id, t, n, prefix, total, "
+    "CAST(abs(n * prefix - t * total) AS BIGINT) AS abs_ns FROM s), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY abs_ns DESC, t ASC) AS rk FROM b) "
+    # the three magnitudes are integer ratios — rounded in EXACT integer
+    # arithmetic ((200·num + den) // (2·den) = half-up at 6 decimals;
+    # value = num/(den·10⁴)) because round(double, 6) can land on a .5
+    # at the 7th decimal where the engines' double-rounding disagrees
+    "SELECT user_id, CAST(t AS INT) AS cp_pos, CAST(n AS BIGINT) AS n, "
+    "CAST(CAST((200 * abs_ns + n) // (2 * n) AS BIGINT) AS DOUBLE) "
+    "/ 1000000.0 AS cusum_max, "
+    "CAST(CAST((200 * prefix + t) // (2 * t) AS BIGINT) AS DOUBLE) "
+    "/ 1000000.0 AS mean_before, "
+    "CASE WHEN n > t THEN "
+    "CAST(CAST((200 * (total - prefix) + (n - t)) // (2 * (n - t)) "
+    "AS BIGINT) AS DOUBLE) / 1000000.0 END AS mean_after "
+    "FROM r WHERE rk = 1",
+)
+def t27(spark, sf_dir):
+    from pgstream_spark.operators.changepoint import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, "value", key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+
+
+@q(
+    "g42_rfm_segments",
+    # RFM segmentation — recency/frequency/monetary quintiles per
+    # customer.  Monetary in exact cents; quintiles via ntile(5) with a
+    # custkey tie-break so bucket boundaries are total-order
+    # deterministic.  The ntile windows run over the |customers|
+    # AGGREGATE (global sort of the small dimension, same economics as
+    # w5's distribution ranks); at extreme |customers| switch to
+    # precomputed cut points (g36 equi-depth bins) — identical scores.
+    "WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders), "
+    "c AS (SELECT o_custkey AS custkey, "
+    "date_diff('day', max(CAST(o_orderdate AS DATE)), "
+    "(SELECT anchor FROM a)) AS rec, "
+    "CAST(count(*) AS BIGINT) AS frequency, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS monetary_cents FROM orders GROUP BY 1), "
+    "s AS (SELECT custkey, rec, frequency, monetary_cents, "
+    "ntile(5) OVER (ORDER BY rec ASC, custkey ASC) AS r, "
+    "ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f, "
+    "ntile(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m FROM c) "
+    "SELECT custkey, CAST(rec AS BIGINT) AS recency_days, frequency, "
+    "monetary_cents, CAST(r AS INT) AS r, CAST(f AS INT) AS f, "
+    "CAST(m AS INT) AS m, CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || "
+    "CAST(m AS VARCHAR) AS segment FROM s",
+)
+def g42(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    anchor = o.agg(F.max(od).alias("__anchor"))
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(od).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("__anchor"), F.col("__last")).cast("bigint")
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    )
+    f_ = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey").asc())
+    )
+    out = scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.cast("int").alias("r"),
+        f_.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+@q(
+    "g43_basket_pairs",
+    # Market-basket pair mining (basket.frequent_pairs): parts
+    # co-ordered in the same order, support/confidence/lift.  The
+    # self-join explode is bounded by items-per-basket², the pair agg is
+    # the only data-sized shuffle, item counts attach by broadcast;
+    # confidence and lift are single double divisions over exact
+    # integer products.
+    "WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+    "FROM lineitem), "
+    "ic AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1), "
+    "t AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b), "
+    "p AS (SELECT x.it AS item_a, y.it AS item_b, "
+    "CAST(count(*) AS BIGINT) AS support FROM b x "
+    "JOIN b y ON x.bk = y.bk AND x.it < y.it "
+    "GROUP BY 1, 2 HAVING count(*) >= 2) "
+    "SELECT item_a, item_b, support, "
+    "round(CAST(support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) "
+    "AS confidence, "
+    "round(CAST(support * n_baskets AS DOUBLE) / "
+    "CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift "
+    "FROM p CROSS JOIN t "
+    "JOIN ic ca ON ca.it = item_a JOIN ic cb ON cb.it = item_b "
+    "ORDER BY support DESC, item_a, item_b LIMIT 100",
+)
+def g43(spark, sf_dir):
+    from pgstream_spark.operators.basket import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(100)
+
+
+@q(
+    "l50_kmv_setops",
+    # KMV bottom-k sketch (sketch.kmv_sketch/kmv_pair_stats) — the
+    # fourth md5 sketch: where HLL (l41/l47) unions by register max and
+    # intersects only via inclusion-exclusion, the bottom-k hashes are a
+    # coordinated uniform sample, so pairwise Jaccard and intersection
+    # come straight off the merged sketches with the corpus never
+    # re-read.  The sketch itself is deterministic (distinct 60-bit md5
+    # hashes, row_number bottom-k), so every estimate hash-gates
+    # exactly; under-filled merges (|union| < k) degrade to EXACT
+    # counts by construction.
+    "WITH toks AS (SELECT source, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS t FROM documents), "
+    "pairs AS (SELECT DISTINCT source, unnest(t) AS term FROM toks), "
+    "h AS (SELECT DISTINCT source, "
+    "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv FROM pairs), "
+    "sk AS (SELECT source, hv FROM (SELECT source, hv, "
+    "row_number() OVER (PARTITION BY source ORDER BY hv) AS rank FROM h) "
+    "WHERE rank <= 256), "
+    "names AS (SELECT DISTINCT source FROM sk), "
+    "pr AS (SELECT a.source AS ga, b.source AS gb FROM names a "
+    "JOIN names b ON a.source < b.source), "
+    "m AS (SELECT ga, gb, s.hv, "
+    "max(CASE WHEN s.source = ga THEN 1 ELSE 0 END) AS in_a, "
+    "max(CASE WHEN s.source = gb THEN 1 ELSE 0 END) AS in_b "
+    "FROM pr JOIN sk s ON s.source = ga OR s.source = gb GROUP BY 1, 2, 3), "
+    "bt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb "
+    "ORDER BY hv) AS rank FROM m) WHERE rank <= 256), "
+    "ag AS (SELECT ga, gb, max(CASE WHEN rank = 256 THEN hv END) AS kth, "
+    "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both, CAST(count(*) AS BIGINT) AS n_merged FROM bt GROUP BY 1, 2), "
+    "fin AS (SELECT ga, gb, n_both, "
+    "CASE WHEN kth IS NULL THEN CAST(n_merged AS DOUBLE) "
+    "ELSE round(255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 6) END "
+    "AS union_est, "
+    "round(CAST(n_both AS DOUBLE) / "
+    "CAST(least(CAST(256 AS BIGINT), n_merged) AS DOUBLE), 6) AS jaccard "
+    "FROM ag) "
+    "SELECT ga, gb, n_both, union_est, jaccard, "
+    "round(jaccard * union_est, 6) AS inter_est FROM fin",
+)
+def l50(spark, sf_dir):
+    from pgstream_spark.operators.sketch import kmv_pair_stats, kmv_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    sk = kmv_sketch(toks, "term", group_cols=["source"], k=256)
+    return kmv_pair_stats(sk, "source", k=256)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -6350,6 +6617,9 @@ _GATE_ORDER_R4 = [
     "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
     "l46_embedding_gram", "l47_hll_setops", "l48_sparse_cosine",
     "l49_triangle_count", "t24_interval_coverage",
+    "t25_transition_matrix", "t26_seasonal_decompose",
+    "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
+    "l50_kmv_setops",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

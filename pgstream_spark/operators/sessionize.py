@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pgstream_spark.functions.datetime import epoch_seconds
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "transition_matrix"]
 
 
 def sessionize(
@@ -57,3 +57,43 @@ def sessionize(
         prev.isNull() | ((es - prev) > gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(out_col, F.sum(is_new).over(w_run))
+
+
+def transition_matrix(
+    df: DataFrame,
+    state_col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over each
+    key's ordered state sequence — the path-analysis primitive ("what do
+    users do after `search`?") and the fit step of a Markov chain model.
+
+    Per key, order rows by ``order_cols`` (must be total within a key —
+    include a unique tie column) and pair each state with its successor
+    via ``lag``; then ONE global aggregation over ``(prev, next)``.  The
+    probability column is ``n / row-count of prev`` — a single long÷long
+    double division, rounded for cross-engine stability; the counts are
+    exact integers.
+
+    Scale: one shuffle on the keys + in-partition sort (the sessionize
+    economics — key skew caveat applies), then one agg whose output is
+    bounded by |states|², independent of row count.  The per-prev totals
+    come from a window over that tiny aggregate, not a second pass over
+    the data.
+    """
+    keys = list(key_cols)
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_state"),
+                 F.col(state_col).alias("next_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_state")
+    total = F.sum("n").over(w_prev)
+    p = F.round(F.col("n").cast("double") / total.cast("double"), round_digits)
+    return pairs.withColumn("p", p)

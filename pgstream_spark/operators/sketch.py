@@ -29,10 +29,14 @@ reference's Postgres backend would use TopN/count-min extensions for.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cms_bucket", "cms_build", "cms_estimate", "hll_registers", "hll_estimate", "grid_histogram", "grid_quantiles"]
+__all__ = [
+    "cms_bucket", "cms_build", "cms_estimate", "hll_registers",
+    "hll_estimate", "grid_histogram", "grid_quantiles",
+    "kmv_sketch", "kmv_pair_stats",
+]
 
 
 def cms_bucket(term: Column, depth_row: Column | int, width: int) -> Column:
@@ -256,4 +260,122 @@ def grid_quantiles(
         F.round(
             F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width), 6
         ).alias("est"),
+    )
+
+
+# KMV (k minimum values) distinct sketch — the bottom-k complement to
+# HLL.  Where HLL only UNIONS (register max-merge; intersections go
+# through inclusion-exclusion, l47), a KMV sketch supports DIRECT
+# set-overlap estimates: the k smallest hash values of a set are a
+# uniform coordinated sample of its elements, so the fraction of the
+# merged bottom-k present in both sets estimates Jaccard directly
+# (Beyer et al., SIGMOD 2007; Broder's min-wise hashing).  Like every
+# sketch in this module the hash is md5-derived, so the sketch — and
+# every estimate — is deterministic and oracle-checkable bit-for-bit.
+
+_KMV_BITS = 60
+_KMV_MAX = float(1 << _KMV_BITS)  # hash domain size M; 2^60 is double-exact
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-``k`` sketch per group: the ``k`` smallest distinct 60-bit
+    md5 hashes of ``item_col``.  Returns ``(*group_cols, rank, hv)``.
+
+    Shape: one distinct-style aggregation (map-side combine collapses
+    duplicate items before the shuffle), then a per-group bottom-k
+    window — the shuffle after the distinct carries |distinct| rows and
+    the result is ≤ k rows per group, broadcast-sized by construction.
+    At corpus scale replace the window with a per-partition bottom-k
+    (``min_by``-style partial) if |distinct| per group is extreme; the
+    sketch itself is identical.
+    """
+    groups = list(group_cols)
+    hv = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = df.select(*groups, hv.alias("hv")).distinct()
+    w = Window.partitionBy(*groups).orderBy(F.col("hv").asc())
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*groups, "rank", "hv")
+    )
+
+
+def kmv_pair_stats(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups, from the
+    sketches ALONE (the corpus is never re-read — the compose-without-
+    rescan property that makes sketches the 100 TB shape).
+
+    For groups a < b: merge both bottom-k lists, keep the k smallest
+    distinct hashes; then
+
+    * ``union_est``  = (k-1) · M / kth-smallest merged hash,
+    * ``jaccard``    = |merged ∩ a ∩ b| / k   (exact integer ratio),
+    * ``inter_est``  = jaccard · union_est.
+
+    Input is ≤ k rows per group, so every join here is sketch-sized;
+    with G groups the pair table is G²/2 rows — driver-safe output.
+    """
+    g = sketch.select(
+        F.col(group_col).alias("g"), "hv"
+    )
+    names = g.select("g").distinct()
+    pairs = (
+        names.alias("a")
+        .join(names.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    # merged candidate hashes per pair, tagged with membership
+    merged = (
+        pairs.join(g.alias("s"), (F.col("s.g") == F.col("ga")) | (F.col("s.g") == F.col("gb")))
+        .groupBy("ga", "gb", "hv")
+        .agg(
+            F.max(F.when(F.col("s.g") == F.col("ga"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("s.g") == F.col("gb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("hv").asc())
+    bottom = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    agg = bottom.groupBy("ga", "gb").agg(
+        F.max(F.when(F.col("rank") == k, F.col("hv"))).alias("kth"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+    # under-filled merged sketch (|union| < k): the bottom-k IS the whole
+    # union, so union and Jaccard are exact — kth is NULL in that case
+    union_est = F.when(
+        F.col("kth").isNull(), F.col("n_merged").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1) * _KMV_MAX) / F.col("kth").cast("double"),
+            round_digits,
+        )
+    )
+    denom = F.least(F.lit(k).cast("bigint"), F.col("n_merged")).cast("double")
+    jaccard = F.col("n_both").cast("double") / denom
+    out = agg.select(
+        F.col("ga"),
+        F.col("gb"),
+        F.col("n_both"),
+        union_est.alias("union_est"),
+        F.round(jaccard, round_digits).alias("jaccard"),
+    )
+    return out.withColumn(
+        "inter_est",
+        F.round(F.col("jaccard") * F.col("union_est"), round_digits),
     )

@@ -3095,3 +3095,196 @@ class TestIntervalCoverage:
         )
         r = interval_coverage(df, "k", "s", "e2", "id").collect()[0]
         assert (r.covered, r.n_islands) == (100, 1)
+
+
+class TestTransitionMatrix:
+    def test_hand_computed_chain(self, spark):
+        from pgstream_spark.operators.sessionize import transition_matrix
+
+        # user 1: a->b->a->b ; user 2: a->b  => a->b n=3 p=1.0; b->a n=1 p=1.0
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b"),
+        ]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        got = {
+            (r.prev_state, r.next_state): (r.n, r.p)
+            for r in transition_matrix(df, "s", ["u"], ["t"]).collect()
+        }
+        assert got[("a", "b")] == (3, 1.0)
+        assert got[("b", "a")] == (1, 1.0)
+
+    def test_probabilities_sum_to_one_per_prev(self, spark):
+        from pgstream_spark.operators.sessionize import transition_matrix
+
+        rows = [(1, i, s) for i, s in enumerate("abacabcabbac")]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        out = transition_matrix(df, "s", ["u"], ["t"]).collect()
+        by_prev = {}
+        for r in out:
+            by_prev.setdefault(r.prev_state, 0.0)
+            by_prev[r.prev_state] += r.p
+        for tot in by_prev.values():
+            assert abs(tot - 1.0) < 1e-5
+
+
+class TestCusumChangepoint:
+    def test_step_series_located(self, spark):
+        from pgstream_spark.operators.changepoint import cusum_changepoint
+
+        # 5 values at 1.0 then 5 at 9.0 -> change point at position 5
+        rows = [(1, t, 1.0 if t <= 5 else 9.0) for t in range(1, 11)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        r = cusum_changepoint(df, "v", ["k"], ["t"]).collect()[0]
+        assert r.cp_pos == 5
+        assert r.n == 10
+        assert r.mean_before == 1.0
+        assert r.mean_after == 9.0
+        # S_5 = 5·1 − 5·(overall mean 5.0) = −20 → |S| = 20 value units
+        assert r.cusum_max == 20.0
+
+    def test_partitioning_invariance(self, spark):
+        from pgstream_spark.operators.changepoint import cusum_changepoint
+
+        rows = [(k, t, float((t * 7 + k) % 13)) for k in range(3) for t in range(1, 40)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        a = sorted(map(tuple, cusum_changepoint(df, "v", ["k"], ["t"]).collect()))
+        b = sorted(
+            map(
+                tuple,
+                cusum_changepoint(
+                    df.repartition(7), "v", ["k"], ["t"]
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_constant_series_no_signal(self, spark):
+        from pgstream_spark.operators.changepoint import cusum_changepoint
+
+        df = spark.createDataFrame(
+            [(1, t, 4.5) for t in range(1, 8)], "k long, t long, v double"
+        )
+        r = cusum_changepoint(df, "v", ["k"], ["t"]).collect()[0]
+        assert r.cusum_max == 0.0
+        assert r.cp_pos == 1  # all-zero CUSUM ties break to earliest
+
+
+class TestSeasonalDecompose:
+    def test_pure_seasonal_recovered(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.seasonal import seasonal_decompose
+
+        # period-5 series, 10 full cycles: value = pattern[t % 5] + 100
+        pattern = [0, 10, 20, 10, 0]
+        rows = [(t, 100 + pattern[t % 5]) for t in range(50)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        out = seasonal_decompose(
+            df, "t", "v", phase=(F.col("t") % 5).cast("int"), half_window=5
+        ).collect()
+        # trend of a periodic series over a window spanning 11 = not exactly
+        # the 108 mean (11 % 5 != 0), but residuals must be small and the
+        # seasonal column constant per phase
+        by_phase = {}
+        for r in out:
+            by_phase.setdefault(r.t % 5, set()).add(r.seasonal)
+        assert all(len(v) == 1 for v in by_phase.values())
+        assert all(abs(r.residual) < 6.0 for r in out)
+
+    def test_window_multiple_of_period_exact(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.seasonal import seasonal_decompose
+
+        # half_window=5 -> width 11; use period 11 so every full window
+        # sees each phase exactly once: trend is the exact global mean,
+        # seasonal equals the pattern offset, residual == 0
+        pattern = list(range(11))
+        rows = [(t, 50 + pattern[t % 11]) for t in range(66)]
+        df = spark.createDataFrame(rows, "t long, v long")
+        out = seasonal_decompose(
+            df, "t", "v", phase=(F.col("t") % 11).cast("int"), half_window=5
+        ).collect()
+        assert len(out) == 66 - 10  # edges dropped
+        for r in out:
+            assert r.trend == 55.0
+            assert abs(r.seasonal - (pattern[r.t % 11] - 5.0)) < 1e-9
+            assert r.residual == 0.0
+
+    def test_regularize_fills_gaps(self, spark):
+        import datetime
+
+        from pgstream_spark.operators.seasonal import regularize
+
+        t0 = datetime.datetime(2024, 1, 1, 0)
+        rows = [(t0, 5), (t0 + datetime.timedelta(hours=3), 7)]
+        df = spark.createDataFrame(rows, "h timestamp, cnt long")
+        got = sorted(
+            (r.h, r.cnt) for r in regularize(df, "h", "cnt").collect()
+        )
+        assert len(got) == 4
+        assert [c for _, c in got] == [5, 0, 0, 7]
+
+
+class TestFrequentPairs:
+    def test_hand_computed_baskets(self, spark):
+        from pgstream_spark.operators.basket import frequent_pairs
+
+        rows = [
+            (1, "x"), (1, "y"), (1, "z"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"),
+            (4, "z"),
+        ]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = {(r.item_a, r.item_b): r for r in frequent_pairs(df, "bk", "it").collect()}
+        assert set(out) == {("x", "y")}
+        r = out[("x", "y")]
+        assert r.support == 3
+        assert r.confidence == 1.0           # 3 of 3 x-baskets contain y
+        assert r.lift == round(3 * 4 / (3 * 3), 6)
+
+    def test_duplicate_lines_collapse(self, spark):
+        from pgstream_spark.operators.basket import frequent_pairs
+
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        r = frequent_pairs(df, "bk", "it").collect()[0]
+        assert r.support == 2
+
+
+class TestKmvSketch:
+    def test_underfilled_is_exact(self, spark):
+        from pgstream_spark.operators.sketch import kmv_pair_stats, kmv_sketch
+
+        # two sets of 30 items with 10 shared: k=256 >> |union| = 50
+        rows = [("a", f"i{i}") for i in range(30)] + [
+            ("b", f"i{i}") for i in range(20, 50)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string")
+        sk = kmv_sketch(df, "item", ["g"], k=256)
+        r = kmv_pair_stats(sk, "g", k=256).collect()[0]
+        assert r.union_est == 50.0
+        assert r.n_both == 10
+        assert r.jaccard == round(10 / 50, 6)
+        assert r.inter_est == round(r.jaccard * 50.0, 6)
+
+    def test_estimate_accuracy_at_k(self, spark):
+        from pgstream_spark.operators.sketch import kmv_pair_stats, kmv_sketch
+
+        # 4000 + 4000 items, 2000 shared -> union 6000, J = 1/3
+        rows = [("a", f"t{i}") for i in range(4000)] + [
+            ("b", f"t{i}") for i in range(2000, 6000)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string")
+        sk = kmv_sketch(df, "item", ["g"], k=256)
+        r = kmv_pair_stats(sk, "g", k=256).collect()[0]
+        assert abs(r.union_est - 6000) / 6000 < 0.25
+        assert abs(r.jaccard - 1 / 3) < 0.12
+        assert abs(r.inter_est - 2000) / 2000 < 0.45
+
+    def test_sketch_size_bounded(self, spark):
+        from pgstream_spark.operators.sketch import kmv_sketch
+
+        rows = [("a", f"t{i}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "g string, item string")
+        assert kmv_sketch(df, "item", ["g"], k=64).count() == 64
