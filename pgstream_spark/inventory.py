@@ -6473,6 +6473,125 @@ def g43(spark, sf_dir):
     ).limit(100)
 
 
+def _benford_oracle() -> str:
+    from pgstream_spark.operators.quality import _BENFORD_P
+
+    p_full = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    ) + " END"
+    p6 = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {round(_BENFORD_P[d], 6)!r}" for d in range(1, 10)
+    ) + " END"
+    # Benford first-digit audit (quality.benford_audit): digit from the
+    # INTEGER cents string head (no float log10); expected probabilities
+    # are identical Python-repr literals on both engines; observed_p via
+    # exact integer half-up rounding; chi-square terms rounded to
+    # scale-0 integers (no 10^s float step) so the 9-term sum is exact.
+    return (
+        "WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+        "FROM orders), "
+        "d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit "
+        "FROM v WHERE c > 0), "
+        "cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d "
+        "GROUP BY 1), "
+        "sc AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS nn, "
+        f"CAST({p_full} AS DOUBLE) AS p_full, "
+        f"CAST({p6} AS DOUBLE) AS expected_p FROM cnt), "
+        "t AS (SELECT digit, n, nn, expected_p, "
+        "CAST((2000000 * n + nn) // (2 * nn) AS DOUBLE) / 1000000.0 "
+        "AS observed_p, "
+        "CAST(round((CAST(n AS DOUBLE) - p_full * CAST(nn AS DOUBLE)) * "
+        "(CAST(n AS DOUBLE) - p_full * CAST(nn AS DOUBLE)) / "
+        "(p_full * CAST(nn AS DOUBLE)) * 1000000) AS BIGINT) AS ts FROM sc) "
+        "SELECT digit, n, observed_p, expected_p, "
+        "CAST(ts AS DOUBLE) / 1000000.0 AS chi2_term, "
+        "CAST(CAST(SUM(ts) OVER () AS BIGINT) AS DOUBLE) / 1000000.0 "
+        "AS chi2_total FROM t"
+    )
+
+
+@q("l51_benford_audit", _benford_oracle())
+def l51(spark, sf_dir):
+    from pgstream_spark.operators.quality import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice", scale=100)
+
+
+@q(
+    "g44_chi2_independence",
+    # Chi-square independence test: event_type × day-quarter contingency
+    # table.  Row/column totals and N come from windows over the
+    # |types|×4 aggregate; expected counts are integer ratios rounded
+    # with the exact-integer recipe; chi-square terms are identical
+    # double chains rounded to scale-0 integers, summed exactly.
+    "WITH " + _EV + ", o AS (SELECT event_type AS et, "
+    "CAST(hour(ts) // 6 AS INT) AS dq, CAST(count(*) AS BIGINT) AS n "
+    "FROM ev GROUP BY 1, 2), "
+    "w AS (SELECT et, dq, n, "
+    "CAST(SUM(n) OVER (PARTITION BY et) AS BIGINT) AS rt, "
+    "CAST(SUM(n) OVER (PARTITION BY dq) AS BIGINT) AS ct, "
+    "CAST(SUM(n) OVER () AS BIGINT) AS nn FROM o), "
+    "t AS (SELECT et, dq, n, "
+    "CAST((2000000 * rt * ct + nn) // (2 * nn) AS BIGINT) AS e6, "
+    "CAST(round((CAST(n AS DOUBLE) - CAST(rt * ct AS DOUBLE) / "
+    "CAST(nn AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(rt * ct AS DOUBLE) / "
+    "CAST(nn AS DOUBLE)) / (CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)) "
+    "* 1000000) AS BIGINT) AS ts FROM w), "
+    "dof AS (SELECT CAST((count(DISTINCT et) - 1) * "
+    "(count(DISTINCT dq) - 1) AS BIGINT) AS dof FROM o) "
+    "SELECT et AS event_type, dq AS day_quarter, n, "
+    "CAST(e6 AS DOUBLE) / 1000000.0 AS expected_n, "
+    "CAST(ts AS DOUBLE) / 1000000.0 AS chi2_term, "
+    "CAST(CAST(SUM(ts) OVER () AS BIGINT) AS DOUBLE) / 1000000.0 "
+    "AS chi2_total, dof FROM t CROSS JOIN dof",
+)
+def g44(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("dq"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_et = Window.partitionBy("et")
+    w_dq = Window.partitionBy("dq")
+    w_all = Window.partitionBy(F.lit(1))
+    w = o.select(
+        "et", "dq", "n",
+        F.sum("n").over(w_et).alias("rt"),
+        F.sum("n").over(w_dq).alias("ct"),
+        F.sum("n").over(w_all).alias("nn"),
+    )
+    # double chain shape kept identical to the oracle's:
+    # CAST(rt*ct AS DOUBLE) / CAST(nn AS DOUBLE)
+    e_dbl = (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
+    diff = F.col("n").cast("double") - e_dbl
+    t = w.select(
+        "et", "dq", "n", "rt", "ct", "nn",
+        F.expr("CAST((2000000 * rt * ct + nn) DIV (2 * nn) AS BIGINT)").alias("e6"),
+        F.round(diff * diff / e_dbl * 1000000).cast("bigint").alias("ts"),
+    )
+    dof = o.agg(
+        (
+            (F.countDistinct("et") - 1) * (F.countDistinct("dq") - 1)
+        ).cast("bigint").alias("dof")
+    )
+    chi2_total = (
+        F.sum("ts").over(Window.partitionBy(F.lit(1))).cast("double") / 1000000.0
+    )
+    return (
+        t.crossJoin(F.broadcast(dof))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("dq").alias("day_quarter"),
+            "n",
+            (F.col("e6").cast("double") / 1000000.0).alias("expected_n"),
+            (F.col("ts").cast("double") / 1000000.0).alias("chi2_term"),
+            chi2_total.alias("chi2_total"),
+            "dof",
+        )
+    )
+
+
 @q(
     "l50_kmv_setops",
     # KMV bottom-k sketch (sketch.kmv_sketch/kmv_pair_stats) — the
@@ -6619,7 +6738,7 @@ _GATE_ORDER_R4 = [
     "l49_triangle_count", "t24_interval_coverage",
     "t25_transition_matrix", "t26_seasonal_decompose",
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
-    "l50_kmv_setops",
+    "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

@@ -36,10 +36,10 @@ from __future__ import annotations
 from functools import reduce
 from typing import Any, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "expect_split"]
+__all__ = ["expect", "expect_split", "benford_audit"]
 
 
 def _violation(rule: tuple) -> Column:
@@ -189,3 +189,89 @@ def expect_split(
     clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
     quarantined = tagged.filter(F.size("_violations") > 0)
     return clean, quarantined
+
+
+# Benford first-digit audit — the forensic data-quality check: naturally
+# occurring multiplicative quantities (amounts, populations, counts)
+# follow P(d) = log10(1 + 1/d); fabricated or truncated data does not
+# (Benford 1938; Nigrini's audit practice).  A large chi-square against
+# the Benford expectation flags a column worth investigating.
+#
+# Determinism discipline: the first significant digit comes from the
+# INTEGER cents representation (string head of a BIGINT — no float
+# log10, whose libm varies across engines at powers of ten); the nine
+# expected probabilities are Python-computed literals embedded
+# identically in both engines; each chi-square term is rounded to a
+# scaled integer before the sum so the 9-term reduction is exact and
+# order-free.
+_BENFORD_P = [0.0] + [__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of ``value_col`` vs the
+    Benford expectation, one row per digit 1-9:
+
+    ``(digit, n, observed_p, expected_p, chi2_term, chi2_total)``
+
+    Only strictly positive values participate.  One scan + one 9-row
+    aggregation; every window below runs over those 9 rows.  ``scale``
+    converts values to integers first (100 = cents).
+    """
+    assert round_digits == 6, "integer rounding is pinned to 6 decimals"
+    c = F.round(F.col(value_col) * scale).cast("bigint")
+    digit = F.substring(c.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(c > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n").over(w_all)
+    # element_at is 1-indexed: array holds p(1)..p(9)
+    p_expr = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P[1:]]), F.col("digit")
+    )
+    p6_expr = F.element_at(
+        F.array(*[F.lit(round(p, round_digits)) for p in _BENFORD_P[1:]]),
+        F.col("digit"),
+    )
+    scored = counts.select(
+        "digit",
+        "n",
+        total.alias("__N"),
+        p_expr.alias("__p_full"),
+        p6_expr.alias("expected_p"),
+    )
+    exp_n = F.col("__p_full") * F.col("__N").cast("double")
+    term = (F.col("n").cast("double") - exp_n) * (
+        F.col("n").cast("double") - exp_n
+    ) / exp_n
+    # observed_p is an integer ratio -> round in exact integer
+    # arithmetic (the changepoint.py recipe); chi-square terms round to
+    # INTEGERS (scale-0 rounding has no 10^s float step on either
+    # engine), so the 9-term sum is exact and order-free
+    scored = scored.withColumn(
+        "observed_p",
+        F.expr("CAST((2000000 * n + __N) DIV (2 * __N) AS DOUBLE)")
+        / 1000000.0,
+    ).withColumn("__term_scaled", F.round(term * 1000000).cast("bigint"))
+    w9 = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi2_total = F.sum("__term_scaled").over(w9).cast("double") / 1000000.0
+    return scored.select(
+        "digit",
+        "n",
+        "observed_p",
+        "expected_p",
+        (F.col("__term_scaled").cast("double") / 1000000.0).alias("chi2_term"),
+        chi2_total.alias("chi2_total"),
+    )

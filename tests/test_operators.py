@@ -3288,3 +3288,84 @@ class TestKmvSketch:
         rows = [("a", f"t{i}") for i in range(1000)]
         df = spark.createDataFrame(rows, "g string, item string")
         assert kmv_sketch(df, "item", ["g"], k=64).count() == 64
+
+
+class TestBenfordAudit:
+    def test_counts_and_chi2_shape(self, spark):
+        from pgstream_spark.operators.quality import benford_audit
+
+        # values 1..9 once each in cents: perfectly uniform digits
+        rows = [(float(d),) for d in range(1, 10)]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r.digit: r for r in benford_audit(df, "v", scale=100).collect()}
+        assert set(out) == set(range(1, 10))
+        for d, r in out.items():
+            assert r.n == 1
+            assert r.observed_p == round((2_000_000 * 1 + 9) // 18 / 1e6, 6)
+        # uniform deviates from Benford -> positive chi-square, same on
+        # every row
+        totals = {r.chi2_total for r in out.values()}
+        assert len(totals) == 1
+        assert totals.pop() > 0.5
+
+    def test_nonpositive_values_excluded(self, spark):
+        from pgstream_spark.operators.quality import benford_audit
+
+        rows = [(0.0,), (-5.0,), (123.45,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v", scale=100).collect()
+        assert len(out) == 1
+        assert out[0].digit == 1 and out[0].n == 1
+
+    def test_benford_like_data_low_chi2(self, spark):
+        import math
+
+        from pgstream_spark.operators.quality import benford_audit
+
+        # geometric series is exactly scale-invariant -> near-Benford
+        rows = [(1.001 * math.pow(10, (i * 7919 % 9000) / 9000.0),) for i in range(2000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v", scale=100).collect()
+        chi2 = out[0].chi2_total
+        # chi-square with 8 dof: Benford-like stays far below uniform's
+        assert chi2 < 40.0
+
+
+class TestAudioSpectralFeatures:
+    def test_tone_dominant_frequency(self, spark):
+        import numpy as np
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import audio_spectral_features
+
+        rate = 8000
+        t = np.arange(800)  # 100 ms
+        # frame 0: pure 440 Hz sine; frame 1: pure 2 kHz sine
+        a = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+        b = (np.sin(2 * np.pi * 2000 * t / rate) * 20000).astype(np.int16)
+        wav = codecs.encode_wav(np.concatenate([a, b]).reshape(-1, 1), rate)
+        df = spark.createDataFrame(
+            [(7, bytearray(wav))], "asset_id long, payload binary"
+        )
+        out = {r.frame: r for r in audio_spectral_features(
+            df, "payload", "asset_id", frame_ms=100
+        ).collect()}
+        assert len(out) == 2
+        # 100 ms at 8 kHz -> 10 Hz bins; tones land on exact bins
+        assert abs(out[0].dom_hz - 440.0) < 11.0
+        assert abs(out[1].dom_hz - 2000.0) < 11.0
+        assert out[0].low_frac > 0.95      # 440 Hz: all energy under 1 kHz
+        assert out[1].low_frac < 0.05      # 2 kHz: none under 1 kHz
+        assert abs(out[0].centroid_hz - 440.0) < 30.0
+
+    def test_silence_zeroes(self, spark):
+        import numpy as np
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import audio_spectral_features
+
+        wav = codecs.encode_wav(np.zeros((500, 1), dtype=np.int16), 1000)
+        df = spark.createDataFrame(
+            [(8, bytearray(wav))], "asset_id long, payload binary"
+        )
+        rows = audio_spectral_features(df, "payload", "asset_id", frame_ms=100).collect()
+        assert len(rows) == 5
+        assert all(r.dom_hz == 0.0 and r.centroid_hz == 0.0 for r in rows)
