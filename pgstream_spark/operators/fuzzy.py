@@ -44,12 +44,25 @@ def fuzzy_join(
     right_text: str,
     max_dist: int,
     dist_col: str = "edit_dist",
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """Equi-join on the blocking key, keep pairs within ``max_dist``
     Levenshtein edits.  Returns left columns + right columns +
     ``dist_col``; callers disambiguate overlapping names upstream.
+
+    The residual is CPU-bound, not byte-bound, so the probe side is
+    explicitly repartitioned on the block key: when the small side
+    broadcasts, the probe stage inherits the left SCAN's partitioning —
+    a dimension-sized single-file input would otherwise run millions of
+    Levenshtein calls in ONE task (and AQE's byte-based coalescing
+    cannot see CPU cost, so it makes the same mistake after a shuffle).
+    ``probe_partitions`` defaults to the session's default parallelism.
     """
-    lt = left.withColumn("__block", left_block)
+    n_parts = probe_partitions or left.sparkSession.sparkContext.defaultParallelism
+    # round-robin, NOT by block: block cardinality may be far below the
+    # core count, and with a broadcast build side any left partitioning
+    # is join-compatible
+    lt = left.withColumn("__block", left_block).repartition(n_parts)
     rt = right.withColumn("__block", right_block)
     paired = lt.join(rt, "__block")
     # threshold form: -1 when the banded DP exceeds max_dist early
