@@ -110,8 +110,35 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "420"))
     t_sweep0 = time.perf_counter()
     sweep: dict[str, float] = dict(timings)
+
+    # Sweep order: queries with no timing in the latest BENCH_r*.json
+    # run FIRST, so new registrations are always covered inside the
+    # budget and the "not reached" tail rotates across rounds.
+    def sweep_order() -> list[str]:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior: set[str] = set()
+        recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if recs:
+            try:
+                with open(recs[-1]) as fh:
+                    rec = json.load(fh)
+                prior = {
+                    k for k, v in rec.get("sweep", rec.get("queries", {})).items()
+                    if isinstance(v, (int, float)) and v > 0
+                }
+            except (OSError, ValueError):
+                pass
+        names = list(QUERIES)
+        # unseen newest-first: registration order puts the latest
+        # additions at the end, and those are exactly the rows with no
+        # timing history anywhere
+        unseen = [n for n in names if n not in prior]
+        return list(reversed(unseen)) + [n for n in names if n in prior]
+
     if not only:
-        for name in QUERIES:
+        for name in sweep_order():
             if name in sweep:
                 continue
             if time.perf_counter() - t_sweep0 > budget:
