@@ -6480,6 +6480,39 @@ def g43(spark, sf_dir):
     ).limit(100)
 
 
+@q(
+    "l52_prefix_filter_join",
+    # Exact set-similarity join via PREFIX FILTERING
+    # (dedup.prefix_filter_pairs): bit-identical result to l2's
+    # all-pairs shingle join, but the self-join explodes only each
+    # document's rarest-token prefix (|d| − ⌊t·|d|⌋ + 1 tokens in global
+    # df-ascending order) + length filter + exact verify on candidates —
+    # the PPJoin-family plan whose quadratic term is bounded by the
+    # rare-token buckets while the Zipf head never joins.  The oracle is
+    # the same all-pairs SQL as l2: two different plans, one result.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard "
+    "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6",
+)
+def l52(spark, sf_dir):
+    from pgstream_spark.operators.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _benford_oracle() -> str:
     from pgstream_spark.operators.quality import _BENFORD_P
 
@@ -6746,6 +6779,7 @@ _GATE_ORDER_R4 = [
     "t25_transition_matrix", "t26_seasonal_decompose",
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
+    "l52_prefix_filter_join",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

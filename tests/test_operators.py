@@ -3369,3 +3369,60 @@ class TestAudioSpectralFeatures:
         rows = audio_spectral_features(df, "payload", "asset_id", frame_ms=100).collect()
         assert len(rows) == 5
         assert all(r.dom_hz == 0.0 and r.centroid_hz == 0.0 for r in rows)
+
+
+class TestPrefixFilterPairs:
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different sentence about distributed systems"),
+            (4, "a completely different sentence about distributed query engines"),
+            (5, "unrelated text with no overlap whatsoever in any shingle"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_identical_to_all_pairs_join(self, spark):
+        from pgstream_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_pairs,
+        )
+
+        d = self._docs(spark)
+        for t in (0.3, 0.6, 0.8):
+            a = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, t).collect()
+            )
+            b = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in prefix_filter_pairs(d, "doc_id", "text", 3, t).collect()
+            )
+            assert a == b, f"threshold {t}"
+
+    def test_partitioning_invariance(self, spark):
+        from pgstream_spark.operators.dedup import prefix_filter_pairs
+
+        d = self._docs(spark)
+        a = sorted(map(tuple, prefix_filter_pairs(d, threshold=0.5).collect()))
+        b = sorted(
+            map(tuple, prefix_filter_pairs(d.repartition(7), threshold=0.5).collect())
+        )
+        assert a == b
+
+    def test_prefix_smaller_than_docs(self, spark):
+        import pyspark.sql.functions as F
+        from pgstream_spark.operators.dedup import (
+            shingles_col,
+            tokens_col,
+        )
+
+        # at t=0.8 a 10-shingle doc contributes ⌊10 − 8 + 1⌋ = 3 prefix
+        # tokens — the explode the self-join sees is ~30% of the corpus
+        d = self._docs(spark)
+        sizes = d.select(
+            F.size(shingles_col(tokens_col(F.col("text")), 3)).alias("sz")
+        ).collect()
+        total = sum(r.sz for r in sizes)
+        prefix_total = sum(r.sz - (800000 * r.sz) // 1000000 + 1 for r in sizes)
+        assert prefix_total < 0.5 * total
