@@ -6513,6 +6513,30 @@ def l52(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
+# expressible (a flat string-replace chain mis-merges shared-boundary
+# runs like [a,a,a,a]); correctness is pinned by pytest against a
+# pure-Python reference encoder + the learn→apply integration test,
+# the l44 discipline.  NOT in any gate window (VERDICT r2 item 3).
+def l53(spark, sf_dir):
+    from pgstream_spark.operators.terms import apply_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    # frozen merge table (what a trained tokenizer ships with)
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+              ("o", "n"), ("r", "e"), ("in", "g")]
+    out = apply_bpe_merges(d, merges, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 def _benford_oracle() -> str:
     from pgstream_spark.operators.quality import _BENFORD_P
 

@@ -27,11 +27,15 @@ collects to the driver.
 
 from __future__ import annotations
 
+import re
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from pgstream_spark.operators.textstats import _tokens
 
-__all__ = ["term_frequencies", "tficf_top_terms", "posting_lists", "encode_token_ids"]
+__all__ = ["term_frequencies", "tficf_top_terms", "posting_lists", "encode_token_ids", "apply_bpe_merges"]
 
 
 def term_frequencies(
@@ -295,3 +299,86 @@ def learn_bpe_merges(
 
         seqs = seqs.mapInPandas(rewrite, "__cs array<string>")
     return merges
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_chars: int = 20,
+) -> DataFrame:
+    """Encode documents with a learned BPE merge list — the apply half of
+    :func:`learn_bpe_merges` (train on the corpus once, encode every
+    shard with the frozen table; the tokenizer-training pipeline's
+    serving step).
+
+    Pure function of (text, merges): each word's character sequence is
+    folded through the merge rules IN ORDER (standard BPE greedy apply —
+    each rule replaces every adjacent occurrence of its pair before the
+    next rule runs), so the encoding is deterministic on any
+    partitioning.  Runs as one Arrow-batched ``mapInPandas`` map stage —
+    the merge table broadcasts via closure capture (vocab-bounded, KBs),
+    payload never shuffles.
+
+    Returns ``(id, bpe_tokens array<string>, n_chars, n_bpe_tokens)`` —
+    the compression ratio n_chars/n_bpe_tokens is the tokenizer-quality
+    metric training pipelines monitor.
+    """
+    import pandas as pd
+
+    rules = [tuple(m) for m in merges]
+
+    def encode_word(chars: list[str]) -> list[str]:
+        for a, b in rules:
+            if len(chars) < 2:
+                break
+            out: list[str] = []
+            i = 0
+            while i < len(chars):
+                if i + 1 < len(chars) and chars[i] == a and chars[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(chars[i])
+                    i += 1
+            chars = out
+        return chars
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType()), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("n_bpe_tokens", T.LongType(), False),
+        ]
+    )
+    word_re = re.compile(r"[^a-z0-9]+")
+
+    def batches(it):
+        for pdf in it:
+            ids, toks, ncs, nts = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in word_re.split((text or "").lower()) if w]
+                encoded: list[str] = []
+                nc = 0
+                for w in words:
+                    w = w[:max_token_chars]
+                    nc += len(w)
+                    encoded.extend(encode_word(list(w)))
+                ids.append(int(doc_id))
+                toks.append(encoded)
+                ncs.append(nc)
+                nts.append(len(encoded))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "bpe_tokens": toks,
+                    "n_chars": ncs,
+                    "n_bpe_tokens": nts,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, schema=out_schema
+    )

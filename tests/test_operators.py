@@ -3426,3 +3426,64 @@ class TestPrefixFilterPairs:
         total = sum(r.sz for r in sizes)
         prefix_total = sum(r.sz - (800000 * r.sz) // 1000000 + 1 for r in sizes)
         assert prefix_total < 0.5 * total
+
+
+class TestApplyBpeMerges:
+    def _ref_encode(self, text, merges, max_chars=20):
+        import re as _re
+
+        words = [w[:max_chars] for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        out = []
+        for w in words:
+            chars = list(w)
+            for a, b in merges:
+                new, i = [], 0
+                while i < len(chars):
+                    if i + 1 < len(chars) and chars[i] == a and chars[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(chars[i])
+                        i += 1
+                chars = new
+            out.extend(chars)
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from pgstream_spark.operators.terms import apply_bpe_merges
+
+        merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n")]
+        rows = [
+            (1, "the thin man ran in the rain"),
+            (2, "another theme within thinking"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.id: r for r in apply_bpe_merges(df, merges).collect()}
+        for doc_id, text in rows:
+            ref = self._ref_encode(text, merges)
+            assert list(got[doc_id].bpe_tokens) == ref, doc_id
+            assert got[doc_id].n_bpe_tokens == len(ref)
+
+    def test_learn_then_apply_compresses(self, spark):
+        from pgstream_spark.operators.terms import apply_bpe_merges, learn_bpe_merges
+
+        rows = [(i, "the theme of the thesis is the theory") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = learn_bpe_merges(df, num_merges=4)
+        enc = apply_bpe_merges(df, merges).collect()[0]
+        assert enc.n_bpe_tokens < enc.n_chars      # merges actually fire
+        assert enc.n_chars == len("thethemeofthethesisisthetheory")
+
+    def test_partitioning_invariance(self, spark):
+        from pgstream_spark.operators.terms import apply_bpe_merges
+
+        merges = [("e", "r"), ("er", "s")]
+        rows = [(i, f"clusters of workers and servers number {i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted((r.id, tuple(r.bpe_tokens)) for r in apply_bpe_merges(df, merges).collect())
+        b = sorted(
+            (r.id, tuple(r.bpe_tokens))
+            for r in apply_bpe_merges(df.repartition(7), merges).collect()
+        )
+        assert a == b

@@ -527,3 +527,62 @@ def test_keyset_pagination_pushes_leading_bound(spark, sf_dir):
     txt = explain_string(QUERIES["o7_keyset_pagination"](spark, sf_dir), "formatted")
     assert "PushedFilters" in txt
     assert "GreaterThanOrEqual(o_orderdate" in txt
+
+
+def test_basket_pairs_broadcasts_counts_no_cartesian(spark, sf_dir):
+    # g43: the only cross join is the broadcast scalar totals attach;
+    # item counts broadcast; no nested loop anywhere
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["g43_basket_pairs"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+
+
+def test_prefix_filter_join_has_no_global_window(spark, sf_dir):
+    # l52: the rarity order is per-document sort_array — a global
+    # row_number over the vocabulary would serialize at corpus scale
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l52_prefix_filter_join"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    # any Window node over a constant/empty partitionBy is a global sort
+    assert "windowspecdefinition()" not in txt.replace(" ", "").lower()
+
+
+def test_fuzzy_join_probe_side_parallelized(spark, sf_dir):
+    # j15: the CPU-bound Levenshtein probe must not inherit a single-file
+    # scan's one-partition layout — the operator repartitions round-robin
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["j15_fuzzy_blocked"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "RoundRobinPartitioning" in txt
+
+
+def test_transition_and_cusum_single_key_shuffle(spark, sf_dir):
+    # t25/t27: exactly ONE hash exchange on the key feeds every window —
+    # lag/prefix/total share the partitioning; the only other exchanges
+    # are over the tiny aggregate (t25) or the final single partition
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    t27 = explain_string(QUERIES["t27_cusum_changepoint"](spark, sf_dir), "simple")
+    assert t27.count("hashpartitioning(user_id") <= 2  # window + argmax agg
+    assert "CartesianProduct" not in t27
+
+
+def test_kmv_pair_stats_joins_are_sketch_sized(spark, sf_dir):
+    # l50: after the bottom-k windows every join input is <= k rows per
+    # group — no cartesian blowup, no nested loop over the corpus
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l50_kmv_setops"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
