@@ -6513,6 +6513,104 @@ def l52(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q(
+    "w15_weighted_median",
+    # Exact QUANTITY-weighted median unit price per return flag: the
+    # price level below which half the shipped quantity sits — the
+    # weighted quantile no built-in provides.  One shuffle + one sort:
+    # cumulative weight and the partition total share the exchange; the
+    # crossing row (first with 2·cum ≥ total) is a min-struct aggregate,
+    # no second pass.  All BIGINT (cents × integral quantities).
+    "WITH c AS (SELECT l_returnflag AS flag, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, "
+    "CAST(round(l_quantity) AS BIGINT) AS q, l_orderkey, l_linenumber "
+    "FROM lineitem), "
+    "r AS (SELECT flag, pc, q, "
+    "SUM(q) OVER (PARTITION BY flag ORDER BY pc, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "SUM(q) OVER (PARTITION BY flag) AS tot FROM c) "
+    "SELECT flag, CAST(min(CASE WHEN 2 * cum >= tot THEN pc END) AS BIGINT) "
+    "AS median_price_cents, CAST(min(tot) AS BIGINT) AS total_qty "
+    "FROM r GROUP BY flag",
+)
+def w15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("pc").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    r = c.select(
+        "flag",
+        "pc",
+        F.sum("q").over(w_run).alias("cum"),
+        F.sum("q").over(w_all).alias("tot"),
+    )
+    return r.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("pc")))
+        .cast("bigint")
+        .alias("median_price_cents"),
+        F.min("tot").cast("bigint").alias("total_qty"),
+    )
+
+
+@q(
+    "t28_sequence_pattern",
+    # Behavioral sequence mining: each user's event history as an
+    # initials string (total order ts, event_id — initials are distinct
+    # per type here), then regex pattern counts over it — funnels with
+    # wildcards ('v[c]*p' = view→purchase with only clicks between) that
+    # windowed joins can't express.  The heavy work is ONE key shuffle
+    # to assemble per-user strings (bounded by events/user); the regex
+    # runs over |users| short strings at scan speed.
+    "WITH " + _EV + ", s AS (SELECT user_id, "
+    "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+    "FROM ev GROUP BY user_id) "
+    "SELECT user_id, length(seq) AS n_events, "
+    "CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS view_to_buy, "
+    "CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT) AS error_then_buy "
+    "FROM s",
+)
+def t28(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ordered = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("__e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__e")), lambda e: e["i"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return ordered.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("vc*p"), F.lit(0)))
+        .cast("bigint")
+        .alias("view_to_buy"),
+        F.size(F.regexp_extract_all("seq", F.lit("ep"), F.lit(0)))
+        .cast("bigint")
+        .alias("error_then_buy"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -6803,7 +6901,7 @@ _GATE_ORDER_R4 = [
     "t25_transition_matrix", "t26_seasonal_decompose",
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
-    "l52_prefix_filter_join",
+    "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

@@ -3487,3 +3487,81 @@ class TestApplyBpeMerges:
             for r in apply_bpe_merges(df.repartition(7), merges).collect()
         )
         assert a == b
+
+
+class TestWeightedMedianQuery:
+    def test_crossing_logic_hand_computed(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        # values (price, weight): median crossing at 2*cum >= tot
+        rows = [(1, 100, 1), (2, 200, 1), (3, 300, 8)]  # tot=10, half=5 -> 300
+        df = spark.createDataFrame(rows, "id long, pc long, q long")
+        w_run = Window.orderBy("pc", "id").rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy(F.lit(1))
+        r = df.select(
+            "pc",
+            F.sum("q").over(w_run).alias("cum"),
+            F.sum("q").over(w_all).alias("tot"),
+        )
+        med = r.agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("pc")))
+        ).collect()[0][0]
+        assert med == 300
+
+    def test_driver_query_total_weight(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+
+        out = QUERIES["w15_weighted_median"](spark, sf_dir).collect()
+        assert len(out) == 3  # A, N, R
+        for r in out:
+            assert r.median_price_cents > 0
+            assert r.total_qty > 0
+
+
+class TestSequencePattern:
+    def test_pattern_counts_hand_computed(self, spark):
+        import datetime
+
+        from pgstream_spark.inventory import QUERIES  # noqa: F401 — style anchor
+        import pyspark.sql.functions as F
+
+        # build the same expression pipeline on a hand-made frame
+        t0 = datetime.datetime(2024, 1, 1)
+        seqs = {
+            1: "vcpvp",    # 'vc*p' matches twice (vcp, vp); 'ep' zero
+            2: "evcpep",   # 'vc*p' once; 'ep' once
+        }
+        rows = []
+        initial_to_type = {"v": "view", "c": "click", "p": "purchase",
+                           "e": "error", "s": "signup"}
+        eid = 0
+        for uid, seq in seqs.items():
+            for i, ch in enumerate(seq):
+                eid += 1
+                rows.append((eid, t0 + datetime.timedelta(minutes=i), uid,
+                             initial_to_type[ch], 1.0, "{}"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+        ordered = (
+            df.select(
+                "user_id",
+                F.struct("ts", "event_id",
+                         F.substring("event_type", 1, 1).alias("i")).alias("__e"),
+            )
+            .groupBy("user_id")
+            .agg(F.array_join(F.transform(F.array_sort(F.collect_list("__e")),
+                                          lambda e: e["i"]), "").alias("seq"))
+        )
+        got = {r.user_id: r.seq for r in ordered.collect()}
+        assert got == seqs
+        counts = ordered.select(
+            "user_id",
+            F.size(F.regexp_extract_all("seq", F.lit("vc*p"), F.lit(0))).alias("vb"),
+            F.size(F.regexp_extract_all("seq", F.lit("ep"), F.lit(0))).alias("eb"),
+        ).collect()
+        m = {r.user_id: (r.vb, r.eb) for r in counts}
+        assert m[1] == (2, 0)
+        assert m[2] == (1, 1)
