@@ -6611,6 +6611,52 @@ def t28(spark, sf_dir):
     )
 
 
+@q(
+    "t29_attribution",
+    # Last-touch marketing attribution: each purchase credits the user's
+    # most recent at-or-before view/click (the as-of machinery of J-8,
+    # composed into the analytics users actually run on it).  Touches
+    # are deduped to one row per (user, ts) via arg_max(event_id) so the
+    # as-of match is well defined on both engines; unmatched purchases
+    # attribute to 'none' through the LEFT as-of.  Revenue in exact
+    # cents.
+    "WITH " + _EV + ", tt AS (SELECT user_id, ts, "
+    "arg_max(event_type, event_id) AS channel FROM ev "
+    "WHERE event_type IN ('view', 'click') GROUP BY 1, 2), "
+    "p AS (SELECT event_id, user_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM ev "
+    "WHERE event_type = 'purchase') "
+    "SELECT COALESCE(t.channel, 'none') AS channel, "
+    "CAST(count(*) AS BIGINT) AS n_purchases, "
+    "CAST(SUM(p.cents) AS BIGINT) AS revenue_cents "
+    "FROM p ASOF LEFT JOIN tt t "
+    "ON p.user_id = t.user_id AND p.ts >= t.ts GROUP BY 1",
+)
+def t29(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("channel"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = asof_join(
+        purch, touches, on="user_id", left_ts="ts", right_ts="ts",
+        direction="backward",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("channel_r"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -6902,6 +6948,7 @@ _GATE_ORDER_R4 = [
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
+    "t29_attribution",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
