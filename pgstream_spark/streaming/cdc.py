@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_changes", "materialized_replica_sink", "read_replica"]
+__all__ = ["apply_changes", "materialized_replica_sink", "read_replica", "scd2_stream_sink"]
 
 
 def _recover_replica(replica_dir: str) -> None:
@@ -214,3 +214,48 @@ def read_replica(spark: SparkSession, replica_dir: str) -> DataFrame:
     _recover_replica(replica_dir)
     cur = spark.read.parquet(os.path.join(replica_dir, "current"))
     return cur.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def scd2_stream_sink(
+    stream_df,
+    store_dir: str,
+    key_col: str,
+    ts_col: str,
+    seq_col: str | None = None,
+    op_col: str | None = None,
+    payload_cols: Sequence[str] = (),
+):
+    """foreachBatch writer maintaining a PERSISTED SCD2 history from a
+    CDC change stream — the streaming lifecycle around
+    `operators/scd2.scd2_apply_batch` (which carries the correctness
+    burden: touched-key-only rebuild, content-digest idempotent log
+    appends, swap-committed history).
+
+    Composition semantics inherited from the pieces, both pytest-pinned:
+    replays (micro-batch retries) are absorbed by the digest log, so
+    exactly-once delivery is NOT required of the stream; a crash between
+    log append and history swap self-heals on the next batch (the log is
+    the source of truth, the history a rebuildable materialization).
+    Use ``operators/scd2.point_in_time_join`` on `read_replica`-style
+    consumers of ``<store_dir>/history/current``.
+
+    Returns the writer function — attach with
+    ``stream.writeStream.foreachBatch(scd2_stream_sink(...))`` or pass
+    ``stream_df`` and call ``.start()`` on the result yourself.
+    """
+    from pgstream_spark.operators.scd2 import scd2_apply_batch
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_apply_batch(
+            store_dir,
+            batch_df,
+            key_col=key_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            payload_cols=payload_cols,
+        )
+
+    return write

@@ -3,6 +3,7 @@ equivalence, exactly-once restart, windows, watermark late-drop."""
 
 from __future__ import annotations
 
+import datetime
 import glob
 import os
 import shutil
@@ -1038,3 +1039,100 @@ class TestPostgresExactlyOnceSink:
             good = spark.createDataFrame([(9,)], "k long")
             sink(good, 7)
             assert db.execute("SELECT k FROM sunk2").fetchall() == [(9,)]
+
+
+class TestScd2StreamSink:
+    """streaming/cdc.scd2_stream_sink — the CDC-stream → versioned
+    dimension lifecycle: micro-batched change feed folded through
+    scd2_apply_batch must equal the one-shot history over all changes."""
+
+    def test_stream_equals_one_shot_history(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pgstream_spark.operators.scd2 import scd2_history
+        from pgstream_spark.streaming.cdc import scd2_stream_sink
+        from tests.conftest import write_flat_parquet
+
+        schema = "k long, ts date, seq long, op string, val double"
+        b1 = [(1, datetime.date(2024, 1, 1), 1, "U", 10.0),
+              (2, datetime.date(2024, 1, 5), 2, "U", 50.0)]
+        b2 = [(1, datetime.date(2024, 2, 1), 3, "U", 20.0),
+              (1, datetime.date(2024, 3, 1), 4, "D", None),
+              (3, datetime.date(2024, 2, 10), 5, "U", 99.0)]
+        src = str(tmp_path / "scd2_src")
+        write_flat_parquet(spark, b1, schema, src + "/a.parquet")
+        write_flat_parquet(spark, b2, schema, src + "/b.parquet")
+        import time as _time
+
+        now = _time.time()
+        os.utime(src + "/a.parquet", (now - 60, now - 60))
+        os.utime(src + "/b.parquet", (now, now))
+
+        store = str(tmp_path / "scd2_store")
+        ckpt = str(tmp_path / "scd2_ckpt")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                scd2_stream_sink(
+                    sdf, store, key_col="k", ts_col="ts",
+                    seq_col="seq", op_col="op", payload_cols=["val"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(os.path.join(store, "history", "current"))
+        rows = b1 + b2
+        want = scd2_history(
+            spark.createDataFrame(rows, schema),
+            "k", "ts", seq_col="seq", op_col="op", payload_cols=["val"],
+        )
+        cols = ["k", "valid_from", "valid_to", "val"]
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        )
+
+    def test_restart_replay_is_idempotent(self, spark, tmp_path):
+        import os
+
+        from pgstream_spark.streaming.cdc import scd2_stream_sink
+        from tests.conftest import write_flat_parquet
+
+        schema = "k long, ts date, seq long, op string, val double"
+        rows = [(1, datetime.date(2024, 1, 1), 1, "U", 10.0),
+                (2, datetime.date(2024, 1, 2), 2, "U", 20.0)]
+        src = str(tmp_path / "scd2_rsrc")
+        write_flat_parquet(spark, rows, schema, src + "/a.parquet")
+        store = str(tmp_path / "scd2_rstore")
+
+        def run(ckpt):
+            sdf = spark.readStream.schema(schema).parquet(src)
+            q = (
+                sdf.writeStream.foreachBatch(
+                    scd2_stream_sink(
+                        sdf, store, key_col="k", ts_col="ts",
+                        seq_col="seq", op_col="op", payload_cols=["val"],
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(str(tmp_path / "ck1"))
+        a = sorted(map(tuple, spark.read.parquet(
+            os.path.join(store, "history", "current")).collect()))
+        # fresh checkpoint -> the whole feed replays against the same store
+        run(str(tmp_path / "ck2"))
+        b = sorted(map(tuple, spark.read.parquet(
+            os.path.join(store, "history", "current")).collect()))
+        assert a == b
