@@ -6657,6 +6657,116 @@ def t29(spark, sf_dir):
     )
 
 
+_G45_COLS = [
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc_bp", "CAST(round(l_discount * 10000) AS BIGINT)"),
+    ("tax_bp", "CAST(round(l_tax * 10000) AS BIGINT)"),
+]
+_G45_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_G45_COLS)
+    for (b, _) in _G45_COLS[i + 1:]
+]
+
+
+def _g45_oracle() -> str:
+    # Pairwise Pearson correlation matrix from exact CENTERED integer
+    # moments: pass 1 takes integer column means (SUM // COUNT — exact
+    # on both engines), pass 2 accumulates BIGINT sums of centered
+    # values, squares, and cross products (all magnitudes bounded by
+    # range², not value², so no overflow and no catastrophic
+    # cancellation in the double combine); sqrt is IEEE
+    # correctly-rounded, so the final expression is bit-identical.
+    raw = ", ".join(f"{e} AS {n}" for n, e in _G45_COLS)
+    means = ", ".join(f"SUM({n}) // COUNT(*) AS m_{n}" for n, _ in _G45_COLS)
+    centered = ", ".join(f"{n} - m_{n} AS d_{n}" for n, _ in _G45_COLS)
+    moms = ["CAST(count(*) AS BIGINT) AS n"]
+    for n, _ in _G45_COLS:
+        moms.append(f"SUM(d_{n}) AS s_{n}")
+        moms.append(f"SUM(d_{n} * d_{n}) AS ss_{n}")
+    for a, b in _G45_PAIRS:
+        moms.append(f"SUM(d_{a} * d_{b}) AS sp_{a}_{b}")
+    arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+        f"round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - "
+        f"CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) / "
+        f"sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - "
+        f"CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) * "
+        f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - "
+        f"CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6) AS corr "
+        f"FROM s"
+        for a, b in _G45_PAIRS
+    )
+    return (
+        f"WITH raw AS (SELECT {raw} FROM lineitem), "
+        f"m AS (SELECT {means} FROM raw), "
+        f"c AS (SELECT {centered} FROM raw CROSS JOIN m), "
+        f"s AS (SELECT {', '.join(moms)} FROM c) "
+        f"{arms}"
+    )
+
+
+@q("g45_correlation_matrix", _g45_oracle())
+def g45(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.round("l_quantity").cast("bigint"),
+        "price": F.round("l_extendedprice").cast("bigint"),
+        "disc_bp": F.round(F.col("l_discount") * 10000).cast("bigint"),
+        "tax_bp": F.round(F.col("l_tax") * 10000).cast("bigint"),
+    }
+    raw = li.select(*[e.alias(n) for n, e in cols.items()])
+    m = raw.agg(
+        *[F.expr(f"SUM({n}) DIV COUNT(*)").alias(f"m_{n}") for n in cols]
+    )
+    c = raw.crossJoin(F.broadcast(m)).select(
+        *[(F.col(n) - F.col(f"m_{n}")).alias(f"d_{n}") for n in cols]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in cols:
+        aggs.append(F.sum(f"d_{n}").alias(f"s_{n}"))
+        aggs.append(F.sum(F.col(f"d_{n}") * F.col(f"d_{n}")).alias(f"ss_{n}"))
+    for a, b in _G45_PAIRS:
+        aggs.append(F.sum(F.col(f"d_{a}") * F.col(f"d_{b}")).alias(f"sp_{a}_{b}"))
+    s = c.agg(*aggs)
+
+    def corr(a: str, b: str):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        va = nd * F.col(f"ss_{a}").cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{a}").cast("double")
+        vb = nd * F.col(f"ss_{b}").cast("double") - F.col(f"s_{b}").cast(
+            "double"
+        ) * F.col(f"s_{b}").cast("double")
+        return F.round(num / F.sqrt(va * vb), 6)
+
+    pairs = s.select(
+        F.col("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for a, b in _G45_PAIRS
+                ]
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        F.col("p.col_a").alias("col_a"),
+        F.col("p.col_b").alias("col_b"),
+        "n",
+        F.col("p.corr").alias("corr"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -6948,7 +7058,7 @@ _GATE_ORDER_R4 = [
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
-    "t29_attribution",
+    "t29_attribution", "g45_correlation_matrix",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

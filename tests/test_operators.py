@@ -3565,3 +3565,57 @@ class TestSequencePattern:
         m = {r.user_id: (r.vb, r.eb) for r in counts}
         assert m[1] == (2, 0)
         assert m[2] == (1, 1)
+
+
+class TestCorrelationMatrix:
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from pgstream_spark.inventory import QUERIES
+        from pgstream_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ).toPandas()
+        cols = {
+            "qty": np.round(li["l_quantity"]),
+            "price": np.round(li["l_extendedprice"]),
+            "disc_bp": np.round(li["l_discount"] * 10000),
+            "tax_bp": np.round(li["l_tax"] * 10000),
+        }
+        got = {
+            (r.col_a, r.col_b): r.corr
+            for r in QUERIES["g45_correlation_matrix"](spark, sf_dir).collect()
+        }
+        assert len(got) == 6
+        for (a, b), corr in got.items():
+            want = float(np.corrcoef(cols[a], cols[b])[0, 1])
+            assert abs(corr - want) < 1e-6, (a, b, corr, want)
+
+    def test_self_correlation_via_duplicate_column(self, spark):
+        import pyspark.sql.functions as F
+
+        # perfectly correlated pair -> 1.0 through the centered-moment path
+        df = spark.createDataFrame(
+            [(float(i), float(2 * i + 3)) for i in range(100)], "x double, y double"
+        )
+        xi = F.round("x").cast("bigint")
+        yi = F.round("y").cast("bigint")
+        raw = df.select(xi.alias("x"), yi.alias("y"))
+        m = raw.agg(F.expr("SUM(x) DIV COUNT(*)").alias("mx"),
+                    F.expr("SUM(y) DIV COUNT(*)").alias("my"))
+        c = raw.crossJoin(F.broadcast(m)).select(
+            (F.col("x") - F.col("mx")).alias("dx"),
+            (F.col("y") - F.col("my")).alias("dy"),
+        )
+        s = c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        ).collect()[0]
+        import math
+        num = s.n * s.sxy - s.sx * s.sy
+        den = math.sqrt((s.n * s.sxx - s.sx**2) * (s.n * s.syy - s.sy**2))
+        assert abs(num / den - 1.0) < 1e-12
