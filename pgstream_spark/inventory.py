@@ -6767,6 +6767,47 @@ def g45(spark, sf_dir):
     )
 
 
+_L54_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+             "o_orderdate", "total_cents"]
+
+
+def _l54_oracle() -> str:
+    # One-pass column profile (quality.profile_columns): per column —
+    # rows, nulls, exact distinct, min/max as strings.  The double
+    # column is profiled through its exact-cents integer (engine string
+    # renderings of raw doubles differ; BIGINT/VARCHAR/TIMESTAMP casts
+    # are identical).
+    stats = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _L54_COLS:
+        stats.append(f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS null_{c}")
+        stats.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        stats.append(f"CAST(min({c}) AS VARCHAR) AS min_{c}")
+        stats.append(f"CAST(max({c}) AS VARCHAR) AS max_{c}")
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n AS n_rows, null_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value FROM s"
+        for c in _L54_COLS
+    )
+    return (
+        "WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_orderpriority, o_orderdate, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents FROM orders), "
+        f"s AS (SELECT {', '.join(stats)} FROM o) {arms}"
+    )
+
+
+@q("l54_column_profile", _l54_oracle())
+def l54(spark, sf_dir):
+    from pgstream_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    return profile_columns(o, _L54_COLS).withColumnRenamed("column", "col_name")
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7058,7 +7099,7 @@ _GATE_ORDER_R4 = [
     "t27_cusum_changepoint", "g42_rfm_segments", "g43_basket_pairs",
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
-    "t29_attribution", "g45_correlation_matrix",
+    "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

@@ -39,7 +39,7 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "expect_split", "benford_audit"]
+__all__ = ["expect", "expect_split", "benford_audit", "profile_columns"]
 
 
 def _violation(rule: tuple) -> Column:
@@ -274,4 +274,52 @@ def benford_audit(
         "expected_p",
         (F.col("__term_scaled").cast("double") / 1000000.0).alias("chi2_term"),
         chi2_total.alias("chi2_total"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Generic one-pass data profile: per column — row count, NULL
+    count, exact distinct count, min/max (rendered as strings so mixed
+    types share one report schema).  The first look every pipeline takes
+    at a new table.
+
+    ONE aggregation computes every non-distinct statistic as a
+    conditional aggregate (map-side combinable, scan-speed); the exact
+    distinct counts ride in the same aggregate as ``count_distinct``
+    columns (Catalyst expands multi-distinct via Expand — at extreme
+    cardinality swap in ``approx_count_distinct``, same report shape).
+    Output is one row per column via a literal-struct explode — no
+    second scan, no shuffle beyond the single aggregate.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    s = df.agg(*aggs)
+    rows = s.select(
+        F.col("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p"),
+    )
+    return rows.select(
+        F.col("p.column").alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col("p.n_null").cast("bigint").alias("n_null"),
+        F.col("p.n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("p.min_value").alias("min_value"),
+        F.col("p.max_value").alias("max_value"),
     )

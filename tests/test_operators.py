@@ -3619,3 +3619,28 @@ class TestCorrelationMatrix:
         num = s.n * s.sxy - s.sx * s.sy
         den = math.sqrt((s.n * s.sxx - s.sx**2) * (s.n * s.syy - s.sy**2))
         assert abs(num / den - 1.0) < 1e-12
+
+
+class TestProfileColumns:
+    def test_profile_with_nulls_and_types(self, spark):
+        from pgstream_spark.operators.quality import profile_columns
+
+        rows = [(1, "a", 10.0), (2, None, 20.0), (3, "a", None), (4, "b", 20.0)]
+        df = spark.createDataFrame(rows, "id long, cat string, v double")
+        got = {r.column: r for r in profile_columns(df, ["id", "cat", "v"]).collect()}
+        assert got["id"].n_rows == 4 and got["id"].n_null == 0
+        assert got["id"].n_distinct == 4
+        assert got["cat"].n_null == 1 and got["cat"].n_distinct == 2
+        assert got["cat"].min_value == "a" and got["cat"].max_value == "b"
+        assert got["v"].n_null == 1 and got["v"].n_distinct == 2
+        assert got["v"].min_value == "10.0"
+
+    def test_single_aggregate_plan(self, spark):
+        from pgstream_spark.operators.quality import profile_columns
+        from pgstream_spark.plans.explain import explain_string
+
+        df = spark.range(100).selectExpr("id", "id % 3 AS m")
+        txt = explain_string(profile_columns(df, ["id", "m"]), "simple")
+        # one scan feeding the aggregate — no join, no window
+        assert "Join" not in txt
+        assert "Window" not in txt
