@@ -6808,6 +6808,66 @@ def l54(spark, sf_dir):
     return profile_columns(o, _L54_COLS).withColumnRenamed("column", "col_name")
 
 
+@q(
+    "g46_topk_with_others",
+    # The dashboard staple no built-in provides: top-3 customers per
+    # order priority by exact-cents revenue, everyone else collapsed
+    # into one OTHERS row per group (so every chart segment still sums
+    # to the group total).  Rank window benefits from WindowGroupLimit-
+    # style truncation only for the top side; the OTHERS arm is the
+    # same aggregate re-grouped — one extra hash agg over the per-
+    # customer table, never a second scan of facts.
+    "WITH pc AS (SELECT o_orderpriority AS priority, o_custkey, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS cents FROM orders GROUP BY 1, 2), "
+    "r AS (SELECT priority, o_custkey, cents, "
+    "row_number() OVER (PARTITION BY priority "
+    "ORDER BY cents DESC, o_custkey) AS rk FROM pc) "
+    "SELECT priority, CAST(o_custkey AS VARCHAR) AS segment, "
+    "CAST(1 AS BIGINT) AS n_customers, cents AS revenue_cents "
+    "FROM r WHERE rk <= 3 "
+    "UNION ALL "
+    "SELECT priority, 'OTHERS' AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
+    "FROM r WHERE rk > 3 GROUP BY priority",
+)
+def g46(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pc = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    r = pc.withColumn("rk", F.row_number().over(w))
+    top = r.where(F.col("rk") <= 3).select(
+        "priority",
+        F.col("o_custkey").cast("string").alias("segment"),
+        F.lit(1).cast("bigint").alias("n_customers"),
+        F.col("cents").alias("revenue_cents"),
+    )
+    others = (
+        r.where(F.col("rk") > 3)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "priority",
+            F.lit("OTHERS").alias("segment"),
+            "n_customers",
+            "revenue_cents",
+        )
+    )
+    return top.unionByName(others)
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7100,6 +7160,7 @@ _GATE_ORDER_R4 = [
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
+    "g46_topk_with_others",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
