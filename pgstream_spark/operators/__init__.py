@@ -6,10 +6,11 @@ never as driver-side loops.
 """
 
 from pgstream_spark.operators.asof import asof_join
-from pgstream_spark.operators.interval import interval_join
+from pgstream_spark.operators.interval import interval_coverage, interval_join
 from pgstream_spark.operators.topk import top_k_per_group
 from pgstream_spark.operators.dedup import (
     exact_dedup,
+    prefix_filter_pairs,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_containment_pairs,
@@ -39,7 +40,7 @@ from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
 from pgstream_spark.operators.decay import ewma_time_decay
 from pgstream_spark.operators.robust import robust_zscore_stats
 from pgstream_spark.operators.rolling import rolling_corr
-from pgstream_spark.operators.sessionize import sessionize
+from pgstream_spark.operators.sessionize import sessionize, transition_matrix
 from pgstream_spark.operators.retrieval import (
     bm25_ranks,
     bm25_scores,
@@ -47,16 +48,24 @@ from pgstream_spark.operators.retrieval import (
     sparse_cosine_top_k,
 )
 from pgstream_spark.operators.mixture import weighted_sample_ares
-from pgstream_spark.operators.sketch import cms_build, cms_estimate
+from pgstream_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    kmv_pair_stats,
+    kmv_sketch,
+)
 from pgstream_spark.operators.snapshot import corpus_diff
 from pgstream_spark.operators.rollup_time import time_rollup
 from pgstream_spark.operators.skew import salted_agg
 from pgstream_spark.operators.bloom import bloom_prefilter_join
 from pgstream_spark.operators.graph import pagerank_integer, triangle_count
 from pgstream_spark.operators.scd2 import point_in_time_join, scd2_history
-from pgstream_spark.operators.quality import expect
+from pgstream_spark.operators.quality import benford_audit, expect, profile_columns
 from pgstream_spark.operators.skyline import pareto_frontier_2d
 from pgstream_spark.operators.fuzzy import fuzzy_join
+from pgstream_spark.operators.changepoint import cusum_changepoint
+from pgstream_spark.operators.seasonal import regularize, seasonal_decompose
+from pgstream_spark.operators.basket import frequent_pairs
 from pgstream_spark.operators.linalg import gram_upper, pca_from_gram, pca_project
 from pgstream_spark.operators.textstats import (
     with_text_stats,
@@ -96,6 +105,17 @@ __all__ = [
     "robust_zscore_stats",
     "rolling_corr",
     "sessionize",
+    "transition_matrix",
+    "interval_coverage",
+    "cusum_changepoint",
+    "regularize",
+    "seasonal_decompose",
+    "frequent_pairs",
+    "kmv_sketch",
+    "kmv_pair_stats",
+    "benford_audit",
+    "profile_columns",
+    "prefix_filter_pairs",
     "bm25_scores",
     "bm25_ranks",
     "rrf_fusion",
