@@ -6868,6 +6868,71 @@ def g46(spark, sf_dir):
     return top.unionByName(others)
 
 
+@q(
+    "t30_twap",
+    # Time-weighted average price per user×day — the trading-domain
+    # rollup (reference Example.hs domain) where irregular observations
+    # weight by how LONG they were the live value: w_i = t_{i+1} − t_i
+    # inside the (user, day) window, last observation zero-weighted (the
+    # standard [first, last) integral).  One key shuffle + sort for the
+    # lead; all arithmetic integer (cents × epoch-seconds, Σ ≤ 2·10¹⁸
+    # bound documented); the final ratio rounds with the exact-integer
+    # half-up recipe.
+    "WITH " + _EV + ", b AS (SELECT user_id, "
+    "CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "epoch_ns(ts) // 1000000000 AS es, event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM ev), "
+    "w AS (SELECT user_id, day, cents, "
+    "lead(es) OVER (PARTITION BY user_id, day ORDER BY es, event_id) - es "
+    "AS dur FROM b), "
+    "s AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CASE WHEN dur IS NOT NULL THEN cents * dur END) AS BIGINT) "
+    "AS num, CAST(SUM(CASE WHEN dur IS NOT NULL THEN dur END) AS BIGINT) "
+    "AS den FROM w GROUP BY 1, 2) "
+    "SELECT user_id, day, n_events, "
+    "CASE WHEN den > 0 THEN "
+    "CAST((2 * num * 10000 + den) // (2 * den) AS DOUBLE) / 1000000.0 "
+    "END AS twap FROM s",
+)
+def t30(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        epoch_seconds(F.col("ts")).cast("bigint").alias("es"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_ord = Window.partitionBy("user_id", "day").orderBy(
+        F.col("es").asc(), F.col("event_id").asc()
+    )
+    w = b.select(
+        "user_id", "day", "cents",
+        (F.lead("es").over(w_ord) - F.col("es")).alias("dur"),
+    )
+    s = w.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("dur").isNotNull(), F.col("cents") * F.col("dur")))
+        .cast("bigint")
+        .alias("num"),
+        F.sum(F.when(F.col("dur").isNotNull(), F.col("dur")))
+        .cast("bigint")
+        .alias("den"),
+    )
+    return s.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.when(
+            F.col("den") > 0,
+            F.expr("CAST((2 * num * 10000 + den) DIV (2 * den) AS DOUBLE)")
+            / 1000000.0,
+        ).alias("twap"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7160,7 +7225,7 @@ _GATE_ORDER_R4 = [
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
-    "g46_topk_with_others",
+    "g46_topk_with_others", "t30_twap",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

@@ -1136,3 +1136,101 @@ class TestScd2StreamSink:
         b = sorted(map(tuple, spark.read.parquet(
             os.path.join(store, "history", "current")).collect()))
         assert a == b
+
+
+class TestIvfStreamSink:
+    """streaming/ivf_ingest.ivf_stream_sink — continuous vector ingestion
+    into a persisted IVF index: stream == full rewrite, replays leave no
+    duplicates, layout stays the single-level bucket tree."""
+
+    def _vec(self, i, dim=4):
+        # deterministic unit-ish vectors spread across quadrants
+        import math
+        return [math.cos(0.7 * i + j) for j in range(dim)]
+
+    def _base(self, spark, tmp_path):
+        from pgstream_spark.operators.ivf import train_centroids, write_ivf_index
+
+        base_rows = [(i, self._vec(i)) for i in range(64)]
+        base = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+        cents = train_centroids(base, n_lists=4, sample_size=64)
+        path = str(tmp_path / "ivf_index")
+        write_ivf_index(base, cents, path)
+        return base, cents, path
+
+    def test_stream_equals_full_rewrite(self, spark, tmp_path):
+        from pgstream_spark.operators.ivf import (
+            ivf_query_index,
+            write_ivf_index,
+        )
+        from pgstream_spark.streaming.ivf_ingest import ivf_stream_sink
+        from tests.conftest import write_flat_parquet
+
+        base, cents, path = self._base(spark, tmp_path)
+        new_rows_a = [(100 + i, self._vec(100 + i)) for i in range(16)]
+        new_rows_b = [(200 + i, self._vec(200 + i)) for i in range(16)]
+        schema = "vec_id long, embedding array<float>"
+        src = str(tmp_path / "vec_src")
+        write_flat_parquet(spark, new_rows_a, schema, src + "/a.parquet")
+        write_flat_parquet(spark, new_rows_b, schema, src + "/b.parquet")
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(ivf_stream_sink(path))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        n = spark.read.parquet(path + "/vectors").count()
+        assert n == 64 + 32
+
+        # reference: full rewrite with the SAME centroids over all rows
+        all_rows = base.unionByName(
+            spark.createDataFrame(new_rows_a + new_rows_b, schema)
+        )
+        ref_path = str(tmp_path / "ivf_ref")
+        write_ivf_index(all_rows, cents, ref_path)
+        queries = spark.createDataFrame(
+            [(0, self._vec(150))], "vec_id long, embedding array<float>"
+        )
+        got = sorted(
+            (r.query_id, r.neighbor_id, round(r.cosine, 6))
+            for r in ivf_query_index(spark, path, queries, k=5, n_probes=4).collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, round(r.cosine, 6))
+            for r in ivf_query_index(spark, ref_path, queries, k=5, n_probes=4).collect()
+        )
+        assert got == want
+
+    def test_replay_leaves_no_duplicates(self, spark, tmp_path):
+        from pgstream_spark.streaming.ivf_ingest import ivf_stream_sink
+        from tests.conftest import write_flat_parquet
+
+        _, _, path = self._base(spark, tmp_path)
+        schema = "vec_id long, embedding array<float>"
+        rows = [(300 + i, self._vec(300 + i)) for i in range(8)]
+        src = str(tmp_path / "vec_rsrc")
+        write_flat_parquet(spark, rows, schema, src + "/a.parquet")
+
+        def run(ck):
+            sdf = spark.readStream.schema(schema).parquet(src)
+            q = (
+                sdf.writeStream.foreachBatch(ivf_stream_sink(path))
+                .option("checkpointLocation", str(tmp_path / ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("ck1")
+        a = spark.read.parquet(path + "/vectors").count()
+        run("ck2")  # fresh checkpoint: same batch replays as batch_id=0
+        b = spark.read.parquet(path + "/vectors").count()
+        assert a == b == 64 + 8
