@@ -6933,6 +6933,44 @@ def t30(spark, sf_dir):
     )
 
 
+@q("l55_canonical_prefix", ORACLE["l29_canonical_docs"])
+def l55(spark, sf_dir):
+    # l29's curation-survivor composition with the SCALE plan swapped
+    # in: near-dup pairs come from dedup.prefix_filter_pairs (the
+    # PPJoin form that survived the sf1 corpus where the all-pairs join
+    # OOMed — SCALE.md head-to-head) instead of ngram_jaccard_pairs.
+    # Oracle is l29's verbatim: two plans, one hash — proving the
+    # scalable operator is drop-in equivalent inside the full pipeline
+    # (pairs → connected components → best-quality survivor), not just
+    # on the pair list.
+    from pgstream_spark.operators.dedup import (
+        dedup_clusters,
+        prefix_filter_pairs,
+    )
+    from pgstream_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    docs = (
+        d.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+    )
+    qs = quality_score(d).select("doc_id", "quality")
+    ranked = docs.join(qs, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.col("quality").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster", F.round("quality", 6).alias("quality")
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7225,7 +7263,7 @@ _GATE_ORDER_R4 = [
     "l50_kmv_setops", "l51_benford_audit", "g44_chi2_independence",
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
-    "g46_topk_with_others", "t30_twap",
+    "g46_topk_with_others", "t30_twap", "l55_canonical_prefix",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
