@@ -6971,6 +6971,90 @@ def l55(spark, sf_dir):
     )
 
 
+@q(
+    "t31_time_to_convert",
+    # Conversion-latency distribution: per user, seconds from first
+    # signup to the first purchase AT OR AFTER it; users bucketed by
+    # whole days to convert.  Two tiny conditional aggregates per user
+    # (one shuffle), then a day-bucket rollup — the funnel-latency view
+    # every growth dashboard carries.  All integer epoch arithmetic.
+    "WITH " + _EV + ", u AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 "
+    "END) AS s0 FROM ev GROUP BY 1), "
+    "c AS (SELECT e.user_id, "
+    "min(CASE WHEN e.event_type = 'purchase' "
+    "AND epoch_ns(e.ts) // 1000000000 >= u.s0 "
+    "THEN epoch_ns(e.ts) // 1000000000 END) AS p0, min(u.s0) AS s0 "
+    "FROM ev e JOIN u ON u.user_id = e.user_id AND u.s0 IS NOT NULL "
+    "GROUP BY 1) "
+    "SELECT CAST((p0 - s0) // 86400 AS BIGINT) AS days_to_convert, "
+    "CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(min(p0 - s0) AS BIGINT) AS min_seconds, "
+    "CAST(max(p0 - s0) AS BIGINT) AS max_seconds "
+    "FROM c WHERE p0 IS NOT NULL GROUP BY 1",
+)
+def t31(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    es = epoch_seconds(F.col("ts")).cast("bigint")
+    base = ev.select("user_id", "event_type", es.alias("es"))
+    u = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("es"))).alias("s0")
+    ).where(F.col("s0").isNotNull())
+    c = (
+        base.join(u, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("es") >= F.col("s0")),
+                    F.col("es"),
+                )
+            ).alias("p0"),
+            F.min("s0").alias("s0"),
+        )
+        .where(F.col("p0").isNotNull())
+    )
+    lat = (F.col("p0") - F.col("s0"))
+    return c.groupBy(
+        F.expr("(p0 - s0) DIV 86400").cast("bigint").alias("days_to_convert")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min(lat).cast("bigint").alias("min_seconds"),
+        F.max(lat).cast("bigint").alias("max_seconds"),
+    )
+
+
+@q(
+    "g47_grouped_mode",
+    # Exact per-group mode with a TOTAL deterministic tie-break (highest
+    # count, then lowest value) — spelled as count + row_number on BOTH
+    # engines rather than the engines' own mode() whose tie rules
+    # differ.  Two hash aggregations over (group, value) then a
+    # group-sized window — the WindowGroupLimit shape.
+    "WITH c AS (SELECT l_returnflag AS flag, "
+    "CAST(round(l_quantity) AS BIGINT) AS q, "
+    "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT flag, q, n, row_number() OVER (PARTITION BY flag "
+    "ORDER BY n DESC, q ASC) AS rk FROM c) "
+    "SELECT flag, q AS mode_qty, n AS mode_count FROM r WHERE rk = 1",
+)
+def g47(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("flag").orderBy(F.col("n").desc(), F.col("q").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("flag", F.col("q").alias("mode_qty"), F.col("n").alias("mode_count"))
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7264,6 +7348,7 @@ _GATE_ORDER_R4 = [
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
     "g46_topk_with_others", "t30_twap", "l55_canonical_prefix",
+    "t31_time_to_convert", "g47_grouped_mode",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
