@@ -317,3 +317,141 @@ def test_pagerank_mass_conservation(spark, n, edges, iters):
     total = sum(r.rank_units for r in pagerank_integer(nodes, edf, iters).collect())
     assert total <= MASS
     assert total >= 0
+
+
+# ---------------------------------------------------------------------
+# Round-3 session-2 operators: mathematical invariants
+# ---------------------------------------------------------------------
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),     # start
+        st.integers(min_value=1, max_value=50),      # width
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(ivs=intervals_strategy)
+@settings(**SETTINGS)
+def test_interval_coverage_matches_python_union(spark, ivs):
+    """interval_coverage == a pure-Python interval-union sweep, and the
+    covered length can never exceed max(end) − min(start)."""
+    from pgstream_spark.operators.interval import interval_coverage
+
+    rows = [(1, i, s, s + w) for i, (s, w) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e2 long")
+    r = interval_coverage(df, "k", "s", "e2", "id").collect()[0]
+
+    # reference sweep
+    merged = []
+    for s, w in sorted(ivs):
+        e = s + w
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    want_cov = sum(e - s for s, e in merged)
+    assert r.covered == want_cov
+    assert r.n_islands == len(merged)
+    span = max(s + w for s, w in ivs) - min(s for s, _ in ivs)
+    assert r.covered <= span
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+        min_size=2, max_size=30,
+    ),
+    shift=st.integers(min_value=0, max_value=500),
+)
+@settings(**SETTINGS)
+def test_cusum_shift_invariance(spark, xs, shift):
+    """Adding a constant to every value leaves CUSUM untouched — the
+    statistic depends only on deviations from the mean."""
+    from pgstream_spark.operators.changepoint import cusum_changepoint
+
+    base = [(1, t, v) for t, v in enumerate(xs)]
+    shifted = [(1, t, v + shift) for t, v in enumerate(xs)]
+    a = cusum_changepoint(
+        spark.createDataFrame(base, "k long, t long, v double"),
+        "v", ["k"], ["t"],
+    ).collect()[0]
+    b = cusum_changepoint(
+        spark.createDataFrame(shifted, "k long, t long, v double"),
+        "v", ["k"], ["t"],
+    ).collect()[0]
+    assert a.cp_pos == b.cp_pos
+    assert a.cusum_max == b.cusum_max
+
+
+@given(
+    seq=st.lists(st.sampled_from("abc"), min_size=2, max_size=40),
+)
+@settings(**SETTINGS)
+def test_transition_matrix_is_stochastic(spark, seq):
+    """Counts equal transitions in the sequence; probabilities per prev
+    state sum to 1 (within the rounding grain)."""
+    from pgstream_spark.operators.sessionize import transition_matrix
+
+    rows = [(1, t, s) for t, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = transition_matrix(df, "s", ["u"], ["t"]).collect()
+    want = {}
+    for x, y in zip(seq, seq[1:]):
+        want[(x, y)] = want.get((x, y), 0) + 1
+    got = {(r.prev_state, r.next_state): r.n for r in out}
+    assert got == want
+    sums = {}
+    for r in out:
+        sums[r.prev_state] = sums.get(r.prev_state, 0.0) + r.p
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-4
+
+
+@given(
+    sets=st.tuples(
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    )
+)
+@settings(**SETTINGS)
+def test_kmv_underfilled_is_exact_for_any_sets(spark, sets):
+    """Whenever |union| < k the KMV estimates are EXACT set statistics."""
+    from pgstream_spark.operators.sketch import kmv_pair_stats, kmv_sketch
+
+    sa, sb = sets
+    rows = [("a", str(x)) for x in sa] + [("b", str(x)) for x in sb]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketch(df, "item", ["g"], k=256)
+    r = kmv_pair_stats(sk, "g", k=256).collect()[0]
+    union, inter = sa | sb, sa & sb
+    assert r.union_est == float(len(union))
+    assert r.n_both == len(inter)
+    assert r.jaccard == round(len(inter) / len(union), 6)
+
+
+@given(
+    baskets=st.lists(
+        st.sets(st.sampled_from("pqrst"), min_size=1, max_size=4),
+        min_size=1, max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_frequent_pairs_counts_match_python(spark, baskets):
+    from itertools import combinations
+
+    from pgstream_spark.operators.basket import frequent_pairs
+
+    rows = [(i, it) for i, b in enumerate(baskets) for it in b]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_pairs(df, "bk", "it", min_support=1).collect()
+    }
+    want = {}
+    for b in baskets:
+        for x, y in combinations(sorted(b), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    assert got == want
