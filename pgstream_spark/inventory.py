@@ -7055,6 +7055,60 @@ def g47(spark, sf_dir):
     )
 
 
+@q(
+    "g48_wilson_ci",
+    # Wilson 95% score interval per source for the long-document rate —
+    # the CI that behaves at small n and p near 0/1 (Wilson 1927; what
+    # dashboards should use instead of the normal approximation).
+    # Counts are exact ints from one scan; the closed-form interval is
+    # an identical float chain on both engines (sqrt is IEEE
+    # correctly-rounded), rounded once.
+    "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS hits "
+    "FROM documents GROUP BY 1), "
+    "c AS (SELECT source, n, hits, "
+    "CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS ph, "
+    "1.0 + 3.8416 / CAST(n AS DOUBLE) AS dn FROM s) "
+    "SELECT source, n, hits, round(ph, 6) AS p_hat, "
+    "round(((ph + 3.8416 / (2.0 * CAST(n AS DOUBLE))) / dn) - "
+    "(1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + "
+    "3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn), 6) "
+    "AS ci_low, "
+    "round(((ph + 3.8416 / (2.0 * CAST(n AS DOUBLE))) / dn) + "
+    "(1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + "
+    "3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn), 6) "
+    "AS ci_high FROM c",
+)
+def g48(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    )
+    nd = F.col("n").cast("double")
+    ph = F.col("hits").cast("double") / nd
+    dn = F.lit(1.0) + F.lit(3.8416) / nd
+    center = (ph + F.lit(3.8416) / (F.lit(2.0) * nd)) / dn
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            ph * (F.lit(1.0) - ph) / nd
+            + F.lit(3.8416) / (F.lit(4.0) * nd * nd)
+        )
+        / dn
+    )
+    return s.select(
+        "source",
+        "n",
+        "hits",
+        F.round(ph, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7348,7 +7402,7 @@ _GATE_ORDER_R4 = [
     "l52_prefix_filter_join", "w15_weighted_median", "t28_sequence_pattern",
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
     "g46_topk_with_others", "t30_twap", "l55_canonical_prefix",
-    "t31_time_to_convert", "g47_grouped_mode",
+    "t31_time_to_convert", "g47_grouped_mode", "g48_wilson_ci",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",
