@@ -7109,6 +7109,57 @@ def g48(spark, sf_dir):
     )
 
 
+@q(
+    "w16_weighted_quantiles",
+    # Exact weighted quantile LADDER per return flag
+    # (robust.weighted_quantiles): p25/p50/p90/p99 of unit price
+    # weighted by shipped quantity — one shuffle + one sort serves
+    # every q (each crossing row is a conditional min over the same
+    # sorted pass); thresholds compare in exact integers
+    # (cum·10⁶ ≥ q₆·total), bit-stable on any engine.
+    "WITH c AS (SELECT l_returnflag AS flag, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, "
+    "CAST(round(l_quantity) AS BIGINT) AS q, l_orderkey, l_linenumber "
+    "FROM lineitem), "
+    "r AS (SELECT flag, pc, "
+    "SUM(q) OVER (PARTITION BY flag ORDER BY pc, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "SUM(q) OVER (PARTITION BY flag) AS tot FROM c) "
+    "SELECT flag, CAST(min(tot) AS BIGINT) AS total_weight, "
+    "CAST(min(CASE WHEN cum * 1000000 >= 250000 * tot THEN pc END) "
+    "AS BIGINT) AS q0_25, "
+    "CAST(min(CASE WHEN cum * 1000000 >= 500000 * tot THEN pc END) "
+    "AS BIGINT) AS q0_5, "
+    "CAST(min(CASE WHEN cum * 1000000 >= 900000 * tot THEN pc END) "
+    "AS BIGINT) AS q0_9, "
+    "CAST(min(CASE WHEN cum * 1000000 >= 990000 * tot THEN pc END) "
+    "AS BIGINT) AS q0_99 "
+    "FROM r GROUP BY flag",
+)
+def w16(spark, sf_dir):
+    from pgstream_spark.operators.robust import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = weighted_quantiles(
+        c, "pc", "q", key_cols=["flag"], qs=[0.25, 0.5, 0.9, 0.99],
+        tie_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "flag", "total_weight",
+        F.col("q0_25").cast("bigint").alias("q0_25"),
+        F.col("q0_5").cast("bigint").alias("q0_5"),
+        F.col("q0_9").cast("bigint").alias("q0_9"),
+        F.col("q0_99").cast("bigint").alias("q0_99"),
+    )
+
+
 @q("l53_bpe_encode")  # rows-only: greedy iterative merges aren't SQL-
 # expressible (a flat string-replace chain mis-merges shared-boundary
 # runs like [a,a,a,a]); correctness is pinned by pytest against a
@@ -7403,6 +7454,7 @@ _GATE_ORDER_R4 = [
     "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
     "g46_topk_with_others", "t30_twap", "l55_canonical_prefix",
     "t31_time_to_convert", "g47_grouped_mode", "g48_wilson_ci",
+    "w16_weighted_quantiles",
     "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
     "l42_pagerank", "t22_scd2_history", "l43_expectations",
     "l44_bpe_pair_counts", "l45_grid_quantiles", "p12_recursive_cte",

@@ -27,10 +27,12 @@ discipline the inventory applies to every cross-engine float reduction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robust_zscore_stats"]
+__all__ = ["robust_zscore_stats", "weighted_quantiles"]
 
 
 def robust_zscore_stats(
@@ -62,3 +64,54 @@ def robust_zscore_stats(
             ),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    qs: Sequence[float],
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact weighted quantiles per key — for each q, the smallest value
+    whose cumulative weight reaches q·total (the lower weighted
+    quantile; q=0.5 is the weighted median).  The statistic behind
+    duration-weighted latency percentiles and quantity-weighted price
+    levels, which no built-in provides.
+
+    One shuffle + one in-partition sort serves the cumulative weight,
+    the partition total, and EVERY requested q: the crossing row per q
+    is a conditional min aggregate over the same sorted pass — adding
+    quantiles costs aggregate columns, never extra passes.  The q·total
+    threshold compares in exact integers (q scaled to millionths:
+    ``cum·10⁶ ≥ q₆·total``), so results are bit-stable on any engine
+    and partitioning.  Values and weights must already be integers
+    (scale upstream); per-key skew shares the standard window recipe.
+    """
+    keys = list(key_cols)
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys)
+    r = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum(weight_col).over(w_run).alias("__cum"),
+        F.sum(weight_col).over(w_all).alias("__tot"),
+    )
+    aggs = [F.min("__tot").cast("bigint").alias("total_weight")]
+    for q in qs:
+        q6 = round(q * 1_000_000)
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * 1_000_000 >= F.lit(q6) * F.col("__tot"),
+                    F.col("__v"),
+                )
+            ).alias(f"q{str(q).replace('.', '_')}")
+        )
+    return r.groupBy(*keys).agg(*aggs)

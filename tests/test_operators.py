@@ -3644,3 +3644,41 @@ class TestProfileColumns:
         # one scan feeding the aggregate — no join, no window
         assert "Join" not in txt
         assert "Window" not in txt
+
+
+class TestWeightedQuantiles:
+    def test_matches_python_reference(self, spark):
+        from pgstream_spark.operators.robust import weighted_quantiles
+
+        rows = [(1, i, 100 + i * 7, 1 + (i % 5)) for i in range(50)]
+        df = spark.createDataFrame(rows, "k long, id long, v long, w long")
+        got = weighted_quantiles(
+            df, "v", "w", ["k"], qs=[0.1, 0.5, 0.9], tie_cols=["id"]
+        ).collect()[0]
+
+        pairs = sorted((v, w) for _, _, v, w in rows)
+        tot = sum(w for _, w in pairs)
+
+        def ref(q):
+            cum = 0
+            for v, w in pairs:
+                cum += w
+                if cum * 1_000_000 >= round(q * 1_000_000) * tot:
+                    return v
+            raise AssertionError
+
+        assert got.total_weight == tot
+        assert got.q0_1 == ref(0.1)
+        assert got.q0_5 == ref(0.5)
+        assert got.q0_9 == ref(0.9)
+
+    def test_extreme_quantiles(self, spark):
+        from pgstream_spark.operators.robust import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [(1, 1, 10, 1), (1, 2, 20, 1), (1, 3, 30, 98)],
+            "k long, id long, v long, w long",
+        )
+        r = weighted_quantiles(df, "v", "w", ["k"], qs=[0.01, 1.0], tie_cols=["id"]).collect()[0]
+        assert r.q0_01 == 10     # first row already covers 1%
+        assert r.q1_0 == 30      # full weight needs the last value
