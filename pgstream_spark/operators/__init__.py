@@ -38,7 +38,7 @@ from pgstream_spark.operators.ivf import (
 )
 from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
 from pgstream_spark.operators.decay import ewma_time_decay
-from pgstream_spark.operators.robust import robust_zscore_stats
+from pgstream_spark.operators.robust import robust_zscore_stats, weighted_quantiles
 from pgstream_spark.operators.rolling import rolling_corr
 from pgstream_spark.operators.sessionize import sessionize, transition_matrix
 from pgstream_spark.operators.retrieval import (
@@ -103,6 +103,7 @@ __all__ = [
     "ohlc_rollup",
     "ewma_time_decay",
     "robust_zscore_stats",
+    "weighted_quantiles",
     "rolling_corr",
     "sessionize",
     "transition_matrix",
