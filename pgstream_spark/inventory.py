@@ -2362,8 +2362,12 @@ def l11(spark, sf_dir):
     "x -> x <> '')), 1) AS n_tokens FROM documents), "
     "c AS (SELECT doc_id, shard, n_tokens, "
     "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM toks) "
+    # CAST: DuckDB window SUM over INT widens to HUGEINT and `//` inherits
+    # it; the driver's typed hash distinguishes HUGEINT from Spark BIGINT
+    # even when every value is identical (round-3 red; VERDICT r3 item 1).
     "SELECT doc_id, shard, n_tokens, "
-    "(cum - n_tokens) // 128 AS chunk_first, (cum - 1) // 128 AS chunk_last, "
+    "CAST((cum - n_tokens) // 128 AS BIGINT) AS chunk_first, "
+    "CAST((cum - 1) // 128 AS BIGINT) AS chunk_last, "
     "(cum - n_tokens) // 128 <> (cum - 1) // 128 AS straddles FROM c",
 )
 def l12(spark, sf_dir):
@@ -3724,11 +3728,13 @@ def f16(spark, sf_dir):
     "m AS (SELECT event_id, user_id, ts, es, "
     "lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
     "FROM e) "
+    # CAST: window SUM widens to HUGEINT in DuckDB → typed-hash mismatch
+    # vs Spark BIGINT even with identical values (round-3 red).
     "SELECT event_id, user_id, "
-    "SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END) "
+    "CAST(SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END) "
     "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx "
-    "FROM m",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS session_idx FROM m",
 )
 def t17(spark, sf_dir):
     from pgstream_spark.operators.sessionize import sessionize
@@ -5418,7 +5424,7 @@ def j12(spark, sf_dir):
     # (key, salt) combine losslessly — different shuffle shape (the hot
     # key spreads across salt_buckets reducers before the combine).
     "WITH " + _EV + " SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-    "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
     "FROM ev GROUP BY event_type",
 )
 def g40(spark, sf_dir):
@@ -5755,7 +5761,7 @@ def f23(spark, sf_dir):
     # conversion.  round_mode half_towards_infinity matches Spark/DuckDB
     # round(); integer sums keep it bit-exact.
     "WITH " + _EV + " SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-    "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents, "
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
     "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents, "
     "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
     "FROM ev GROUP BY event_type",
@@ -6356,16 +6362,22 @@ def t26(spark, sf_dir):
     "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
     "ORDER BY abs_ns DESC, t ASC) AS rk FROM b) "
     # the three magnitudes are integer ratios — rounded in EXACT integer
-    # arithmetic ((200·num + den) // (2·den) = half-up at 6 decimals;
-    # value = num/(den·10⁴)) because round(double, 6) can land on a .5
-    # at the 7th decimal where the engines' double-rounding disagrees
+    # arithmetic ((200·|num| + den) // (2·den) with the sign reattached
+    # = half-away-from-zero at 6 decimals; value = num/(den·10⁴))
+    # because round(double, 6) can land on a .5 at the 7th decimal where
+    # the engines' double-rounding disagrees, and because DuckDB //
+    # floors while Spark DIV truncates — abs-then-sign makes the two
+    # agree for negative prefix sums too
     "SELECT user_id, CAST(t AS INT) AS cp_pos, CAST(n AS BIGINT) AS n, "
     "CAST(CAST((200 * abs_ns + n) // (2 * n) AS BIGINT) AS DOUBLE) "
     "/ 1000000.0 AS cusum_max, "
-    "CAST(CAST((200 * prefix + t) // (2 * t) AS BIGINT) AS DOUBLE) "
+    "CAST(CAST(CASE WHEN prefix < 0 THEN -((200 * -prefix + t) // (2 * t)) "
+    "ELSE (200 * prefix + t) // (2 * t) END AS BIGINT) AS DOUBLE) "
     "/ 1000000.0 AS mean_before, "
     "CASE WHEN n > t THEN "
-    "CAST(CAST((200 * (total - prefix) + (n - t)) // (2 * (n - t)) "
+    "CAST(CAST(CASE WHEN total - prefix < 0 THEN "
+    "-((200 * (prefix - total) + (n - t)) // (2 * (n - t))) "
+    "ELSE (200 * (total - prefix) + (n - t)) // (2 * (n - t)) END "
     "AS BIGINT) AS DOUBLE) / 1000000.0 END AS mean_after "
     "FROM r WHERE rk = 1",
 )
@@ -7359,6 +7371,78 @@ def l50(spark, sf_dir):
     return kmv_pair_stats(sk, "source", k=256)
 
 
+@q(
+    "s6_pgwire_stream",
+    # The pgwire STREAMING source under the hard gate (VERDICT r3 item 4):
+    # serve the nation parquet through the in-process Postgres wire stub,
+    # drain `readStream.format("pgwire")` to quiescence in capped
+    # micro-batches (offset-tracked over n_nationkey, 4 batches of ≤7),
+    # and hash-compare the drained rows against a direct read of the same
+    # table — the T-1 batch==stream equivalence, but over the live wire
+    # path (v3 protocol handshake, text decode, offset replay).  Mirrors
+    # `/root/reference/src/Database/PostgreSQL/Stream.hs:244-284`'s
+    # cursor-paged delivery, lifted to Structured Streaming offsets.
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s6_stream(spark, sf_dir):
+    import os
+    import sys
+    import tempfile
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tests.pg_stub import PgStubServer
+
+    from pgstream_spark.sources.pgwire_datasource import PgWireDataSource
+
+    try:
+        spark.dataSource.register(PgWireDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    db = duckdb.connect()
+    db.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    rows: list = []
+    with PgStubServer(db) as srv:
+        stream = (
+            spark.readStream.format("pgwire")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("dbname", "stub")
+            .option("user", "gate")
+            .option("table", "nation")
+            .option("cursor_column", "n_nationkey")
+            .option("max_rows_per_batch", 7)
+            .load()
+        )
+        schema = stream.schema
+        ck = tempfile.mkdtemp(prefix="pgwire_gate_ck_")
+        # availableNow consumes one read() prefetch per run; loop on a
+        # shared checkpoint (exactly-once offsets make re-runs safe)
+        # until a run adds nothing — quiescence == the full table.
+        for _ in range(20):
+            before = len(rows)
+            qy = (
+                stream.writeStream.foreachBatch(
+                    lambda b, _id: rows.extend(b.collect())
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            qy.awaitTermination(120)
+            if len(rows) == before:
+                break
+    return spark.createDataFrame(rows, schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -7374,7 +7458,7 @@ def l50(spark, sf_dir):
 # time-series (t11-t21), joins, windows.  The ~26 remaining
 # (g23-g28, g31-g38, f13-f21, u4, o5/o6, p10/p11) rotate into round 4.
 
-_GATE_ORDER = [
+_GATE_ORDER_R3 = [
     # -- round-2 driver rows that ERRORED on array-typed columns ------
     "l5_multimodal_features",
     "f12_regexp_extract_all",
@@ -7435,14 +7519,20 @@ _GATE_ORDER = [
 ]
 
 
-# Round-4 rotation, PRE-STAGED but NOT active (the round-3 window above
-# must stay stable until its driver CORRECTNESS run records).  To
-# activate next round: `_GATE_ORDER = _GATE_ORDER_R4` here.  54
-# candidates for 50 slots, ordered by user impact — the overflow tail
-# (plus any round-3 reds to retry) rolls to round 5.  Every name below
-# is hash-checkable and diffcheck-green at sf0.001/sf0.01 (and the
-# round-3 additions at generated sf1) as of the round-3 close.
+# Round-4 rotation, ACTIVE.  Window layout (VERDICT r3 items 1/2/4):
+# the two round-3 HUGEINT reds retest first (oracle sums now CAST to
+# BIGINT — values were proven identical, only the DuckDB column type
+# diverged), then the new pgwire streaming hard-signal query, then the
+# pre-staged never-driver-checked rotation by user impact.  The driver
+# records the first 50; the overflow tail rolls to round 5.  Every name
+# below is hash-checkable and diffcheck-green (now including the
+# DESCRIBE type gate) at sf0.001/sf0.01 as of the round-4 close.
 _GATE_ORDER_R4 = [
+    # -- round-3 reds, root-caused to oracle HUGEINT, now cast ---------
+    "l12_sequence_pack",
+    "t17_sessionize",
+    # -- pgwire streaming source under the hard gate (r3 item 4) -------
+    "s6_pgwire_stream",
     # round-3 scale/lifecycle additions — highest novelty, zero driver rows
     "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
     "l46_embedding_gram", "l47_hll_setops", "l48_sparse_cosine",
@@ -7484,10 +7574,12 @@ _GATE_ORDER_R4 = [
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
 ]
 
+_GATE_ORDER = _GATE_ORDER_R4
+
 
 def _reorder_registry() -> None:
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
-    unknown += [n for n in _GATE_ORDER_R4 if n not in QUERIES]
+    unknown += [n for n in _GATE_ORDER_R3 if n not in QUERIES]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}

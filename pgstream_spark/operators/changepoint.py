@@ -106,8 +106,11 @@ def cusum_changepoint(
     # num / (den·SCALE); its 6-decimal half-up rounding is
     # (200·num + den) DIV (2·den) (SCALE=10⁴ → ×100 to reach 10⁶),
     # exact BIGINT on both engines, then ONE power-of-ten double
-    # division.  num ≥ 0 here (|S_t| and non-negative prefixes), so
-    # truncating and floor division agree.
+    # division.  |S_t| is ≥ 0, but prefix/segment sums go NEGATIVE when
+    # the series has negative values — and Spark's DIV truncates toward
+    # zero while DuckDB's // floors, so the recipe is applied to
+    # abs(num) with the sign reattached (half-away-from-zero, identical
+    # on both engines for every sign).
     assert round_digits == 6, "integer rounding is pinned to 6 decimals"
     pre = best.select(
         *keys,
@@ -121,12 +124,19 @@ def cusum_changepoint(
     pre = pre.withColumn(
         "__cm6", F.expr("(200 * __a + n) DIV (2 * n)")
     ).withColumn(
-        "__mb6", F.expr("(200 * __pfx + cp_pos) DIV (2 * cp_pos)")
+        "__mb6",
+        F.expr(
+            "CASE WHEN __pfx < 0 THEN -((200 * -__pfx + cp_pos) "
+            "DIV (2 * cp_pos)) "
+            "ELSE (200 * __pfx + cp_pos) DIV (2 * cp_pos) END"
+        ),
     ).withColumn(
         "__ma6",
         F.expr(
-            "CASE WHEN __after_n > 0 THEN "
-            "(200 * __after_sum + __after_n) DIV (2 * __after_n) END"
+            "CASE WHEN __after_n <= 0 THEN NULL "
+            "WHEN __after_sum < 0 THEN -((200 * -__after_sum + __after_n) "
+            "DIV (2 * __after_n)) "
+            "ELSE (200 * __after_sum + __after_n) DIV (2 * __after_n) END"
         ),
     )
     return pre.select(

@@ -933,10 +933,14 @@ def prefix_filter_pairs(
         .join(pre.alias("b"), "__sh")
         .filter(
             (F.col("a.__id") < F.col("b.__id"))
-            # length filter: Jaccard ≥ t ⇒ min size ≥ t · max size
+            # length filter: Jaccard ≥ t ⇒ min size ≥ t · max size.
+            # Evaluated in exact integer millionths (same tm as the prefix
+            # length): a double product can round UP past an integer
+            # (0.07 * 100 → 7.000…001 > 7) and drop a true pair whose
+            # Jaccard is exactly the threshold.
             & (
-                F.least("a.__sz", "b.__sz").cast("double")
-                >= threshold * F.greatest("a.__sz", "b.__sz").cast("double")
+                F.least("a.__sz", "b.__sz") * 1_000_000
+                >= F.lit(tm) * F.greatest("a.__sz", "b.__sz")
             )
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))

@@ -205,6 +205,18 @@ class _PgWireStreamReader(SimpleDataSourceStreamReader):
                 "monotonically increasing, append-only id column"
             )
         self.cursor = self.options["cursor_column"]
+        cols = self.options.get("columns", "*").strip()
+        if cols != "*":
+            names = [c.strip().strip('"') for c in cols.split(",")]
+            if self.cursor not in names:
+                # read() locates the cursor in the returned field list to
+                # advance the offset; a projection that drops it would fail
+                # every micro-batch with an opaque ValueError — refuse now.
+                raise ValueError(
+                    f"pgwire streaming option 'columns' ({cols!r}) must "
+                    f"include cursor_column {self.cursor!r} — the offset "
+                    "high-water mark is computed from the returned rows"
+                )
         cap = int(self.options.get("max_rows_per_batch", 0))
         self.max_rows = cap if cap > 0 else None
 

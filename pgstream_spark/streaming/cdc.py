@@ -217,7 +217,6 @@ def read_replica(spark: SparkSession, replica_dir: str) -> DataFrame:
 
 
 def scd2_stream_sink(
-    stream_df,
     store_dir: str,
     key_col: str,
     ts_col: str,
@@ -240,8 +239,7 @@ def scd2_stream_sink(
     consumers of ``<store_dir>/history/current``.
 
     Returns the writer function — attach with
-    ``stream.writeStream.foreachBatch(scd2_stream_sink(...))`` or pass
-    ``stream_df`` and call ``.start()`` on the result yourself.
+    ``stream.writeStream.foreachBatch(scd2_stream_sink(store_dir, ...))``.
     """
     from pgstream_spark.operators.scd2 import scd2_apply_batch
 

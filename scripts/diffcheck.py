@@ -69,6 +69,75 @@ def rowset(columns, rows):
     return names, data
 
 
+# DESCRIBE-based oracle type gate (round-3 l12/t17 lesson, the round-1
+# f11 failure class).  The driver's hash canonicalizes within a type
+# FAMILY (empirically: Spark int vs DuckDB BIGINT, timestamp_ntz vs
+# TIMESTAMP were driver-GREEN in rounds 1-3), but int128 (HUGEINT —
+# DuckDB widens integer window/grouped SUMs to it) has no pandas dtype
+# and value-renders differently, and Decimal-vs-float diverged in round
+# 1 (f11).  So: reject HUGEINT outright; require family agreement
+# (int/float/decimal/string/bool/date/timestamp/binary) per column.
+_DUCK_FAMILY = {
+    "BOOLEAN": "bool",
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str",
+    "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "TIMESTAMP_NS": "ts", "TIMESTAMP_MS": "ts", "TIMESTAMP_S": "ts",
+    "BLOB": "bin",
+}
+
+_SPARK_FAMILY = {
+    "boolean": "bool",
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str",
+    "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+
+def oracle_type_problems(con, sql, sdtypes):
+    """DESCRIBE the oracle SQL; flag HUGEINT (always driver-red even with
+    identical values) and any cross-family divergence from the Spark
+    column's dtype.  A flag here means 'add a CAST to the oracle SQL'."""
+    probs = []
+    spark_types = dict(sdtypes)
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # DESCRIBE itself failing is a finding too
+        return [f"oracle DESCRIBE failed: {type(e).__name__}: {str(e)[:200]}"]
+    for row in desc:
+        cname, ctype = row[0], row[1].upper()
+        if ctype in ("HUGEINT", "UHUGEINT"):
+            probs.append(
+                f"oracle column '{cname}' is {ctype} (int128 — no pandas "
+                "dtype, driver hash diverges even on identical values): "
+                "CAST the SUM/expression to BIGINT"
+            )
+            continue
+        if ctype.startswith("DECIMAL"):
+            fam = "decimal"
+        else:
+            fam = _DUCK_FAMILY.get(ctype)
+        have = spark_types.get(cname)
+        if have is None:
+            continue  # name mismatch reported by the column compare
+        sfam = (
+            "decimal" if have.startswith("decimal") else _SPARK_FAMILY.get(have)
+        )
+        if fam is None or sfam is None or fam != sfam:
+            probs.append(
+                f"typed-hash family divergence on '{cname}': spark dtype "
+                f"'{have}' vs oracle {ctype} — align with CASTs"
+            )
+    return probs
+
+
 def compare(name, sdf, con, sql):
     srows = sdf.collect()
     scols = sdf.columns
@@ -83,6 +152,7 @@ def compare(name, sdf, con, sql):
                 f"driver-unsortable column '{cname}' ({dtype}): serialize "
                 "to string (concat_ws/to_json) for the gate"
             )
+    problems.extend(oracle_type_problems(con, sql, sdf.dtypes))
     if problems:
         return problems
     ores = con.execute(sql)

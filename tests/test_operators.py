@@ -3169,6 +3169,76 @@ class TestCusumChangepoint:
         assert r.cusum_max == 0.0
         assert r.cp_pos == 1  # all-zero CUSUM ties break to earliest
 
+    def test_negative_series_means_exact(self, spark):
+        # prefix sums go negative here — Spark DIV truncates toward zero
+        # while DuckDB // floors, so the rounding recipe must go through
+        # abs() with the sign reattached (half-away-from-zero) or the
+        # engines diverge by 1 ulp at the 6th decimal (ADVICE r3).
+        from pgstream_spark.operators.changepoint import cusum_changepoint
+
+        rows = [(1, t, -1.0 if t <= 5 else -9.0) for t in range(1, 11)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        r = cusum_changepoint(df, "v", ["k"], ["t"]).collect()[0]
+        assert r.cp_pos == 5
+        assert r.mean_before == -1.0
+        assert r.mean_after == -9.0
+        assert r.cusum_max == 20.0
+
+    def test_negative_series_duckdb_parity(self, spark):
+        # Full cross-engine pin on a signed pseudorandom series: the
+        # operator vs the registered t27 oracle SQL over an identical
+        # in-memory events table.
+        import datetime
+
+        import duckdb
+
+        from pgstream_spark.inventory import ORACLE
+        from pgstream_spark.operators.changepoint import cusum_changepoint
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (
+                i,
+                base + datetime.timedelta(minutes=i),
+                i % 4,
+                "e",
+                ((i * 37 + 11) % 101 - 50) / 7.0,  # signed, non-round
+                None,
+            )
+            for i in range(120)
+        ]
+        sdf = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = sorted(
+            map(
+                tuple,
+                cusum_changepoint(
+                    sdf, "value", ["user_id"], ["ts", "event_id"]
+                )
+                .select(
+                    "user_id", "cp_pos", "n", "cusum_max",
+                    "mean_before", "mean_after",
+                )
+                .collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+            "props VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows
+        )
+        want = sorted(
+            map(tuple, con.execute(ORACLE["t27_cusum_changepoint"]).fetchall())
+        )
+        assert got == want
+
 
 class TestSeasonalDecompose:
     def test_pure_seasonal_recovered(self, spark):

@@ -1079,7 +1079,7 @@ class TestScd2StreamSink:
         q = (
             sdf.writeStream.foreachBatch(
                 scd2_stream_sink(
-                    sdf, store, key_col="k", ts_col="ts",
+                    store, key_col="k", ts_col="ts",
                     seq_col="seq", op_col="op", payload_cols=["val"],
                 )
             )
@@ -1118,7 +1118,7 @@ class TestScd2StreamSink:
             q = (
                 sdf.writeStream.foreachBatch(
                     scd2_stream_sink(
-                        sdf, store, key_col="k", ts_col="ts",
+                        store, key_col="k", ts_col="ts",
                         seq_col="seq", op_col="op", payload_cols=["val"],
                     )
                 )
