@@ -39,6 +39,42 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join"]
 
 
+def _auto_skew_plan(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> tuple[list, int] | None:
+    """Decide whether (and how) to salt: returns (hot_key_rows, buckets)
+    or None for the unsalted plan.
+
+    A key is HOT when it holds more than 4× the fair per-reducer share
+    (total rows across both sides ÷ shuffle partitions) — the point
+    where one window partition's sort visibly lags the stage.  At most
+    ``total/(4·fair) ≤ shuffle_partitions/4`` keys can exceed that
+    bound, so the hot-key list collected to the driver is provably tiny
+    and broadcastable.  Buckets = ceil(hottest/fair), capped at the
+    shuffle partition count.
+    """
+    sp = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
+    )
+    per_key = (
+        left.select(*keys)
+        .unionByName(right.select(*keys))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = per_key.agg(
+        F.sum("__n").alias("t"), F.max("__n").alias("m")
+    ).collect()[0]
+    if not tot["t"]:
+        return None
+    fair = max(1, tot["t"] // sp)
+    if tot["m"] <= 4 * fair:
+        return None
+    hot = per_key.filter(F.col("__n") > 4 * fair).select(*keys).collect()
+    buckets = int(min(sp, -(-tot["m"] // fair)))
+    return hot, max(2, buckets)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +84,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_r",
-    salt_buckets: int | None = None,
+    salt_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its timestamp, per key.
@@ -61,10 +97,53 @@ def asof_join(
     so the carry-forward window partitions by (key, salt) — a hot key's
     sort spreads over N tasks instead of one.  Results are identical to
     the unsalted join for any N.
+
+    ``salt_buckets="auto"`` (the default) removes the manual knob: one
+    map-side-combinable per-key count over both sides detects keys
+    holding >4× the fair per-reducer share.  No hot key → the plain
+    unsalted plan, zero overhead beyond the count.  Hot keys → ONLY they
+    are routed through the salted plan (broadcast hot-key split, cold
+    keys stay unsalted, results unioned) so the right-side replication
+    cost is confined to the skewed slice.  Results are identical to the
+    unsalted join in every case (pytest- and oracle-pinned).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
+
+    if salt_buckets == "auto":
+        plan = _auto_skew_plan(left, right, keys)
+        if plan is None:
+            salt_buckets = None
+        else:
+            hot_rows, buckets = plan
+            spark = left.sparkSession
+            hot_df = F.broadcast(
+                spark.createDataFrame(
+                    hot_rows, left.select(*keys).schema
+                ).distinct()
+            )
+            common = dict(
+                on=keys,
+                left_ts=left_ts,
+                right_ts=right_ts,
+                direction=direction,
+                tolerance_seconds=tolerance_seconds,
+                suffix=suffix,
+            )
+            cold = asof_join(
+                left.join(hot_df, keys, "left_anti"),
+                right.join(hot_df, keys, "left_anti"),
+                salt_buckets=None,
+                **common,
+            )
+            hot = asof_join(
+                left.join(hot_df, keys, "left_semi"),
+                right.join(hot_df, keys, "left_semi"),
+                salt_buckets=buckets,
+                **common,
+            )
+            return cold.unionByName(hot)
 
     if salt_buckets is not None:
         if salt_buckets < 1:

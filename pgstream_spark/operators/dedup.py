@@ -319,7 +319,7 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 12,
     rows_per_band: int = 8,
-    bucket_cap: int | None = 64,
+    bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs (id_a < id_b).
 
@@ -340,8 +340,22 @@ def minhash_lsh_candidates(
     quadratically — a measured 33× cost at 10× data on a shared-vocab
     corpus — so they are dropped whole.  Genuine near-dup clusters are
     small and keep colliding in their other, unsaturated bands; recall
-    loss hits only pairs whose EVERY matching band is saturated.  Set
-    ``None`` to disable.
+    loss hits only pairs whose EVERY matching band is saturated.
+
+    ``"auto"`` (the default) derives the cap from the data instead of a
+    manual knob: 32× the EXACT MEDIAN bucket size (computed from a tiny
+    size→count histogram — at most one row per DISTINCT bucket size
+    reaches the driver), floored at 64.  The median is the right robust
+    center here: band buckets are overwhelmingly singletons in any real
+    corpus, genuine near-dup buckets scale with their (small) cluster
+    size, and a vocabulary-artifact bucket is an outlier however much
+    MASS it holds — a high count-percentile would be dragged past the
+    artifact whenever artifact buckets exceed its tail fraction, but
+    the median moves only if >50% of buckets are degenerate.  On a
+    corpus without artifacts every bucket sits under the derived cap,
+    so auto is RESULT-IDENTICAL to uncapped (pytest-pinned); degenerate
+    buckets land orders of magnitude above 32×median and are dropped.
+    Set ``None`` to disable, or an int to pin manually.
     """
     b, r = bands, rows_per_band
     buckets = signatures.select(
@@ -358,6 +372,26 @@ def minhash_lsh_candidates(
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bn")
         )
+        if bucket_cap == "auto":
+            sizes = sizes.persist()
+            # exact median bucket size from the size→count histogram
+            # (distinct-size rows only — bounded by the max bucket size,
+            # not by |buckets|; deterministic and partition-invariant,
+            # unlike approx_percentile's merge-order-dependent sketch)
+            hist = sorted(
+                (row["__bn"], row["__cnt"])
+                for row in sizes.groupBy("__bn")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .collect()
+            )
+            total = sum(c for _, c in hist)
+            cum, median = 0, hist[-1][0] if hist else 1
+            for size, cnt in hist:
+                cum += cnt
+                if 2 * cum >= total:
+                    median = size
+                    break
+            bucket_cap = max(64, 32 * median)
         buckets = buckets.join(
             sizes.filter(F.col("__bn") <= bucket_cap).select("band", "bucket"),
             on=["band", "bucket"],

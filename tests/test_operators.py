@@ -195,6 +195,58 @@ class TestDedup:
         pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=1)
         assert pairs.count() == 0
 
+    def test_lsh_auto_cap_identical_on_clean_corpus(self, spark):
+        # bucket_cap="auto" (the default): on a corpus with no
+        # vocabulary-artifact buckets, the derived cap must sit above
+        # every bucket size, so auto == uncapped EXACTLY.
+        rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(60)
+        ] + [(1000 + i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(docs, num_perm=32).persist()
+        auto = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4
+            ).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4, bucket_cap=None
+            ).collect()
+        }
+        assert auto == uncapped and len(auto) >= 10  # the 10 dup pairs
+
+    def test_lsh_auto_cap_drops_degenerate_bucket(self, spark):
+        # one shared-vocab clone class holding most of the corpus: its
+        # bucket lands orders of magnitude above p99.9 of bucket sizes
+        # and must be dropped by the derived cap; the genuine small dup
+        # pair (ids 5000/5001) must survive via its own buckets.
+        clones = [(i, "the same viral boilerplate text block") for i in range(400)]
+        uniq = [
+            (1000 + i, " ".join(f"u{i}w{j}" for j in range(12)))
+            for i in range(200)
+        ]
+        pair = [
+            (5000, " ".join(f"p{j}" for j in range(12))),
+            (5001, " ".join(f"p{j}" for j in range(12))),
+        ]
+        docs = spark.createDataFrame(
+            clones + uniq + pair, "doc_id long, text string"
+        )
+        sigs = minhash_signatures(docs, num_perm=32).persist()
+        auto = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4
+            ).collect()
+        }
+        assert (5000, 5001) in auto
+        # the 400-clone class would contribute 400·399/2 ≈ 80k pairs
+        # uncapped; the auto cap must have dropped its saturated buckets
+        assert not any(a < 400 and b < 400 for a, b in auto)
+
     def test_containment_catches_truncation_dup(self, spark):
         # doc 11 is doc 10's first half: containment 1.0 but Jaccard well
         # under 1 — the duplicate class the symmetric measure misses.
@@ -633,7 +685,9 @@ class TestAsofSalting:
         ldf = spark.createDataFrame(left, "k long, ts timestamp_ntz, seq long")
         rdf = spark.createDataFrame(right, "k long, r_ts timestamp_ntz, px double")
 
-        plain = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
+        plain = asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="r_ts", salt_buckets=None
+        )
         salted = asof_join(
             ldf, rdf, on="k", left_ts="ts", right_ts="r_ts", salt_buckets=8
         )
@@ -644,6 +698,65 @@ class TestAsofSalting:
 
         txt = explain_string(salted, "simple")
         assert "__salt" in txt  # the window exchange carries the salt
+
+    def test_auto_salt_engages_on_skew_and_matches_unsalted(self, spark):
+        # salt_buckets="auto" (the default): the hot key must be detected
+        # with no manual knob, routed through the salted plan, and the
+        # result must be bit-identical to the unsalted join.
+        import datetime as dt
+
+        from pgstream_spark.operators import asof_join
+        from pgstream_spark.operators.asof import _auto_skew_plan
+        from pgstream_spark.plans.explain import explain_string
+
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (0 if i % 10 else i, base + dt.timedelta(seconds=i), i)
+            for i in range(2000)
+        ]  # key 0 holds 90% of rows
+        right = [
+            (k, base + dt.timedelta(seconds=s), float(k * 1000 + s))
+            for k in {r[0] for r in left}
+            for s in (0, 500, 1500)
+        ]
+        ldf = spark.createDataFrame(left, "k long, ts timestamp_ntz, seq long")
+        rdf = spark.createDataFrame(right, "k long, r_ts timestamp_ntz, px double")
+
+        plan = _auto_skew_plan(ldf, rdf, ["k"])
+        assert plan is not None
+        hot_rows, buckets = plan
+        assert [r.k for r in hot_rows] == [0] and buckets >= 2
+
+        auto = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
+        plain = asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="r_ts", salt_buckets=None
+        )
+        key = lambda r: (r.k, r.ts, r.seq)
+        assert sorted(auto.collect(), key=key) == sorted(
+            plain.collect(), key=key
+        )
+        assert "__salt" in explain_string(auto, "simple")
+
+    def test_auto_salt_stays_unsalted_on_uniform_keys(self, spark):
+        import datetime as dt
+
+        from pgstream_spark.operators import asof_join
+        from pgstream_spark.operators.asof import _auto_skew_plan
+        from pgstream_spark.plans.explain import explain_string
+
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (i % 50, base + dt.timedelta(seconds=i), i) for i in range(2000)
+        ]
+        right = [
+            (k, base + dt.timedelta(seconds=500), float(k)) for k in range(50)
+        ]
+        ldf = spark.createDataFrame(left, "k long, ts timestamp_ntz, seq long")
+        rdf = spark.createDataFrame(right, "k long, r_ts timestamp_ntz, px double")
+        assert _auto_skew_plan(ldf, rdf, ["k"]) is None
+        auto = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
+        assert "__salt" not in explain_string(auto, "simple")
+        assert auto.count() == 2000
 
 
 class TestMultimodalRealDecode:
