@@ -26,10 +26,17 @@ driver jar:
   queries / multi-row INSERTs — one stream per connection, no per-row
   SQL rendering, the shape a real 100 TB extract/load uses.
 
-Protocol scope: simple-query, text result format, COPY text framing,
-trust/cleartext auth.  SCRAM/TLS/binary-format belong to a real driver;
-the point here is a working, contract-tested client for the protocol
-surface the reference exercises, not a libpq replacement.
+* ``copy_out_binary`` / ``copy_in_binary`` — COPY ``(FORMAT binary)``
+  for the fixed-width types: the reference's actual data-plane choice
+  (`Stream.hs:97` requests PQ.Binary results; `FromRow.hs:127-324`
+  decodes them).  Typed values travel in their network representations,
+  so floats round-trip bit-exactly with no repr/parse hazard.
+
+Protocol scope: simple-query, text result format, COPY text+binary
+framing, trust/cleartext auth.  SCRAM/TLS/binary *result* format belong
+to a real driver; the point here is a working, contract-tested client
+for the protocol surface the reference exercises, not a libpq
+replacement.
 """
 
 from __future__ import annotations
@@ -104,6 +111,71 @@ _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
     1114: (_pg_timestamp, "timestamp_ntz"),
     1700: (Decimal, "decimal(38,18)"),
 }
+
+
+# -- COPY binary-format codec (PostgreSQL COPY ... (FORMAT binary)) ------
+# Public wire layout (PostgreSQL docs, "Binary Format"): 11-byte
+# signature PGCOPY\n\377\r\n\0, int32 flags, int32 header-extension
+# length; then per tuple an int16 field count and per field an int32
+# byte length (-1 = NULL) + the type's binary send() representation
+# (network byte order); an int16 -1 trailer ends the stream.  This is
+# the reference's bulk data plane (`/root/reference/src/Database/
+# PostgreSQL/Stream.hs:97` requests PQ.Binary; `FromRow.hs:127-324`
+# decodes it) — binary framing removes the float repr round-trip hazard
+# of the text path and is the real bulk-load economics.  Fixed-width
+# types only; NUMERIC/arrays stay on the text path.
+
+_PG_EPOCH_DAYS = 10957  # days from 1970-01-01 to Postgres's 2000-01-01
+_PG_EPOCH_US = 946_684_800_000_000  # µs from Unix epoch to 2000-01-01
+
+
+def _bin_date_enc(v) -> bytes:
+    import datetime
+
+    return struct.pack("!i", (v - datetime.date(2000, 1, 1)).days)
+
+
+def _bin_date_dec(b: bytes):
+    import datetime
+
+    return datetime.date(2000, 1, 1) + datetime.timedelta(
+        days=struct.unpack("!i", b)[0]
+    )
+
+
+def _bin_ts_enc(v) -> bytes:
+    import datetime
+
+    delta = v - datetime.datetime(2000, 1, 1)
+    us = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return struct.pack("!q", us)
+
+
+def _bin_ts_dec(b: bytes):
+    import datetime
+
+    return datetime.datetime(2000, 1, 1) + datetime.timedelta(
+        microseconds=struct.unpack("!q", b)[0]
+    )
+
+
+# OID → (encode value→bytes, decode bytes→value) for binary COPY
+_BIN_CODEC: dict[int, tuple[Callable[[Any], bytes], Callable[[bytes], Any]]] = {
+    16: (lambda v: b"\x01" if v else b"\x00", lambda b: b == b"\x01"),
+    17: (bytes, bytes),
+    20: (lambda v: struct.pack("!q", v), lambda b: struct.unpack("!q", b)[0]),
+    21: (lambda v: struct.pack("!h", v), lambda b: struct.unpack("!h", b)[0]),
+    23: (lambda v: struct.pack("!i", v), lambda b: struct.unpack("!i", b)[0]),
+    25: (lambda v: v.encode(), lambda b: b.decode()),
+    700: (lambda v: struct.pack("!f", v), lambda b: struct.unpack("!f", b)[0]),
+    701: (lambda v: struct.pack("!d", v), lambda b: struct.unpack("!d", b)[0]),
+    1042: (lambda v: v.encode(), lambda b: b.decode()),
+    1043: (lambda v: v.encode(), lambda b: b.decode()),
+    1082: (_bin_date_enc, _bin_date_dec),
+    1114: (_bin_ts_enc, _bin_ts_dec),
+}
+
+_BIN_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"
 
 
 # -- COPY text-format codec (PostgreSQL COPY TO/FROM ... (FORMAT text)) --
@@ -440,6 +512,203 @@ class PgWireClient:
             elif tag == b"Z":
                 if error is not None:
                     raise QueryError(error, f"COPY {table} FROM STDIN")
+                return n
+
+    # -- COPY sub-protocol (binary format) --------------------------------
+
+    def probe_oids(self, source_sql: str) -> list[tuple[str, int]]:
+        """Column (name, OID) list for a table or ``(query)`` source via a
+        LIMIT 0 round-trip — binary COPY carries no RowDescription, so
+        the caller needs the OIDs to pick decoders."""
+        inner = source_sql.strip()
+        sql = (
+            f"SELECT * FROM {inner} LIMIT 0"
+            if not inner.startswith("(")
+            else f"SELECT * FROM {inner} AS __probe LIMIT 0"
+        )
+        fields, _ = self.simple_query(sql)
+        return fields
+
+    def copy_out_binary(
+        self, source_sql: str, oids: Sequence[int] | None = None
+    ) -> Iterator[tuple[Any, ...]]:
+        """``COPY ... TO STDOUT (FORMAT binary)`` — yield TYPED rows.
+
+        Unlike the text path there is no repr round-trip: int/float/
+        date/timestamp fields arrive in their fixed-width network
+        representations and decode exactly.  ``oids`` gives the per-
+        column type OIDs; omitted, a LIMIT 0 probe fetches them.
+        CopyData frames need not align with tuples — a rolling buffer
+        reassembles across frames, exactly like the text path.
+        """
+        if oids is None:
+            oids = [oid for _, oid in self.probe_oids(source_sql)]
+        decs = []
+        for oid in oids:
+            if oid not in _BIN_CODEC:
+                raise QueryError(
+                    f"no binary codec for OID {oid} — use the text path",
+                    f"COPY {source_sql} TO STDOUT (FORMAT binary)",
+                )
+            decs.append(_BIN_CODEC[oid][1])
+        q = f"COPY {source_sql} TO STDOUT (FORMAT binary)".encode() + b"\x00"
+        self._send(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        buf = bytearray()
+        error: str | None = None
+        header_done = False
+        trailer_seen = False
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"H":
+                if payload[0] != 1:
+                    error = f"server answered format {payload[0]}, wanted binary"
+            elif tag == b"d" and error is None:
+                buf += payload
+                if not header_done:
+                    if len(buf) < 19:
+                        continue
+                    if bytes(buf[:11]) != _BIN_SIGNATURE:
+                        error = "bad binary COPY signature"
+                        continue
+                    (ext,) = struct.unpack_from("!i", buf, 15)
+                    if len(buf) < 19 + ext:
+                        continue
+                    del buf[: 19 + ext]
+                    header_done = True
+                # parse complete tuples off the buffer
+                while not trailer_seen:
+                    if len(buf) < 2:
+                        break
+                    (nf,) = struct.unpack_from("!h", buf, 0)
+                    if nf == -1:
+                        trailer_seen = True
+                        del buf[:2]
+                        break
+                    off = 2
+                    vals: list[Any] = []
+                    complete = True
+                    for i in range(nf):
+                        if len(buf) < off + 4:
+                            complete = False
+                            break
+                        (flen,) = struct.unpack_from("!i", buf, off)
+                        off += 4
+                        if flen == -1:
+                            vals.append(None)
+                            continue
+                        if len(buf) < off + flen:
+                            complete = False
+                            break
+                        vals.append(decs[i](bytes(buf[off : off + flen])))
+                        off += flen
+                    if not complete:
+                        break
+                    del buf[:off]
+                    yield tuple(vals)
+            elif tag == b"c":
+                if error is None and (not header_done or not trailer_seen or buf):
+                    error = "truncated binary COPY stream"
+            elif tag == b"E":
+                error = self._error_text(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise QueryError(
+                        error, f"COPY {source_sql} TO STDOUT (FORMAT binary)"
+                    )
+                return
+
+    def copy_in_binary(
+        self,
+        table: str,
+        columns: Sequence[str],
+        rows: Iterator[Sequence[Any]],
+        oids: Sequence[int] | None = None,
+        flush_bytes: int = 65536,
+    ) -> int:
+        """``COPY table (cols) FROM STDIN (FORMAT binary)`` — stream TYPED
+        rows (no text rendering, no escaping hazard).  ``oids`` may be
+        omitted: a LIMIT 0 probe on the target columns supplies them.
+        Returns rows sent; CopyFail on any mid-stream error so the server
+        aborts rather than committing a prefix.
+        """
+        if oids is None:
+            probed = self.simple_query(
+                f"SELECT {', '.join(columns)} FROM {table} LIMIT 0"
+            )[0]
+            oids = [oid for _, oid in probed]
+        encs = []
+        for oid in oids:
+            if oid not in _BIN_CODEC:
+                raise QueryError(
+                    f"no binary codec for OID {oid} — use the text path", table
+                )
+            encs.append(_BIN_CODEC[oid][0])
+        collist = ", ".join(columns)
+        q = (
+            f"COPY {table} ({collist}) FROM STDIN (FORMAT binary)".encode()
+            + b"\x00"
+        )
+        self._send(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        error: str | None = None
+        started = False
+        while not started:
+            tag, payload = self._read_message()
+            if tag == b"G":
+                if payload[0] != 1:
+                    raise QueryError(
+                        f"server answered format {payload[0]}, wanted binary",
+                        table,
+                    )
+                started = True
+            elif tag == b"E":
+                error = self._error_text(payload)
+            elif tag == b"Z":
+                raise QueryError(
+                    error or "COPY refused",
+                    f"COPY {table} FROM STDIN (FORMAT binary)",
+                )
+
+        n = 0
+        out = bytearray(_BIN_SIGNATURE + struct.pack("!ii", 0, 0))
+
+        def flush() -> None:
+            if out:
+                self._send(
+                    b"d" + struct.pack("!i", len(out) + 4) + bytes(out)
+                )
+                out.clear()
+
+        try:
+            for row in rows:
+                out += struct.pack("!h", len(row))
+                for enc, v in zip(encs, row):
+                    if v is None:
+                        out += struct.pack("!i", -1)
+                    else:
+                        b = enc(v)
+                        out += struct.pack("!i", len(b)) + b
+                n += 1
+                if len(out) >= flush_bytes:
+                    flush()
+            out += struct.pack("!h", -1)  # trailer
+            flush()
+        except BaseException:
+            try:
+                msg = b"aborted by client\x00"
+                self._send(b"f" + struct.pack("!i", len(msg) + 4) + msg)
+            except Exception:
+                pass
+            raise
+        self._send(b"c" + struct.pack("!i", 4))  # CopyDone
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"E":
+                error = self._error_text(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise QueryError(
+                        error, f"COPY {table} FROM STDIN (FORMAT binary)"
+                    )
                 return n
 
     def close(self) -> None:

@@ -72,6 +72,74 @@ def _copy_field(v: Any) -> str:
 _STUB_UNESC = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v", "\\": "\\"}
 
 
+# COPY binary-format field codec — again implemented INDEPENDENTLY of the
+# client (struct-packed here from the public wire layout) so the
+# binary-vs-text agreement test cross-checks two implementations.
+def _bin_field(v: Any, duck_type: str) -> bytes | None:
+    import datetime
+
+    if v is None:
+        return None
+    t = duck_type.upper()
+    if t == "BOOLEAN":
+        return b"\x01" if v else b"\x00"
+    if t == "BLOB":
+        return bytes(v)
+    if t == "BIGINT":
+        return struct.pack("!q", v)
+    if t == "INTEGER":
+        return struct.pack("!i", v)
+    if t == "SMALLINT":
+        return struct.pack("!h", v)
+    if t in ("FLOAT", "REAL"):
+        return struct.pack("!f", v)
+    if t == "DOUBLE":
+        return struct.pack("!d", v)
+    if t == "DATE":
+        return struct.pack("!i", (v - datetime.date(2000, 1, 1)).days)
+    if t == "TIMESTAMP":
+        d = v - datetime.datetime(2000, 1, 1)
+        return struct.pack(
+            "!q", (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        )
+    if t == "VARCHAR":
+        return str(v).encode()
+    raise ValueError(f"no binary send() for DuckDB type {duck_type}")
+
+
+def _bin_parse_field(b: bytes | None, duck_type: str) -> Any:
+    import datetime
+
+    if b is None:
+        return None
+    t = duck_type.upper()
+    if t == "BOOLEAN":
+        return b == b"\x01"
+    if t == "BLOB":
+        return b
+    if t == "BIGINT":
+        return struct.unpack("!q", b)[0]
+    if t == "INTEGER":
+        return struct.unpack("!i", b)[0]
+    if t == "SMALLINT":
+        return struct.unpack("!h", b)[0]
+    if t in ("FLOAT", "REAL"):
+        return struct.unpack("!f", b)[0]
+    if t == "DOUBLE":
+        return struct.unpack("!d", b)[0]
+    if t == "DATE":
+        return datetime.date(2000, 1, 1) + datetime.timedelta(
+            days=struct.unpack("!i", b)[0]
+        )
+    if t == "TIMESTAMP":
+        return datetime.datetime(2000, 1, 1) + datetime.timedelta(
+            microseconds=struct.unpack("!q", b)[0]
+        )
+    if t == "VARCHAR":
+        return b.decode()
+    raise ValueError(f"no binary recv() for DuckDB type {duck_type}")
+
+
 def _copy_parse_field(s: str) -> str | None:
     if s == "\\N":
         return None
@@ -389,21 +457,158 @@ class _Handler(socketserver.BaseRequestHandler):
         self._msg(b"C", f"COPY {len(params)}".encode() + b"\x00")
         self._ready()
 
+    def _copy_to_stdout_binary(self, source: str) -> None:
+        """``COPY ... TO STDOUT (FORMAT binary)`` — PGCOPY header, typed
+        tuples, -1 trailer.  Frames deliberately chopped at fixed sizes so
+        tuples straddle CopyData boundaries."""
+        inner = source.strip()
+        sql = inner[1:-1] if inner.startswith("(") else f"SELECT * FROM {inner}"
+        try:
+            rel = self._cur.sql(sql)
+            types = [str(t) for t in rel.types]
+            rows = rel.fetchall()
+            body = bytearray(b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0))
+            for row in rows:
+                body += struct.pack("!h", len(row))
+                for v, t in zip(row, types):
+                    f = _bin_field(v, t)
+                    if f is None:
+                        body += struct.pack("!i", -1)
+                    else:
+                        body += struct.pack("!i", len(f)) + f
+            body += struct.pack("!h", -1)
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        ncols = len(types)
+        self._msg(
+            b"H", bytes([1]) + struct.pack("!h", ncols) + b"\x00\x01" * ncols
+        )
+        for off in range(0, len(body), 999):  # odd size: misalign tuples
+            self._msg(b"d", bytes(body[off : off + 999]))
+        self._msg(b"c")
+        self._msg(b"C", f"COPY {len(rows)}".encode() + b"\x00")
+        self._ready()
+
+    def _copy_from_stdin_binary(self, table: str, collist: str | None) -> None:
+        """``COPY table (cols) FROM STDIN (FORMAT binary)`` — parse the
+        PGCOPY stream and insert with probe-typed conversion."""
+        cols = (
+            [c.strip().strip('"') for c in collist.split(",")] if collist else None
+        )
+        try:
+            cur = self._cur
+            probe = cur.sql(
+                f"SELECT {', '.join(cols) if cols else '*'} FROM {table} LIMIT 0"
+            )
+            names = probe.columns
+            types = [str(t) for t in probe.types]
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        self._msg(
+            b"G",
+            bytes([1]) + struct.pack("!h", len(names)) + b"\x00\x01" * len(names),
+        )
+        chunks: list[bytes] = []
+        failed: str | None = None
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            if tag == b"d":
+                chunks.append(payload)
+            elif tag == b"c":
+                break
+            elif tag == b"f":
+                failed = payload.rstrip(b"\x00").decode() or "client abort"
+                break
+            elif tag == b"X":
+                raise ConnectionError("client gone mid-COPY")
+            else:
+                failed = f"unexpected message {tag!r} during COPY"
+                break
+        if failed is not None:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(f"COPY from stdin failed: {failed}")
+            self._ready()
+            return
+        try:
+            data = b"".join(chunks)
+            if data[:11] != b"PGCOPY\n\xff\r\n\x00":
+                raise ValueError("bad PGCOPY signature")
+            (ext,) = struct.unpack_from("!i", data, 15)
+            off = 19 + ext
+            params = []
+            while True:
+                (nf,) = struct.unpack_from("!h", data, off)
+                off += 2
+                if nf == -1:
+                    break
+                if nf != len(names):
+                    raise ValueError(
+                        f"tuple has {nf} fields, expected {len(names)}"
+                    )
+                vals = []
+                for t in types:
+                    (flen,) = struct.unpack_from("!i", data, off)
+                    off += 4
+                    if flen == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(_bin_parse_field(data[off : off + flen], t))
+                        off += flen
+                params.append(vals)
+            if off != len(data):
+                raise ValueError("trailing bytes after binary COPY trailer")
+            if params:
+                ph = ", ".join("?" for _ in names)
+                cur.executemany(
+                    f"INSERT INTO {table} ({', '.join(names)}) VALUES ({ph})",
+                    params,
+                )
+        except Exception as exc:
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            self._ready()
+            return
+        self._msg(b"C", f"COPY {len(params)}".encode() + b"\x00")
+        self._ready()
+
     def _copy_statement(self, sql: str) -> bool:
         import re
 
         stmt = sql.strip().rstrip(";").strip()
-        m = re.match(r"COPY\s+(.+)\s+TO\s+STDOUT$", stmt, re.I | re.S)
-        if m:
-            self._copy_to_stdout(m.group(1))
-            return True
         m = re.match(
-            r"COPY\s+([A-Za-z0-9_.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN$",
+            r"COPY\s+(.+?)\s+TO\s+STDOUT(\s*\(\s*FORMAT\s+binary\s*\))?$",
             stmt,
             re.I | re.S,
         )
         if m:
-            self._copy_from_stdin(m.group(1), m.group(2))
+            if m.group(2):
+                self._copy_to_stdout_binary(m.group(1))
+            else:
+                self._copy_to_stdout(m.group(1))
+            return True
+        m = re.match(
+            r"COPY\s+([A-Za-z0-9_.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
+            r"(\s*\(\s*FORMAT\s+binary\s*\))?$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            if m.group(3):
+                self._copy_from_stdin_binary(m.group(1), m.group(2))
+            else:
+                self._copy_from_stdin(m.group(1), m.group(2))
             return True
         return False
 

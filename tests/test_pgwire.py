@@ -352,6 +352,128 @@ class TestCopyProtocol:
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
             with pytest.raises(QueryError):
                 c.copy_in("no_such_table", ["a"], iter([["1"]]))
+
+
+class TestCopyBinary:
+    """COPY (FORMAT binary) — the reference's actual data-plane choice
+    (Stream.hs:97 PQ.Binary; FromRow.hs:127-324).  The stub packs the
+    PGCOPY stream with its OWN struct codec (tests/pg_stub.py), so every
+    assertion is a two-implementation agreement check on the public
+    binary layout: epochs (2000-01-01 date/timestamp), field lengths,
+    NULL as -1, tuples split across CopyData frames."""
+
+    def test_binary_out_agrees_with_text_path(self, stub_db):
+        """Full type-matrix table read via text COPY (typed through the
+        text decoders) and via binary COPY — identical typed values."""
+        from pgstream_spark.sources.pgwire import (
+            PgWireClient,
+            _OID_DECODE,
+        )
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            fields = c.probe_oids("t")
+            decoders = [_OID_DECODE[oid][0] for _, oid in fields]
+            text = [
+                tuple(
+                    None if f is None else dec(f)
+                    for dec, f in zip(decoders, row)
+                )
+                for row in c.copy_out("t")
+            ]
+            binary = list(c.copy_out_binary("t"))
+        assert len(binary) == 1000
+        assert binary == text
+
+    def test_binary_out_floats_bit_exact(self, stub_db):
+        """1/3-style doubles survive binary COPY bit-exactly — the hazard
+        the text path's repr round-trip exists to dodge."""
+        import math
+        import struct as st
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE fb AS SELECT range AS k, "
+            "1.0 / (range + 3) AS x FROM range(500)"
+        )
+        want = dict(stub_db.execute("SELECT k, x FROM fb").fetchall())
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            got = dict(c.copy_out_binary("fb"))
+        assert all(
+            st.pack("!d", got[k]) == st.pack("!d", want[k]) for k in want
+        )
+        assert not any(math.isnan(v) for v in got.values())
+
+    def test_binary_in_roundtrip_typed_matrix(self, stub_db):
+        """Typed rows (no text rendering) through binary COPY IN, read
+        back via the row protocol — values and NULLs intact."""
+        import datetime as dt
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE bin_t (k BIGINT, v DOUBLE, s VARCHAR, "
+            "flag BOOLEAN, d DATE, ts TIMESTAMP, raw BLOB)"
+        )
+        rows = [
+            (
+                i,
+                i / 7.0,
+                f"hostile\t\n\\{i}",
+                i % 2 == 0,
+                dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+                + dt.timedelta(hours=i),
+                bytes([i % 256, 0, 255]),
+            )
+            for i in range(200)
+        ] + [(999, None, None, None, None, None, None)]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in_binary(
+                "bin_t",
+                ["k", "v", "s", "flag", "d", "ts", "raw"],
+                iter(rows),
+            )
+            back = sorted(c.copy_out_binary("bin_t"))
+        assert n == 201
+        assert back == sorted(rows)
+
+    def test_binary_in_small_frames_split_tuples(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE bin_f (id BIGINT, txt VARCHAR)"
+        )
+        rows = [(i, "y" * 100) for i in range(50)]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in_binary(
+                "bin_f", ["id", "txt"], iter(rows), flush_bytes=16
+            )
+        assert n == 50
+        assert stub_db.execute(
+            "SELECT count(*), sum(len(txt)) FROM bin_f"
+        ).fetchone() == (50, 5000)
+
+    def test_binary_unsupported_oid_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE dec_t (x DECIMAL(10,2))"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            with pytest.raises(QueryError, match="no binary codec"):
+                list(c.copy_out_binary("dec_t"))
+
+    def test_binary_in_bad_table_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            with pytest.raises(QueryError):
+                c.copy_in_binary(
+                    "no_such_table", ["a"], iter([(1,)]), oids=[20]
+                )
             # connection still usable afterwards
             _, rows = c.simple_query("SELECT 1 AS one")
             assert rows == [(1,)]
