@@ -38,6 +38,10 @@ from pgstream_spark.operators.ivf import (
 )
 from pgstream_spark.operators.ohlc import ohlc_bars, ohlc_rollup
 from pgstream_spark.operators.decay import ewma_time_decay
+from pgstream_spark.operators.chunked_window import (
+    chunked_trailing_agg,
+    sessionize_chunked,
+)
 from pgstream_spark.operators.robust import robust_zscore_stats, weighted_quantiles
 from pgstream_spark.operators.rolling import rolling_corr
 from pgstream_spark.operators.sessionize import sessionize, transition_matrix
@@ -102,6 +106,8 @@ __all__ = [
     "ohlc_bars",
     "ohlc_rollup",
     "ewma_time_decay",
+    "chunked_trailing_agg",
+    "sessionize_chunked",
     "robust_zscore_stats",
     "weighted_quantiles",
     "rolling_corr",

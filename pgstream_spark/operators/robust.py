@@ -73,6 +73,7 @@ def weighted_quantiles(
     key_cols: Sequence[str],
     qs: Sequence[float],
     tie_cols: Sequence[str] = (),
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Exact weighted quantiles per key — for each q, the smallest value
     whose cumulative weight reaches q·total (the lower weighted
@@ -87,9 +88,23 @@ def weighted_quantiles(
     threshold compares in exact integers (q scaled to millionths:
     ``cum·10⁶ ≥ q₆·total``), so results are bit-stable on any engine
     and partitioning.  Values and weights must already be integers
-    (scale upstream); per-key skew shares the standard window recipe.
+    (scale upstream).
+
+    ``pre_aggregate`` (default on, skipped when ``tie_cols`` are given)
+    is the SKEW answer: weights are first summed per (key, value) — a
+    map-side-combinable aggregate, so a key holding 50% of all rows
+    collapses to its DISTINCT VALUES before the shuffle + sort the
+    cumulative pass pays.  The crossing statistic depends only on each
+    value's total weight, so the result is bit-identical either way
+    (pytest-pinned on a one-key-holds-50% fixture); the sorted pass then
+    scales with value cardinality (e.g. |distinct cents|), not row
+    count.
     """
     keys = list(key_cols)
+    if pre_aggregate and not tie_cols:
+        df = df.groupBy(*keys, value_col).agg(
+            F.sum(weight_col).alias(weight_col)
+        )
     order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tie_cols]
     w_run = (
         Window.partitionBy(*keys)

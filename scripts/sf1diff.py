@@ -11,8 +11,20 @@ Then runs the diffcheck compare (Spark vs DuckDB, typed canonical
 rowsets) for the exact-arithmetic-heavy queries and prints one JSON
 line {query: "ok" | [problems]}.
 
-Usage: python scripts/sf1diff.py [query ...]
-Default queries: g1 (dsum 2^53 discipline), w9 (five-sum windows),
+Usage:
+    python scripts/sf1diff.py [query ...]      # named queries
+    python scripts/sf1diff.py --rotate [--budget SECS]
+
+``--rotate`` (VERDICT r3 item 6: the sf1 sweep as a STANDING gate, not a
+sample) walks the ENTIRE oracle registry in registration order from a
+persisted cursor (``scripts/sf1_state.json``, committed), spending up to
+``--budget`` seconds (default 900) per invocation and wrapping around —
+so every operator's exact-arithmetic discipline is re-proven at 10× the
+driver-gate scale every few rounds, like bench.py's budgeted sweep.
+Results accumulate in the state file; queries that change verdict
+overwrite their entry.  Named-query mode is unchanged.
+
+Default named queries: g1 (dsum 2^53 discipline), w9 (five-sum windows),
 g37 (regression slopes), t19 (two-level OHLC rollup), l4b (md5
 fingerprints), l2d (MinHash+LSH signature pipeline — slowest, last).
 """
@@ -72,8 +84,25 @@ def generate_full(spark) -> None:
             shutil.copyfile(f"{SRC}/{t}.parquet", dst)
 
 
+STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1_state.json")
+
+
+def _load_state() -> dict:
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {"cursor": 0, "results": {}}
+
+
 def main() -> None:
-    only = sys.argv[1:] or DEFAULT
+    import time
+
+    args = sys.argv[1:]
+    rotate = "--rotate" in args
+    budget = 900.0
+    if "--budget" in args:
+        budget = float(args[args.index("--budget") + 1])
+    only = [a for a in args if not a.startswith("--") and a != str(budget)]
 
     from pyspark.sql import SparkSession
 
@@ -96,14 +125,59 @@ def main() -> None:
     con = connect_duckdb(DST)
     out: dict[str, object] = {}
     fails = 0
-    for name in only:
-        try:
-            problems = compare(name, QUERIES[name](spark, DST), con, ORACLE[name])
-        except Exception as e:  # noqa: BLE001 — report, keep sweeping
-            problems = [f"ERROR {type(e).__name__}: {str(e)[:200]}"]
-        out[name] = "ok" if not problems else problems
-        fails += bool(problems)
-        print(f"  {'✓' if not problems else '✗'} {name}", file=sys.stderr)
+
+    if rotate:
+        state = _load_state()
+        names = [n for n in QUERIES if n in ORACLE]
+        start = state.get("cursor", 0) % len(names)
+        order = names[start:] + names[:start]
+        t0 = time.monotonic()
+        ran = 0
+        for name in order:
+            if time.monotonic() - t0 > budget:
+                break
+            q0 = time.monotonic()
+            try:
+                problems = compare(
+                    name, QUERIES[name](spark, DST), con, ORACLE[name]
+                )
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                problems = [f"ERROR {type(e).__name__}: {str(e)[:200]}"]
+            secs = round(time.monotonic() - q0, 1)
+            verdict = "ok" if not problems else problems
+            state["results"][name] = {"status": verdict, "secs": secs}
+            out[name] = verdict
+            fails += bool(problems)
+            ran += 1
+            print(
+                f"  {'✓' if not problems else '✗'} {name} ({secs}s)",
+                file=sys.stderr,
+            )
+        state["cursor"] = (start + ran) % len(names)
+        state["registry_size"] = len(names)
+        with open(STATE, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        covered = len(state["results"])
+        bad = [
+            n for n, r in state["results"].items() if r["status"] != "ok"
+        ]
+        print(
+            f"rotation: ran {ran}, cursor -> {state['cursor']}, "
+            f"cumulative {covered}/{len(names)} covered, "
+            f"{len(bad)} failing: {bad[:10]}",
+            file=sys.stderr,
+        )
+    else:
+        for name in only or DEFAULT:
+            try:
+                problems = compare(
+                    name, QUERIES[name](spark, DST), con, ORACLE[name]
+                )
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                problems = [f"ERROR {type(e).__name__}: {str(e)[:200]}"]
+            out[name] = "ok" if not problems else problems
+            fails += bool(problems)
+            print(f"  {'✓' if not problems else '✗'} {name}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     sys.exit(1 if fails else 0)

@@ -233,3 +233,132 @@ class TestGapfillInterpolate:
         )
         with _pytest.raises(ValueError):
             gapfill_locf(ev, "ts", "value", ["user_id"], mode="spline").collect()
+
+
+class TestWindowSkewMitigation:
+    """VERDICT r3 item 7: the window-heavy tier (trailing-frame
+    aggregates, sessionize, weighted quantiles) under a deliberately
+    skewed fixture — one key holding 50% of all rows.  Each mitigation
+    must be BIT-IDENTICAL to the plain single-partition-per-key plan."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(20_000):  # hot key 0: 50% of all rows
+            rows.append((0, base + dt.timedelta(seconds=17 * i), i, (i * 37) % 997))
+        for i in range(20_000):  # 100 cold keys share the rest
+            rows.append(
+                (1 + i % 100, base + dt.timedelta(seconds=13 * i), 100_000 + i, (i * 61) % 997)
+            )
+        return spark.createDataFrame(
+            rows, "k long, ts timestamp_ntz, eid long, x long"
+        ).persist()
+
+    def test_chunked_trailing_median_identical(self, spark, skewed):
+        from pyspark.sql import Window
+
+        from pgstream_spark.operators.chunked_window import chunked_trailing_agg
+
+        plain_w = (
+            Window.partitionBy("k")
+            .orderBy(F.col("ts").asc(), F.col("eid").asc())
+            .rowsBetween(-19, 0)
+        )
+        plain = skewed.withColumn(
+            "med", F.percentile("x", F.lit(0.5)).over(plain_w)
+        )
+        chunked = chunked_trailing_agg(
+            skewed,
+            key_cols=["k"],
+            order_cols=["ts", "eid"],
+            bucket=F.date_trunc("hour", F.col("ts")),
+            agg_builder=lambda w: F.percentile("x", F.lit(0.5)).over(w),
+            frame_rows=20,
+            out_col="med",
+            target_rows=2_000,  # hot key spreads over ~10 chunks
+        )
+        key = lambda r: r.eid
+        a = sorted(plain.select("eid", "med").collect(), key=key)
+        b = sorted(chunked.select("eid", "med").collect(), key=key)
+        assert a == b
+
+    def test_chunked_trailing_sum_giant_bucket_slivers(self, spark):
+        # adversarial chunking: one bucket overshoots several targets,
+        # stranding sliver raw chunks — forward-merge must keep halos
+        # complete (this is the corner a naive floor() chunking breaks).
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, base, i, i % 23) for i in range(5_000)]  # 1 giant bucket
+        rows += [
+            (1, base + dt.timedelta(hours=1 + i // 3), 10_000 + i, i % 29)
+            for i in range(30)  # tiny trailing buckets
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, eid long, x long")
+        from pyspark.sql import Window
+
+        from pgstream_spark.operators.chunked_window import chunked_trailing_agg
+
+        plain_w = (
+            Window.partitionBy("k")
+            .orderBy(F.col("ts").asc(), F.col("eid").asc())
+            .rowsBetween(-19, 0)
+        )
+        plain = df.withColumn("s", F.sum("x").over(plain_w))
+        chunked = chunked_trailing_agg(
+            df,
+            key_cols=["k"],
+            order_cols=["ts", "eid"],
+            bucket=F.date_trunc("hour", F.col("ts")),
+            agg_builder=lambda w: F.sum("x").over(w),
+            frame_rows=20,
+            out_col="s",
+            target_rows=1_000,
+        )
+        a = sorted(map(tuple, plain.select("eid", "s").collect()))
+        b = sorted(map(tuple, chunked.select("eid", "s").collect()))
+        assert a == b
+
+    def test_chunked_target_must_cover_frame(self, spark, skewed):
+        from pgstream_spark.operators.chunked_window import chunked_trailing_agg
+
+        with pytest.raises(ValueError, match="target_rows"):
+            chunked_trailing_agg(
+                skewed, ["k"], ["ts", "eid"], F.date_trunc("hour", "ts"),
+                lambda w: F.sum("x").over(w), frame_rows=20, out_col="s",
+                target_rows=30,
+            )
+
+    def test_sessionize_chunked_identical(self, spark, skewed):
+        from pgstream_spark.operators.chunked_window import sessionize_chunked
+        from pgstream_spark.operators.sessionize import sessionize
+
+        plain = sessionize(skewed, "ts", ["k"], gap_seconds=60, tie_col="eid")
+        chunked = sessionize_chunked(
+            skewed, "ts", ["k"], gap_seconds=60, tie_col="eid",
+            bucket=F.date_trunc("hour", F.col("ts")), target_rows=2_000,
+        )
+        a = sorted(map(tuple, plain.select("eid", "session_idx").collect()))
+        b = sorted(map(tuple, chunked.select("eid", "session_idx").collect()))
+        assert a == b
+
+    def test_weighted_quantiles_preagg_identical(self, spark, skewed):
+        from pgstream_spark.operators.robust import weighted_quantiles
+
+        wdf = skewed.withColumn("wt", F.col("x") % 7 + 1)
+        qs = [0.1, 0.5, 0.9]
+        pre = weighted_quantiles(
+            wdf, "x", "wt", ["k"], qs, pre_aggregate=True
+        )
+        raw = weighted_quantiles(
+            wdf, "x", "wt", ["k"], qs, pre_aggregate=False
+        )
+        a = sorted(map(tuple, pre.collect()))
+        b = sorted(map(tuple, raw.collect()))
+        assert a == b
+        # the pre-aggregated sorted pass sees |distinct x| rows per key,
+        # not the hot key's row count
+        assert pre.count() == 101
