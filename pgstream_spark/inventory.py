@@ -7372,6 +7372,58 @@ def l50(spark, sf_dir):
 
 
 @q(
+    "w13b_window_median_chunked",
+    # The SKEW-PROOF plan for w13 under w13's VERBATIM oracle (the
+    # l55/j8b pattern: two plans, one hash).  chunked_trailing_agg
+    # evaluates the trailing-20 median in halo'd chunks — the hot key
+    # spreads over ceil(n/target) tasks instead of serializing into one
+    # window partition; bit-identical by construction and by this gate.
+    ORACLE["w13_window_median"],
+)
+def w13b(spark, sf_dir):
+    from pgstream_spark.operators.chunked_window import chunked_trailing_agg
+
+    ev = _t(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    out = chunked_trailing_agg(
+        ev.withColumn("__xc", xc),
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        bucket=F.date_trunc("hour", F.col("ts")),
+        agg_builder=lambda w: F.round(
+            F.percentile("__xc", F.lit(0.5)).over(w) / 100.0, 4
+        ),
+        frame_rows=20,
+        out_col="med",
+        target_rows=2_000,  # small target so chunking ENGAGES at sf0.01
+    )
+    return out.select("event_id", "event_type", "med")
+
+
+@q(
+    "t17b_sessionize_chunked",
+    # The distributed-prefix-sum plan for t17 under t17's VERBATIM
+    # oracle: sessionize_chunked computes boundary flags per halo'd
+    # chunk and stitches cross-chunk session counts through a tiny
+    # per-chunk total table — the skew answer for running sums.
+    ORACLE["t17_sessionize"],
+)
+def t17b(spark, sf_dir):
+    from pgstream_spark.operators.chunked_window import sessionize_chunked
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_chunked(
+        ev,
+        "ts",
+        ["user_id"],
+        gap_seconds=1800,
+        tie_col="event_id",
+        bucket=F.date_trunc("hour", F.col("ts")),
+        target_rows=2_000,
+    ).select("event_id", "user_id", "session_idx")
+
+
+@q(
     "s6_pgwire_stream",
     # The pgwire STREAMING source under the hard gate (VERDICT r3 item 4):
     # serve the nation parquet through the in-process Postgres wire stub,
