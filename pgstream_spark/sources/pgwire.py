@@ -53,6 +53,7 @@ from pgstream_spark.errors import QueryError
 __all__ = [
     "ConnSettings",
     "PgWireClient",
+    "PreparedStatement",
     "read_table",
     "read_partitioned",
     "write_partitioned",
@@ -514,6 +515,54 @@ class PgWireClient:
                     raise QueryError(error, f"COPY {table} FROM STDIN")
                 return n
 
+    # -- extended query protocol (binary result format) -------------------
+
+    def prepare(self, sql: str, name: str | None = None) -> "PreparedStatement":
+        """Parse + Describe a ``$n``-parameterized statement; returns a
+        :class:`PreparedStatement` whose ``execute`` fetches results in
+        BINARY format wherever a codec exists.
+
+        This is the reference's actual result data plane
+        (`/root/reference/src/Database/PostgreSQL/Stream.hs:97` runs
+        every query with ``PQ.Binary``; `FromRow.hs:127-324` decodes the
+        binary representations) — typed values arrive in fixed-width
+        network form with no text parse, and repeated executions skip
+        re-planning.  Columns without a binary codec (NUMERIC, arrays)
+        fall back to text format PER COLUMN via Bind's result-format
+        list, so mixed rows still work.
+        """
+        name = name or "ps" + uuid.uuid4().hex[:16]
+        n = name.encode()
+        body = n + b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0)
+        self._send(b"P" + struct.pack("!i", len(body) + 4) + body)
+        d = b"S" + n + b"\x00"
+        self._send(b"D" + struct.pack("!i", len(d) + 4) + d)
+        self._send(b"S" + struct.pack("!i", 4))  # Sync
+        fields: list[tuple[str, int]] = []
+        error: str | None = None
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"T":  # RowDescription
+                (nf,) = struct.unpack_from("!h", payload)
+                off = 2
+                for _ in range(nf):
+                    end = payload.index(b"\x00", off)
+                    fname = payload[off:end].decode()
+                    off = end + 1
+                    _t, _a, oid, _l, _m, _f = struct.unpack_from(
+                        "!ihihih", payload, off
+                    )
+                    off += 18
+                    fields.append((fname, oid))
+            elif tag == b"E":
+                error = self._error_text(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise QueryError(error, sql)
+                return PreparedStatement(self, name, sql, fields)
+            # '1' ParseComplete / 't' ParameterDescription /
+            # 'n' NoData: informational
+
     # -- COPY sub-protocol (binary format) --------------------------------
 
     def probe_oids(self, source_sql: str) -> list[tuple[str, int]]:
@@ -722,6 +771,107 @@ class PgWireClient:
 
     def __exit__(self, *exc: Any) -> None:
         self.close()
+
+
+def _param_text(v: Any) -> bytes | None:
+    """Render one parameter in text format for Bind (the server casts)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat().encode()
+    return str(v).encode()
+
+
+class PreparedStatement:
+    """A Parse'd statement; ``execute`` Binds + fetches with per-column
+    BINARY result format (text fallback where no codec exists)."""
+
+    def __init__(
+        self,
+        client: PgWireClient,
+        name: str,
+        sql: str,
+        fields: list[tuple[str, int]],
+    ):
+        self.client = client
+        self.name = name
+        self.sql = sql
+        self.fields = fields
+        # per-column result format: 1 (binary) where a codec exists
+        self.formats = [
+            1 if oid in _BIN_CODEC else 0 for _, oid in fields
+        ]
+        self._dec = [
+            _BIN_CODEC[oid][1]
+            if oid in _BIN_CODEC
+            else _OID_DECODE.get(oid, (str, "string"))[0]
+            for _, oid in fields
+        ]
+
+    def execute(self, params: Sequence[Any] = ()) -> list[tuple[Any, ...]]:
+        c = self.client
+        # Bind: unnamed portal, our statement, text-format params,
+        # per-column result formats
+        body = b"\x00" + self.name.encode() + b"\x00"
+        body += struct.pack("!hh", 1, 0)  # all params text format
+        body += struct.pack("!h", len(params))
+        for p in params:
+            t = _param_text(p)
+            if t is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(t)) + t
+        body += struct.pack("!h", len(self.formats))
+        for f in self.formats:
+            body += struct.pack("!h", f)
+        c._send(b"B" + struct.pack("!i", len(body) + 4) + body)
+        e = b"\x00" + struct.pack("!i", 0)  # unnamed portal, no row cap
+        c._send(b"E" + struct.pack("!i", len(e) + 4) + e)
+        c._send(b"S" + struct.pack("!i", 4))  # Sync
+        rows: list[tuple[Any, ...]] = []
+        error: str | None = None
+        while True:
+            tag, payload = c._read_message()
+            if tag == b"D":
+                (ncols,) = struct.unpack_from("!h", payload)
+                off = 2
+                vals: list[Any] = []
+                for i in range(ncols):
+                    (vlen,) = struct.unpack_from("!i", payload, off)
+                    off += 4
+                    if vlen == -1:
+                        vals.append(None)
+                        continue
+                    raw = payload[off : off + vlen]
+                    off += vlen
+                    if self.formats[i] == 1:
+                        vals.append(self._dec[i](raw))
+                    else:
+                        vals.append(self._dec[i](raw.decode()))
+                rows.append(tuple(vals))
+            elif tag == b"E":
+                error = c._error_text(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise QueryError(error, self.sql)
+                return rows
+            # '2' BindComplete / 'C' CommandComplete: informational
+
+    def close(self) -> None:
+        c = self.client
+        body = b"S" + self.name.encode() + b"\x00"
+        c._send(b"C" + struct.pack("!i", len(body) + 4) + body)
+        c._send(b"S" + struct.pack("!i", 4))
+        while True:
+            tag, _ = c._read_message()
+            if tag == b"Z":
+                return
 
 
 def _spark_schema(fields: Sequence[tuple[str, int]]) -> str:

@@ -612,6 +612,107 @@ class _Handler(socketserver.BaseRequestHandler):
             return True
         return False
 
+    # -- extended query protocol (Parse/Bind/Describe/Execute/Sync) -------
+    # Implemented from the public message layout so the client's
+    # prepared-statement path (binary result format) is exercised against
+    # an independent server-side implementation.
+
+    def _ext_parse(self, payload: bytes) -> None:
+        import re
+
+        end = payload.index(b"\x00")
+        name = payload[:end].decode()
+        end2 = payload.index(b"\x00", end + 1)
+        sql = payload[end + 1 : end2].decode()
+        # DuckDB understands Postgres's numbered $n placeholders natively
+        # (repeated $1 = ONE parameter, exactly the protocol semantics)
+        nparams = max(
+            (int(m) for m in re.findall(r"\$(\d+)", sql)), default=0
+        )
+        if not hasattr(self, "_stmts"):
+            self._stmts = {}
+        self._stmts[name] = (sql, nparams)
+        self._msg(b"1")  # ParseComplete
+
+    def _ext_bind(self, payload: bytes) -> None:
+        off = payload.index(b"\x00")
+        portal = payload[:off].decode()
+        off += 1
+        end = payload.index(b"\x00", off)
+        stmt = payload[off:end].decode()
+        off = end + 1
+        (nfmt,) = struct.unpack_from("!h", payload, off)
+        off += 2 + 2 * nfmt  # param format codes (text assumed)
+        (nparams,) = struct.unpack_from("!h", payload, off)
+        off += 2
+        params: list[str | None] = []
+        for _ in range(nparams):
+            (plen,) = struct.unpack_from("!i", payload, off)
+            off += 4
+            if plen == -1:
+                params.append(None)
+            else:
+                params.append(payload[off : off + plen].decode())
+                off += plen
+        (nrf,) = struct.unpack_from("!h", payload, off)
+        off += 2
+        rfmts = list(struct.unpack_from(f"!{nrf}h", payload, off))
+        if not hasattr(self, "_portals"):
+            self._portals = {}
+        self._portals[portal] = (stmt, params, rfmts)
+        self._msg(b"2")  # BindComplete
+
+    def _ext_row_description(self, qsql: str, nparams: int) -> list[tuple]:
+        rel = self._cur.sql(f"DESCRIBE {qsql}", params=[None] * nparams or None)
+        cols = [(r[0], r[1]) for r in rel.fetchall()]
+        desc = struct.pack("!h", len(cols))
+        for i, (cname, duck_type) in enumerate(cols):
+            desc += cname.encode() + b"\x00"
+            desc += struct.pack(
+                "!ihihih", 0, i + 1, _oid_for(duck_type), -1, -1, 0
+            )
+        self._msg(b"T", desc)
+        return cols
+
+    def _ext_describe(self, payload: bytes) -> None:
+        kind, name = chr(payload[0]), payload[1:].split(b"\x00")[0].decode()
+        try:
+            if kind == "S":
+                qsql, nparams = self._stmts[name]
+                self._msg(b"t", struct.pack("!h", 0))  # ParameterDescription
+                self._ext_row_description(qsql, nparams)
+            else:
+                stmt, params, _ = self._portals[name]
+                qsql, _np = self._stmts[stmt]
+                self._ext_row_description(qsql, len(params))
+        except Exception as exc:  # noqa: BLE001
+            self._error(str(exc).splitlines()[0])
+
+    def _ext_execute(self, payload: bytes) -> None:
+        portal = payload.split(b"\x00")[0].decode()
+        try:
+            stmt, params, rfmts = self._portals[portal]
+            qsql, _np = self._stmts[stmt]
+            rel = self._cur.sql(qsql, params=params or None)
+            types = [str(t) for t in rel.types]
+            rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            if self._txn == "in":
+                self._txn = "failed"
+            self._error(str(exc).splitlines()[0])
+            return
+        for row in rows:
+            body = struct.pack("!h", len(row))
+            for i, v in enumerate(row):
+                fmt = rfmts[i] if i < len(rfmts) else (rfmts[0] if len(rfmts) == 1 else 0)
+                r = _bin_field(v, types[i]) if fmt == 1 else _render(v)
+                if r is None:
+                    body += struct.pack("!i", -1)
+                else:
+                    body += struct.pack("!i", len(r)) + r
+            self._msg(b"D", body)
+        self._msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00")
+
     def _query_loop(self) -> None:
         while True:
             tag = self._recv_exact(1)
@@ -619,6 +720,24 @@ class _Handler(socketserver.BaseRequestHandler):
             payload = self._recv_exact(length - 4)
             if tag == b"X":
                 return
+            if tag == b"P":
+                self._ext_parse(payload)
+                continue
+            if tag == b"B":
+                self._ext_bind(payload)
+                continue
+            if tag == b"D" and payload[:1] in (b"S", b"P"):
+                self._ext_describe(payload)
+                continue
+            if tag == b"E":
+                self._ext_execute(payload)
+                continue
+            if tag == b"S":
+                self._ready()  # Sync
+                continue
+            if tag == b"C" and payload[:1] in (b"S", b"P"):
+                self._msg(b"3")  # CloseComplete
+                continue
             if tag != b"Q":
                 self._error(f"unsupported message {tag!r}")
                 self._ready()

@@ -474,6 +474,115 @@ class TestCopyBinary:
                 c.copy_in_binary(
                     "no_such_table", ["a"], iter([(1,)]), oids=[20]
                 )
+
+
+class TestExtendedProtocol:
+    """Parse/Bind/Describe/Execute/Sync with per-column BINARY result
+    format — the reference's result data plane (Stream.hs:97 PQ.Binary;
+    FromRow.hs decodes binary representations).  The stub implements the
+    server side independently (tests/pg_stub.py), so agreement here is a
+    two-implementation check on the public extended-protocol layout."""
+
+    def test_prepared_binary_matches_simple_query(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare(
+                "SELECT k, v, s, flag, maybe, d, ts FROM t "
+                "WHERE k >= $1 AND k < $2"
+            )
+            # every fixed-width column negotiated binary
+            assert ps.formats == [1, 1, 1, 1, 1, 1, 1]
+            got = sorted(ps.execute([100, 200]))
+            _, want = c.simple_query(
+                "SELECT k, v, s, flag, maybe, d, ts FROM t "
+                "WHERE k >= 100 AND k < 200"
+            )
+        assert len(got) == 100
+        assert got == sorted(want)
+
+    def test_prepared_reuse_with_different_params(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare("SELECT count(*) AS n FROM t WHERE k < $1")
+            assert ps.execute([10]) == [(10,)]
+            assert ps.execute([500]) == [(500,)]
+            assert ps.execute([0]) == [(0,)]
+            ps.close()
+
+    def test_mixed_binary_text_row(self, stub_db):
+        """NUMERIC has no binary codec — that COLUMN falls back to text
+        while its neighbors stay binary, via Bind's per-column formats."""
+        from decimal import Decimal
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE mixed (k BIGINT, amt DECIMAL(10,2))"
+        )
+        stub_db.execute(
+            "INSERT INTO mixed SELECT range, "
+            "CAST(range AS DECIMAL(10,2)) / 4 FROM range(8)"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare("SELECT k, amt FROM mixed WHERE k >= $1")
+            assert ps.formats == [1, 0]  # bigint binary, numeric text
+            rows = sorted(ps.execute([4]))
+        assert rows == [
+            (4, Decimal("1.00")),
+            (5, Decimal("1.25")),
+            (6, Decimal("1.50")),
+            (7, Decimal("1.75")),
+        ]
+
+    def test_binary_floats_survive_exactly(self, stub_db):
+        import struct as st
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE fx AS SELECT range AS k, "
+            "1.0 / (range + 7) AS x FROM range(100)"
+        )
+        want = dict(stub_db.execute("SELECT k, x FROM fx").fetchall())
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare("SELECT k, x FROM fx")
+            got = dict(ps.execute())
+        assert all(
+            st.pack("!d", got[k]) == st.pack("!d", want[k]) for k in want
+        )
+
+    def test_null_param_and_null_results(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare(
+                "SELECT k, maybe FROM t WHERE k % 10 = 0 AND k < 50 "
+                "AND ($1 IS NULL OR k >= $1)"
+            )
+            rows = sorted(ps.execute([None]))
+        assert rows == [(0, None), (10, None), (20, None), (30, None), (40, None)]
+
+    def test_prepare_bad_sql_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            with pytest.raises(QueryError):
+                c.prepare("SELECT FROM nope nope")
+            # the connection survives an extended-protocol error
+            assert c.simple_query("SELECT 1 AS one")[1] == [(1,)]
+
+    def test_execute_bad_param_raises_typed(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            ps = c.prepare("SELECT k FROM t WHERE k < $1")
+            with pytest.raises(QueryError):
+                ps.execute(["not-a-number"])
+            assert ps.execute([3]) == [(0,), (1,), (2,)]
             # connection still usable afterwards
             _, rows = c.simple_query("SELECT 1 AS one")
             assert rows == [(1,)]
