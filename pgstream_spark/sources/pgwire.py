@@ -32,15 +32,22 @@ driver jar:
   decodes them).  Typed values travel in their network representations,
   so floats round-trip bit-exactly with no repr/parse hazard.
 
-Protocol scope: simple-query, text result format, COPY text+binary
-framing, trust/cleartext auth.  SCRAM/TLS/binary *result* format belong
-to a real driver; the point here is a working, contract-tested client
-for the protocol surface the reference exercises, not a libpq
-replacement.
+Protocol scope: simple-query + extended (Parse/Bind/Execute, per-column
+binary results), COPY text+binary framing, and the full auth ladder a
+modern server actually offers — trust, cleartext, MD5, and
+SCRAM-SHA-256 (RFC 5802/7677: PBKDF2-salted mutual proof, including
+VERIFYING the server's signature so a spoofed server that merely
+accepts the password is still rejected).  TLS remains out of scope
+(no live TLS endpoint in the sandbox); channel-binding variants
+(SCRAM-SHA-256-PLUS) are therefore declined during negotiation.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
 import struct
 import uuid
@@ -249,6 +256,72 @@ def _copy_split_lines(buf: str) -> tuple[list[str], str]:
     return rows, buf[start:]
 
 
+class _ScramClient:
+    """SCRAM-SHA-256 client side (RFC 5802 framing, RFC 7677 hash
+    parameters) — the auth method every supported Postgres defaults to
+    (``password_encryption = scram-sha-256``).
+
+    The exchange is mutual: beyond proving the password to the server,
+    :meth:`verify_final` checks the server's signature, so a spoofed
+    server that blindly ACCEPTS the password is still rejected — the
+    property plain cleartext/MD5 auth cannot give.  Channel binding is
+    declined (gs2 header ``n,,``): there is no TLS channel to bind in
+    scope.  The password is used as UTF-8 (SASLprep normalization
+    omitted — matches libpq's fallback behavior for passwords that are
+    already normalized, which ASCII passwords always are).
+    """
+
+    def __init__(self, password: str, nonce: str | None = None):
+        self._password = password.encode()
+        self.client_nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self.client_first_bare = f"n=,r={self.client_nonce}"
+        self._auth_message: bytes | None = None
+        self._salted: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return b"n,," + self.client_first_bare.encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        """Digest server-first (``r=…,s=…,i=…``) → client-final with proof."""
+        attrs = dict(
+            kv.split("=", 1) for kv in server_first.decode().split(",")
+        )
+        nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not nonce.startswith(self.client_nonce):
+            # RFC 5802: the combined nonce MUST extend ours — anything
+            # else is a replayed/spliced exchange.
+            raise QueryError("SCRAM server nonce does not extend client nonce", "<startup>")
+        self._salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, base64.b64decode(salt_b64), iters
+        )
+        client_key = hmac.new(self._salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        self._auth_message = ",".join(
+            (self.client_first_bare, server_first.decode(), without_proof)
+        ).encode()
+        client_sig = hmac.new(stored_key, self._auth_message, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        return f"{without_proof},p={base64.b64encode(proof).decode()}".encode()
+
+    def verify_final(self, server_final: bytes) -> None:
+        """Check the server's ``v=`` signature (mutual authentication)."""
+        attrs = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",")
+        )
+        if "e" in attrs:
+            raise QueryError(f"SCRAM server error: {attrs['e']}", "<startup>")
+        server_key = hmac.new(self._salted, b"Server Key", hashlib.sha256).digest()
+        expect = hmac.new(server_key, self._auth_message, hashlib.sha256).digest()
+        got = base64.b64decode(attrs.get("v", ""))
+        if not hmac.compare_digest(expect, got):
+            raise QueryError(
+                "SCRAM server signature mismatch — server does not know "
+                "the password (possible spoofed endpoint)",
+                "<startup>",
+            )
+
+
 class PgWireClient:
     """Minimal v3-protocol client: startup → auth → simple queries."""
 
@@ -286,6 +359,7 @@ class PgWireClient:
         params = f"user\x00{s.user}\x00database\x00{s.dbname}\x00\x00".encode()
         body = struct.pack("!i", 196608) + params  # protocol 3.0
         self._send(struct.pack("!i", len(body) + 4) + body)
+        scram: _ScramClient | None = None
         while True:
             tag, payload = self._read_message()
             if tag == b"R":
@@ -295,6 +369,49 @@ class PgWireClient:
                 if auth == 3:  # cleartext password
                     pw = (self.settings.password or "").encode() + b"\x00"
                     self._send(b"p" + struct.pack("!i", len(pw) + 4) + pw)
+                    continue
+                if auth == 5:  # MD5: md5(md5(password + user) + salt)
+                    salt = payload[4:8]
+                    inner = hashlib.md5(
+                        (self.settings.password or "").encode()
+                        + s.user.encode()
+                    ).hexdigest()
+                    digest = hashlib.md5(inner.encode() + salt).hexdigest()
+                    pw = b"md5" + digest.encode() + b"\x00"
+                    self._send(b"p" + struct.pack("!i", len(pw) + 4) + pw)
+                    continue
+                if auth == 10:  # AuthenticationSASL: mechanism list
+                    mechs = [
+                        m.decode()
+                        for m in payload[4:].split(b"\x00")
+                        if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechs:
+                        # -PLUS variants need a TLS channel to bind;
+                        # out of scope (module docstring).
+                        raise QueryError(
+                            "no supported SASL mechanism offered "
+                            f"(server offers {mechs}; client supports "
+                            "SCRAM-SHA-256)",
+                            "<startup>",
+                        )
+                    scram = _ScramClient(self.settings.password or "")
+                    first = scram.client_first()
+                    resp = (
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack("!i", len(first))
+                        + first
+                    )
+                    self._send(b"p" + struct.pack("!i", len(resp) + 4) + resp)
+                    continue
+                if auth == 11:  # AuthenticationSASLContinue
+                    assert scram is not None
+                    final = scram.client_final(payload[4:])
+                    self._send(b"p" + struct.pack("!i", len(final) + 4) + final)
+                    continue
+                if auth == 12:  # AuthenticationSASLFinal
+                    assert scram is not None
+                    scram.verify_final(payload[4:])  # mutual-auth check
                     continue
                 raise QueryError(f"unsupported auth method {auth}", "<startup>")
             if tag == b"E":

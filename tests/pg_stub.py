@@ -10,6 +10,10 @@ reads) without a Postgres server in the environment.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
 import socketserver
 import struct
@@ -205,17 +209,108 @@ class _Handler(socketserver.BaseRequestHandler):
         params = dict(zip(kv[0::2], kv[1::2]))
         user = params.get(b"user", b"").decode()
 
-        if self.server.password:  # cleartext auth round-trip
-            self._msg(b"R", struct.pack("!i", 3))
-            tag = self._recv_exact(1)
-            (plen,) = struct.unpack("!i", self._recv_exact(4))
-            pw = self._recv_exact(plen - 4).rstrip(b"\x00").decode()
-            if tag != b"p" or pw != self.server.password:
-                self._error("password authentication failed for user " + user)
+        if self.server.password:
+            mode = self.server.auth
+            if mode == "cleartext":
+                self._msg(b"R", struct.pack("!i", 3))
+                tag = self._recv_exact(1)
+                (plen,) = struct.unpack("!i", self._recv_exact(4))
+                pw = self._recv_exact(plen - 4).rstrip(b"\x00").decode()
+                if tag != b"p" or pw != self.server.password:
+                    self._error(
+                        "password authentication failed for user " + user
+                    )
+                    raise ConnectionError
+            elif mode == "md5":
+                self._auth_md5(user)
+            elif mode == "scram-sha-256":
+                self._auth_scram()
+            else:  # pragma: no cover - test misconfiguration
+                self._error(f"stub: unknown auth mode {mode}")
                 raise ConnectionError
         self._msg(b"R", struct.pack("!i", 0))  # AuthenticationOk
         self._msg(b"S", b"server_version\x0016.0 (duckdb stub)\x00")
         self._ready()
+
+    def _read_password_message(self) -> bytes:
+        tag = self._recv_exact(1)
+        (plen,) = struct.unpack("!i", self._recv_exact(4))
+        body = self._recv_exact(plen - 4)
+        if tag != b"p":
+            self._error("expected password message")
+            raise ConnectionError
+        return body
+
+    def _auth_md5(self, user: str) -> None:
+        """AuthenticationMD5Password: expect md5 + hex(md5(hex(md5(pw+user)) + salt))."""
+        salt = os.urandom(4)
+        self._msg(b"R", struct.pack("!i", 5) + salt)
+        got = self._read_password_message().rstrip(b"\x00")
+        inner = hashlib.md5(
+            self.server.password.encode() + user.encode()
+        ).hexdigest()
+        want = b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
+        if not hmac.compare_digest(got, want):
+            self._error("password authentication failed for user " + user)
+            raise ConnectionError
+
+    def _auth_scram(self) -> None:
+        """Server SIDE of SCRAM-SHA-256 (RFC 5802/7677) — the genuine
+        verification algorithm, not the client math replayed: the server
+        holds only StoredKey/ServerKey (what pg_authid stores), recovers
+        ClientKey from the proof via XOR with its own ClientSignature,
+        and checks SHA-256(recovered) against StoredKey."""
+        # what a real server has on disk (derived at user-creation time)
+        salt, iters = os.urandom(16), 4096
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.server.password.encode(), salt, iters
+        )
+        stored_key = hashlib.sha256(
+            hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        ).digest()
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+
+        mechs = b"".join(m.encode() + b"\x00" for m in self.server.sasl_mechanisms)
+        self._msg(b"R", struct.pack("!i", 10) + mechs + b"\x00")
+        body = self._read_password_message()
+        z = body.index(b"\x00")
+        mech = body[:z].decode()
+        (ilen,) = struct.unpack_from("!i", body, z + 1)
+        client_first = body[z + 5 : z + 5 + ilen].decode()
+        if mech not in self.server.sasl_mechanisms:
+            self._error(f"unsupported SASL mechanism {mech}")
+            raise ConnectionError
+        if not client_first.startswith("n,,"):
+            self._error("stub: expected gs2 header n,, (no channel binding)")
+            raise ConnectionError
+        bare = client_first[3:]
+        c_attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+        server_nonce = c_attrs["r"] + base64.b64encode(os.urandom(18)).decode()
+        server_first = (
+            f"r={server_nonce},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        self._msg(b"R", struct.pack("!i", 11) + server_first.encode())
+
+        client_final = self._read_password_message().decode()
+        f_attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
+        without_proof = client_final[: client_final.rindex(",p=")]
+        auth_message = ",".join((bare, server_first, without_proof)).encode()
+        if f_attrs.get("c") != "biws" or f_attrs.get("r") != server_nonce:
+            self._error("SCRAM channel-binding/nonce mismatch")
+            raise ConnectionError
+        proof = base64.b64decode(f_attrs["p"])
+        client_sig = hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        recovered_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if not hmac.compare_digest(
+            hashlib.sha256(recovered_key).digest(), stored_key
+        ):
+            self._error("password authentication failed for user")
+            raise ConnectionError
+        sig = hmac.new(server_key, auth_message, hashlib.sha256).digest()
+        if self.server.scram_corrupt_signature:  # test hook: spoofed server
+            sig = bytes([sig[0] ^ 0xFF]) + sig[1:]
+        final = b"v=" + base64.b64encode(sig)
+        self._msg(b"R", struct.pack("!i", 12) + final)
 
     # -- transaction + server-cursor emulation ---------------------------
     # DuckDB has no server-side cursors, so DECLARE/FETCH/CLOSE are
@@ -792,9 +887,19 @@ class PgStubServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, db: duckdb.DuckDBPyConnection, password: str | None = None):
+    def __init__(
+        self,
+        db: duckdb.DuckDBPyConnection,
+        password: str | None = None,
+        auth: str = "cleartext",
+        sasl_mechanisms: tuple[str, ...] = ("SCRAM-SHA-256",),
+        scram_corrupt_signature: bool = False,
+    ):
         self.db = db
         self.password = password
+        self.auth = auth
+        self.sasl_mechanisms = sasl_mechanisms
+        self.scram_corrupt_signature = scram_corrupt_signature
         super().__init__(("127.0.0.1", 0), _Handler)  # ephemeral port
 
     @property
