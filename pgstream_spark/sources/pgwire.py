@@ -33,13 +33,15 @@ driver jar:
   so floats round-trip bit-exactly with no repr/parse hazard.
 
 Protocol scope: simple-query + extended (Parse/Bind/Execute, per-column
-binary results), COPY text+binary framing, and the full auth ladder a
-modern server actually offers — trust, cleartext, MD5, and
-SCRAM-SHA-256 (RFC 5802/7677: PBKDF2-salted mutual proof, including
-VERIFYING the server's signature so a spoofed server that merely
-accepts the password is still rejected).  TLS remains out of scope
-(no live TLS endpoint in the sandbox); channel-binding variants
-(SCRAM-SHA-256-PLUS) are therefore declined during negotiation.
+binary results), COPY text+binary framing, TLS (SSLRequest negotiation
+with libpq's ``sslmode`` ladder: require / verify-full), and the full
+auth ladder a modern server actually offers — trust, cleartext, MD5,
+SCRAM-SHA-256 (RFC 5802/7677: PBKDF2-salted MUTUAL proof — the server's
+signature is verified, so a spoofed server that merely accepts the
+password is rejected), and SCRAM-SHA-256-PLUS with RFC 5929
+``tls-server-end-point`` channel binding (the auth transcript is bound
+to the server certificate, with the RFC's y-flag downgrade defense when
+a middlebox strips the -PLUS advertisement).
 """
 
 from __future__ import annotations
@@ -78,6 +80,11 @@ class ConnSettings:
     user: str
     password: str | None = None
     port: int = 5432
+    # libpq's sslmode ladder, the three rungs that change client
+    # behavior: "disable" (plaintext), "require" (TLS, no cert check),
+    # "verify-full" (TLS + CA + hostname check via sslrootcert).
+    sslmode: str = "disable"
+    sslrootcert: str | None = None
 
 
 # type OID → (python decoder, Spark DDL type)
@@ -256,6 +263,24 @@ def _copy_split_lines(buf: str) -> tuple[list[str], str]:
     return rows, buf[start:]
 
 
+def _endpoint_cb_data(cert_der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point: hash the server certificate with
+    its own signature-hash algorithm, except MD5/SHA-1 upgrade to
+    SHA-256.  Falls back to SHA-256 (the ubiquitous case) if the
+    certificate parser is unavailable."""
+    algo = "sha256"
+    try:
+        from cryptography import x509 as _x509  # public PyCA library
+
+        sig = _x509.load_der_x509_certificate(cert_der).signature_hash_algorithm
+        name = getattr(sig, "name", "sha256").lower()
+        if name not in ("md5", "sha1"):
+            algo = name
+    except Exception:
+        pass
+    return hashlib.new(algo, cert_der).digest()
+
+
 class _ScramClient:
     """SCRAM-SHA-256 client side (RFC 5802 framing, RFC 7677 hash
     parameters) — the auth method every supported Postgres defaults to
@@ -271,15 +296,28 @@ class _ScramClient:
     already normalized, which ASCII passwords always are).
     """
 
-    def __init__(self, password: str, nonce: str | None = None):
+    def __init__(
+        self,
+        password: str,
+        nonce: str | None = None,
+        cbind_data: bytes | None = None,
+        gs2: str | None = None,
+    ):
+        """``gs2`` selects the RFC 5802 channel-binding flag:
+        ``n,,`` (client cannot bind — no TLS), ``y,,`` (client CAN bind
+        but the server only offered the non-PLUS mechanism — lets the
+        server detect a downgrade), or ``p=tls-server-end-point,,``
+        with ``cbind_data`` = the RFC 5929 certificate hash."""
         self._password = password.encode()
         self.client_nonce = nonce or base64.b64encode(os.urandom(18)).decode()
         self.client_first_bare = f"n=,r={self.client_nonce}"
+        self.gs2 = gs2 if gs2 is not None else "n,,"
+        self._cbind = (cbind_data or b"") if self.gs2.startswith("p=") else b""
         self._auth_message: bytes | None = None
         self._salted: bytes | None = None
 
     def client_first(self) -> bytes:
-        return b"n,," + self.client_first_bare.encode()
+        return self.gs2.encode() + self.client_first_bare.encode()
 
     def client_final(self, server_first: bytes) -> bytes:
         """Digest server-first (``r=…,s=…,i=…``) → client-final with proof."""
@@ -296,7 +334,12 @@ class _ScramClient:
         )
         client_key = hmac.new(self._salted, b"Client Key", hashlib.sha256).digest()
         stored_key = hashlib.sha256(client_key).digest()
-        without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        # c = base64(gs2-header ‖ cbind-data): "biws" is the no-binding
+        # special case b64("n,,"); with tls-server-end-point the cert
+        # hash rides inside, so a MITM terminating TLS with its own cert
+        # breaks the proof.
+        c_attr = base64.b64encode(self.gs2.encode() + self._cbind).decode()
+        without_proof = f"c={c_attr},r={nonce}"
         self._auth_message = ",".join(
             (self.client_first_bare, server_first.decode(), without_proof)
         ).encode()
@@ -331,7 +374,45 @@ class PgWireClient:
             (settings.host, settings.port), timeout=timeout
         )
         self._buf = b""
+        self._cb_data: bytes | None = None
+        if settings.sslmode != "disable":
+            self._tls_upgrade()
         self._startup()
+
+    def _tls_upgrade(self) -> None:
+        """SSLRequest dance: 8-byte magic, one-byte answer, then the TLS
+        handshake runs on the same socket and the v3 startup follows
+        INSIDE the tunnel.  Also captures the RFC 5929
+        tls-server-end-point channel-binding data (server cert hashed by
+        its signature-hash algorithm) for SCRAM-SHA-256-PLUS."""
+        import ssl
+
+        self._send(struct.pack("!ii", 8, 80877103))  # SSLRequest
+        answer = self._recv_exact(1)
+        if answer != b"S":
+            raise QueryError(
+                f"server refused TLS (sslmode={self.settings.sslmode})",
+                "<startup>",
+            )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        if self.settings.sslmode == "require":
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        else:  # verify-full
+            if not self.settings.sslrootcert:
+                raise QueryError(
+                    "sslmode=verify-full requires sslrootcert", "<startup>"
+                )
+            ctx.load_verify_locations(self.settings.sslrootcert)
+        try:
+            self._sock = ctx.wrap_socket(
+                self._sock, server_hostname=self.settings.host
+            )
+        except ssl.SSLError as e:
+            raise QueryError(f"TLS handshake failed: {e}", "<startup>") from e
+        der = self._sock.getpeercert(binary_form=True)
+        if der:
+            self._cb_data = _endpoint_cb_data(der)
 
     # -- wire primitives -------------------------------------------------
 
@@ -386,19 +467,34 @@ class PgWireClient:
                         for m in payload[4:].split(b"\x00")
                         if m
                     ]
-                    if "SCRAM-SHA-256" not in mechs:
-                        # -PLUS variants need a TLS channel to bind;
-                        # out of scope (module docstring).
+                    if self._cb_data is not None and "SCRAM-SHA-256-PLUS" in mechs:
+                        # TLS is up → bind the auth to this very channel
+                        mech = "SCRAM-SHA-256-PLUS"
+                        scram = _ScramClient(
+                            self.settings.password or "",
+                            cbind_data=self._cb_data,
+                            gs2="p=tls-server-end-point,,",
+                        )
+                    elif "SCRAM-SHA-256" in mechs:
+                        # gs2 "y,," when we COULD have bound but the
+                        # server didn't offer -PLUS: a genuine server
+                        # that does support it will detect the
+                        # downgrade and fail the exchange (RFC 5802).
+                        gs2 = "y,," if self._cb_data is not None else "n,,"
+                        mech = "SCRAM-SHA-256"
+                        scram = _ScramClient(
+                            self.settings.password or "", gs2=gs2
+                        )
+                    else:
                         raise QueryError(
                             "no supported SASL mechanism offered "
                             f"(server offers {mechs}; client supports "
-                            "SCRAM-SHA-256)",
+                            "SCRAM-SHA-256[-PLUS])",
                             "<startup>",
                         )
-                    scram = _ScramClient(self.settings.password or "")
                     first = scram.client_first()
                     resp = (
-                        b"SCRAM-SHA-256\x00"
+                        mech.encode() + b"\x00"
                         + struct.pack("!i", len(first))
                         + first
                     )

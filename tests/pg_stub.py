@@ -158,6 +158,53 @@ def _copy_parse_field(s: str) -> str | None:
     return "".join(out)
 
 
+def _make_self_signed_cert(tmpdir: str) -> tuple[str, str, bytes]:
+    """Self-signed RSA cert for 127.0.0.1 (CN + IP SAN) via PyCA
+    cryptography; returns (cert_path, key_path, cert_der)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")]
+    )
+    start = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(start)
+        .not_valid_after(start + datetime.timedelta(days=3650))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = os.path.join(tmpdir, "stub_cert.pem")
+    key_path = os.path.join(tmpdir, "stub_key.pem")
+    with open(cert_path, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_path, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return cert_path, key_path, cert.public_bytes(serialization.Encoding.DER)
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def _msg(self, tag: bytes, payload: bytes = b"") -> None:
         self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
@@ -202,6 +249,18 @@ class _Handler(socketserver.BaseRequestHandler):
         (length,) = struct.unpack("!i", self._recv_exact(4))
         body = self._recv_exact(length - 4)
         (proto,) = struct.unpack_from("!i", body)
+        if proto == 80877103:  # SSLRequest
+            if self.server.ssl_ctx is None:
+                self.request.sendall(b"N")  # TLS not configured
+            else:
+                self.request.sendall(b"S")
+                self.request = self.server.ssl_ctx.wrap_socket(
+                    self.request, server_side=True
+                )
+                self._rbuf = b""
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            (proto,) = struct.unpack_from("!i", body)
         if proto != 196608:
             self._error(f"unsupported protocol {proto}")
             raise ConnectionError
@@ -270,7 +329,9 @@ class _Handler(socketserver.BaseRequestHandler):
         ).digest()
         server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
 
-        mechs = b"".join(m.encode() + b"\x00" for m in self.server.sasl_mechanisms)
+        mechs = b"".join(
+            m.encode() + b"\x00" for m in self.server.advertise_mechanisms
+        )
         self._msg(b"R", struct.pack("!i", 10) + mechs + b"\x00")
         body = self._read_password_message()
         z = body.index(b"\x00")
@@ -280,10 +341,30 @@ class _Handler(socketserver.BaseRequestHandler):
         if mech not in self.server.sasl_mechanisms:
             self._error(f"unsupported SASL mechanism {mech}")
             raise ConnectionError
-        if not client_first.startswith("n,,"):
-            self._error("stub: expected gs2 header n,, (no channel binding)")
+        # gs2 header: n,, / y,, / p=tls-server-end-point,,
+        if client_first.startswith("p=tls-server-end-point,,"):
+            gs2 = "p=tls-server-end-point,,"
+            if not mech.endswith("-PLUS") or self.server.cb_data is None:
+                self._error("channel binding requested without TLS/-PLUS")
+                raise ConnectionError
+            expect_c = base64.b64encode(
+                gs2.encode() + self.server.cb_data
+            ).decode()
+        elif client_first.startswith("y,,"):
+            gs2 = "y,,"
+            if "SCRAM-SHA-256-PLUS" in self.server.sasl_mechanisms:
+                # RFC 5802: "y" + a server that DOES offer -PLUS means
+                # someone stripped the -PLUS advertisement — refuse.
+                self._error("channel binding downgrade detected")
+                raise ConnectionError
+            expect_c = base64.b64encode(b"y,,").decode()
+        elif client_first.startswith("n,,"):
+            gs2 = "n,,"
+            expect_c = "biws"
+        else:
+            self._error("stub: malformed gs2 header")
             raise ConnectionError
-        bare = client_first[3:]
+        bare = client_first[len(gs2):]
         c_attrs = dict(kv.split("=", 1) for kv in bare.split(","))
         server_nonce = c_attrs["r"] + base64.b64encode(os.urandom(18)).decode()
         server_first = (
@@ -295,7 +376,7 @@ class _Handler(socketserver.BaseRequestHandler):
         f_attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
         without_proof = client_final[: client_final.rindex(",p=")]
         auth_message = ",".join((bare, server_first, without_proof)).encode()
-        if f_attrs.get("c") != "biws" or f_attrs.get("r") != server_nonce:
+        if f_attrs.get("c") != expect_c or f_attrs.get("r") != server_nonce:
             self._error("SCRAM channel-binding/nonce mismatch")
             raise ConnectionError
         proof = base64.b64decode(f_attrs["p"])
@@ -892,14 +973,45 @@ class PgStubServer(socketserver.ThreadingTCPServer):
         db: duckdb.DuckDBPyConnection,
         password: str | None = None,
         auth: str = "cleartext",
-        sasl_mechanisms: tuple[str, ...] = ("SCRAM-SHA-256",),
+        sasl_mechanisms: tuple[str, ...] | None = None,
         scram_corrupt_signature: bool = False,
+        tls: bool = False,
+        advertise_mechanisms: tuple[str, ...] | None = None,
     ):
         self.db = db
         self.password = password
         self.auth = auth
-        self.sasl_mechanisms = sasl_mechanisms
         self.scram_corrupt_signature = scram_corrupt_signature
+        self.ssl_ctx = None
+        self.cb_data: bytes | None = None
+        self.cert_path: str | None = None
+        self._tmpdir = None
+        if tls:
+            import ssl
+            import tempfile
+
+            self._tmpdir = tempfile.TemporaryDirectory()
+            cert, key, der = _make_self_signed_cert(self._tmpdir.name)
+            self.cert_path = cert
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            self.ssl_ctx = ctx
+            # RFC 5929 tls-server-end-point over OUR cert (sha256-signed)
+            self.cb_data = hashlib.sha256(der).digest()
+        if sasl_mechanisms is None:
+            sasl_mechanisms = (
+                ("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS")
+                if tls
+                else ("SCRAM-SHA-256",)
+            )
+        self.sasl_mechanisms = sasl_mechanisms
+        # what goes on the wire — normally the policy list; a test can
+        # shrink it to simulate a MITM stripping the -PLUS advertisement
+        self.advertise_mechanisms = (
+            advertise_mechanisms
+            if advertise_mechanisms is not None
+            else sasl_mechanisms
+        )
         super().__init__(("127.0.0.1", 0), _Handler)  # ephemeral port
 
     @property
@@ -914,3 +1026,5 @@ class PgStubServer(socketserver.ThreadingTCPServer):
     def __exit__(self, *exc: Any) -> None:
         self.shutdown()
         self.server_close()
+        if self._tmpdir is not None:
+            self._tmpdir.cleanup()

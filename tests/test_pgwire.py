@@ -172,6 +172,114 @@ class TestWireClient:
                 assert rows == [(1,)]
 
 
+class TestTls:
+    """SSLRequest negotiation + sslmode ladder + SCRAM channel binding.
+    The stub runs a REAL TLS endpoint (self-signed cert, Python ssl),
+    so the handshake, cert verification, and the RFC 5929 cert-hash
+    binding are all exercised over actual sockets."""
+
+    def _settings(self, srv, **kw):
+        from pgstream_spark.sources.pgwire import ConnSettings
+
+        return ConnSettings(
+            host="127.0.0.1", dbname="stub", user="tester",
+            port=srv.port, **kw,
+        )
+
+    def test_tls_require_roundtrip(self, stub_db):
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with PgWireClient(self._settings(srv, sslmode="require")) as c:
+                _, rows = c.simple_query("SELECT count(*) AS n FROM t")
+                assert rows == [(1000,)]
+
+    def test_tls_verify_full_accepts_pinned_ca_and_rejects_other(
+        self, stub_db, tmp_path
+    ):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+        from tests.pg_stub import _make_self_signed_cert
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with PgWireClient(
+                self._settings(
+                    srv, sslmode="verify-full", sslrootcert=srv.cert_path
+                )
+            ) as c:
+                _, rows = c.simple_query("SELECT 1 AS one")
+                assert rows == [(1,)]
+            # a DIFFERENT self-signed CA must not verify
+            other_cert, _, _ = _make_self_signed_cert(str(tmp_path))
+            with pytest.raises(QueryError, match="TLS handshake failed"):
+                PgWireClient(
+                    self._settings(
+                        srv, sslmode="verify-full", sslrootcert=other_cert
+                    )
+                )
+
+    def test_tls_refused_when_server_has_no_tls(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with pytest.raises(QueryError, match="refused TLS"):
+                PgWireClient(self._settings(srv, sslmode="require"))
+
+    def test_scram_plus_channel_binding(self, stub_db):
+        """Over TLS with -PLUS offered, the client binds to the server
+        cert: the stub independently recomputes the expected c=
+        attribute from ITS cert, so a wrong/missing binding fails."""
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(
+            stub_db, password="s3kr1t", auth="scram-sha-256", tls=True
+        ) as srv:
+            with PgWireClient(
+                self._settings(srv, sslmode="require", password="s3kr1t")
+            ) as c:
+                _, rows = c.simple_query("SELECT count(*) AS n FROM t")
+                assert rows == [(1000,)]
+            with pytest.raises(QueryError, match="authentication"):
+                PgWireClient(
+                    self._settings(srv, sslmode="require", password="wrong")
+                )
+
+    def test_scram_downgrade_detected(self, stub_db):
+        """MITM strips the -PLUS advertisement: the client (which has a
+        TLS channel) falls back to plain SCRAM with gs2 'y,,' = "I can
+        bind but you didn't offer it" — and the genuine server, which
+        DOES support -PLUS, refuses the exchange (RFC 5802)."""
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(
+            stub_db, password="x", auth="scram-sha-256", tls=True,
+            sasl_mechanisms=("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS"),
+            advertise_mechanisms=("SCRAM-SHA-256",),  # the MITM's view
+        ) as srv:
+            with pytest.raises(QueryError, match="downgrade"):
+                PgWireClient(
+                    self._settings(srv, sslmode="require", password="x")
+                )
+
+    def test_scram_y_flag_ok_when_server_truly_lacks_plus(self, stub_db):
+        """Same 'y,,' fallback against a server that HONESTLY has no
+        -PLUS: must succeed — the flag only trips genuine downgrades."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(
+            stub_db, password="x", auth="scram-sha-256", tls=True,
+            sasl_mechanisms=("SCRAM-SHA-256",),
+        ) as srv:
+            with PgWireClient(
+                self._settings(srv, sslmode="require", password="x")
+            ) as c:
+                _, rows = c.simple_query("SELECT 2 AS two")
+                assert rows == [(2,)]
+
+
 class TestSparkReads:
     def test_read_table_driver_side(self, spark, stub_db):
         from pgstream_spark.sources.pgwire import read_table
