@@ -7495,6 +7495,217 @@ def s6_stream(spark, sf_dir):
     )
 
 
+@q(
+    "l56_dsir_importance",
+    # DSIR-style importance weighting (Xie et al. 2023, public): score
+    # every document by how much its hashed-token distribution looks
+    # like a TARGET domain (here lang='en') relative to the raw corpus.
+    # All arithmetic is exact-integer ppm ratios, so the oracle is
+    # bit-checkable; the bucket-stats table is ≤1024 rows → broadcast
+    # join, with the heavy side map-only + one doc-keyed combine.  At
+    # 100 TB this is the canonical two-pass shape: tiny global stats,
+    # then a scan-speed scoring pass.
+    "WITH toks AS (SELECT doc_id, lang, "
+    "unnest(string_split(lower(text), ' ')) AS w FROM documents), "
+    "tok AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b "
+    "FROM toks WHERE w <> ''), "
+    "stats AS (SELECT b, "
+    "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt, "
+    "CAST(count(*) AS BIGINT) AS r_cnt FROM tok GROUP BY b), "
+    "ratio AS (SELECT b, (t_cnt * 1000000) // r_cnt AS ratio_ppm FROM stats) "
+    "SELECT t.doc_id, CAST(SUM(r.ratio_ppm) AS BIGINT) AS importance_ppm, "
+    "CAST(count(*) AS BIGINT) AS n_tokens "
+    "FROM tok t JOIN ratio r USING (b) GROUP BY t.doc_id",
+)
+def l56(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % 1024
+            ).alias("b"),
+        )
+    )
+    stats = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    ratio = stats.select(
+        "b", F.expr("(t_cnt * 1000000) DIV r_cnt").alias("ratio_ppm")
+    )
+    return (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ratio_ppm").cast("long").alias("importance_ppm"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@q(
+    "l57_word_collapse",
+    # Within-document consecutive-duplicate-word collapse — the cheap
+    # repetition normalizer every corpus pipeline runs before token
+    # counting ("a a the" → "a the").  One window per doc shard plus a
+    # position-ordered re-assembly; map-only at corpus scale (no
+    # cross-doc state).  Oracle reconstructs the scrubbed text with
+    # ORDER BY inside string_agg, so the hash pins the full transform,
+    # not just the counts.
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+    "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents), "
+    "k AS (SELECT doc_id, w, i, "
+    "lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw FROM w) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(count(*) FILTER (WHERE pw IS NOT NULL AND w = pw) AS BIGINT) "
+    "AS n_collapsed, "
+    "string_agg(CASE WHEN pw IS NULL OR w <> pw THEN w END, ' ' ORDER BY i) "
+    "AS scrubbed FROM k GROUP BY doc_id",
+)
+def l57(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    k = w.select("doc_id", "i", "w", F.lag("w").over(win).alias("pw"))
+    keep = F.when(
+        F.col("pw").isNull() | (F.col("w") != F.col("pw")),
+        F.struct("i", "w"),
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.when(
+                F.col("pw").isNotNull() & (F.col("w") == F.col("pw")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_collapsed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(keep)), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+
+
+@q(
+    "w17_streaks",
+    # Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    # (epoch-day minus row_number is constant within a run — the
+    # classic island key, exact integer).  Two aggregations over the
+    # same user partitioning; AQE coalesces them into one shuffle
+    # lineage.  The engagement-streak metric every activity pipeline
+    # computes.
+    "WITH " + _EV + ", days AS "
+    "(SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev), "
+    "g AS (SELECT user_id, d, "
+    "datediff('day', DATE '1970-01-01', d) "
+    "- row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp FROM days), "
+    "runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len "
+    "FROM g GROUP BY user_id, grp) "
+    "SELECT user_id, max(len) AS longest_streak, "
+    "CAST(SUM(len) AS BIGINT) AS n_active_days FROM runs GROUP BY user_id",
+)
+def w17(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    win = Window.partitionBy("user_id").orderBy("d")
+    g = days.select(
+        "user_id",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(win)
+        ).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+# g49: the shared float chain — spelled ONCE and evaluated verbatim by
+# both engines, so the doubles come out bit-identical (+,-,*,/ and sqrt
+# are all correctly-rounded IEEE ops; only a differing expression TREE
+# could diverge).
+_G49_CHAIN = [
+    "CAST(n AS BIGINT) AS n",
+    "r1 AS mean",
+    "CASE WHEN (r2 - r1*r1) <= 0 THEN NULL ELSE "
+    "(r3 - 3*r1*r2 + 2*r1*r1*r1) "
+    "/ ((r2 - r1*r1) * sqrt(r2 - r1*r1)) END AS skewness",
+    "CASE WHEN (r2 - r1*r1) <= 0 THEN NULL ELSE "
+    "(r4 - 4*r1*r3 + 6*r1*r1*r2 - 3*r1*r1*r1*r1) "
+    "/ ((r2 - r1*r1) * (r2 - r1*r1)) END AS kurtosis",
+]
+
+
+@q(
+    "g49_moment_stats",
+    # Exact higher central moments per group: one scan accumulates the
+    # integer power sums Σv..Σv⁴ of the unit-rounded value (all BIGINT,
+    # map-side combinable — the 100 TB shape: four numbers per group,
+    # no second pass), then skewness/kurtosis via the shared
+    # correctly-rounded float chain above.
+    "WITH " + _EV + ", v AS (SELECT event_type, "
+    "CAST(round(value) AS BIGINT) AS v FROM ev), "
+    "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v*v) AS BIGINT) AS s2, "
+    "CAST(SUM(v*v*v) AS BIGINT) AS s3, "
+    "CAST(SUM(v*v*v*v) AS BIGINT) AS s4 FROM v GROUP BY event_type), "
+    "r AS (SELECT event_type, n, "
+    "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1, "
+    "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, "
+    "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, "
+    "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM s) "
+    "SELECT event_type, " + ", ".join(_G49_CHAIN) + " FROM r",
+)
+def g49(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.round("value").cast("long").alias("v")
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.expr("v*v")).cast("long").alias("s2"),
+        F.sum(F.expr("v*v*v")).cast("long").alias("s3"),
+        F.sum(F.expr("v*v*v*v")).cast("long").alias("s4"),
+    )
+    r = s.selectExpr(
+        "event_type",
+        "n",
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1",
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2",
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3",
+        "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4",
+    )
+    return r.selectExpr("event_type", *_G49_CHAIN)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
