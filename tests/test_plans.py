@@ -586,3 +586,40 @@ def test_kmv_pair_stats_joins_are_sketch_sized(spark, sf_dir):
 
     txt = explain_string(QUERIES["l50_kmv_setops"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in txt
+
+
+def test_dsir_stats_join_is_broadcast(spark, sf_dir):
+    # l56: the bucket-stats table is <= 1024 rows — the scoring pass
+    # must broadcast it, never shuffle the exploded token table for a
+    # sort-merge join (that shuffle would dominate at corpus scale)
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l56_dsir_importance"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_streaks_single_user_partitioning(spark, sf_dir):
+    # w17: row_number window, runs agg, and per-user rollup all key on
+    # user_id — one hashpartitioning lineage (AQE-reused), no extra
+    # exchanges sneaking in between the three stages
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["w17_streaks"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    # distinct + window + two aggs: at most 3 user-keyed exchanges
+    assert txt.count("hashpartitioning(user_id") <= 3
+
+
+def test_moment_stats_single_aggregation_pass(spark, sf_dir):
+    # g49: all four power sums come from ONE partial+final aggregate
+    # over the scan (map-side combinable) — exactly 1 shuffle, no join
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["g49_moment_stats"](spark, sf_dir), "simple")
+    assert "Join" not in txt
+    assert txt.count("Exchange hashpartitioning") == 1
