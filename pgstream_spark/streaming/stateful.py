@@ -378,6 +378,81 @@ def running_extrema(
     )
 
 
+def streak_tracker(
+    sdf: DataFrame,
+    key_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Per-key consecutive-day streak maintained ACROSS micro-batches —
+    the streaming twin of the batch gaps-and-islands query
+    (``inventory.w17_streaks``), with O(1) state per key instead of a
+    sort over history.
+
+    State: ``(last_day, cur_streak, best_streak, n_active_days)`` —
+    four scalars, so a billion keys fit in the state store where a
+    replay-the-history design would not.
+
+    Contract: per key, days must arrive in NON-DECREASING order across
+    micro-batches (time-partitioned ingestion — the usual case for an
+    event log; within a batch we sort, so intra-batch disorder is
+    fine).  A day earlier than ``last_day`` would have to be a late
+    arrival past the ingestion watermark; it is ignored (counted
+    nowhere), matching what the batch query over the compacted log
+    would see after the late row is dropped.
+
+    Output (update mode): one row per key per batch it appeared in —
+    ``(key, last_day, current_streak, longest_streak, n_active_days)``.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last, cur, best, ndays = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            days = pdf[day_col].dropna()
+            # epoch-day ints: exact arithmetic, no tz/dtype hazards
+            for d in sorted(set(int(x) for x in days)):
+                if last is not None and d <= last:
+                    continue  # duplicate day or late arrival
+                cur = cur + 1 if (last is not None and d == last + 1) else 1
+                best = max(best, cur)
+                ndays += 1
+                last = d
+        state.update((last, cur, best, ndays))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "last_day": [last],
+                "current_streak": [cur],
+                "longest_streak": [best],
+                "n_active_days": [ndays],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("last_day", T.LongType()),
+            T.StructField("current_streak", T.LongType()),
+            T.StructField("longest_streak", T.LongType()),
+            T.StructField("n_active_days", T.LongType()),
+        ]
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "last_day long, cur long, best long, ndays long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_top_k(
     sdf: DataFrame,
     key_col: str,

@@ -419,3 +419,110 @@ class TestStreamingTopK:
         for r in rows:
             snapshots.setdefault((r.key, r.rank), []).append(r.id)
         assert any(r.id == 8 for r in rows)
+
+
+class TestStreakTracker:
+    """Streaming twin of w17_streaks: O(1) per-key state, verified
+    against a from-scratch batch computation of the same semantics."""
+
+    @staticmethod
+    def _expected(rows):
+        # independent reference: plain-python gaps-and-islands
+        from collections import defaultdict
+
+        by_user = defaultdict(set)
+        for u, d in rows:
+            by_user[u].add(d)
+        out = {}
+        for u, days in by_user.items():
+            best = cur = 0
+            prev = None
+            for d in sorted(days):
+                cur = cur + 1 if prev is not None and d == prev + 1 else 1
+                best = max(best, cur)
+                prev = d
+            out[u] = (best, len(days))
+        return out
+
+    def test_streaks_accumulate_and_match_batch(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+
+        from pgstream_spark.streaming.stateful import streak_tracker
+
+        # user 1: 3-day run split ACROSS batches (the cross-batch case);
+        # user 2: gap; user 3: duplicate days + single batch
+        b1 = [(1, 100), (1, 101), (2, 50), (3, 10), (3, 10)]
+        b2 = [(1, 102), (1, 104), (2, 52), (3, 11)]
+        src = str(tmp_path / "src")
+        schema = "user_id long, day long"
+        write_flat_parquet(spark, b1, schema, src + "/b1.parquet")
+        write_flat_parquet(spark, b2, schema, src + "/b2.parquet")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = _run(
+            streak_tracker(sdf, "user_id", "day"), tmp_path, "streaks",
+            mode="update",
+        )
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY key"
+        ).toPandas()
+        # last update per key wins
+        final = {
+            r.key: (r.longest_streak, r.n_active_days)
+            for r in rows.itertuples()
+        }
+        assert final == self._expected(
+            [(u, d) for u, d in b1 + b2]
+        )
+        # and the running view after batch 1 only showed the prefix
+        u1 = rows[rows.key == 1]
+        assert list(u1.longest_streak) == [2, 3]  # 100-101, then +102
+        assert list(u1.current_streak)[-1] == 1   # 104 broke the run
+
+    def test_streaks_survive_restart(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+
+        from pgstream_spark.streaming.stateful import streak_tracker
+
+        src = str(tmp_path / "src")
+        schema = "user_id long, day long"
+        write_flat_parquet(
+            spark, [(1, 7), (1, 8)], schema, src + "/b1.parquet"
+        )
+        ckpt = str(tmp_path / "ck")
+        rows: list = []
+
+        def drain():
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streak_tracker(sdf, "user_id", "day")
+                .writeStream.foreachBatch(
+                    lambda b, _id: rows.extend(b.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        # new file lands; a NEW query resumes from the SAME checkpoint
+        write_flat_parquet(
+            spark, [(1, 9), (1, 20)], schema, src + "/b2.parquet"
+        )
+        drain()
+        final = rows[-1]
+        # 7-8 from before the restart + 9 continues the SAME run
+        assert (
+            final.longest_streak,
+            final.n_active_days,
+            final.current_streak,
+        ) == (3, 4, 1)
