@@ -1148,12 +1148,12 @@ def read_partitioned(
         num_partitions, "pid"
     )
 
-    host, port, db, user, pw = (
-        settings.host,
-        settings.port,
-        settings.dbname,
-        settings.user,
-        settings.password,
+    # rebuild from a plain tuple executor-side (keeps the closure free
+    # of driver-session objects; carries sslmode/sslrootcert too)
+    s_args = (
+        settings.host, settings.dbname, settings.user,
+        settings.password, settings.port, settings.sslmode,
+        settings.sslrootcert,
     )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1166,9 +1166,7 @@ def read_partitioned(
                     preds.append(f"{partition_column} < {int(brow.hi)}")
                 where = f" WHERE {' AND '.join(preds)}" if preds else ""
                 sql = f"SELECT {columns} FROM {table}{where}"
-                with PgWireClient(
-                    ConnSettings(host, db, user, pw, port)
-                ) as c:
+                with PgWireClient(ConnSettings(*s_args)) as c:
                     if via_copy:
                         decs = [
                             _OID_DECODE.get(oid, (str, "string"))[0]
@@ -1277,18 +1275,16 @@ def write_partitioned(
 
     cols = list(df.columns)
     collist = ", ".join(cols)
-    host, port, db, user, pw = (
-        settings.host,
-        settings.port,
-        settings.dbname,
-        settings.user,
-        settings.password,
+    s_args = (
+        settings.host, settings.dbname, settings.user,
+        settings.password, settings.port, settings.sslmode,
+        settings.sslrootcert,
     )
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         buf: list[str] = []
-        with PgWireClient(ConnSettings(host, db, user, pw, port)) as c:
+        with PgWireClient(ConnSettings(*s_args)) as c:
             if via_copy:
                 n = c.copy_in(
                     table,

@@ -54,6 +54,20 @@ from pgstream_spark.sources.pgwire import (
     _pg_literal,
 )
 
+def _conn_settings(o: dict) -> ConnSettings:
+    """Options dict → ConnSettings, including the TLS knobs (sslmode /
+    sslrootcert) so ``format("pgwire")`` reaches secured servers."""
+    return ConnSettings(
+        host=o.get("host", "127.0.0.1"),
+        dbname=o.get("dbname", ""),
+        user=o.get("user", ""),
+        password=o.get("password"),
+        port=int(o.get("port", 5432)),
+        sslmode=o.get("sslmode", "disable"),
+        sslrootcert=o.get("sslrootcert"),
+    )
+
+
 __all__ = ["PgWireDataSource"]
 
 
@@ -112,13 +126,7 @@ class _PgWireReader(DataSourceReader):
 
     def read(self, partition: _Slice) -> Iterator[tuple]:
         o = self.options
-        settings = ConnSettings(
-            host=o.get("host", "127.0.0.1"),
-            dbname=o.get("dbname", ""),
-            user=o.get("user", ""),
-            password=o.get("password"),
-            port=int(o.get("port", 5432)),
-        )
+        settings = _conn_settings(o)
         pcol = o.get("partition_column")
         preds = list(self.extra_where)
         if pcol is not None:
@@ -144,13 +152,7 @@ class PgWireDataSource(DataSource):
 
     def schema(self) -> str:
         o = self.options
-        settings = ConnSettings(
-            host=o.get("host", "127.0.0.1"),
-            dbname=o.get("dbname", ""),
-            user=o.get("user", ""),
-            password=o.get("password"),
-            port=int(o.get("port", 5432)),
-        )
+        settings = _conn_settings(o)
         cols = o.get("columns", "*")
         with PgWireClient(settings) as c:
             fields, _ = c.simple_query(f"SELECT {cols} FROM {o['table']} LIMIT 0")
@@ -222,15 +224,7 @@ class _PgWireStreamReader(SimpleDataSourceStreamReader):
 
     def _client(self) -> PgWireClient:
         o = self.options
-        return PgWireClient(
-            ConnSettings(
-                host=o.get("host", "127.0.0.1"),
-                dbname=o.get("dbname", ""),
-                user=o.get("user", ""),
-                password=o.get("password"),
-                port=int(o.get("port", 5432)),
-            )
-        )
+        return PgWireClient(_conn_settings(o))
 
     def initialOffset(self) -> dict:
         start = self.options.get("start_from", "earliest")

@@ -894,6 +894,22 @@ class TestPgWireDataSource:
         yield
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
 
+    def test_partitioned_read_over_tls_scram(self, spark, stub_db):
+        """format("pgwire") with sslmode=require + SCRAM: every executor
+        task negotiates TLS and channel-bound auth on its own socket —
+        the secured-server path end-to-end through the DataSource."""
+        with PgStubServer(
+            stub_db, password="s3kr1t", auth="scram-sha-256", tls=True
+        ) as srv:
+            df = self._load(
+                spark, srv,
+                password="s3kr1t", sslmode="require",
+                partition_column="k", lower_bound=0, upper_bound=1000,
+                num_partitions=3,
+            )
+            got = sorted(r.k for r in df.select("k").collect())
+        assert got == list(range(1000))
+
     def test_schema_probe_and_partitioned_read(self, spark, stub_db):
         with PgStubServer(stub_db) as srv:
             df = self._load(
