@@ -7519,8 +7519,14 @@ def s6_stream(spark, sf_dir):
     "FROM tok t JOIN ratio r USING (b) GROUP BY t.doc_id",
 )
 def l56(spark, sf_dir):
+    # One explode pass: tokens combine map-side into (doc, bucket, cnt)
+    # — orders of magnitude smaller than the token stream — and BOTH
+    # the global bucket stats and the per-doc scoring derive from that
+    # compact table (importance = Σ_b cnt_db·ratio_b distributes over
+    # the per-bucket counts).  The alternative (join ratios onto the
+    # raw token stream) scans + hashes the explode twice.
     d = _t(spark, sf_dir, "documents")
-    tok = (
+    per_doc = (
         d.select(
             "doc_id",
             "lang",
@@ -7535,22 +7541,27 @@ def l56(spark, sf_dir):
                 % 1024
             ).alias("b"),
         )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    stats = tok.groupBy("b").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    stats = per_doc.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("t_cnt"),
-        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum("cnt").cast("long").alias("r_cnt"),
     )
     ratio = stats.select(
         "b", F.expr("(t_cnt * 1000000) DIV r_cnt").alias("ratio_ppm")
     )
     return (
-        tok.join(F.broadcast(ratio), "b")
+        per_doc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("ratio_ppm").cast("long").alias("importance_ppm"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("cnt * ratio_ppm")).cast("long").alias(
+                "importance_ppm"
+            ),
+            F.sum("cnt").cast("long").alias("n_tokens"),
         )
     )
 
