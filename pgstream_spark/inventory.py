@@ -7846,6 +7846,9 @@ _GATE_ORDER_R4 = [
     "p10_scalar_subquery", "p11_lateral_topn",
     # overflow tail (near-twins of already-green queries) → round 5
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
+    # round-4 session additions (diffcheck-green sf0.001+sf0.01) → round 5
+    "l56_dsir_importance", "l57_word_collapse", "w17_streaks",
+    "g49_moment_stats",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4
