@@ -7717,6 +7717,286 @@ def g49(spark, sf_dir):
     return r.selectExpr("event_type", *_G49_CHAIN)
 
 
+# ---------------------------------------------------------------------
+# TPC-H completion set (round 4): Q2/Q9/Q11/Q16/Q17/Q20, the six shapes
+# whose canonical form needs the partsupp table the fixtures lack —
+# adapted faithfully to the available tables (supply facts derived from
+# lineitem / retailprice, deterministically) so the SHAPES — correlated
+# per-group scalar, fraction-of-global HAVING, min-cost arg-set, double
+# semi-join, distinct-count with exclusion anti-join — are all covered
+# and oracle-checked.  Money stays in exact integer cents throughout.
+# ---------------------------------------------------------------------
+
+
+@q(
+    "g50_tpch_q17_small_qty",
+    # Q17: revenue lost to small-quantity orders of one brand.  The
+    # correlated `l_quantity < 0.2 * avg(l_quantity)` becomes the exact
+    # integer comparison 5·qty·cnt < Σqty (quantities are integral), so
+    # no float average crosses the engines.  Per-part averages are a
+    # tiny broadcast back onto the fact scan.
+    "WITH pl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand = 'Brand#11'), "
+    "pa AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM pl GROUP BY l_partkey) "
+    "SELECT CAST(SUM(cents) AS DOUBLE) / 700.0 AS avg_yearly "
+    "FROM pl JOIN pa USING (l_partkey) "
+    "WHERE 5 * qty * cnt < sum_qty",
+)
+def g50(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    )
+    pl = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    pa = pl.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        pl.join(F.broadcast(pa), "l_partkey")
+        .filter(F.expr("5 * qty * cnt < sum_qty"))
+        .agg(
+            (F.sum("cents").cast("double") / 700.0).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "g51_tpch_q9_profit",
+    # Q9: product-line profit by nation and year.  Supply cost is
+    # derived deterministically from the part's retail price (60%,
+    # rounded once to cents) in place of partsupp — the join tree
+    # (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) and the
+    # name-LIKE part filter are the canonical Q9.  Dimension chains
+    # broadcast; one fact shuffle for the (nation, year) rollup.
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "- CAST(round(p_retailprice * 0.6 * 100) AS BIGINT) "
+    "* CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE p_name LIKE '%red%' GROUP BY n_name, o_year",
+)
+def g51(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    profit = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "- CAST(round(p_retailprice * 0.6 * 100) AS BIGINT) "
+        "* CAST(l_quantity AS BIGINT)"
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_cents"))
+    )
+
+
+@q(
+    "g52_tpch_q11_share",
+    # Q11: parts whose revenue exceeds a fraction of the GLOBAL total —
+    # the fraction-of-global HAVING.  Exact integer comparison
+    # (rev·1000 > total) against a broadcast one-row scalar; no float
+    # threshold crosses the engines.
+    "WITH pr AS (SELECT l_partkey, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS rev_cents FROM lineitem GROUP BY l_partkey), "
+    "tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM pr) "
+    "SELECT l_partkey, rev_cents FROM pr, tot "
+    "WHERE rev_cents * 1000 > t",
+)
+def g52(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    tot = pr.agg(F.sum("rev_cents").cast("long").alias("t"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.expr("rev_cents * 1000 > t"))
+        .select("l_partkey", "rev_cents")
+    )
+
+
+@q(
+    "g53_tpch_q16_supplier_cnt",
+    # Q16: how many suppliers can serve each part class — supplier-part
+    # pairs derived from lineitem (the fixtures' supply facts), the
+    # negative-balance suppliers excluded by ANTI-join (Q16's complaints
+    # exclusion), exact distinct count per (brand, type, size).
+    "WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0), "
+    "sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+    "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)) "
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM sp JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#11' AND p_type <> 'MEDIUM' "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def g53(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    sp = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .distinct()
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#11") & (F.col("p_type") != "MEDIUM")
+        )
+    )
+    return (
+        sp.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+@q(
+    "g54_tpch_q20_excess_ship",
+    # Q20: suppliers responsible for the bulk of some part's flow — the
+    # double semi-join chain.  "Excess" = shipped more than half of a
+    # blue part's 1996 volume (2·sq > tq, exact integers).  Both semi
+    # legs stay semi-joins in the plan: no row multiplication.
+    "WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'), "
+    "f AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_partkey IN (SELECT p_partkey FROM pp)), "
+    "sq AS (SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS sq "
+    "FROM f GROUP BY l_partkey, l_suppkey), "
+    "tq AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS tq "
+    "FROM f GROUP BY l_partkey), "
+    "hot AS (SELECT DISTINCT sq.l_suppkey FROM sq JOIN tq USING (l_partkey) "
+    "WHERE 2 * sq.sq > tq.tq) "
+    "SELECT s_suppkey, s_name, n_name FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_suppkey IN (SELECT l_suppkey FROM hot)",
+)
+def g54(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    f = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(pp),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+        )
+    )
+    sq = f.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("long").alias("sq")
+    )
+    tq = f.groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("tq"))
+    hot = (
+        sq.join(F.broadcast(tq), "l_partkey")
+        .filter(F.expr("2 * sq > tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(hot),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@q(
+    "g55_tpch_q2_min_cost",
+    # Q2: for each sizable part, the supplier(s) offering the MINIMUM
+    # unit cost — the correlated-min arg-set shape.  Unit cost is the
+    # exact integer cents DIV qty over the supply facts (lineitem);
+    # per-part minima broadcast back; ties keep ALL argmin suppliers
+    # (deterministic set), as the canonical Q2 does.
+    "WITH sc AS (SELECT l_partkey, l_suppkey, "
+    "CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "// CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cents "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey), "
+    "mn AS (SELECT l_partkey, CAST(MIN(unit_cents) AS BIGINT) AS mn "
+    "FROM sc GROUP BY l_partkey) "
+    "SELECT p_partkey, s_suppkey, s_name, unit_cents "
+    "FROM sc JOIN mn USING (l_partkey) "
+    "JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE unit_cents = mn AND p_size >= 25",
+)
+def g55(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sc = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) "
+                "DIV CAST(l_quantity AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("unit_cents")
+    )
+    mn = sc.groupBy("l_partkey").agg(
+        F.min("unit_cents").cast("long").alias("mn")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        sc.join(mn, "l_partkey")
+        .filter(F.col("unit_cents") == F.col("mn"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "unit_cents")
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -7848,7 +8128,9 @@ _GATE_ORDER_R4 = [
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
     # round-4 session additions (diffcheck-green sf0.001+sf0.01) → round 5
     "l56_dsir_importance", "l57_word_collapse", "w17_streaks",
-    "g49_moment_stats",
+    "g49_moment_stats", "g50_tpch_q17_small_qty", "g51_tpch_q9_profit",
+    "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
+    "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4
