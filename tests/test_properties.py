@@ -455,3 +455,54 @@ def test_frequent_pairs_counts_match_python(spark, baskets):
         for x, y in combinations(sorted(b), 2):
             want[(x, y)] = want.get((x, y), 0) + 1
     assert got == want
+
+
+class TestScramProperties:
+    """RFC 5802 invariants, password-agnostic: the client proof must
+    verify under the genuine server-side algorithm for ANY password,
+    and any single-bit proof corruption must fail."""
+
+    @given(
+        password=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+        salt=st.binary(min_size=8, max_size=24),
+    )
+    @settings(deadline=None, max_examples=25)
+    def test_proof_verifies_server_side(self, password, salt):
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+
+        from pgstream_spark.sources.pgwire import _ScramClient
+
+        sc = _ScramClient(password, nonce="clientN0nce+fixed")
+        iters = 2048
+        server_nonce = sc.client_nonce + "srvXYZ"
+        server_first = (
+            f"r={server_nonce},s={base64.b64encode(salt).decode()},i={iters}"
+        ).encode()
+        final = sc.client_final(server_first).decode()
+        attrs = dict(kv.split("=", 1) for kv in final.split(","))
+        # server side: derive stored key from the password independently,
+        # recover ClientKey from the proof, check its hash
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", password.encode(), salt, iters
+        )
+        stored = hashlib.sha256(
+            hmac_mod.new(salted, b"Client Key", hashlib.sha256).digest()
+        ).digest()
+        wp = final[: final.rindex(",p=")]
+        auth_msg = ",".join(
+            (sc.client_first_bare, server_first.decode(), wp)
+        ).encode()
+        sig = hmac_mod.new(stored, auth_msg, hashlib.sha256).digest()
+        proof = base64.b64decode(attrs["p"])
+        recovered = bytes(a ^ b for a, b in zip(proof, sig))
+        assert hashlib.sha256(recovered).digest() == stored
+        # corrupt one bit → verification must fail
+        bad = bytes([proof[0] ^ 0x01]) + proof[1:]
+        rec_bad = bytes(a ^ b for a, b in zip(bad, sig))
+        assert hashlib.sha256(rec_bad).digest() != stored
