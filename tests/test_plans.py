@@ -623,3 +623,24 @@ def test_moment_stats_single_aggregation_pass(spark, sf_dir):
     txt = explain_string(QUERIES["g49_moment_stats"](spark, sf_dir), "simple")
     assert "Join" not in txt
     assert txt.count("Exchange hashpartitioning") == 1
+
+
+def test_dsir_shuffle_carries_combined_counts(spark, sf_dir):
+    # l56 executed-metric proof: the exchange moves per-(doc,bucket)
+    # COMBINED counts, not the raw token stream — the partial aggregate
+    # must shrink the shuffle well below the exploded token count
+    import pyspark.sql.functions as F
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.metrics import metric_totals
+    from pgstream_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    t = metric_totals(QUERIES["l56_dsir_importance"](spark, sf_dir))
+    assert t["shuffle_records"] > 0
+    assert t["shuffle_records"] < n_tokens / 2
+    assert t["spill_bytes"] == 0
