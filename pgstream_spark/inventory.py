@@ -5090,11 +5090,14 @@ def f22(spark, sf_dir):
     "g39_welch_ttest",
     # Two-sample Welch t-statistic per event_type vs the REST of the
     # corpus — the experimentation/segment-comparison primitive.  All
-    # moments are exact BIGINT cents sums (group + grand totals; the
-    # rest-side is a subtraction, no second scan), doubles only in the
-    # final combine, round(6) absorbing the sqrt.
+    # moments are exact BIGINT sums of the UNIT-rounded value (like
+    # g49: cents sums squared overflow int64 once a group holds ~10⁶
+    # rows — DuckDB silently widens to int128, Spark's ANSI mode
+    # faults; unit scaling keeps s·s < 2⁶³ through sf10) — group +
+    # grand totals; the rest-side is a subtraction, no second scan;
+    # doubles only in the final combine, round(6) absorbing the sqrt.
     "WITH " + _EV + ", c AS (SELECT event_type, "
-    "CAST(round(value * 100) AS BIGINT) AS xc FROM ev), "
+    "CAST(round(value) AS BIGINT) AS xc FROM ev), "
     "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
     "SUM(xc) AS s, SUM(xc * xc) AS ss FROM c GROUP BY 1), "
     "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts_, SUM(ss) AS tss FROM g) "
@@ -5107,7 +5110,7 @@ def f22(spark, sf_dir):
 )
 def g39(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    xc = F.round(F.col("value") * 100).cast("bigint")
+    xc = F.round(F.col("value")).cast("bigint")
     g = (
         ev.select("event_type", xc.alias("xc"))
         .groupBy("event_type")
