@@ -7617,6 +7617,65 @@ def l57(spark, sf_dir):
     )
 
 
+from pgstream_spark.operators.semdedup import (  # noqa: E402 — near l58
+    semdedup_oracle_sql as _semdedup_oracle_sql,
+)
+
+
+@q(
+    "l58_semdedup",
+    # SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+    # Cluster = bit-sampling LSH (sign pattern of the first 4
+    # components — deterministic, SQL-expressible); similarity =
+    # quantized integer cosine (scale 100, the l19/l46 discipline), so
+    # the epsilon-ball pruning rule sits bit-exact under the oracle.
+    # Pair generation is an equi-join on the cluster key — never a
+    # cross join; quadratic term bounded by the largest cluster (the
+    # published design point).  See operators/semdedup.py.
+    _semdedup_oracle_sql(),
+)
+def l58(spark, sf_dir):
+    from pgstream_spark.operators.semdedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "l59_span_scrub",
+    # Cross-document duplicate-span REMOVAL (Lee et al. 2022 transform
+    # step; dedup.span_scrub): l37 scores span duplication, this drops
+    # every token covered by an 8-token window occurring in >=2
+    # distinct docs and reassembles the survivors in order — the hash
+    # pins the full scrubbed text, not just the counts.  Linear
+    # explodes + one hash agg + per-doc array filter; no doc self-join.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "wins AS (SELECT doc_id, unnest([{'s': i, 'h': md5(array_to_string(t[i:i+7], ' '))} "
+    "FOR i IN generate_series(1, len(t) - 7)]) AS w FROM toks WHERE len(t) >= 8), "
+    "winf AS (SELECT doc_id, w['s'] AS s, w['h'] AS h FROM wins), "
+    "dup AS (SELECT h FROM winf GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
+    "cov AS (SELECT DISTINCT doc_id, s + d AS p FROM winf JOIN dup USING (h), "
+    "generate_series(0, 7) g(d)), "
+    "tokpos AS (SELECT doc_id, unnest(t) AS tok, "
+    "unnest(generate_series(1, len(t))) AS p FROM toks), "
+    "keptagg AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean "
+    "FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p "
+    "WHERE c.p IS NULL GROUP BY tp.doc_id), "
+    "nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov "
+    "GROUP BY doc_id) "
+    "SELECT toks.doc_id AS id, CAST(len(toks.t) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed, "
+    "coalesce(keptagg.clean, '') AS clean_text "
+    "FROM toks LEFT JOIN keptagg ON toks.doc_id = keptagg.doc_id "
+    "LEFT JOIN nrem ON toks.doc_id = nrem.doc_id",
+)
+def l59(spark, sf_dir):
+    from pgstream_spark.operators.dedup import span_scrub
+
+    return span_scrub(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
@@ -8134,6 +8193,7 @@ _GATE_ORDER_R4 = [
     "g49_moment_stats", "g50_tpch_q17_small_qty", "g51_tpch_q9_profit",
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
+    "l58_semdedup", "l59_span_scrub",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

@@ -20,7 +20,9 @@ from pgstream_spark.operators.dedup import (
     embedding_neardup_lsh,
     embedding_neardup_lsh_oracle_sql,
     embedding_neardup_pairs,
+    span_scrub,
 )
+from pgstream_spark.operators.semdedup import semdedup, semdedup_oracle_sql
 from pgstream_spark.operators.similarity import (
     brute_force_top_k,
     lsh_bucketed_top_k,
@@ -92,6 +94,9 @@ __all__ = [
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_oracle_sql",
     "embedding_neardup_pairs",
+    "span_scrub",
+    "semdedup",
+    "semdedup_oracle_sql",
     "brute_force_top_k",
     "lsh_bucketed_top_k",
     "quantize_embeddings",

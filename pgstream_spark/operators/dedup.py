@@ -43,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "embedding_neardup_pairs",
     "duplicate_span_stats",
+    "span_scrub",
     "dedup_clusters_twostar",
 ]
 
@@ -805,6 +806,90 @@ def duplicate_span_stats(
         "n_windows",
         "n_dup_windows",
         F.expr("(n_dup_windows * 10000) DIV n_windows").alias("dup_bp"),
+    )
+
+
+def span_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the transform step of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): where :func:`duplicate_span_stats` only *scores* span
+    duplication, this drops every token covered by a length-``window``
+    window whose hash occurs in >= ``min_docs`` distinct documents, and
+    reassembles the survivors in order.
+
+    Returns per document: ``n_tokens`` (original token count),
+    ``n_removed`` (covered positions dropped), and ``clean_text`` (the
+    scrubbed, single-space-joined text; empty when everything was
+    covered).  Deterministic and order-free: coverage is a pure set of
+    (doc, position) facts.
+
+    Scale shape (100 TB): identical budget to duplicate_span_stats plus
+    one more explode — windows explode linearly, the duplicate-hash set
+    comes from one partial-aggregated groupBy, covered positions are a
+    bounded explode (window × dup-windows) de-duplicated per doc, and
+    reassembly is a per-doc array filter (no shuffle beyond the one
+    coverage groupBy keyed on doc id).  No doc self-join anywhere.  The
+    dup-hash table is the corpus's duplicated-span vocabulary — small
+    relative to the corpus (it shrinks as dedup improves) and joined on
+    hash, broadcastable when it fits.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__t")
+    )
+    n = F.size("__t")
+    wins = (
+        toks.filter(n >= window)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - window + 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("s"),
+                        F.md5(F.concat_ws(" ", F.slice("__t", i, window))).alias(
+                            "h"
+                        ),
+                    ),
+                )
+            ).alias("__w"),
+        )
+        .select("id", F.col("__w.s").alias("__s"), F.col("__w.h").alias("__h"))
+    )
+    dup_hashes = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct("id").alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__h")
+    )
+    covered = (
+        wins.join(dup_hashes, "__h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + (window - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    joined = toks.join(covered, "id", "left").withColumn(
+        "__cov", F.coalesce("__cov", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "__t", lambda t, i: ~F.array_contains("__cov", (i + 1).cast("int"))
+    )
+    return joined.select(
+        "id",
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 

@@ -2015,6 +2015,159 @@ class TestDuplicateSpans:
         assert out.n_dup_windows == 0  # distinct-doc count is 1
 
 
+class TestSpanScrub:
+    """dedup.span_scrub — cross-doc duplicate-span removal (the Lee et
+    al. 2022 transform step on top of duplicate_span_stats's scoring)."""
+
+    SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+    def _rows(self, spark, rows):
+        from pgstream_spark.operators.dedup import span_scrub
+
+        return {
+            r.id: r
+            for r in span_scrub(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                window=8,
+            ).collect()
+        }
+
+    def test_shared_span_removed_from_both_docs(self, spark):
+        out = self._rows(
+            spark,
+            [
+                (1, f"one two three four five six seven {self.SPAN} nine ten"),
+                (2, f"{self.SPAN} completely different trailing words here now ok"),
+                (3, "fully unique text with enough tokens to form windows yes"),
+            ],
+        )
+        # exactly the 8 span positions go, in-order remainder survives
+        assert out[1].n_removed == 8
+        assert out[1].clean_text == "one two three four five six seven nine ten"
+        assert out[2].n_removed == 8
+        assert (
+            out[2].clean_text
+            == "completely different trailing words here now ok"
+        )
+        # unique doc untouched
+        assert out[3].n_removed == 0 and out[3].n_tokens == 10
+
+    def test_short_doc_passes_through(self, spark):
+        out = self._rows(spark, [(1, "short Text"), (2, "short Text")])
+        # < window tokens → no windows → nothing removable even though
+        # the docs are identical (document-level dedup's job, not ours)
+        assert out[1].n_removed == 0 and out[1].clean_text == "short text"
+
+    def test_fully_duplicated_doc_scrubs_to_empty(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        out = self._rows(spark, [(1, text), (2, text)])
+        assert out[1].n_removed == 8 and out[1].clean_text == ""
+        assert out[2].clean_text == ""
+
+    def test_intra_doc_repeat_not_scrubbed(self, spark):
+        text = "a b c d e f g h " * 4
+        out = self._rows(spark, [(1, text)])
+        assert out[1].n_removed == 0  # distinct-doc count is 1
+
+    def test_overlapping_dup_windows_cover_union(self, spark):
+        # 9-token shared run → two dup windows per doc, union = 9 positions
+        run = f"{self.SPAN} iota"
+        out = self._rows(
+            spark,
+            [
+                (1, f"{run} tail words that differ here ok"),
+                (2, f"prefix words differing over here {run}"),
+            ],
+        )
+        assert out[1].n_removed == 9 and out[2].n_removed == 9
+
+
+class TestSemDedup:
+    """semdedup.semdedup — cluster-then-prune semantic dedup."""
+
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_near_identical_later_vector_dropped(self, spark):
+        from pgstream_spark.operators.semdedup import semdedup
+
+        dim = 8
+        base = [0.5] + [0.1] * (dim - 1)
+        near = [0.49] + [0.11] * (dim - 1)          # cos ≈ 1 → same ball
+        ortho = [0.5, -0.5] + [0.0] * (dim - 2)     # different sign bucket
+        out = {
+            r.id: r
+            for r in semdedup(
+                self._df(spark, [base, near, ortho]), sign_bits=2
+            ).collect()
+        }
+        assert out[0].kept and out[0].n_close_earlier == 0
+        assert not out[1].kept and out[1].n_close_earlier == 1
+        assert out[2].kept  # different cluster → never compared
+        assert out[0].cluster == out[1].cluster != out[2].cluster
+
+    def test_cross_cluster_twins_not_compared(self, spark):
+        """Pruning is within-cluster by design: sign-boundary twins
+        survive (the documented LSH trade — more bits, fewer misses)."""
+        from pgstream_spark.operators.semdedup import semdedup
+
+        a = [0.01, 0.5, 0.5, 0.5]
+        b = [-0.01, 0.5, 0.5, 0.5]  # cosine ≈ 1 but opposite first sign
+        out = semdedup(self._df(spark, [a, b]), sign_bits=1).collect()
+        assert all(r.kept for r in out)
+
+    def test_repartition_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.semdedup import semdedup
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        a = sorted(map(tuple, semdedup(e).collect()))
+        b = sorted(map(tuple, semdedup(e.repartition(13)).collect()))
+        assert a == b
+
+    def test_matches_quantized_numpy_brute_force(self, spark, sf_dir):
+        """Spark verdicts == a straight numpy re-derivation of the
+        quantized-integer rule over all within-cluster pairs."""
+        import numpy as np
+
+        from pgstream_spark.operators.semdedup import semdedup
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings").limit(200)
+        rows = e.select("vec_id", "embedding").collect()
+        q = {
+            r.vec_id: np.rint(
+                np.asarray(r.embedding, dtype=np.float64) * 100
+            ).astype(np.int64)
+            for r in rows
+        }
+        cl = {
+            r.vec_id: sum(
+                (1 << i) for i in range(4) if r.embedding[i] > 0
+            )
+            for r in rows
+        }
+        expect = {}
+        for i in sorted(q):
+            nc = 0
+            for j in sorted(q):
+                if j >= i or cl[j] != cl[i]:
+                    continue
+                dot = int(q[i] @ q[j])
+                if dot > 0 and dot * dot * 10000 >= 625 * int(
+                    q[i] @ q[i]
+                ) * int(q[j] @ q[j]):
+                    nc += 1
+            expect[i] = nc
+        got = {
+            r.id: r.n_close_earlier for r in semdedup(e).collect()
+        }
+        assert got == expect
+
+
 class TestTwoStarComponents:
     """dedup_clusters_twostar == dedup_clusters on every input shape."""
 

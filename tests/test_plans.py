@@ -644,3 +644,28 @@ def test_dsir_shuffle_carries_combined_counts(spark, sf_dir):
     assert t["shuffle_records"] > 0
     assert t["shuffle_records"] < n_tokens / 2
     assert t["spill_bytes"] == 0
+
+
+def test_semdedup_pairs_are_equi_join(spark, sf_dir):
+    # l58: the within-cluster pair generation must be an equi-join on
+    # the cluster key — never a cartesian/nested-loop — and the whole
+    # quantized-cosine rule stays JVM-side
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l58_semdedup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_span_scrub_no_doc_self_join(spark, sf_dir):
+    # l59: coverage comes from the hash-agg dup table joined back on the
+    # window hash — no doc×doc join, everything JVM-side
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l59_span_scrub"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert "BatchEvalPython" not in txt
