@@ -7677,6 +7677,55 @@ def l59(spark, sf_dir):
 
 
 @q(
+    "l60_snapshot_drift",
+    # Histogram drift between two corpus snapshots (snapshot.
+    # histogram_drift): per-bin counts over a FULL 16-bin spine plus the
+    # bin's total-variation contribution |p_a - p_b| in exact half-up
+    # micro units — integer cross-multiplication with Laplace-1
+    # smoothing, no transcendentals (the l21 rule; PSI/KL need ln whose
+    # last ulp differs across libm implementations).  Two combinable
+    # counts + a broadcast scalar attach; output O(bins) at any corpus
+    # size.  Snapshots here = doc_id parity halves (deterministic).
+    "WITH toks AS (SELECT doc_id, len(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n "
+    "FROM documents), "
+    "bk AS (SELECT doc_id, least(n // 8, 15) AS bucket FROM toks), "
+    "ha AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_a FROM bk "
+    "WHERE doc_id % 2 = 0 GROUP BY bucket), "
+    "hb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_b FROM bk "
+    "WHERE doc_id % 2 = 1 GROUP BY bucket), "
+    "spine AS (SELECT unnest(range(0, 16)) AS bucket), "
+    "j AS (SELECT spine.bucket, coalesce(cnt_a, 0) AS cnt_a, "
+    "coalesce(cnt_b, 0) AS cnt_b FROM spine "
+    "LEFT JOIN ha USING (bucket) LEFT JOIN hb USING (bucket)), "
+    "t AS (SELECT CAST(sum(cnt_a) + 16 AS BIGINT) AS __ta, "
+    "CAST(sum(cnt_b) + 16 AS BIGINT) AS __tb FROM j) "
+    "SELECT CAST(j.bucket AS BIGINT) AS bucket, cnt_a, cnt_b, "
+    "CAST((2 * abs((cnt_a + 1) * __tb - (cnt_b + 1) * __ta) * 1000000 "
+    "+ __ta * __tb) // (2 * __ta * __tb) AS BIGINT) AS tv_micro "
+    "FROM j, t",
+)
+def l60(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+    from pgstream_spark.operators.snapshot import histogram_drift
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens_col(F.col("text"))).alias("__n"))
+        .select(
+            "doc_id",
+            F.least(F.expr("__n DIV 8"), F.lit(15)).cast("long").alias("bucket"),
+        )
+    )
+    return histogram_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "bucket",
+        n_buckets=16,
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -8193,7 +8242,7 @@ _GATE_ORDER_R4 = [
     "g49_moment_stats", "g50_tpch_q17_small_qty", "g51_tpch_q9_profit",
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
-    "l58_semdedup", "l59_span_scrub",
+    "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_diff", "write_version", "list_versions", "read_version", "diff_versions"]
+__all__ = [
+    "corpus_diff",
+    "write_version",
+    "list_versions",
+    "read_version",
+    "diff_versions",
+    "histogram_drift",
+]
 
 
 def corpus_diff(
@@ -149,4 +156,80 @@ def diff_versions(
         read_version(spark, store_dir, v_old),
         read_version(spark, store_dir, v_new),
         id_col=id_col,
+    )
+
+
+def histogram_drift(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    laplace: int = 1,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots over a bucketed
+    feature — the release-gate monitor next to :func:`corpus_diff`'s
+    row-level audit: "did the token-length / quality / language mix
+    shift since the last release?".
+
+    Both inputs carry an integer ``bucket_col`` in ``[0, n_buckets)``
+    (bucketing is the caller's feature definition — token-count bins,
+    quality deciles, language codes...).  Output has one row per bucket
+    of a FULL spine (empty bins included, so drift INTO a previously
+    empty bin is seen): ``cnt_a``/``cnt_b`` raw counts and ``tv_micro``,
+    the bin's total-variation contribution ``|p_a - p_b|`` in
+    half-up-rounded micro units, with Laplace-``laplace`` smoothing.
+    ``sum(tv_micro)/2`` is the corpus' TV drift distance.
+
+    Exactness discipline (the l21 rule — no transcendentals in gated
+    output): probabilities are compared by integer cross-multiplication
+    ``|(c_a+l)·T_b - (c_b+l)·T_a|`` over ``T = total + n_buckets·l``,
+    then ONE half-up integer division to micro units — every value a
+    BIGINT, bit-identical across engines.  (PSI/KL variants need ``ln``
+    whose last-ulp differs across libm implementations — use this exact
+    TV form for gates, and compute PSI downstream of these counts if
+    the name is required.)
+
+    Scale shape (100 TB): two map-side-combinable groupBy counts (one
+    scan each side), a broadcast of two scalar totals, and a join on an
+    ``n_buckets``-row spine — output is O(buckets) however large the
+    snapshots are.
+    """
+    B = int(n_buckets)
+    lap = int(laplace)
+    spark = a.sparkSession
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.col(bucket_col).cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+    ha, hb = hist(a, "cnt_a"), hist(b, "cnt_b")
+    spine = spark.range(B).select(F.col("id").cast("long").alias("bucket"))
+    joined = (
+        spine.join(ha, "bucket", "left")
+        .join(hb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0).cast("bigint")).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0).cast("bigint")).alias("cnt_b"),
+        )
+    )
+    tot = joined.agg(
+        (F.sum("cnt_a") + B * lap).cast("bigint").alias("__ta"),
+        (F.sum("cnt_b") + B * lap).cast("bigint").alias("__tb"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))  # one-row scalar attach
+        .select(
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                f"(2 * abs((cnt_a + {lap}) * __tb - (cnt_b + {lap}) * __ta)"
+                f" * 1000000 + __ta * __tb) DIV (2 * __ta * __tb)"
+            )
+            .cast("bigint")
+            .alias("tv_micro"),
+        )
     )

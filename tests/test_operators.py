@@ -4018,3 +4018,47 @@ class TestWeightedQuantiles:
         r = weighted_quantiles(df, "v", "w", ["k"], qs=[0.01, 1.0], tie_cols=["id"]).collect()[0]
         assert r.q0_01 == 10     # first row already covers 1%
         assert r.q1_0 == 30      # full weight needs the last value
+
+
+class TestHistogramDrift:
+    """snapshot.histogram_drift — exact TV-distance release monitor."""
+
+    def _drift(self, spark, a_rows, b_rows, n_buckets=4):
+        from pgstream_spark.operators.snapshot import histogram_drift
+
+        mk = lambda rows: spark.createDataFrame(
+            [(i, b) for i, b in enumerate(rows)], "id long, bucket long"
+        )
+        return {
+            r.bucket: r
+            for r in histogram_drift(
+                mk(a_rows), mk(b_rows), "bucket", n_buckets
+            ).collect()
+        }
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        out = self._drift(spark, [0, 1, 1, 2], [0, 1, 1, 2])
+        assert len(out) == 4                      # full spine incl. empty bin 3
+        assert all(r.tv_micro == 0 for r in out.values())
+        assert out[3].cnt_a == 0 and out[3].cnt_b == 0
+
+    def test_disjoint_mass_maximal_drift(self, spark):
+        # all of A in bin 0, all of B in bin 1 → each carries ~p=1 vs ~0
+        out = self._drift(spark, [0] * 10, [1] * 10)
+        assert out[0].tv_micro > 700000 and out[1].tv_micro > 700000
+        # empty-on-both bins only differ by smoothing → 0
+        assert out[2].tv_micro == 0 and out[3].tv_micro == 0
+
+    def test_exact_value_against_hand_computation(self, spark):
+        # A: 3 in bin0, 1 in bin1; B: 1 in bin0, 3 in bin1; laplace=1, B=4
+        # Ta = 4+4 = 8, Tb = 8; bin0: |(3+1)*8-(1+1)*8| = 16; den=64
+        # tv = round_half_up(16/64 * 1e6) = 250000
+        out = self._drift(spark, [0, 0, 0, 1], [0, 1, 1, 1])
+        assert out[0].tv_micro == 250000 and out[1].tv_micro == 250000
+
+    def test_unequal_sizes_same_shape_near_zero(self, spark):
+        # same distribution at different corpus sizes → only the
+        # Laplace term differs (≈ l·|1/Ta - 1/Tb| per bin), far below a
+        # real shift's signal at non-degenerate sizes
+        out = self._drift(spark, [0, 1] * 100, [0, 1] * 25)
+        assert all(r.tv_micro < 25000 for r in out.values())
