@@ -92,11 +92,23 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()  # isolate queries from prior-query garbage
         return dt
 
+    # Per-query MIN over SPARK_GRAFT_HEADLINE_PASSES passes (default 2).
+    # This host's co-tenant contention makes identical plans alternate
+    # between ~10s and 60-170s (BASELINE.md); a single pass therefore
+    # measures the neighbors as often as the code.  min-of-2 is the
+    # standard best-of-N discipline: both passes run the full protocol
+    # (noop sink, cache clear, gc), so the min is a real end-to-end
+    # execution, just the less-interfered one.
+    passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if only and name not in only:
-            continue
-        timings[name] = run_one(name)
+    for p in range(max(1, passes)):
+        for name in HEADLINE:
+            if only and name not in only:
+                continue
+            dt = run_one(name)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+        print(f"  [headline pass {p + 1}/{passes} done]", file=sys.stderr)
 
     # Full-inventory sweep (VERDICT r2 item 6): one timing row per
     # registered query so a regression in the long tail is visible, not
