@@ -7726,6 +7726,32 @@ def l60(spark, sf_dir):
 
 
 @q(
+    "l61_stratified_split",
+    # Deterministic train/val/test split with EXACT per-stratum quotas
+    # (mixture.stratified_split): rank within stratum by the
+    # content-derived (md5-bucket, id) total order, cumulative-floor
+    # boundaries at basis points — membership depends only on the data,
+    # counts always sum to the stratum size, no float fraction crosses
+    # engines.  One shuffle keyed on the strata; hot-stratum sorts have
+    # the chunked_window mitigation.
+    "WITH b AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "% 10000 AS bk FROM documents), "
+    "r AS (SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS n, "
+    "row_number() OVER (PARTITION BY lang ORDER BY bk, doc_id) AS rk FROM b) "
+    "SELECT doc_id, lang, CASE WHEN rk <= (n * 8000) // 10000 THEN 'train' "
+    "WHEN rk <= (n * 9000) // 10000 THEN 'val' ELSE 'test' END AS split "
+    "FROM r",
+)
+def l61(spark, sf_dir):
+    from pgstream_spark.operators.mixture import stratified_split
+
+    return stratified_split(
+        _t(spark, sf_dir, "documents"), "doc_id", ["lang"]
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -8242,7 +8268,7 @@ _GATE_ORDER_R4 = [
     "g49_moment_stats", "g50_tpch_q17_small_qty", "g51_tpch_q9_profit",
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
-    "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift",
+    "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

@@ -33,6 +33,7 @@ __all__ = [
     "hash_bucket_bp",
     "weighted_sample_ares",
     "epoch_shuffle",
+    "stratified_split",
 ]
 
 
@@ -183,4 +184,54 @@ def epoch_shuffle(
         .withColumn("shard", (kint % shards).cast("int"))
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("__key")
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with EXACT per-stratum
+    quotas — the split every training run needs to be reproducible
+    across re-runs, cluster sizes, and corpus re-shards.
+
+    Rows are ranked within each stratum by ``(hash_bucket_bp(id), id)``
+    — a content-derived total order, so membership depends only on the
+    data, never on partitioning or arrival order — and the first
+    ``floor(n·train_bp/10⁴)`` ranks become ``train``, the next ranks up
+    to ``floor(n·(train_bp+val_bp)/10⁴)`` become ``val``, the rest
+    ``test``.  Cumulative-floor allocation: the three counts always sum
+    to the stratum size n, and every boundary is an exact integer
+    (basis points × n DIV 10⁴) — no float fraction crosses engines.
+
+    Against a plain hash-threshold split (bucket < 8000 → train), the
+    rank form trades one per-stratum window sort for EXACT quotas —
+    tiny strata get their proportional share instead of binomial noise.
+    Scale shape: one shuffle keyed on the strata; a hot stratum sorts
+    within its partition — the chunked_window mitigation applies if one
+    stratum dominates (same hazard/mitigation as w13/t17).
+
+    Returns the input's ``id_col`` + strata plus ``split``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols)
+    w_ord = w.orderBy(hash_bucket_bp(F.col(id_col)).asc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(w)
+    rk = F.row_number().over(w_ord)
+    c1 = F.expr(f"(__n * {int(train_bp)}) DIV 10000")
+    c2 = F.expr(f"(__n * {int(train_bp) + int(val_bp)}) DIV 10000")
+    return (
+        df.select(id_col, *strata_cols, n.alias("__n"), rk.alias("__rk"))
+        .select(
+            id_col,
+            *strata_cols,
+            F.when(F.col("__rk") <= c1, F.lit("train"))
+            .when(F.col("__rk") <= c2, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )

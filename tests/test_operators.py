@@ -4062,3 +4062,53 @@ class TestHistogramDrift:
         # real shift's signal at non-degenerate sizes
         out = self._drift(spark, [0, 1] * 100, [0, 1] * 25)
         assert all(r.tv_micro < 25000 for r in out.values())
+
+
+class TestStratifiedSplit:
+    """mixture.stratified_split — exact-quota deterministic splits."""
+
+    def test_exact_quotas_per_stratum(self, spark, sf_dir):
+        from pgstream_spark.operators.mixture import stratified_split
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        out = stratified_split(d, "doc_id", ["lang"]).collect()
+        from collections import Counter
+
+        per = {}
+        for r in out:
+            per.setdefault(r.lang, Counter())[r.split] += 1
+        for lang, c in per.items():
+            n = sum(c.values())
+            assert c["train"] == n * 8000 // 10000
+            assert c["train"] + c["val"] == n * 9000 // 10000
+            assert c["train"] + c["val"] + c["test"] == n
+
+    def test_repartition_and_order_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.mixture import stratified_split
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, stratified_split(d, "doc_id", ["lang"]).collect()))
+        b = sorted(
+            map(
+                tuple,
+                stratified_split(
+                    d.repartition(17).sortWithinPartitions("text"),
+                    "doc_id",
+                    ["lang"],
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_tiny_strata_get_proportional_share(self, spark):
+        from pgstream_spark.operators.mixture import stratified_split
+
+        # 10-row stratum: floor allocation → exactly 8/1/1 (a hash-
+        # threshold split would give binomial noise here)
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(10)], "doc_id long, lang string"
+        )
+        out = [r.split for r in stratified_split(df, "doc_id", ["lang"]).collect()]
+        assert sorted(out) == ["test"] + ["train"] * 8 + ["val"]
