@@ -27,6 +27,7 @@ __all__ = [
     "read_version",
     "diff_versions",
     "histogram_drift",
+    "histogram_drift_counts",
 ]
 
 
@@ -194,17 +195,31 @@ def histogram_drift(
     ``n_buckets``-row spine — output is O(buckets) however large the
     snapshots are.
     """
-    B = int(n_buckets)
-    lap = int(laplace)
-    spark = a.sparkSession
-
     def hist(df: DataFrame, out: str) -> DataFrame:
         return (
             df.select(F.col(bucket_col).cast("long").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("bigint").alias(out))
         )
-    ha, hb = hist(a, "cnt_a"), hist(b, "cnt_b")
+
+    return histogram_drift_counts(
+        hist(a, "cnt_a"), hist(b, "cnt_b"), n_buckets, laplace
+    )
+
+
+def histogram_drift_counts(
+    ha: DataFrame,
+    hb: DataFrame,
+    n_buckets: int,
+    laplace: int = 1,
+) -> DataFrame:
+    """:func:`histogram_drift` over PRE-AGGREGATED ``(bucket, cnt_a)`` /
+    ``(bucket, cnt_b)`` count tables — the mergeable form: per-shard or
+    per-micro-batch histograms combine by summing counts, then drift is
+    priced once here (the streaming monitor's entry point)."""
+    B = int(n_buckets)
+    lap = int(laplace)
+    spark = ha.sparkSession
     spine = spark.range(B).select(F.col("id").cast("long").alias("bucket"))
     joined = (
         spine.join(ha, "bucket", "left")

@@ -10,6 +10,7 @@ from pgstream_spark.streaming.windows import (
 from pgstream_spark.streaming.exactly_once import idempotent_parquet_sink
 from pgstream_spark.streaming.neardup import streaming_minhash_candidates
 from pgstream_spark.streaming.pg_sink import postgres_exactly_once_sink
+from pgstream_spark.streaming.drift import drift_monitor_sink, read_drift_log
 from pgstream_spark.streaming.stateful import (
     gap_change_detector,
     running_totals,
@@ -27,4 +28,6 @@ __all__ = [
     "streaming_minhash_candidates",
     "postgres_exactly_once_sink",
     "streaming_top_k",
+    "drift_monitor_sink",
+    "read_drift_log",
 ]

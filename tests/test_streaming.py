@@ -1234,3 +1234,119 @@ class TestIvfStreamSink:
         run("ck2")  # fresh checkpoint: same batch replays as batch_id=0
         b = spark.read.parquet(path + "/vectors").count()
         assert a == b == 64 + 8
+
+
+class TestDriftMonitor:
+    """streaming/drift.drift_monitor_sink — the live twin of l60."""
+
+    _SCHEMA = "id long, bucket long"
+    # reference profile: uniform over 4 bins
+    _REF = [(0, 25), (1, 25), (2, 25), (3, 25)]
+
+    def _run(self, spark, tmp_path, batches, **kw):
+        from pgstream_spark.streaming.drift import (
+            drift_monitor_sink,
+            read_drift_log,
+        )
+        from tests.conftest import write_flat_parquet
+
+        src = str(tmp_path / "src")
+        for i, rows in enumerate(batches):
+            write_flat_parquet(spark, rows, self._SCHEMA, f"{src}/b{i}.parquet")
+        store = str(tmp_path / "store")
+        sink = drift_monitor_sink(store, self._REF, "bucket", 4, **kw)
+        q = (
+            spark.readStream.schema(self._SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return store, read_drift_log(spark, store).collect()
+
+    def test_cumulative_drift_converges_and_alerts_on_skew(
+        self, spark, tmp_path
+    ):
+        # batch 0 matches the reference mix; batch 1 floods bin 0
+        match = [(i, i % 4) for i in range(100)]
+        flood = [(1000 + i, 0) for i in range(300)]
+        store, log = self._run(
+            spark, tmp_path, [match, flood], alert_tv_micro=200_000
+        )
+        assert [r.batch_id for r in log] == [0, 1]
+        assert log[0].batch_tv_micro < 20_000 and not log[0].alert
+        # the flood batch alone is ~max drift; cumulative crosses the gate
+        assert log[1].batch_tv_micro > 500_000
+        assert log[1].cum_tv_micro > 200_000 and log[1].alert
+
+    def test_cumulative_equals_batch_recomputation(self, spark, tmp_path):
+        # stream-fold == one-shot l60 arithmetic over the union
+        from pgstream_spark.operators.snapshot import histogram_drift_counts
+
+        b0 = [(i, i % 4) for i in range(40)]
+        b1 = [(100 + i, (i % 3)) for i in range(60)]
+        _, log = self._run(spark, tmp_path, [b0, b1])
+        union = spark.createDataFrame(b0 + b1, self._SCHEMA).groupBy(
+            "bucket"
+        ).count().selectExpr("bucket", "CAST(count AS BIGINT) AS cnt_a")
+        ref = spark.createDataFrame(self._REF, "bucket long, cnt_b long")
+        want = (
+            sum(
+                r.tv_micro
+                for r in histogram_drift_counts(union, ref, 4).collect()
+            )
+            // 2
+        )
+        assert log[-1].cum_tv_micro == want
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from pgstream_spark.streaming.drift import (
+            drift_monitor_sink,
+            read_drift_log,
+        )
+
+        store = str(tmp_path / "store")
+        sink = drift_monitor_sink(store, self._REF, "bucket", 4)
+        batch = spark.createDataFrame([(i, i % 4) for i in range(50)], self._SCHEMA)
+        sink(batch, 0)
+        first = [tuple(r) for r in read_drift_log(spark, store).collect()]
+        sink(batch, 0)  # crash-replay of a committed batch
+        again = [tuple(r) for r in read_drift_log(spark, store).collect()]
+        assert first == again and len(again) == 1
+
+    def test_partial_crash_replay_overwrites_and_commits(
+        self, spark, tmp_path
+    ):
+        # simulate a crash AFTER counts/log were written but BEFORE the
+        # ledger append: pre-plant garbage versions with no ledger row —
+        # the replay must overwrite them from scratch and commit once
+        from pgstream_spark.streaming.drift import (
+            drift_monitor_sink,
+            read_drift_log,
+        )
+
+        store = str(tmp_path / "store")
+        spark.createDataFrame([(0, 999)], "bucket long, cnt long").write.parquet(
+            f"{store}/counts/v0"
+        )
+        spark.createDataFrame(
+            [(0, 999, 999, 999, True)],
+            "batch_id long, n_rows long, batch_tv_micro long, "
+            "cum_tv_micro long, alert boolean",
+        ).write.parquet(f"{store}/log/v0")
+        sink = drift_monitor_sink(store, self._REF, "bucket", 4)
+        batch = spark.createDataFrame(
+            [(i, i % 4) for i in range(100)], self._SCHEMA
+        )
+        sink(batch, 0)
+        log = read_drift_log(spark, store).collect()
+        assert len(log) == 1 and log[0].n_rows == 100
+        assert log[0].batch_tv_micro < 20_000  # garbage 999s are gone
+        counts = {
+            (r.bucket, r.cnt)
+            for r in spark.read.parquet(f"{store}/counts/v0").collect()
+        }
+        assert counts == {(0, 25), (1, 25), (2, 25), (3, 25)}
