@@ -7043,6 +7043,101 @@ def t31(spark, sf_dir):
 
 
 @q(
+    "t32_autocorr",
+    # Per-series autocorrelation at lags 1..3 — the stationarity /
+    # seasonality probe next to t26's decomposition.  Exactness: ACF
+    # about the FLOOR-CENT mean (m = S DIV n) — deviations are then
+    # integers, so lag products and squares sum exactly in BIGINT
+    # (|dev| <= ~6e4, n·dev² <= ~6e13 through sf10) and the quotient is
+    # ONE IEEE division.  The true-mean form needs n²-scaled products
+    # (~2.5e22 at sf1 — int64-dead); the <1-cent mean shift is
+    # documented and identical on both engines.  One key shuffle + one
+    # sort carries all three lead columns; group-cardinality rows out.
+    "WITH " + _EV + ", b AS (SELECT event_type, "
+    "epoch_ns(ts) // 1000000000 AS o1, "
+    "event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM ev), "
+    "m AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // count(*) AS mu "
+    "FROM b GROUP BY event_type), "
+    "d AS (SELECT b.event_type, cents - mu AS dev, "
+    "lead(cents - mu, 1) OVER w AS d1, "
+    "lead(cents - mu, 2) OVER w AS d2, "
+    "lead(cents - mu, 3) OVER w AS d3 "
+    "FROM b JOIN m USING (event_type) "
+    "WINDOW w AS (PARTITION BY b.event_type ORDER BY o1, event_id)), "
+    "s AS (SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den, "
+    "CAST(sum(CASE WHEN d1 IS NOT NULL THEN dev * d1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(sum(CASE WHEN d2 IS NOT NULL THEN dev * d2 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(sum(CASE WHEN d3 IS NOT NULL THEN dev * d3 ELSE 0 END) AS BIGINT) AS n3 "
+    "FROM d GROUP BY event_type) "
+    "SELECT event_type, CAST(lag AS BIGINT) AS lag, num, den, "
+    "CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / den END AS acf "
+    "FROM (SELECT event_type, 1 AS lag, n1 AS num, den FROM s "
+    "UNION ALL SELECT event_type, 2, n2, den FROM s "
+    "UNION ALL SELECT event_type, 3, n3, den FROM s)",
+)
+def t32(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_events
+
+    from pgstream_spark.functions.datetime import epoch_seconds
+
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("__o1"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = b.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) AS BIGINT) DIV count(*)").alias("mu")
+    )
+    w = Window.partitionBy("event_type").orderBy("__o1", "event_id")
+    dev = F.col("cents") - F.col("mu")
+    d = b.join(m, "event_type").select(
+        "event_type",
+        dev.alias("dev"),
+        F.lead(dev, 1).over(w).alias("d1"),
+        F.lead(dev, 2).over(w).alias("d2"),
+        F.lead(dev, 3).over(w).alias("d3"),
+    )
+
+    def nk(c):
+        return (
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("dev") * F.col(c)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+        )
+
+    s = d.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"),
+        nk("d1").alias("n1"),
+        nk("d2").alias("n2"),
+        nk("d3").alias("n3"),
+    )
+    parts = [
+        s.select(
+            "event_type",
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col(f"n{k}").alias("num"),
+            "den",
+        )
+        for k in (1, 2, 3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.select(
+        "event_type",
+        "lag",
+        "num",
+        "den",
+        F.when(F.col("den") > 0, F.col("num").cast("double") / F.col("den")).alias(
+            "acf"
+        ),
+    )
+
+
+@q(
     "g47_grouped_mode",
     # Exact per-group mode with a TOTAL deterministic tie-break (highest
     # count, then lowest value) — spelled as count + row_number on BOTH
@@ -8269,6 +8364,7 @@ _GATE_ORDER_R4 = [
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
     "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
+    "t32_autocorr",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

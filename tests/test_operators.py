@@ -4112,3 +4112,45 @@ class TestStratifiedSplit:
         )
         out = [r.split for r in stratified_split(df, "doc_id", ["lang"]).collect()]
         assert sorted(out) == ["test"] + ["train"] * 8 + ["val"]
+
+
+class TestAutocorr:
+    """t32_autocorr — integer-exact ACF about the floor-cent mean."""
+
+    def _acf(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+
+        return QUERIES["t32_autocorr"](spark, sf_dir)
+
+    def test_alternating_series_is_anticorrelated(self, spark, tmp_path):
+        import datetime as dt
+
+        from pgstream_spark.inventory import QUERIES
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1,
+             "x", 10.0 if i % 2 == 0 else 20.0, "{}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        d = str(tmp_path / "ev")
+        df.write.parquet(f"{d}/events.parquet")
+        for t in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+            pass  # t32 only reads events
+        out = {r.lag: r for r in QUERIES["t32_autocorr"](spark, d).collect()}
+        assert out[1].acf < -0.99           # perfect alternation
+        assert out[2].acf >= 0.98           # period-2 series ((n-2)/n edge)
+        assert out[1].den == out[2].den > 0
+
+    def test_real_fixture_bounds_and_exact_ratio(self, spark, sf_dir):
+        out = self._acf(spark, sf_dir).collect()
+        assert len(out) == 15               # 5 event types × 3 lags
+        for r in out:
+            assert r.den > 0
+            assert -1.001 <= r.acf <= 1.001
+            assert r.acf == r.num / r.den   # the single IEEE division
