@@ -7778,9 +7778,12 @@ def l59(spark, sf_dir):
     # bin's total-variation contribution |p_a - p_b| in exact half-up
     # micro units — integer cross-multiplication with Laplace-1
     # smoothing, no transcendentals (the l21 rule; PSI/KL need ln whose
-    # last ulp differs across libm implementations).  Two combinable
-    # counts + a broadcast scalar attach; output O(bins) at any corpus
-    # size.  Snapshots here = doc_id parity halves (deterministic).
+    # last ulp differs across libm implementations — l31 carries the
+    # PSI-named variant with a round(4) mitigation; this is the
+    # exact-hash gate form, with a FULL spine so drift into empty bins
+    # is seen, and the streaming twin streaming/drift reuses its counts
+    # core).  Two combinable counts + a broadcast scalar attach; output
+    # O(bins) at any corpus size.  Snapshots = doc_id parity halves.
     "WITH toks AS (SELECT doc_id, len(list_filter("
     "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n "
     "FROM documents), "
