@@ -149,7 +149,16 @@ def main() -> None:
         state = _load_state()
         names = [n for n in QUERIES if n in ORACLE]
         start = state.get("cursor", 0) % len(names)
-        order = names[start:] + names[:start]
+        # Never-covered names FIRST (registry order), then the covered
+        # ones from the cursor for wraparound re-proving.  The cursor
+        # alone is position-based and silently re-runs old entries
+        # whenever the registry grows mid-round (observed: a t12 re-run
+        # burning 594 s while five new queries waited at the tail).
+        done = set(state.get("results", {}))
+        rotated = names[start:] + names[:start]
+        order = [n for n in rotated if n not in done] + [
+            n for n in rotated if n in done
+        ]
         t0 = time.monotonic()
         ran = 0
         for name in order:
