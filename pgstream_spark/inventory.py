@@ -7116,24 +7116,27 @@ def t32(spark, sf_dir):
         nk("d2").alias("n2"),
         nk("d3").alias("n3"),
     )
-    parts = [
-        s.select(
-            "event_type",
-            F.lit(k).cast("bigint").alias("lag"),
-            F.col(f"n{k}").alias("num"),
-            "den",
-        )
-        for k in (1, 2, 3)
-    ]
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return u.select(
+    # one explode instead of a 3-leg union: the union re-computes the
+    # whole aggregation pipeline per leg (3× exchanges in the plan)
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col(f"n{k}").alias("num"),
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    return s.select(
+        "event_type", F.explode(lags).alias("__x"), "den"
+    ).select(
         "event_type",
-        "lag",
-        "num",
+        F.col("__x.lag").alias("lag"),
+        F.col("__x.num").alias("num"),
         "den",
-        F.when(F.col("den") > 0, F.col("num").cast("double") / F.col("den")).alias(
-            "acf"
-        ),
+        F.when(
+            F.col("den") > 0, F.col("__x.num").cast("double") / F.col("den")
+        ).alias("acf"),
     )
 
 

@@ -669,3 +669,38 @@ def test_span_scrub_no_doc_self_join(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoop" not in txt
     assert "BatchEvalPython" not in txt
+
+
+def test_snapshot_drift_broadcast_only_joins(spark, sf_dir):
+    # l60: bin-table joins are broadcast (O(bins) rows); the only
+    # nested-loop is the documented one-row scalar attach
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l60_snapshot_drift"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_stratified_split_single_exchange(spark, sf_dir):
+    # l61: count-over + row_number + boundaries ride ONE strata-keyed
+    # hash partitioning — no join, no second shuffle
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l61_stratified_split"](spark, sf_dir), "simple")
+    assert "Join" not in txt
+    assert txt.count("Exchange hashpartitioning") == 1
+
+
+def test_autocorr_two_exchanges_no_union_blowup(spark, sf_dir):
+    # t32: mean agg + (window sort → final agg) = 2 key exchanges; the
+    # per-lag rows come from ONE explode, not a 3-leg union that would
+    # re-run the pipeline per leg (6 exchanges before the fix)
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["t32_autocorr"](spark, sf_dir), "simple")
+    assert txt.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
