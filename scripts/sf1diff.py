@@ -143,6 +143,13 @@ def main() -> None:
         # sf1 comes from the partition-pruned IVF twins (l3d/l19/l36,
         # covered) and the sf0.01 gate carries bit-exactness.
         "l3c_embedding_neardup": "fixed-bucket LSH pairwise quadratic at sf1",
+        # All-pairs canonical tier: the oracle's shingle self-join pair
+        # set explodes at sf1 (>22 min in DuckDB, killed).  Its scale
+        # twin l55_canonical_prefix — the prefix-filter swap hashed
+        # against the SAME output contract — is sf1-covered green, so
+        # the operator's scale claim carries; the bounded all-pairs
+        # oracle tier stays at gate scale.
+        "l29_canonical_docs": "all-pairs oracle quadratic at sf1; twin l55 covered",
     }
 
     if rotate:
