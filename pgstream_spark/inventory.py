@@ -7043,7 +7043,7 @@ def t31(spark, sf_dir):
 
 
 @q(
-    "t32_autocorr",
+    "t32_autocorr", "l62_jw_vocab_pairs",
     # Per-series autocorrelation at lags 1..3 — the stationarity /
     # seasonality probe next to t26's decomposition.  Exactness: ACF
     # about the FLOOR-CENT mean (m = S DIV n) — deviations are then
@@ -7852,6 +7852,42 @@ def l61(spark, sf_dir):
     )
 
 
+@q("l62_jw_vocab_pairs")  # rows-only BY DESIGN: the exact-rational JW
+# (fuzzy.jaro_winkler_micro) and DuckDB's float jaro_winkler_similarity
+# agree only to ±1 micro at .5-rounding boundaries (~1% of pairs), so a
+# bit-hash oracle would flag float-representation noise, not defects.
+# The hard evidence is pytest: published Winkler vectors exact + an
+# 8000-pair random fuzz against DuckDB's INDEPENDENT implementation at
+# tolerance ±1 micro with the boundary conventions pinned (boost
+# threshold inclusive at exactly 0.7, empty→0).  Blocked vocab pairing:
+# first-2-chars block key bounds the candidate set (fuzzy_join
+# discipline) — the typo-mining pass over a corpus vocabulary.
+def l62(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+    from pgstream_spark.operators.fuzzy import jaro_winkler_micro
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    a = vocab.select(
+        F.col("w").alias("w1"), F.substring("w", 1, 2).alias("__blk")
+    )
+    b = vocab.select(
+        F.col("w").alias("w2"), F.substring("w", 1, 2).alias("__blk")
+    )
+    pairs = (
+        a.join(b, "__blk")
+        .filter(F.col("w1") < F.col("w2"))
+        .withColumn("jw_micro", jaro_winkler_micro("w1", "w2"))
+        .filter(F.col("jw_micro") >= 920_000)
+        .select("w1", "w2", "jw_micro")
+    )
+    return pairs.orderBy(F.desc("jw_micro"), "w1", "w2").limit(50)
+
+
 @q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
@@ -8370,7 +8406,7 @@ _GATE_ORDER_R4 = [
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
     "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
-    "t32_autocorr",
+    "t32_autocorr", "l62_jw_vocab_pairs",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

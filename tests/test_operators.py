@@ -4154,3 +4154,54 @@ class TestAutocorr:
             assert r.den > 0
             assert -1.001 <= r.acf <= 1.001
             assert r.acf == r.num / r.den   # the single IEEE division
+
+
+class TestJaroWinkler:
+    """fuzzy.jaro_winkler_micro — exact-rational JW vs DuckDB's float."""
+
+    def test_published_vectors_exact(self):
+        from pgstream_spark.operators.fuzzy import _jaro_winkler_micro_py as jw
+
+        assert jw("MARTHA", "MARHTA") == 961111
+        assert jw("DIXON", "DICKSONX") == 813333
+        assert jw("JELLYFISH", "SMELLYFISH") == 896296
+        assert jw("DWAYNE", "DUANE") == 840000
+        assert jw("CRATE", "TRACE") == 733333  # jaro only: below boost gate
+        assert jw("same", "same") == 1_000_000
+        assert jw("", "x") == 0 and jw("", "") == 0  # DuckDB convention
+
+    def test_fuzz_against_duckdb_independent_impl(self):
+        import random
+        import string
+
+        import duckdb
+
+        from pgstream_spark.operators.fuzzy import _jaro_winkler_micro_py as jw
+
+        con = duckdb.connect()
+        rng = random.Random(7)
+        for _ in range(8000):
+            a = "".join(
+                rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 10))
+            )
+            b = "".join(
+                rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 10))
+            )
+            duck = round(
+                con.execute(
+                    "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+                ).fetchone()[0]
+                * 1e6
+            )
+            assert abs(jw(a, b) - duck) <= 1, (a, b)
+
+    def test_vocab_pairs_query_runs_and_is_blocked(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+        from pgstream_spark.plans.explain import explain_string
+
+        df = QUERIES["l62_jw_vocab_pairs"](spark, sf_dir)
+        rows = df.collect()
+        assert all(r.jw_micro >= 920_000 for r in rows)
+        assert all(r.w1 < r.w2 for r in rows)
+        txt = explain_string(df, "simple")
+        assert "CartesianProduct" not in txt  # block key bounds the pairs
