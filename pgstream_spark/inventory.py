@@ -7043,7 +7043,7 @@ def t31(spark, sf_dir):
 
 
 @q(
-    "t32_autocorr", "l62_jw_vocab_pairs",
+    "t32_autocorr",
     # Per-series autocorrelation at lags 1..3 — the stationarity /
     # seasonality probe next to t26's decomposition.  Exactness: ACF
     # about the FLOOR-CENT mean (m = S DIV n) — deviations are then
