@@ -7888,6 +7888,55 @@ def l62(spark, sf_dir):
     return pairs.orderBy(F.desc("jw_micro"), "w1", "w2").limit(50)
 
 
+_SOUNDEX_COLLAPSE = "c0"
+for _d in "0123456":
+    _SOUNDEX_COLLAPSE = (
+        f"regexp_replace({_SOUNDEX_COLLAPSE}, '{_d}{_d}+', '{_d}', 'g')"
+    )
+
+
+@q(
+    "l63_soundex_blocks",
+    # Phonetic blocking keys for entity resolution: Spark's built-in JVM
+    # soundex vs an INDEPENDENTLY SQL-spelled American Soundex in DuckDB
+    # (which ships none) — translate to code digits, h/w as removable
+    # 9s so codes collapse ACROSS them (the Ashcraft rule), per-digit
+    # run collapse (RE2 has no backrefs), first-letter group dropped
+    # unless the first letter is H/W (probed: Spark keeps 'ht'→H300).
+    # Verified on 2.8k vocab+random words with zero mismatches before
+    # registration.  Blocks = the fuzzy_join key tier: group sizes and
+    # a deterministic sample word per code.
+    "WITH v AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+    "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2), "
+    "t AS (SELECT w, substr(upper(w), 1, 1) AS f, "
+    "replace(translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    "'01230129022455012623019202'), '9', '') AS c0 FROM v), "
+    "c AS (SELECT w, f, " + _SOUNDEX_COLLAPSE + " AS c1 FROM t), "
+    "d AS (SELECT w, f, CASE WHEN f IN ('H', 'W') THEN c1 "
+    "ELSE substr(c1, 2) END AS c2 FROM c), "
+    "e AS (SELECT w, f || substr(replace(c2, '0', '') || '000', 1, 3) "
+    "AS soundex_code FROM d) "
+    "SELECT soundex_code, CAST(count(*) AS BIGINT) AS n_words, "
+    "min(w) AS sample_word FROM e GROUP BY soundex_code",
+)
+def l63(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .distinct()
+    )
+    return vocab.select("w", F.soundex("w").alias("soundex_code")).groupBy(
+        "soundex_code"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.min("w").alias("sample_word"),
+    )
+
+
 @q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
@@ -8406,7 +8455,7 @@ _GATE_ORDER_R4 = [
     "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
     "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
-    "t32_autocorr", "l62_jw_vocab_pairs",
+    "t32_autocorr", "l62_jw_vocab_pairs", "l63_soundex_blocks",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

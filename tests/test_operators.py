@@ -4205,3 +4205,33 @@ class TestJaroWinkler:
         assert all(r.w1 < r.w2 for r in rows)
         txt = explain_string(df, "simple")
         assert "CartesianProduct" not in txt  # block key bounds the pairs
+
+
+class TestSoundexParity:
+    """l63 — Spark JVM soundex vs the SQL-spelled oracle variant."""
+
+    def test_edge_vocabulary_parity(self, spark):
+        # the probed variant rules, pinned: h/w collapse incl. across
+        # the first letter, no first-group drop for H/W-leading words
+        import pyspark.sql.functions as F
+
+        want = {
+            "ashcraft": "A261", "tymczak": "T522", "pfister": "P236",
+            "ht": "H300", "wheeler": "W460", "hanna": "H500",
+            "xhx": "X000", "bab": "B100", "czarkowska": "C622",
+            "aeiou": "A000", "moskowitz": "M232",
+        }
+        got = dict(
+            spark.createDataFrame([(w,) for w in want], "w string")
+            .select("w", F.soundex("w").alias("sx"))
+            .collect()
+        )
+        assert got == want
+
+    def test_blocks_cover_vocabulary(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+
+        rows = QUERIES["l63_soundex_blocks"](spark, sf_dir).collect()
+        assert sum(r.n_words for r in rows) > 0
+        assert all(len(r.soundex_code) == 4 for r in rows)
+        assert all(r.sample_word for r in rows)
