@@ -7938,6 +7938,69 @@ def l63(spark, sf_dir):
 
 
 @q(
+    "l64_entity_resolution",
+    # The classic ER pipeline END-TO-END under the hard gate: phonetic
+    # blocking (l63's differentially-proven soundex) → exact edit-
+    # distance verification on candidate pairs only (fuzzy_join's
+    # discipline, levenshtein <= 2, integer-exact both engines — f15) →
+    # connected components (l8's operator) → canonical per family (min
+    # word) with family size.  The oracle recomputes the closure with a
+    # recursive CTE over the SAME SQL-spelled soundex blocks.
+    "WITH RECURSIVE v AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+    "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 4), "
+    "t AS (SELECT w, substr(upper(w), 1, 1) AS f, "
+    "replace(translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    "'01230129022455012623019202'), '9', '') AS c0 FROM v), "
+    "c AS (SELECT w, f, " + _SOUNDEX_COLLAPSE + " AS c1 FROM t), "
+    "d AS (SELECT w, f, CASE WHEN f IN ('H', 'W') THEN c1 "
+    "ELSE substr(c1, 2) END AS c2 FROM c), "
+    "sx AS (SELECT w, f || substr(replace(c2, '0', '') || '000', 1, 3) "
+    "AS k FROM d), "
+    "pairs AS (SELECT a.w AS id_a, b.w AS id_b FROM sx a "
+    "JOIN sx b ON a.k = b.k AND a.w < b.w "
+    "WHERE levenshtein(a.w, b.w) <= 2), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a), "
+    "comp AS (SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node) "
+    "SELECT cluster AS canonical, CAST(count(*) AS BIGINT) AS n_words, "
+    "max(node) AS last_member FROM comp GROUP BY cluster",
+)
+def l64(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters, tokens_col
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 4))
+        .distinct()
+        .select("w", F.soundex("w").alias("__k"))
+    )
+    a = vocab.select(F.col("w").alias("id_a"), "__k")
+    b = vocab.select(F.col("w").alias("id_b"), "__k")
+    pairs = (
+        a.join(b, "__k")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # threshold form: -1 once the banded DP exceeds 2
+            & (F.levenshtein("id_a", "id_b", 2) >= 0)
+        )
+        .select("id_a", "id_b")
+    )
+    return (
+        dedup_clusters(pairs)
+        .groupBy(F.col("cluster").alias("canonical"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.max("node").alias("last_member"),
+        )
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -8456,6 +8519,7 @@ _GATE_ORDER_R4 = [
     "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
     "l58_semdedup", "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
     "t32_autocorr", "l62_jw_vocab_pairs", "l63_soundex_blocks",
+    "l64_entity_resolution",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R4

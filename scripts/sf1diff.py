@@ -150,6 +150,7 @@ def main() -> None:
         # the operator's scale claim carries; the bounded all-pairs
         # oracle tier stays at gate scale.
         "l29_canonical_docs": "all-pairs oracle quadratic at sf1; twin l55 covered",
+        "l64_entity_resolution": "shares l8's recursive-reachability oracle class",
     }
 
     if rotate:

@@ -4235,3 +4235,36 @@ class TestSoundexParity:
         assert sum(r.n_words for r in rows) > 0
         assert all(len(r.soundex_code) == 4 for r in rows)
         assert all(r.sample_word for r in rows)
+
+
+class TestEntityResolution:
+    """l64 — soundex-blocked, levenshtein-verified, CC-clustered ER."""
+
+    def test_planted_typo_family_resolves(self, spark, tmp_path):
+        from pgstream_spark.inventory import QUERIES
+
+        # three spellings of one surname share soundex R163 and lev<=2;
+        # 'roberts' joins via 'robert' (transitively) even though
+        # lev(rupert, roberts)=3 — the CC closure's job
+        docs = [
+            (0, "en", "a", "robert writes code"),
+            (1, "en", "a", "rupert writes code"),
+            (2, "en", "a", "roberts writes code"),
+            (3, "en", "a", "unrelated words here"),
+        ]
+        d = str(tmp_path)
+        spark.createDataFrame(
+            docs, "doc_id long, lang string, source string, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.canonical: r for r in QUERIES["l64_entity_resolution"](spark, d).collect()}
+        fam = out["robert"]
+        assert fam.n_words == 3 and fam.last_member == "rupert"
+        # singletons never form components
+        assert "unrelated" not in out and "words" not in out
+
+    def test_real_fixture_families_are_valid(self, spark, sf_dir):
+        from pgstream_spark.inventory import QUERIES
+
+        rows = QUERIES["l64_entity_resolution"](spark, sf_dir).collect()
+        assert all(r.n_words >= 2 for r in rows)
+        assert all(r.canonical <= r.last_member for r in rows)
