@@ -7859,25 +7859,34 @@ def l61(spark, sf_dir):
 # The hard evidence is pytest: published Winkler vectors exact + an
 # 8000-pair random fuzz against DuckDB's INDEPENDENT implementation at
 # tolerance ±1 micro with the boundary conventions pinned (boost
-# threshold inclusive at exactly 0.7, empty→0).  Blocked vocab pairing:
-# first-2-chars block key bounds the candidate set (fuzzy_join
-# discipline) — the typo-mining pass over a corpus vocabulary.
+# threshold inclusive at exactly 0.7, empty→0).  Domain: the corpus's
+# bigram phrases blocked on the head word (l64's blocking tier — the
+# fixtures' word vocabulary is too small for prefix-blocked word pairs),
+# JW >= 0.92, top-50 — ~660 candidate matches at sf0.01.
 def l62(spark, sf_dir):
     from pgstream_spark.operators.dedup import tokens_col
     from pgstream_spark.operators.fuzzy import jaro_winkler_micro
 
-    vocab = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 4)
+    toks = _t(spark, sf_dir, "documents").select(
+        tokens_col(F.col("text")).alias("__t")
+    )
+    n = F.size("__t")
+    phrases = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, 2)),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").rlike("^[a-z]+ [a-z]+$"))
         .distinct()
+        .withColumn("__blk", F.substring_index("p", " ", 1))
     )
-    a = vocab.select(
-        F.col("w").alias("w1"), F.substring("w", 1, 2).alias("__blk")
-    )
-    b = vocab.select(
-        F.col("w").alias("w2"), F.substring("w", 1, 2).alias("__blk")
-    )
+    a = phrases.select(F.col("p").alias("w1"), "__blk")
+    b = phrases.select(F.col("p").alias("w2"), "__blk")
     pairs = (
         a.join(b, "__blk")
         .filter(F.col("w1") < F.col("w2"))
@@ -7939,54 +7948,65 @@ def l63(spark, sf_dir):
 
 @q(
     "l64_entity_resolution",
-    # The classic ER pipeline END-TO-END under the hard gate: phonetic
-    # blocking (l63's differentially-proven soundex) → exact edit-
-    # distance verification on candidate pairs only (fuzzy_join's
-    # discipline, levenshtein <= 2, integer-exact both engines — f15) →
-    # connected components (l8's operator) → canonical per family (min
-    # word) with family size.  The oracle recomputes the closure with a
-    # recursive CTE over the SAME SQL-spelled soundex blocks.
-    "WITH RECURSIVE v AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter("
-    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
-    "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 4), "
-    "t AS (SELECT w, substr(upper(w), 1, 1) AS f, "
-    "replace(translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
-    "'01230129022455012623019202'), '9', '') AS c0 FROM v), "
-    "c AS (SELECT w, f, " + _SOUNDEX_COLLAPSE + " AS c1 FROM t), "
-    "d AS (SELECT w, f, CASE WHEN f IN ('H', 'W') THEN c1 "
-    "ELSE substr(c1, 2) END AS c2 FROM c), "
-    "sx AS (SELECT w, f || substr(replace(c2, '0', '') || '000', 1, 3) "
-    "AS k FROM d), "
-    "pairs AS (SELECT a.w AS id_a, b.w AS id_b FROM sx a "
-    "JOIN sx b ON a.k = b.k AND a.w < b.w "
-    "WHERE levenshtein(a.w, b.w) <= 2), "
+    # The classic ER pipeline END-TO-END under the hard gate, over the
+    # corpus's bigram PHRASES (the fixtures' word vocabulary is ~24
+    # terms — phrases give real near-duplicate families): blocking on
+    # the phrase head word (the stable-attribute key; at Zipf scale add
+    # l63's soundex of the second word to split hot blocks) → exact
+    # edit-distance verification on candidate pairs ONLY (banded
+    # levenshtein <= 3, integer-exact both engines — f15) → connected
+    # components (l8's operator) → canonical per family (min phrase)
+    # with family size.  The oracle recomputes the closure with a
+    # recursive CTE over the same blocks.
+    "WITH RECURSIVE toks AS (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "ph AS (SELECT DISTINCT unnest([array_to_string(t[i:i+1], ' ') "
+    "FOR i IN generate_series(1, len(t) - 1)]) AS p FROM toks "
+    "WHERE len(t) >= 2), "
+    "pa AS (SELECT p, split_part(p, ' ', 1) AS hd FROM ph "
+    "WHERE regexp_matches(p, '^[a-z]+ [a-z]+$')), "
+    "pairs AS (SELECT a.p AS id_a, b.p AS id_b FROM pa a "
+    "JOIN pa b ON a.hd = b.hd AND a.p < b.p "
+    "WHERE levenshtein(a.p, b.p) <= 3), "
     "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
     "UNION SELECT id_b, id_a FROM pairs), "
     "reach AS (SELECT a AS node, b AS reached FROM edges "
     "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a), "
     "comp AS (SELECT node, least(node, min(reached)) AS cluster "
     "FROM reach GROUP BY node) "
-    "SELECT cluster AS canonical, CAST(count(*) AS BIGINT) AS n_words, "
+    "SELECT cluster AS canonical, CAST(count(*) AS BIGINT) AS n_phrases, "
     "max(node) AS last_member FROM comp GROUP BY cluster",
 )
 def l64(spark, sf_dir):
     from pgstream_spark.operators.dedup import dedup_clusters, tokens_col
 
-    vocab = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 4))
-        .distinct()
-        .select("w", F.soundex("w").alias("__k"))
+    toks = _t(spark, sf_dir, "documents").select(
+        tokens_col(F.col("text")).alias("__t")
     )
-    a = vocab.select(F.col("w").alias("id_a"), "__k")
-    b = vocab.select(F.col("w").alias("id_b"), "__k")
+    n = F.size("__t")
+    phrases = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, 2)),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").rlike("^[a-z]+ [a-z]+$"))
+        .distinct()
+        .withColumn("__hd", F.substring_index("p", " ", 1))
+    )
+    a = phrases.select(F.col("p").alias("id_a"), "__hd")
+    b = phrases.select(F.col("p").alias("id_b"), "__hd")
     pairs = (
-        a.join(b, "__k")
+        a.join(b, "__hd")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            # threshold form: -1 once the banded DP exceeds 2
-            & (F.levenshtein("id_a", "id_b", 2) >= 0)
+            # threshold form: -1 once the banded DP exceeds 3
+            & (F.levenshtein("id_a", "id_b", 3) >= 0)
         )
         .select("id_a", "id_b")
     )
@@ -7994,7 +8014,7 @@ def l64(spark, sf_dir):
         dedup_clusters(pairs)
         .groupBy(F.col("cluster").alias("canonical"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_phrases"),
             F.max("node").alias("last_member"),
         )
     )

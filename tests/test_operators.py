@@ -4201,6 +4201,7 @@ class TestJaroWinkler:
 
         df = QUERIES["l62_jw_vocab_pairs"](spark, sf_dir)
         rows = df.collect()
+        assert len(rows) > 0          # real candidate matches, not vacuous
         assert all(r.jw_micro >= 920_000 for r in rows)
         assert all(r.w1 < r.w2 for r in rows)
         txt = explain_string(df, "simple")
@@ -4240,31 +4241,33 @@ class TestSoundexParity:
 class TestEntityResolution:
     """l64 — soundex-blocked, levenshtein-verified, CC-clustered ER."""
 
-    def test_planted_typo_family_resolves(self, spark, tmp_path):
+    def test_planted_phrase_family_resolves(self, spark, tmp_path):
         from pgstream_spark.inventory import QUERIES
 
-        # three spellings of one surname share soundex R163 and lev<=2;
-        # 'roberts' joins via 'robert' (transitively) even though
-        # lev(rupert, roberts)=3 — the CC closure's job
+        # three head-blocked variants of one phrase within lev 3;
+        # 'acme corpse' joins 'acme corporate' transitively via
+        # 'acme corp' (lev(corpse, corporate) > 3) — the CC closure
         docs = [
-            (0, "en", "a", "robert writes code"),
-            (1, "en", "a", "rupert writes code"),
-            (2, "en", "a", "roberts writes code"),
-            (3, "en", "a", "unrelated words here"),
+            (0, "en", "a", "visit acme corp today"),
+            (1, "en", "a", "visit acme corps today"),
+            (2, "en", "a", "visit acme corpse today"),
+            (3, "en", "a", "unrelated wording entirely"),
         ]
         d = str(tmp_path)
         spark.createDataFrame(
             docs, "doc_id long, lang string, source string, text string"
         ).write.parquet(f"{d}/documents.parquet")
-        out = {r.canonical: r for r in QUERIES["l64_entity_resolution"](spark, d).collect()}
-        fam = out["robert"]
-        assert fam.n_words == 3 and fam.last_member == "rupert"
-        # singletons never form components
-        assert "unrelated" not in out and "words" not in out
+        out = {
+            r.canonical: r
+            for r in QUERIES["l64_entity_resolution"](spark, d).collect()
+        }
+        fam = out["acme corp"]
+        assert fam.n_phrases == 3 and fam.last_member == "acme corpse"
 
     def test_real_fixture_families_are_valid(self, spark, sf_dir):
         from pgstream_spark.inventory import QUERIES
 
         rows = QUERIES["l64_entity_resolution"](spark, sf_dir).collect()
-        assert all(r.n_words >= 2 for r in rows)
+        assert len(rows) > 0          # real families, not a vacuous pass
+        assert all(r.n_phrases >= 2 for r in rows)
         assert all(r.canonical <= r.last_member for r in rows)
