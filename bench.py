@@ -123,25 +123,62 @@ def main() -> None:
     t_sweep0 = time.perf_counter()
     sweep: dict[str, float] = dict(timings)
 
-    # Sweep order: queries with no timing in the latest BENCH_r*.json
-    # run FIRST, so new registrations are always covered inside the
-    # budget and the "not reached" tail rotates across rounds.
-    def sweep_order() -> list[str]:
+    # Sweep order: queries with no timing in any prior record run FIRST,
+    # so new registrations are always covered inside the budget and the
+    # "not reached" tail rotates across rounds.
+    #
+    # VERDICT r4 item 3: the driver's BENCH_r*.json is NOT bench.py's
+    # own stdout JSON — it is `{"n", "rc", "tail": "<truncated stdout>",
+    # "parsed": null}`, so the old `rec["sweep"]` lookup always came up
+    # empty and every query counted as unseen (the rotation was a
+    # no-op).  Fix: (a) persist our own full record to BENCH_LOCAL.json
+    # and prefer it; (b) fall back to regex-scavenging `"name": secs`
+    # pairs out of the driver record's truncated `tail` string.
+    def prior_timings() -> set[str]:
         import glob
+        import re
 
         here = os.path.dirname(os.path.abspath(__file__))
         prior: set[str] = set()
-        recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        if recs:
+        local = os.path.join(here, "BENCH_LOCAL.json")
+        if os.path.exists(local):
             try:
-                with open(recs[-1]) as fh:
+                with open(local) as fh:
                     rec = json.load(fh)
-                prior = {
-                    k for k, v in rec.get("sweep", rec.get("queries", {})).items()
+                prior |= {
+                    k
+                    for k, v in rec.get("sweep", rec.get("queries", {})).items()
                     if isinstance(v, (int, float)) and v > 0
                 }
             except (OSError, ValueError):
                 pass
+        for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            try:
+                with open(path) as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            blobs = [rec.get("tail") or ""]
+            parsed = rec.get("parsed")
+            if isinstance(parsed, dict):
+                for key in ("sweep", "queries"):
+                    sub = parsed.get(key)
+                    if isinstance(sub, dict):
+                        prior |= {
+                            k
+                            for k, v in sub.items()
+                            if isinstance(v, (int, float)) and v > 0
+                        }
+            for blob in blobs:
+                for m in re.finditer(
+                    r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', blob
+                ):
+                    if m.group(1) in QUERIES and float(m.group(2)) > 0:
+                        prior.add(m.group(1))
+        return prior
+
+    def sweep_order() -> list[str]:
+        prior = prior_timings()
         names = list(QUERIES)
         # unseen newest-first: registration order puts the latest
         # additions at the end, and those are exactly the rows with no
@@ -164,19 +201,27 @@ def main() -> None:
                 sweep[name] = -1.0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_inventory_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sweep": sweep,
-                "sweep_total": round(sum(v for v in sweep.values() if v > 0), 3),
-                "sf": SF_DIR,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sweep": sweep,
+        "sweep_total": round(sum(v for v in sweep.values() if v > 0), 3),
+        "sf": SF_DIR,
+    }
+    print(json.dumps(record))
+    # Persist our own untruncated record so the next run's "unseen
+    # first" rotation has real history (the driver's BENCH_r*.json
+    # truncates stdout — VERDICT r4 item 3).  Full (non-`only`) runs
+    # only: a single-query invocation must not masquerade as a sweep.
+    if not only:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+                json.dump(record, fh)
+        except OSError:
+            pass
     spark.stop()
 
 

@@ -50,14 +50,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Queries whose oracle-verified result is LEGITIMATELY empty at gate
+# scale (sf0.01).  Everything else returning 0 rows is a VACUOUS gate
+# row — the hash trivially matches without exercising the logic (the
+# round-4 o7/u3 disease) — and is rejected by scripts/diffcheck.py and
+# tests/test_oracle.py::test_no_vacuous_oracles.
+EMPTY_OK: set[str] = set()
 
-def q(name: str, oracle: str | None = None):
-    """Register a declared query (and its oracle SQL, if expressible)."""
+
+def q(name: str, oracle: str | None = None, empty_ok: bool = False):
+    """Register a declared query (and its oracle SQL, if expressible).
+
+    ``empty_ok=True`` marks a query whose correct result is empty at
+    gate scale; without it, a 0-row oracle result fails the local gate.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if empty_ok:
+            EMPTY_OK.add(name)
         return fn
 
     return deco
@@ -842,14 +855,22 @@ def u2(spark, sf_dir):
 
 @q(
     "u3_except",
+    # The subtracted branch is FILTERED (early orders only) so the
+    # EXCEPT has real survivors: every customer has *some* order in
+    # this data, so the unfiltered form verified an empty set (VERDICT
+    # r4 "vacuous gate row").  326 survivors at sf0.01 / 34 at sf0.001.
     "SELECT c_custkey FROM customer "
-    "EXCEPT SELECT o_custkey FROM orders",
+    "EXCEPT SELECT o_custkey FROM orders "
+    "WHERE o_orderdate < TIMESTAMP '1996-01-01'",
 )
 def u3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
     return c.select("c_custkey").subtract(
-        o.select(F.col("o_custkey").alias("c_custkey"))
+        early.select(F.col("o_custkey").alias("c_custkey"))
     )
 
 
@@ -1947,7 +1968,10 @@ def l7(spark, sf_dir):
     "g18_tpch_q7_nation_volume",
     # TPC-H Q7 shape: shipping volume between two nations by year —
     # the 6-table join with two roles for nation.  Dimension chains
-    # broadcast; the fact join shuffles once on orderkey.
+    # broadcast; the fact join shuffles once on orderkey.  The nation
+    # pair is 18/19 (the most-traded pair in this data): the original
+    # 1/2 pair had ZERO trades at sf0.001, making the local gate row
+    # vacuous there (driver scale sf0.01 was real but thin).
     "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
     "CAST(year(l_shipdate) AS INT) AS l_year, "
     + _dsum("l_extendedprice * (1 - l_discount)")
@@ -1958,8 +1982,8 @@ def l7(spark, sf_dir):
     "JOIN supplier ON s_suppkey = l_suppkey "
     "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
     "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
-    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
-    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') "
+    "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) "
     "GROUP BY supp_nation, cust_nation, l_year",
 )
 def g18(spark, sf_dir):
@@ -1981,8 +2005,8 @@ def g18(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
         )
         .groupBy(
             "supp_nation",
@@ -4953,12 +4977,16 @@ def l39(spark, sf_dir):
 @q(
     "j8c_asof_tolerance",
     # As-of join with a staleness bound: the latest order at-or-before
-    # each event counts only if it is at most 7 days old — the "don't
-    # join against ancient state" rule every time-series enrichment
-    # needs.  Semantics = unbounded as-of match, then invalidate stale
-    # matches (identical to a bounded backward search: anything newer
-    # would have matched first); both engines express it as the same
-    # post-match filter, so j8's oracle shape carries over.
+    # each event counts only if it is at most 9000 days old — the
+    # "don't join against ancient state" rule every time-series
+    # enrichment needs.  Semantics = unbounded as-of match, then
+    # invalidate stale matches (identical to a bounded backward search:
+    # anything newer would have matched first); both engines express it
+    # as the same post-match filter, so j8's oracle shape carries over.
+    # The bound is 9000 days because events sit in 2024-01 and orders
+    # in 1995..2001: a 7-day bound matched NOTHING (the round-4 vacuous
+    # class); 9000 days keeps ~87%% of matches and stales the rest, so
+    # the bound is actually exercised in both directions.
     "WITH " + _EV + ", ord AS (SELECT o_custkey, o_orderdate, "
     "max(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey, o_orderdate) "
     "SELECT event_id, user_id, matched_orderkey, age_s FROM ("
@@ -4966,7 +4994,7 @@ def l39(spark, sf_dir):
     "CAST(date_diff('second', o.o_orderdate, e.ts) AS BIGINT) AS age_s "
     "FROM ev e ASOF JOIN ord o "
     "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) "
-    "WHERE age_s <= 7 * 86400",
+    "WHERE age_s <= 9000 * 86400",
 )
 def j8c(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -4978,7 +5006,7 @@ def j8c(spark, sf_dir):
     )
     joined = asof_join(
         ev, ordd, on="user_id", left_ts="ts", right_ts="o_orderdate",
-        direction="backward", tolerance_seconds=7 * 86400,
+        direction="backward", tolerance_seconds=9000 * 86400,
     )
     age = (
         F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate_r")
@@ -5845,14 +5873,17 @@ def l45(spark, sf_dir):
     # because a struct comparison does not reach the parquet scan
     # (verified: no PushedFilters) — the leading >= conjunct is what
     # row-group statistics can skip on; plan-pinned in test_plans.
+    # Cursor sits INSIDE the data range (1995-01-01..2001-08-01) so the
+    # verified page is a real 50-row page, not an empty result (VERDICT
+    # r4 "vacuous gate row": the old 2024-03-01 cursor was past max).
     "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
-    "WHERE o_orderdate >= TIMESTAMP '2024-03-01' "
-    "AND (o_orderdate > TIMESTAMP '2024-03-01' OR o_orderkey > 0) "
+    "WHERE o_orderdate >= TIMESTAMP '1998-06-01' "
+    "AND (o_orderdate > TIMESTAMP '1998-06-01' OR o_orderkey > 0) "
     "ORDER BY o_orderdate, o_orderkey LIMIT 50",
 )
 def o7(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    cdate = F.lit("2024-03-01").cast("timestamp_ntz")
+    cdate = F.lit("1998-06-01").cast("timestamp_ntz")
     return (
         o.filter(
             (F.col("o_orderdate") >= cdate)
@@ -8542,7 +8573,58 @@ _GATE_ORDER_R4 = [
     "l64_entity_resolution",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R4
+# Round-5 rotation, ACTIVE (VERDICT r4 items 1/2/8).  Window layout:
+# the two DE-VACUATED rows retest first (o7's keyset cursor moved inside
+# the data range; u3's EXCEPT branch filtered so survivors exist — both
+# previously hash-matched on 0 rows), then the never-driver-checked
+# backlog, highest-novelty first, with the heavy exact tiers (semdedup,
+# two-star CC, entity resolution, TPC-H q9) LAST inside the 50-slot
+# window so a driver time budget cannot orphan cheap rows behind them.
+# Excluded from the window (roll to round 6): seven near-twins of
+# already-green queries (f13/f14/u4/f19/j8c/x7/l34) and the rows-only
+# registrations (l13/g34/l36/l53/l62 — no oracle, a slot would burn as
+# `no_oracle`).  Every name in the first 50 is diffcheck-green
+# (DESCRIBE type gate + vacuous-row guard) at sf0.001 AND sf0.01 as of
+# the round-5 close, and sf1-proven in scripts/sf1_state.json.
+_GATE_ORDER_R5 = [
+    # -- de-vacuated round-4 greens: must re-verify with REAL rows -----
+    "o7_keyset_pagination",
+    "u3_except",
+    # -- round-4 session tier: newest, zero driver rows ----------------
+    "l56_dsir_importance", "l57_word_collapse", "w17_streaks",
+    "g49_moment_stats", "g50_tpch_q17_small_qty",
+    "g52_tpch_q11_share", "g53_tpch_q16_supplier_cnt",
+    "g54_tpch_q20_excess_ship", "g55_tpch_q2_min_cost",
+    "l59_span_scrub", "l60_snapshot_drift", "l61_stratified_split",
+    "t32_autocorr", "l63_soundex_blocks",
+    # -- skew-safe chunked-window twins (r4-built, absent from R4 order)
+    "w13b_window_median_chunked", "t17b_sessionize_chunked",
+    # -- TPC-H + statistics remainder ----------------------------------
+    "g23_tpch_q12_priority_class", "g24_tpch_q13_order_distribution",
+    "g25_tpch_q15_top_supplier", "g26_tpch_q21_sole_late",
+    "g27_tpch_q8_market_share", "g28_cube_grouping", "g31_winsorized_agg",
+    "g32_robust_zscore", "g33_grouping_sets", "g35_standardize",
+    "g36_equidepth_bins", "g37_regression_slope", "g38_argminmax",
+    "g39_welch_ttest",
+    # -- functions / order / subquery remainder ------------------------
+    "f15_edit_distance", "f17_string_extended", "f18_date_extended",
+    "f20_array_set_ops", "f21_try_cast", "f22_url_parsing",
+    "o5_null_ordering", "o6_topk_with_ties",
+    "p10_scalar_subquery", "p11_lateral_topn",
+    # -- LLM-pipeline + sketch remainder -------------------------------
+    "l35_pq_codes", "l39_source_quota_cap", "l41_hll_distinct",
+    # -- heavy exact tiers LAST in the window (item 8) -----------------
+    "l37_duplicate_spans", "g51_tpch_q9_profit",
+    "l38_dedup_clusters_twostar", "l58_semdedup",
+    "l64_entity_resolution",
+    # ==== position 50 ends here: window boundary ======================
+    # overflow tail (near-twins of already-green queries) → round 6
+    "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
+    "f19_datetime_format", "j8c_asof_tolerance", "x7_arrow_kernel",
+    "l34_epoch_shuffle",
+]
+
+_GATE_ORDER = _GATE_ORDER_R5
 
 
 def _reorder_registry() -> None:

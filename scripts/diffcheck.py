@@ -165,6 +165,17 @@ def compare(name, sdf, con, sql):
         problems.append(f"columns differ: spark={sn} oracle={on}")
     if len(sd) != len(od):
         problems.append(f"row count: spark={len(sd)} oracle={len(od)}")
+    # Vacuous-row guard (round-4 o7/u3 lesson): a 0-row result makes the
+    # driver's hash match trivially without exercising the query at all.
+    if not problems and len(sd) == 0:
+        from pgstream_spark.inventory import EMPTY_OK
+
+        if name not in EMPTY_OK:
+            problems.append(
+                "VACUOUS: both engines returned 0 rows — the gate row "
+                "verifies nothing; move predicates inside the data range "
+                "or register with empty_ok=True if empty-by-design"
+            )
     # Per-column Python-type signature: catches typed-hash divergence
     # (int vs Decimal vs float) even when the numeric values are equal.
     if not problems:

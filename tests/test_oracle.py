@@ -52,3 +52,28 @@ def test_all_oracles_gate_compatible(duck):
                     "to string for the gate"
                 )
     assert not bad, "\n".join(bad)
+
+
+def test_no_vacuous_oracles(duck):
+    """Registration-time zero-row rejection (VERDICT r4 item 2): an
+    oracle-backed query whose result is empty at test scale produces a
+    gate row that verifies nothing — the hash of an empty frame matches
+    trivially (the o7/u3 disease).  DuckDB-only, so it runs in seconds;
+    the Spark side is hash-pinned to the same row count by
+    test_oracle_match."""
+    from pgstream_spark.inventory import EMPTY_OK
+
+    vacuous: list[str] = []
+    for name, sql in ORACLE.items():
+        if name in EMPTY_OK:
+            continue
+        try:
+            n = duck.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        except Exception:  # noqa: BLE001 — DESCRIBE test reports these
+            continue
+        if n == 0:
+            vacuous.append(name)
+    assert not vacuous, (
+        "vacuous oracle rows (0 rows at test scale — tag empty_ok=True "
+        f"only if empty-by-design): {vacuous}"
+    )

@@ -524,9 +524,17 @@ def test_keyset_pagination_pushes_leading_bound(spark, sf_dir):
     from pgstream_spark.inventory import QUERIES
     from pgstream_spark.plans.explain import explain_string
 
-    txt = explain_string(QUERIES["o7_keyset_pagination"](spark, sf_dir), "formatted")
+    df = QUERIES["o7_keyset_pagination"](spark, sf_dir)
+    txt = explain_string(df, "formatted")
     assert "PushedFilters" in txt
     assert "GreaterThanOrEqual(o_orderdate" in txt
+    # Non-vacuous (VERDICT r4): the cursor sits inside the data range,
+    # so page 2 must be a real, full page — 0 rows here means the
+    # pagination logic is never exercised by the oracle.
+    rows = df.collect()
+    assert len(rows) == 50
+    keys = [(r.o_orderdate, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
 
 
 def test_basket_pairs_broadcasts_counts_no_cartesian(spark, sf_dir):
