@@ -54,7 +54,7 @@ import socket
 import struct
 import uuid
 from dataclasses import dataclass
-from decimal import Decimal
+from decimal import Context, Decimal
 from typing import Any, Callable, Iterator, Sequence
 
 from pgstream_spark.errors import QueryError
@@ -110,6 +110,25 @@ def _pg_bytea(s: str) -> bytes:
     return s.encode("latin1")  # legacy escape format fallback
 
 
+def _pg_text_array(elem: Callable[[str], Any]) -> Callable[[str], list]:
+    """Parse a 1-D Postgres text-format array (``{1,2,NULL,3}``) of
+    numeric elements.  NULL elements are COMPACTED (dropped), matching
+    the reference's decode semantics (`/root/reference/cbits/
+    array_conversion.c:68-149` skips -1-length elements) and the binary
+    codec below — so text and binary paths agree on the same value."""
+
+    def parse(s: str) -> list:
+        body = s.strip()
+        if not (body.startswith("{") and body.endswith("}")):
+            raise ValueError(f"not an array literal: {s[:40]!r}")
+        body = body[1:-1]
+        if not body:
+            return []
+        return [elem(p) for p in body.split(",") if p != "NULL"]
+
+    return parse
+
+
 _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
     16: (_pg_bool, "boolean"),
     17: (_pg_bytea, "binary"),
@@ -120,6 +139,10 @@ _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
     25: (str, "string"),  # text
     700: (float, "float"),
     701: (float, "double"),
+    1007: (_pg_text_array(int), "array<int>"),  # int4[]
+    1016: (_pg_text_array(int), "array<bigint>"),  # int8[]
+    1021: (_pg_text_array(float), "array<float>"),  # float4[]
+    1022: (_pg_text_array(float), "array<double>"),  # float8[]
     1042: (str, "string"),  # bpchar
     1043: (str, "string"),  # varchar
     1082: (_pg_date, "date"),
@@ -137,8 +160,11 @@ _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
 # the reference's bulk data plane (`/root/reference/src/Database/
 # PostgreSQL/Stream.hs:97` requests PQ.Binary; `FromRow.hs:127-324`
 # decodes it) — binary framing removes the float repr round-trip hazard
-# of the text path and is the real bulk-load economics.  Fixed-width
-# types only; NUMERIC/arrays stay on the text path.
+# of the text path and is the real bulk-load economics.  Covers the
+# fixed-width scalars, the reference's signature array types (int4[]/
+# int8[]/float4[]/float8[], OIDs 1007/1016/1021/1022 — its defining
+# data-plane trick is exactly binary array extraction,
+# `/root/reference/cbits/array_conversion.c:68-149`), and NUMERIC.
 
 _PG_EPOCH_DAYS = 10957  # days from 1970-01-01 to Postgres's 2000-01-01
 _PG_EPOCH_US = 946_684_800_000_000  # µs from Unix epoch to 2000-01-01
@@ -189,6 +215,151 @@ _BIN_CODEC: dict[int, tuple[Callable[[Any], bytes], Callable[[bytes], Any]]] = {
     1082: (_bin_date_enc, _bin_date_dec),
     1114: (_bin_ts_enc, _bin_ts_dec),
 }
+
+
+# -- array binary codec (OIDs 1007/1016/1021/1022) -----------------------
+# Public array wire layout (PostgreSQL ``array_send``): int32 ndim,
+# int32 hasnull flag, int32 element OID; per dimension {int32 length,
+# int32 lower bound}; per element {int32 byte length | -1 for NULL,
+# payload in the element type's send() format}.  The reference's
+# defining data-plane trick is exactly this extraction
+# (`/root/reference/cbits/array_conversion.c:68-149` walks the same
+# layout; varlena handoff at `FromRow.hs:330-355`), including
+# NULL-element COMPACTION on decode: a -1-length element is skipped,
+# not surfaced — mirrored here (and in the text parser above) so both
+# transports produce the same value.  1-D only, like the reference
+# (its extractors return -1 for ndim != 1); an empty array is ndim=0
+# with no dimension header, as the server sends it.
+
+_ARRAY_ELEM_OID = {1007: 23, 1016: 20, 1021: 700, 1022: 701}
+
+
+def _bin_array_enc(elem_oid: int) -> Callable[[Any], bytes]:
+    enc = _BIN_CODEC[elem_oid][0]
+
+    def encode(vals) -> bytes:
+        if not vals:
+            return struct.pack("!iii", 0, 0, elem_oid)
+        hasnull = any(v is None for v in vals)
+        out = bytearray(
+            struct.pack("!iii", 1, 1 if hasnull else 0, elem_oid)
+        )
+        out += struct.pack("!ii", len(vals), 1)  # dim length, lower bound
+        for v in vals:
+            if v is None:
+                out += struct.pack("!i", -1)
+            else:
+                p = enc(v)
+                out += struct.pack("!i", len(p)) + p
+        return bytes(out)
+
+    return encode
+
+
+def _bin_array_dec(elem_oid: int) -> Callable[[bytes], list]:
+    dec = _BIN_CODEC[elem_oid][1]
+
+    def decode(b: bytes) -> list:
+        ndim, _hasnull, oid = struct.unpack_from("!iii", b, 0)
+        if oid != elem_oid:
+            raise ValueError(
+                f"array element OID {oid}, expected {elem_oid}"
+            )
+        if ndim == 0:
+            return []
+        if ndim != 1:
+            raise ValueError(f"only 1-D arrays supported, got ndim={ndim}")
+        (n, _lb) = struct.unpack_from("!ii", b, 12)
+        off = 20
+        out: list = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("!i", b, off)
+            off += 4
+            if ln == -1:
+                continue  # reference parity: NULL elements compacted
+            out.append(dec(b[off : off + ln]))
+            off += ln
+        return out
+
+    return decode
+
+
+# -- NUMERIC binary codec (OID 1700) -------------------------------------
+# Public layout (PostgreSQL ``numeric_send``): uint16 ndigits, int16
+# weight, uint16 sign (0x0000 +, 0x4000 -, 0xC000 NaN), uint16 dscale,
+# then ndigits uint16 base-10000 digit groups, most significant first.
+# value = Σ digits[i] · 10000^(weight−i), rendered with dscale decimal
+# places — so the codec is EXACT for any Decimal (no float transit).
+
+_NUMERIC_POS, _NUMERIC_NEG, _NUMERIC_NAN = 0x0000, 0x4000, 0xC000
+
+# NUMERIC can carry up to 131072 integral + 16383 fractional digits —
+# far past the default 28-digit Decimal context, whose scaleb/quantize
+# would silently round (or raise).  All codec arithmetic runs in a
+# context wide enough for any wire value.
+_NUM_CTX = Context(prec=150_000)
+
+
+def _bin_numeric_enc(v) -> bytes:
+    d = v if isinstance(v, Decimal) else Decimal(str(v))
+    if d.is_nan():
+        return struct.pack("!HhHH", 0, 0, _NUMERIC_NAN, 0)
+    sign = _NUMERIC_NEG if d.is_signed() else _NUMERIC_POS
+    # copy_abs is context-free: plain abs() rounds through the ambient
+    # 28-digit context and silently truncates long mantissas
+    t = d.copy_abs().as_tuple()
+    mant = int("".join(map(str, t.digits)) or "0")
+    exp = t.exponent
+    dscale = max(0, -exp)
+    if exp >= 0:
+        mant *= 10**exp
+        s4 = 0
+    else:
+        # pad the mantissa so the implied scale is a multiple of 4
+        s4 = ((dscale + 3) // 4) * 4
+        mant *= 10 ** (s4 - dscale)
+    if mant == 0:
+        return struct.pack("!HhHH", 0, 0, _NUMERIC_POS, dscale)
+    groups: list[int] = []
+    while mant:
+        groups.append(mant % 10000)
+        mant //= 10000
+    groups.reverse()  # most significant first
+    weight = len(groups) - 1 - s4 // 4
+    while groups and groups[-1] == 0:  # trailing zero groups carry no value
+        groups.pop()
+    out = struct.pack("!HhHH", len(groups), weight, sign, dscale)
+    return out + struct.pack(f"!{len(groups)}H", *groups)
+
+
+def _bin_numeric_dec(b: bytes) -> Decimal:
+    nd, weight, sign, dscale = struct.unpack_from("!HhHH", b, 0)
+    if sign == _NUMERIC_NAN:
+        return Decimal("NaN")
+    digits = struct.unpack_from(f"!{nd}H", b, 8) if nd else ()
+    val = 0
+    for g in digits:
+        val = val * 10000 + g
+    dec = (
+        Decimal(val).scaleb(4 * (weight - nd + 1), _NUM_CTX)
+        if nd
+        else Decimal(0)
+    )
+    if sign == _NUMERIC_NEG:
+        dec = dec.copy_negate()  # context-free negation
+    # Always quantize to dscale — Postgres renders NUMERIC at its
+    # display scale (never exponent notation), so 1×10000¹ with
+    # dscale 0 must come back as Decimal('10000'), not Decimal('1E+4').
+    return dec.quantize(Decimal(1).scaleb(-dscale), context=_NUM_CTX)
+
+
+_BIN_CODEC.update(
+    {
+        aoid: (_bin_array_enc(eoid), _bin_array_dec(eoid))
+        for aoid, eoid in _ARRAY_ELEM_OID.items()
+    }
+)
+_BIN_CODEC[1700] = (_bin_numeric_enc, _bin_numeric_dec)
 
 _BIN_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"
 

@@ -35,6 +35,17 @@ _TYPE_OID = {
     "DOUBLE": 701,
     "DATE": 1082,
     "TIMESTAMP": 1114,
+    "UUID": 2950,  # no binary codec client-side — the unsupported-OID probe
+}
+
+
+# element type of a DuckDB 1-D array → (array OID, element duck type)
+_ARRAY_OID = {
+    "INTEGER[]": (1007, "INTEGER"),
+    "BIGINT[]": (1016, "BIGINT"),
+    "FLOAT[]": (1021, "FLOAT"),
+    "REAL[]": (1021, "REAL"),
+    "DOUBLE[]": (1022, "DOUBLE"),
 }
 
 
@@ -42,6 +53,8 @@ def _oid_for(duck_type: str) -> int:
     t = duck_type.upper()
     if t.startswith("DECIMAL"):
         return 1700
+    if t in _ARRAY_OID:
+        return _ARRAY_OID[t][0]
     return _TYPE_OID.get(t, 25)
 
 
@@ -52,6 +65,12 @@ def _render(v: Any) -> bytes | None:
         return b"t" if v else b"f"
     if isinstance(v, (bytes, bytearray)):
         return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, list):  # Postgres array text form, not Python repr
+        return (
+            "{"
+            + ",".join("NULL" if e is None else str(e) for e in v)
+            + "}"
+        ).encode()
     return str(v).encode()
 
 
@@ -108,6 +127,50 @@ def _bin_field(v: Any, duck_type: str) -> bytes | None:
         )
     if t == "VARCHAR":
         return str(v).encode()
+    if t in _ARRAY_OID:  # 1-D array: ndim/hasnull/elemoid + dims + elems
+        aoid, elem_t = _ARRAY_OID[t]
+        elem_oid = _TYPE_OID[elem_t]
+        if len(v) == 0:
+            return struct.pack("!iii", 0, 0, elem_oid)
+        parts = [
+            struct.pack(
+                "!iii", 1, int(any(e is None for e in v)), elem_oid
+            ),
+            struct.pack("!ii", len(v), 1),
+        ]
+        for e in v:
+            if e is None:
+                parts.append(struct.pack("!i", -1))
+            else:
+                p = _bin_field(e, elem_t)
+                parts.append(struct.pack("!i", len(p)) + p)
+        return b"".join(parts)
+    if t.startswith("DECIMAL"):
+        # independent string-walk encoder (the client's is arithmetic on
+        # Decimal tuples — agreement here is a two-implementation check)
+        s = format(v, "f")
+        neg = s.startswith("-")
+        s = s.lstrip("+-")
+        ip, _, fp = s.partition(".")
+        dscale = len(fp)
+        ip = ip.lstrip("0")
+        ip = "0" * ((-len(ip)) % 4) + ip
+        fpr = fp + "0" * ((-len(fp)) % 4)
+        groups = [int(ip[i : i + 4]) for i in range(0, len(ip), 4)] + [
+            int(fpr[i : i + 4]) for i in range(0, len(fpr), 4)
+        ]
+        weight = len(ip) // 4 - 1
+        while groups and groups[0] == 0:
+            groups.pop(0)
+            weight -= 1
+        while groups and groups[-1] == 0:
+            groups.pop()
+        sign = 0x4000 if neg and groups else 0x0000
+        if not groups:
+            weight = 0
+        return struct.pack(
+            f"!HhHH{len(groups)}H", len(groups), weight, sign, dscale, *groups
+        )
     raise ValueError(f"no binary send() for DuckDB type {duck_type}")
 
 
@@ -141,6 +204,48 @@ def _bin_parse_field(b: bytes | None, duck_type: str) -> Any:
         )
     if t == "VARCHAR":
         return b.decode()
+    if t in _ARRAY_OID:
+        _aoid, elem_t = _ARRAY_OID[t]
+        ndim, _hasnull, _eoid = struct.unpack_from("!iii", b, 0)
+        if ndim == 0:
+            return []
+        (n, _lb) = struct.unpack_from("!ii", b, 12)
+        off, out = 20, []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("!i", b, off)
+            off += 4
+            if ln == -1:
+                out.append(None)  # server keeps NULLs; compaction is a
+                continue  # client-side reference-parity choice
+            out.append(_bin_parse_field(b[off : off + ln], elem_t))
+            off += ln
+        return out
+    if t.startswith("DECIMAL"):
+        from decimal import Decimal
+
+        nd, weight, sign, dscale = struct.unpack_from("!HhHH", b, 0)
+        if sign == 0xC000:
+            return float("nan")
+        digs = "".join(
+            f"{g:04d}" for g in struct.unpack_from(f"!{nd}H", b, 8)
+        )
+        exp = 4 * (weight - nd + 1)
+        if not digs:
+            digs, exp = "0", 0
+        if exp >= 0:
+            whole, frac = digs + "0" * exp, ""
+        else:
+            padded = digs.rjust(-exp + 1, "0")
+            whole, frac = padded[:exp], padded[exp:]
+        # render at EXACTLY dscale fractional digits: group alignment
+        # can leave up to 3 trailing pad zeros past the display scale,
+        # and a 38-digit DECIMAL plus pad zeros overflows DuckDB's
+        # DECIMAL(38) parse (it falls back to lossy double)
+        frac = (frac + "0" * dscale)[:dscale]
+        s = (whole.lstrip("0") or "0") + ("." + frac if frac else "")
+        if sign == 0x4000:
+            s = "-" + s
+        return Decimal(s)  # literal constructor: context-free
     raise ValueError(f"no binary recv() for DuckDB type {duck_type}")
 
 

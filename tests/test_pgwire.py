@@ -656,15 +656,166 @@ class TestCopyBinary:
         ).fetchone() == (50, 5000)
 
     def test_binary_unsupported_oid_raises_typed(self, stub_db):
+        # NUMERIC grew a binary codec (it used to be the probe type
+        # here); UUID (OID 2950) remains genuinely uncodec'd.
         from pgstream_spark.errors import QueryError
         from pgstream_spark.sources.pgwire import PgWireClient
 
         stub_db.execute(
-            "CREATE OR REPLACE TABLE dec_t (x DECIMAL(10,2))"
+            "CREATE OR REPLACE TABLE uu_t AS SELECT "
+            "uuid() AS x FROM range(3)"
         )
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
             with pytest.raises(QueryError, match="no binary codec"):
-                list(c.copy_out_binary("dec_t"))
+                list(c.copy_out_binary("uu_t"))
+
+    def test_binary_array_roundtrip_and_text_agreement(self, stub_db):
+        """int4[]/int8[]/float4[]/float8[] (OIDs 1007/1016/1021/1022)
+        over binary COPY — the reference's defining data-plane trick
+        (cbits/array_conversion.c:68-149 walks this exact layout).  The
+        stub packs arrays with its OWN writer, so agreement is a
+        two-implementation check; the text path must yield the same
+        values through the {…} parser."""
+        from pgstream_spark.sources.pgwire import (
+            PgWireClient,
+            _OID_DECODE,
+        )
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE arr_t AS SELECT "
+            "range AS k, "
+            "[range, range + 1, range + 2]::INTEGER[] AS ia, "
+            "[range * 10000000000]::BIGINT[] AS ba, "
+            "[CAST(range AS FLOAT) / 3]::FLOAT[] AS fa, "
+            "[1.0 / (range + 3), 0.1 * range]::DOUBLE[] AS da "
+            "FROM range(100)"
+        )
+        stub_db.execute(
+            "INSERT INTO arr_t VALUES (999, []::INTEGER[], NULL, "
+            "[]::FLOAT[], [0.5]::DOUBLE[])"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            fields = c.probe_oids("arr_t")
+            assert [oid for _, oid in fields] == [20, 1007, 1016, 1021, 1022]
+            binary = sorted(c.copy_out_binary("arr_t"))
+            decoders = [_OID_DECODE[oid][0] for _, oid in fields]
+            text = sorted(
+                tuple(
+                    None if f is None else dec(f)
+                    for dec, f in zip(decoders, row)
+                )
+                for row in c.copy_out("arr_t")
+            )
+        assert len(binary) == 101
+        assert binary == text
+        k999 = [r for r in binary if r[0] == 999][0]
+        assert k999[1] == [] and k999[2] is None and k999[3] == []
+        # float8 payloads survive bit-exactly (no repr transit)
+        import struct as st
+
+        want = stub_db.execute(
+            "SELECT k, da FROM arr_t ORDER BY k"
+        ).fetchall()
+        got = {r[0]: r[4] for r in binary}
+        for k, da in want:
+            assert [st.pack("!d", x) for x in got[k]] == [
+                st.pack("!d", x) for x in da
+            ]
+
+    def test_binary_array_null_elements_compacted(self, stub_db):
+        """NULL elements inside an array are COMPACTED on decode —
+        the reference's extract_*_array semantics (a -1-length element
+        is skipped, not surfaced as a placeholder)."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE arrn (k BIGINT, a INTEGER[])"
+        )
+        stub_db.execute(
+            "INSERT INTO arrn VALUES (1, [10, NULL, 30]), (2, [NULL])"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            got = dict(c.copy_out_binary("arrn"))
+        assert got == {1: [10, 30], 2: []}
+
+    def test_binary_array_copy_in_roundtrip(self, stub_db):
+        """Typed list values through binary COPY IN and back out."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE arr_in (k BIGINT, ia INTEGER[], "
+            "da DOUBLE[])"
+        )
+        rows = [
+            (i, [i, i * 2, i * 3], [i / 7.0, i / 11.0]) for i in range(50)
+        ] + [(99, [], None)]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in_binary("arr_in", ["k", "ia", "da"], iter(rows))
+            back = sorted(c.copy_out_binary("arr_in"))
+        assert n == 51
+        assert back == sorted(rows)
+
+    def test_binary_numeric_exact(self, stub_db):
+        """NUMERIC (OID 1700) binary codec: base-10000 digit groups,
+        weight/dscale — Decimal values round-trip EXACTLY (including
+        trailing-zero display scale), with no float transit."""
+        from decimal import Decimal
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE num_t (k BIGINT, x DECIMAL(38, 10))"
+        )
+        vals = [
+            "0.0000000000",
+            "1.1000000000",
+            "-12345678901234567890123456.7890123456",
+            "9999999999999999999999999999.9999999999",
+            "-0.0000000001",
+            "10000.0000000000",
+        ]
+        for i, v in enumerate(vals):
+            stub_db.execute(f"INSERT INTO num_t VALUES ({i}, {v})")
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            got = dict(c.copy_out_binary("num_t"))
+            n = c.copy_in_binary(
+                "num_t",
+                ["k", "x"],
+                iter([(100 + i, Decimal(v)) for i, v in enumerate(vals)]),
+            )
+            back = dict(c.copy_out_binary("num_t"))
+        assert got == {i: Decimal(v) for i, v in enumerate(vals)}
+        assert n == len(vals)
+        assert back == {
+            **{i: Decimal(v) for i, v in enumerate(vals)},
+            **{100 + i: Decimal(v) for i, v in enumerate(vals)},
+        }
+
+    def test_binary_numeric_property_roundtrip(self):
+        """Property test: enc∘dec == id for arbitrary-precision Decimals
+        (client codec against itself — exactness, not agreement)."""
+        from decimal import Context, Decimal
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgstream_spark.sources.pgwire import (
+            _bin_numeric_dec,
+            _bin_numeric_enc,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            mant=st.integers(min_value=-(10**60), max_value=10**60),
+            scale=st.integers(min_value=0, max_value=45),
+        )
+        def check(mant, scale):
+            d = Decimal(mant).scaleb(-scale, Context(prec=200))
+            got = _bin_numeric_dec(_bin_numeric_enc(d))
+            assert got == d
+            assert got.as_tuple().exponent == -scale
+
+        check()
 
     def test_binary_in_bad_table_raises_typed(self, stub_db):
         from pgstream_spark.errors import QueryError
@@ -713,29 +864,34 @@ class TestExtendedProtocol:
             ps.close()
 
     def test_mixed_binary_text_row(self, stub_db):
-        """NUMERIC has no binary codec — that COLUMN falls back to text
-        while its neighbors stay binary, via Bind's per-column formats."""
+        """A column with no binary codec (UUID) falls back to text while
+        its neighbors stay binary, via Bind's per-column formats —
+        NUMERIC and int4[] now negotiate binary (they used to be the
+        text fallback here, before their codecs landed)."""
         from decimal import Decimal
 
         from pgstream_spark.sources.pgwire import PgWireClient
 
         stub_db.execute(
-            "CREATE OR REPLACE TABLE mixed (k BIGINT, amt DECIMAL(10,2))"
+            "CREATE OR REPLACE TABLE mixed (k BIGINT, amt DECIMAL(10,2), "
+            "u UUID, ia INTEGER[])"
         )
         stub_db.execute(
             "INSERT INTO mixed SELECT range, "
-            "CAST(range AS DECIMAL(10,2)) / 4 FROM range(8)"
+            "CAST(range AS DECIMAL(10,2)) / 4, uuid(), [range] FROM range(8)"
         )
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
-            ps = c.prepare("SELECT k, amt FROM mixed WHERE k >= $1")
-            assert ps.formats == [1, 0]  # bigint binary, numeric text
+            ps = c.prepare("SELECT k, amt, u, ia FROM mixed WHERE k >= $1")
+            # bigint/numeric/int4[] binary; uuid text-only
+            assert ps.formats == [1, 1, 0, 1]
             rows = sorted(ps.execute([4]))
-        assert rows == [
-            (4, Decimal("1.00")),
-            (5, Decimal("1.25")),
-            (6, Decimal("1.50")),
-            (7, Decimal("1.75")),
+        assert [(r[0], r[1], r[3]) for r in rows] == [
+            (4, Decimal("1.00"), [4]),
+            (5, Decimal("1.25"), [5]),
+            (6, Decimal("1.50"), [6]),
+            (7, Decimal("1.75"), [7]),
         ]
+        assert all(isinstance(r[2], str) and len(r[2]) == 36 for r in rows)
 
     def test_binary_floats_survive_exactly(self, stub_db):
         import struct as st
