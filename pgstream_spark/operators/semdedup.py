@@ -71,6 +71,7 @@ def semdedup(
     sign_bits: int = 4,
     scale: int = 100,
     threshold_centi: int = 25,
+    cluster_expr: Column | None = None,
 ) -> DataFrame:
     """Cluster-then-prune semantic dedup over an embedding column.
 
@@ -79,12 +80,24 @@ def semdedup(
     SMALLER id whose quantized cosine reaches ``threshold_centi/100``,
     and ``kept`` is true iff that count is zero (the smallest-id member
     of every epsilon-ball survives — deterministic, order-free).
+
+    ``cluster_expr`` swaps the assignment stage: pass e.g.
+    ``kmeans.nearest_l2_centroid_col(F.col(vec_col), centroids)`` for a
+    learned partition (the published SemDeDup design) — the prune stage
+    is IDENTICAL under any assignment (pytest-pinned), and at corpus
+    scale a k-means assignment is the lever when sign-bit buckets skew
+    (see SCALE.md "SemDeDup cluster scale law").
     """
     tc = int(threshold_centi)
+    assignment = (
+        cluster_expr
+        if cluster_expr is not None
+        else _sign_cluster(vec_col, sign_bits)
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         _quantized(vec_col, scale).alias("__q"),
-        _sign_cluster(vec_col, sign_bits).alias("cluster"),
+        assignment.cast("int").alias("cluster"),
     ).withColumn(
         "__n2",
         F.aggregate(
