@@ -8148,6 +8148,251 @@ def l64b(spark, sf_dir):
 
 
 @q(
+    "l65_ann_recall",
+    # ANN quality measurement — the eval harness every approximate
+    # index deployment needs and none of the l3-family queries provided:
+    # recall@10 of the sign-LSH bucketed candidate tier against EXACT
+    # inner-product top-10, per probe, fully integer-exact (quantized
+    # scale-100 dots, ties broken by vec_id).  Probe set bounded
+    # (vec_id < 50): the ground-truth tier is a broadcast of 50 probe
+    # vectors against one corpus scan — a MAP-ONLY pass, no shuffle on
+    # the corpus side (the one sanctioned nested-loop: bounded × N) —
+    # then a 50-key window top-k; the ANN tier joins on the bucket key.
+    # At 100 TB the same harness runs on a probe sample with the
+    # per-probe top-k computed as partial per-partition top-k then
+    # merge (the o3 pattern) instead of one window.  recall_bps uses
+    # the half-up DIV recipe.
+    "WITH q AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100) "
+    "AS BIGINT)) AS qv, "
+    "CAST(((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + "
+    "(CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)) AS INT) AS bk "
+    "FROM embeddings), "
+    "p AS (SELECT vec_id AS pid, qv AS pv, bk AS pbk FROM q "
+    "WHERE vec_id < 50), "
+    "ex AS (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid "
+    "ORDER BY dot DESC, vec_id) AS rn FROM ("
+    "SELECT p.pid, q.vec_id, CAST(list_sum(list_transform("
+    "range(1, len(p.pv) + 1), i -> p.pv[i] * q.qv[i])) AS BIGINT) AS dot "
+    "FROM p, q WHERE q.vec_id <> p.pid)), "
+    "an AS (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid "
+    "ORDER BY dot DESC, vec_id) AS rn FROM ("
+    "SELECT p.pid, q.vec_id, CAST(list_sum(list_transform("
+    "range(1, len(p.pv) + 1), i -> p.pv[i] * q.qv[i])) AS BIGINT) AS dot "
+    "FROM p JOIN q ON q.bk = p.pbk AND q.vec_id <> p.pid)), "
+    "ov AS (SELECT e.pid, CAST(count(a.vec_id) AS BIGINT) AS n_overlap "
+    "FROM (SELECT pid, vec_id FROM ex WHERE rn <= 10) e "
+    "LEFT JOIN (SELECT pid, vec_id FROM an WHERE rn <= 10) a "
+    "ON a.pid = e.pid AND a.vec_id = e.vec_id GROUP BY e.pid) "
+    "SELECT pid AS probe_id, n_overlap, "
+    "CAST((2 * n_overlap * 10000 + 10) // 20 AS BIGINT) AS recall_bps "
+    "FROM ov",
+)
+def l65(spark, sf_dir):
+    from pgstream_spark.operators.semdedup import _sign_cluster
+
+    k = 10
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 100).cast("bigint"),
+        ).alias("qv"),
+        _sign_cluster("embedding", 4).alias("bk"),
+    )
+    probes = F.broadcast(
+        base.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("pid"),
+            F.col("qv").alias("pv"),
+            F.col("bk").alias("pbk"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    win = Window.partitionBy("pid").orderBy(F.desc("dot"), F.asc("vec_id"))
+
+    def topk(joined):
+        return (
+            joined.filter(F.col("vec_id") != F.col("pid"))
+            .withColumn("dot", dot)
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select("pid", "vec_id")
+        )
+
+    exact = topk(base.crossJoin(probes))
+    ann = topk(base.join(probes, F.col("bk") == F.col("pbk")))
+    ov = (
+        exact.alias("e")
+        .join(
+            ann.alias("a"),
+            (F.col("e.pid") == F.col("a.pid"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.pid").alias("probe_id"))
+        .agg(F.count(F.col("a.vec_id")).cast("bigint").alias("n_overlap"))
+    )
+    return ov.select(
+        "probe_id",
+        "n_overlap",
+        F.expr(
+            f"CAST((2 * n_overlap * 10000 + {k}) DIV (2 * {k}) AS BIGINT)"
+        ).alias("recall_bps"),
+    )
+
+
+@q(
+    "l66_cross_source_dup_matrix",
+    # Duplicate-provenance matrix — WHICH sources copy from WHICH: for
+    # every (unordered) source pair, the number of near-duplicate doc
+    # pairs sharing a vocabulary fingerprint (md5 of the sorted distinct
+    # token set — the l4b discipline at set granularity, catching
+    # reordered/repeated-token rewrites that exact-text equality misses;
+    # this corpus has 0 exact-text dups but 427 fingerprint pairs at
+    # sf0.01) and the number of distinct duplicate families involved.
+    # The provenance report every multi-source ingest pipeline runs
+    # before assigning source weights.  Scale shape: fingerprint is
+    # map-only; the self-join is an EQUI-join on the fingerprint
+    # (families bounded, same hazard class as l22's anti-join key);
+    # output ≤ sources² rows.
+    "WITH f AS (SELECT doc_id, source, md5(array_to_string(list_sort("
+    "list_distinct(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> ''))), ' ')) AS fp FROM documents) "
+    "SELECT least(a.source, b.source) AS src_a, "
+    "greatest(a.source, b.source) AS src_b, "
+    "CAST(count(*) AS BIGINT) AS n_dup_pairs, "
+    "CAST(count(DISTINCT a.fp) AS BIGINT) AS n_families "
+    "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY src_a, src_b",
+)
+def l66(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    f = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tokens_col(F.col("text"))))
+            )
+        ).alias("fp"),
+    )
+    a = f.select(
+        F.col("doc_id").alias("__ida"),
+        F.col("source").alias("__sa"),
+        "fp",
+    )
+    b = f.select(
+        F.col("doc_id").alias("__idb"),
+        F.col("source").alias("__sb"),
+        "fp",
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .groupBy(
+            F.least("__sa", "__sb").alias("src_a"),
+            F.greatest("__sa", "__sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+            F.count_distinct("fp").cast("bigint").alias("n_families"),
+        )
+    )
+
+
+@q(
+    "l67_quality_mixture_manifest",
+    # Training-mixture manifest — the "data recipe" step between quality
+    # scoring and sampling: stratify the corpus into quality deciles
+    # (integer-exact lexical-diversity score: distinct/total tokens in
+    # basis points, half-up DIV), roll up docs+tokens per (source,
+    # decile), and emit a per-stratum repeat factor in milli-units that
+    # equalizes the token budget across strata (the up/down-sampling
+    # number a mixture loader consumes).  Everything integer: ntile ties
+    # broken by (score, doc_id) total order; sums CAST to BIGINT
+    # (HUGEINT guard).  Scale: the global ntile is a one-partition sort
+    # of doc-level SCALARS (id, score — not text), fine to ~10⁸ docs;
+    # past that, swap in g36's equi-depth boundaries (broadcast) for
+    # the same stratification with no global sort.
+    "WITH toks AS (SELECT doc_id, source, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sc AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt, "
+    "CAST(len(list_distinct(t)) AS BIGINT) AS nd FROM toks "
+    "WHERE len(t) > 0), "
+    "q AS (SELECT doc_id, source, nt, "
+    "CAST((2 * nd * 10000 + nt) // (2 * nt) AS BIGINT) AS score_bps "
+    "FROM sc), "
+    "d AS (SELECT source, nt, CAST(ntile(10) OVER "
+    "(ORDER BY score_bps, doc_id) AS INT) AS decile FROM q), "
+    "s AS (SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d GROUP BY source, decile), "
+    "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, "
+    "CAST(count(*) AS BIGINT) AS ns FROM s) "
+    "SELECT source, decile, n_docs, n_tokens, "
+    "CAST((2 * (tt // ns) * 1000 + n_tokens) // (2 * n_tokens) AS BIGINT) "
+    "AS repeat_milli FROM s, tot",
+)
+def l67(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    sc = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokens_col(F.col("text")).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("__t").cast("bigint").alias("nt"),
+            F.size(F.array_distinct("__t")).cast("bigint").alias("nd"),
+        )
+    )
+    q = sc.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr("CAST((2 * nd * 10000 + nt) DIV (2 * nt) AS BIGINT)").alias(
+            "score_bps"
+        ),
+    )
+    d = q.select(
+        "source",
+        "nt",
+        F.ntile(10)
+        .over(Window.orderBy("score_bps", "doc_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    s = d.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.sum("n_tokens").cast("bigint").alias("tt"),
+            F.count(F.lit(1)).cast("bigint").alias("ns"),
+        )
+    )
+    return s.crossJoin(tot).select(
+        "source",
+        "decile",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST((2 * (tt DIV ns) * 1000 + n_tokens) DIV (2 * n_tokens) "
+            "AS BIGINT)"
+        ).alias("repeat_milli"),
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -8530,6 +8775,290 @@ def g55(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# TPC-H completion tier (round 5): the seven query shapes the registry
+# still lacked — with these, all 22 canonical TPC-H queries have an
+# adapted, oracle-exact representative (the testdata schema omits
+# partsupp/commitdate/receiptdate/containers/phones, so Q2/Q4/Q16/Q19/
+# Q20/Q21/Q22 substitute the nearest available predicate, noted per
+# query).  All money math rides the integer-cents / _dsum discipline;
+# ratios use the half-up (2n+d) DIV (2d) recipe (valid: numerators
+# non-negative); counts CAST to BIGINT (HUGEINT guard).
+# ---------------------------------------------------------------------
+
+
+@q(
+    "g56_tpch_q4_priority_late",
+    # Q4 order-priority checking.  Canonical "commit < receipt" is
+    # unavailable (no commitdate/receiptdate columns); the late-ship
+    # EXISTS is l_shipdate > orderdate + 365d (median lag 36 d, p90
+    # 1404 d — the predicate genuinely splits).  Shape: semi-join on
+    # the order key, one shuffle, priority rollup.
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 365 DAY) "
+    "GROUP BY o_orderpriority",
+)
+def g56(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@q(
+    "g57_tpch_q6_forecast_revenue",
+    # Q6 forecasting revenue change — the pure scan-filter-aggregate:
+    # every predicate reaches the parquet scan, no join, one partial+
+    # final agg.  Revenue is the exact scaled-integer sum (_dsum).
+    "SELECT "
+    + _dsum("l_extendedprice * l_discount")
+    + " AS revenue, CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def g57(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "g58_tpch_q10_returned_items",
+    # Q10 returned-item reporting: top-20 customers by revenue lost to
+    # returns in a two-quarter window.  Fact joins shuffle once on the
+    # order key; customer/nation broadcast; the top-k is LIMIT over a
+    # deterministic (revenue DESC, custkey) total order.
+    "SELECT c_custkey, c_name, n_name, "
+    + _dsum("l_extendedprice * (1 - l_discount)")
+    + " AS revenue FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-07-01' AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def g58(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "g59_tpch_q14_promo_effect",
+    # Q14 promotion effect: promo revenue share.  Both sums in exact
+    # integer cents; the share in basis points via the half-up DIV
+    # recipe.  Bounds: cents ≤ ~3e13 at sf1, so 2·promo·10⁴ ≤ ~6e17 —
+    # int64-safe through sf10.  part broadcasts; one scan of lineitem.
+    "WITH r AS (SELECT "
+    "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "ELSE 0 END) AS BIGINT) AS promo_cents, "
+    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+    "AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01') "
+    "SELECT promo_cents, total_cents, "
+    "CAST((2 * promo_cents * 10000 + total_cents) // (2 * total_cents) "
+    "AS BIGINT) AS promo_bps FROM r",
+)
+def g59(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    r = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("promo_cents"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+    )
+    return r.select(
+        "promo_cents",
+        "total_cents",
+        F.expr(
+            "CAST((2 * promo_cents * 10000 + total_cents) "
+            "DIV (2 * total_cents) AS BIGINT)"
+        ).alias("promo_bps"),
+    )
+
+
+@q(
+    "g60_tpch_q18_large_volume",
+    # Q18 large-volume customers: orders whose total quantity exceeds
+    # 300 (46 qualify at sf0.01 — non-vacuous), rejoined to customer.
+    # The qualifying set is a grouped HAVING on the fact's own key —
+    # one shuffle, then a semi-join that reuses the same partitioning.
+    "SELECT c_custkey, c_name, o_orderkey, o_totalprice, "
+    "CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+    "GROUP BY c_custkey, c_name, o_orderkey, o_totalprice",
+)
+def g60(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .filter(F.col("__s") > 300)
+        .select(F.col("l_orderkey").alias("__bk"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("__bk"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+@q(
+    "g61_tpch_q19_discounted_revenue",
+    # Q19 discounted revenue: the OR-of-AND-blocks predicate (brand ×
+    # size × quantity bands; containers are absent from this schema).
+    # The whole disjunction sits UNDER the join so Catalyst pushes the
+    # common l_quantity bounds to the scan; part broadcasts.
+    "SELECT "
+    + _dsum("l_extendedprice * (1 - l_discount)")
+    + " AS revenue, CAST(count(*) AS BIGINT) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 1 AND 21) "
+    "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+    "AND l_quantity BETWEEN 10 AND 30) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+    "AND l_quantity BETWEEN 20 AND 40)",
+)
+def g61(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#2") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 40))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(pred)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "g62_tpch_q22_global_sales",
+    # Q22 global sales opportunity: lapsed customers (no orders since
+    # 1999) with above-average positive balance, rolled up by nation
+    # (the schema has no phone country codes; c_nationkey is the
+    # grouping).  The above-average threshold is decided by INTEGER
+    # cross-multiplication (cents·n > sum_cents) — no float-average
+    # boundary to straddle.  The 1-row stats side broadcasts; the order
+    # probe is an anti-join on the filtered branch (non-vacuous by the
+    # round-5 guard: 14 survivors at sf0.01).
+    "WITH pos AS (SELECT "
+    "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s, "
+    "CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 0) "
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+    + _dsum("c_acctbal")
+    + " AS totacctbal FROM customer, pos "
+    "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= TIMESTAMP '1999-01-01') "
+    "GROUP BY c_nationkey",
+)
+def g62(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("bigint").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    lapsed = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("__n") > F.col("__s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return lapsed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -8714,6 +9243,13 @@ _GATE_ORDER_R5 = [
     "l38_dedup_clusters_twostar", "l58_semdedup",
     "l64_entity_resolution",
     # ==== position 50 ends here: window boundary ======================
+    # round-5 session additions (diffcheck + sf1 green) → round-6 front
+    "l64b_entity_resolution_star", "l65_ann_recall",
+    "l66_cross_source_dup_matrix", "l67_quality_mixture_manifest",
+    "g56_tpch_q4_priority_late", "g57_tpch_q6_forecast_revenue",
+    "g58_tpch_q10_returned_items", "g59_tpch_q14_promo_effect",
+    "g60_tpch_q18_large_volume", "g61_tpch_q19_discounted_revenue",
+    "g62_tpch_q22_global_sales",
     # overflow tail (near-twins of already-green queries) → round 6
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
     "f19_datetime_format", "j8c_asof_tolerance", "x7_arrow_kernel",

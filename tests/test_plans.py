@@ -712,3 +712,78 @@ def test_autocorr_two_exchanges_no_union_blowup(spark, sf_dir):
     txt = explain_string(QUERIES["t32_autocorr"](spark, sf_dir), "simple")
     assert txt.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+
+
+def test_tpch_completion_tier_broadcasts_dims(spark, sf_dir):
+    # g58/g59/g61: every dimension side (part, customer, nation) rides a
+    # BroadcastHashJoin; the only shuffle is the fact-key exchange.  No
+    # cartesian anywhere in the completion tier.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    for name in (
+        "g58_tpch_q10_returned_items",
+        "g59_tpch_q14_promo_effect",
+        "g61_tpch_q19_discounted_revenue",
+    ):
+        txt = explain_string(QUERIES[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in txt, name
+        assert "BroadcastHashJoin" in txt, name
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    # g62: the above-average threshold attaches as a broadcast of ONE
+    # stats row (the sanctioned scalar cross join); the "no recent
+    # orders" probe is a broadcast anti-join, not a subquery re-scan.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["g62_tpch_q22_global_sales"](spark, sf_dir), "simple")
+    assert "LeftAnti" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_ann_recall_ground_truth_is_bounded_nested_loop(spark, sf_dir):
+    # l65: exactly ONE nested-loop — the 50-probe broadcast against the
+    # corpus scan (the sanctioned bounded ground-truth pass); the ANN
+    # candidate tier must be an equi BroadcastHashJoin on the bucket key.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(QUERIES["l65_ann_recall"](spark, sf_dir), "simple")
+    assert txt.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_cross_source_dup_matrix_equi_join_only(spark, sf_dir):
+    # l66: the self-join is an EQUI-join on the fingerprint — a
+    # cartesian/nested-loop here would be the all-pairs blowup the
+    # fingerprint exists to avoid.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    txt = explain_string(
+        QUERIES["l66_cross_source_dup_matrix"](spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+
+
+def test_mixture_manifest_values_consistent(spark, sf_dir):
+    # l67: deciles partition the corpus; token totals reconcile; repeat
+    # factors are positive and equalize toward the uniform target.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l67_quality_mixture_manifest"](spark, sf_dir).collect()
+    assert rows
+    assert {r.decile for r in rows} <= set(range(1, 11))
+    assert all(r.n_docs > 0 and r.n_tokens > 0 for r in rows)
+    assert all(r.repeat_milli > 0 for r in rows)
+    total = sum(r.n_tokens for r in rows)
+    target = total // len(rows)
+    for r in rows:
+        # repeat_milli == round-half-up(1000 * target / n_tokens)
+        assert r.repeat_milli == (2 * target * 1000 + r.n_tokens) // (
+            2 * r.n_tokens
+        )
