@@ -8393,6 +8393,191 @@ def l67(spark, sf_dir):
 
 
 @q(
+    "l68_temperature_mixture",
+    # Temperature-based sampling mixture (multilingual-pretraining
+    # standard: p_i ∝ n_i^(1/T), T=2 → sqrt — mBERT/XLM recipe).  Per
+    # language: doc count → sqrt weight → sampling share in ppm plus the
+    # boost factor vs proportional sampling (how much low-resource
+    # languages are up-sampled).  Cross-engine exactness: sqrt of an
+    # integer and the ×1e6 multiply are single correctly-rounded IEEE
+    # ops (identical bits on both engines); quantizing with floor BEFORE
+    # any sum keeps everything after in exact BIGINT half-up arithmetic
+    # (no float-summation order hazard).  Scale: one tiny grouped count
+    # (|langs| rows) + a broadcast total — map-side combine does all the
+    # work; safe at any corpus size.
+    "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "w AS (SELECT lang, n_docs, "
+    "CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w_scaled FROM n), "
+    "tot AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw, "
+    "CAST(SUM(n_docs) AS BIGINT) AS td FROM w) "
+    "SELECT lang, n_docs, "
+    "CAST((2 * w_scaled * 1000000 + tw) // (2 * tw) AS BIGINT) AS sample_ppm, "
+    "CAST((2 * n_docs * 1000000 + td) // (2 * td) AS BIGINT) AS prop_ppm, "
+    "CAST((2 * ((2 * w_scaled * 1000000 + tw) // (2 * tw)) * 1000 "
+    "+ ((2 * n_docs * 1000000 + td) // (2 * td))) "
+    "// (2 * ((2 * n_docs * 1000000 + td) // (2 * td))) AS BIGINT) "
+    "AS boost_milli FROM w, tot",
+)
+def l68(spark, sf_dir):
+    n = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = n.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000.0)).cast("bigint"),
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.sum("w_scaled").cast("bigint").alias("tw"),
+            F.sum("n_docs").cast("bigint").alias("td"),
+        )
+    )
+    return w.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST((2 * w_scaled * 1000000 + tw) DIV (2 * tw) AS BIGINT)").alias(
+            "sample_ppm"
+        ),
+        F.expr("CAST((2 * n_docs * 1000000 + td) DIV (2 * td) AS BIGINT)").alias(
+            "prop_ppm"
+        ),
+        F.expr(
+            "CAST((2 * ((2 * w_scaled * 1000000 + tw) DIV (2 * tw)) * 1000 "
+            "+ ((2 * n_docs * 1000000 + td) DIV (2 * td))) "
+            "DIV (2 * ((2 * n_docs * 1000000 + td) DIV (2 * td))) AS BIGINT)"
+        ).alias("boost_milli"),
+    )
+
+
+@q(
+    "l69_ngram_novelty",
+    # Per-source n-gram novelty: for each document, the share of its
+    # distinct 3-gram shingles whose FIRST corpus occurrence (min
+    # doc_id) is this document — the memorization/novelty proxy used to
+    # audit how much of a crawl snapshot is genuinely new text.  Rolled
+    # up per source in exact integers (novel and total shingle-slot
+    # counts, novelty in half-up basis points).  Scale: one shingle
+    # explode + one groupBy(shingle) min — the same shape as exact
+    # dedup; the min-doc table joins back on the shingle hash, no
+    # quadratic term anywhere.
+    "WITH toks AS (SELECT doc_id, source, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, source, unnest(list_distinct("
+    "CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "first AS (SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc "
+    "FROM sh GROUP BY s) "
+    "SELECT source, "
+    "CAST(count(DISTINCT sh.doc_id) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS novel_shingles, "
+    "CAST(count(*) AS BIGINT) AS total_shingles, "
+    "CAST((2 * SUM(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END) * 10000 "
+    "+ count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bps "
+    "FROM sh JOIN first USING (s) GROUP BY source",
+)
+def l69(spark, sf_dir):
+    from pgstream_spark.operators.dedup import shingles_col, tokens_col
+
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_col(tokens_col(F.col("text")), n=3)).alias("s"),
+        )
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("novel_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("total_shingles"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "novel_shingles",
+            "total_shingles",
+            F.expr(
+                "CAST((2 * novel_shingles * 10000 + total_shingles) "
+                "DIV (2 * total_shingles) AS BIGINT)"
+            ).alias("novelty_bps"),
+        )
+    )
+
+
+@q(
+    "l70_phrase_search",
+    # Corpus-scale phrase grep — the contamination/screening primitive:
+    # occurrence and document counts for a list of query phrases, at
+    # TOKEN level (word-boundary exact, overlapping occurrences
+    # counted — a raw substring LIKE can neither bound to word
+    # boundaries nor count overlaps).  Plan: ordered bigram explode
+    # (map-only) → broadcast hash join against the tiny phrase list →
+    # one agg; the corpus is scanned once and never self-joined, so the
+    # shape is the l11 contamination screen's — safe at any corpus
+    # size.  All counts exact BIGINT.
+    "WITH phrases AS (SELECT unnest(['order sort', 'stream spark', "
+    "'batch batch']) AS phrase), "
+    "toks AS (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, unnest("
+    "[array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]"
+    ") AS s FROM toks WHERE len(t) >= 2) "
+    "SELECT phrase, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_hits "
+    "FROM bg JOIN phrases ON s = phrase GROUP BY phrase",
+)
+def l70(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    phrases = F.broadcast(
+        spark.createDataFrame(
+            [("order sort",), ("stream spark",), ("batch batch",)],
+            "phrase string",
+        )
+    )
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    # ordered (non-distinct) bigrams — every position counts, so
+    # overlapping occurrences are preserved.
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)),
+            )
+        ).alias("s"),
+    )
+    return (
+        bg.join(phrases, bg["s"] == phrases["phrase"])
+        .groupBy("phrase")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -8593,15 +8778,21 @@ def g51(spark, sf_dir):
 @q(
     "g52_tpch_q11_share",
     # Q11: parts whose revenue exceeds a fraction of the GLOBAL total —
-    # the fraction-of-global HAVING.  Exact integer comparison
-    # (rev·1000 > total) against a broadcast one-row scalar; no float
-    # threshold crosses the engines.
+    # the fraction-of-global HAVING.  TPC-H's literal `> total·0.0001/SF`
+    # is scale-DEPENDENT (the share of any one part shrinks as parts
+    # grow — at sf0.01 it returned 0 rows, a vacuous gate row), so the
+    # threshold here is the scale-INVARIANT form: revenue above 1.5×
+    # the mean part revenue.  Exact integers end-to-end: the mean is
+    # t DIV n (truncating division, identical on both engines for
+    # non-negative operands), and rev·2 > 3·mean keeps every product
+    # within 2^63 at ANY corpus size (rev·2·n would not).
     "WITH pr AS (SELECT l_partkey, "
     "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
     "AS rev_cents FROM lineitem GROUP BY l_partkey), "
-    "tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM pr) "
+    "tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t, "
+    "CAST(count(*) AS BIGINT) AS n FROM pr) "
     "SELECT l_partkey, rev_cents FROM pr, tot "
-    "WHERE rev_cents * 1000 > t",
+    "WHERE rev_cents * 2 > 3 * (t // n)",
 )
 def g52(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -8610,10 +8801,13 @@ def g52(spark, sf_dir):
         .cast("long")
         .alias("rev_cents")
     )
-    tot = pr.agg(F.sum("rev_cents").cast("long").alias("t"))
+    tot = pr.agg(
+        F.sum("rev_cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
     return (
         pr.crossJoin(F.broadcast(tot))
-        .filter(F.expr("rev_cents * 1000 > t"))
+        .filter(F.expr("rev_cents * 2 > 3 * (t DIV n)"))
         .select("l_partkey", "rev_cents")
     )
 
@@ -9253,7 +9447,8 @@ _GATE_ORDER_R5 = [
     # overflow tail (near-twins of already-green queries) → round 6
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
     "f19_datetime_format", "j8c_asof_tolerance", "x7_arrow_kernel",
-    "l34_epoch_shuffle",
+    "l34_epoch_shuffle", "l68_temperature_mixture", "l69_ngram_novelty",
+    "l70_phrase_search",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R5

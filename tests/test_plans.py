@@ -787,3 +787,56 @@ def test_mixture_manifest_values_consistent(spark, sf_dir):
         assert r.repeat_milli == (2 * target * 1000 + r.n_tokens) // (
             2 * r.n_tokens
         )
+
+def test_temperature_mixture_shares_sum_to_one_million(spark, sf_dir):
+    # l68: sqrt-temperature shares form a probability vector (ppm sums
+    # to 1e6 within half-up rounding slack of one per language) and
+    # low-resource languages are boosted above proportional share.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l68_temperature_mixture"](spark, sf_dir).collect()
+    assert rows
+    n_langs = len(rows)
+    assert abs(sum(r.sample_ppm for r in rows) - 1_000_000) <= n_langs
+    assert abs(sum(r.prop_ppm for r in rows) - 1_000_000) <= n_langs
+    smallest = min(rows, key=lambda r: r.n_docs)
+    largest = max(rows, key=lambda r: r.n_docs)
+    if smallest.n_docs < largest.n_docs:
+        # temperature flattens: the rarest language gains share, the
+        # most common loses it.
+        assert smallest.boost_milli >= 1000
+        assert largest.boost_milli <= 1000
+
+
+def test_ngram_novelty_stays_equi_join(spark, sf_dir):
+    # l69: first-occurrence attach is an equi-join on the shingle (the
+    # exact-dedup shape) — no nested loop; counts reconcile per source.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l69_ngram_novelty"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.novel_shingles <= r.total_shingles
+        assert 0 <= r.novelty_bps <= 10000
+
+def test_phrase_search_broadcasts_phrase_list(spark, sf_dir):
+    # l70: the phrase list must broadcast (corpus never shuffles for
+    # the join) and the corpus is scanned exactly once — no self-join.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l70_phrase_search"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    rows = {r.phrase: r for r in df.collect()}
+    assert rows
+    for r in rows.values():
+        # every matched doc contributes at least one hit
+        assert r.n_hits >= r.n_docs > 0
