@@ -8578,6 +8578,812 @@ def l70(spark, sf_dir):
 
 
 @q(
+    "l73_dup_family_sizes",
+    # Exact-duplicate family-size LAW — the cluster-size distribution a
+    # dedup planner reads before choosing strategy (how much of the
+    # corpus sits in large copy families vs singletons): family = text
+    # equality (l1's key), histogram rows = (family_size, n_families,
+    # n_docs, corpus share in half-up bps).  Two grouped counts, both
+    # map-side combinable; output bounded by the largest family size.
+    "WITH fam AS (SELECT CAST(count(*) AS BIGINT) AS family_size "
+    "FROM documents GROUP BY text), "
+    "tot AS (SELECT CAST(SUM(family_size) AS BIGINT) AS n FROM fam) "
+    "SELECT family_size, CAST(count(*) AS BIGINT) AS n_families, "
+    "CAST(family_size * count(*) AS BIGINT) AS n_docs, "
+    "CAST((2 * family_size * count(*) * 10000 + n) // (2 * n) AS BIGINT) "
+    "AS corpus_bps FROM fam, tot GROUP BY family_size, n",
+)
+def l73(spark, sf_dir):
+    fam = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("family_size"))
+    )
+    tot = F.broadcast(fam.agg(F.sum("family_size").cast("bigint").alias("n")))
+    return (
+        fam.groupBy("family_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_families"))
+        .crossJoin(tot)
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.expr(
+                "CAST((2 * family_size * n_families * 10000 + n) "
+                "DIV (2 * n) AS BIGINT)"
+            ).alias("corpus_bps"),
+        )
+    )
+
+
+@q(
+    "l74_filter_funnel",
+    # Curation-funnel observability — survivors after each SUCCESSIVE
+    # quality gate (token floor → lexical-diversity floor → mean token
+    # length floor → language allowlist), with per-stage drop counts:
+    # the table a pipeline owner reads to see which rule is eating the
+    # corpus.  ONE conditional-aggregation scan (the l43 expectations
+    # shape — every stage a CASE sum, map-side combinable); gates in
+    # exact integers (diversity via the half-up bps recipe, mean length
+    # via cross-multiplication — no ratio ever materializes).
+    "WITH toks AS (SELECT doc_id, lang, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "m AS (SELECT lang, CAST(len(t) AS BIGINT) AS nt, "
+    "CAST(len(list_distinct(t)) AS BIGINT) AS nd, "
+    "CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sl "
+    "FROM toks), "
+    "f AS (SELECT lang, nt, sl, CASE WHEN nt > 0 THEN "
+    "(2 * nd * 10000 + nt) // (2 * nt) ELSE 0 END AS div_bps FROM m), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS s0, "
+    "CAST(SUM(CASE WHEN nt >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS s1, "
+    "CAST(SUM(CASE WHEN nt >= 20 AND div_bps >= 4000 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS s2, "
+    "CAST(SUM(CASE WHEN nt >= 20 AND div_bps >= 4000 "
+    "AND sl * 10 >= 45 * nt THEN 1 ELSE 0 END) AS BIGINT) AS s3, "
+    "CAST(SUM(CASE WHEN nt >= 20 AND div_bps >= 4000 "
+    "AND sl * 10 >= 45 * nt AND lang <> 'zh' "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS s4 FROM f) "
+    "SELECT 0 AS stage, 'all' AS gate, s0 AS survivors, "
+    "CAST(0 AS BIGINT) AS dropped FROM s "
+    "UNION ALL SELECT 1, 'min_tokens_20', s1, s0 - s1 FROM s "
+    "UNION ALL SELECT 2, 'diversity_4000bps', s2, s1 - s2 FROM s "
+    "UNION ALL SELECT 3, 'mean_token_len_4_5', s3, s2 - s3 FROM s "
+    "UNION ALL SELECT 4, 'lang_allowlist', s4, s3 - s4 FROM s",
+)
+def l74(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    m = _t(spark, sf_dir, "documents").select(
+        "lang", tokens_col(F.col("text")).alias("t")
+    )
+    f = m.select(
+        "lang",
+        F.size("t").cast("bigint").alias("nt"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("nd"),
+        F.aggregate(
+            F.transform(F.col("t"), lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sl"),
+    ).withColumn(
+        "div_bps",
+        F.expr(
+            "CASE WHEN nt > 0 THEN (2 * nd * 10000 + nt) DIV (2 * nt) "
+            "ELSE 0 END"
+        ),
+    )
+    g1 = F.col("nt") >= 20
+    g2 = g1 & (F.col("div_bps") >= 4000)
+    g3 = g2 & (F.col("sl") * 10 >= 45 * F.col("nt"))
+    g4 = g3 & (F.col("lang") != "zh")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    s = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        cnt(g1).alias("s1"),
+        cnt(g2).alias("s2"),
+        cnt(g3).alias("s3"),
+        cnt(g4).alias("s4"),
+    )
+    stages = (
+        "array("
+        "named_struct('stage', 0, 'gate', 'all', "
+        "'survivors', s0, 'dropped', CAST(0 AS BIGINT)), "
+        "named_struct('stage', 1, 'gate', 'min_tokens_20', "
+        "'survivors', s1, 'dropped', s0 - s1), "
+        "named_struct('stage', 2, 'gate', 'diversity_4000bps', "
+        "'survivors', s2, 'dropped', s1 - s2), "
+        "named_struct('stage', 3, 'gate', 'mean_token_len_4_5', "
+        "'survivors', s3, 'dropped', s2 - s3), "
+        "named_struct('stage', 4, 'gate', 'lang_allowlist', "
+        "'survivors', s4, 'dropped', s3 - s4))"
+    )
+    return s.select(F.explode(F.expr(stages)).alias("r")).select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.gate").alias("gate"),
+        F.col("r.survivors").alias("survivors"),
+        F.col("r.dropped").alias("dropped"),
+    )
+
+
+@q(
+    "t34_key_skew_profile",
+    # Shuffle-key skew diagnosis — the table that DECIDES whether a key
+    # needs salting (j10/g40) or chunked windows (w13b): per-key row
+    # counts reduced to one profile row — key count, total rows, max,
+    # exact p50/p90 per-key counts (smallest count whose key-rank
+    # reaches ceil(q·n_keys) — the w16 discrete-quantile ladder, exact
+    # integers), max/mean ratio in half-up milli (mean = t DIV n), and
+    # the top-10 keys' row share in half-up bps.  Everything computed
+    # from the |keys|-sized AGGREGATE: one shuffle on the key, then
+    # tiny sorts — diagnosis cost never exceeds one group-by at any
+    # corpus size.
+    "WITH " + _EV + ", kc AS (SELECT user_id, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY user_id), "
+    "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn "
+    "FROM kc), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(SUM(cnt) AS BIGINT) AS total_rows, "
+    "CAST(max(cnt) AS BIGINT) AS max_cnt FROM kc), "
+    "q AS (SELECT "
+    "(SELECT min(cnt) FROM r, t WHERE rn >= (n_keys + 1) // 2) AS p50, "
+    "(SELECT min(cnt) FROM r, t WHERE rn >= (9 * n_keys + 9) // 10) AS p90), "
+    "top AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM "
+    "(SELECT cnt FROM kc ORDER BY cnt DESC, user_id LIMIT 10)) "
+    "SELECT n_keys, total_rows, max_cnt, "
+    "CAST(p50 AS BIGINT) AS p50_cnt, CAST(p90 AS BIGINT) AS p90_cnt, "
+    "CAST((2 * max_cnt * 1000 + (total_rows // n_keys)) "
+    "// (2 * (total_rows // n_keys)) AS BIGINT) AS max_over_mean_milli, "
+    "CAST((2 * top10_rows * 10000 + total_rows) // (2 * total_rows) "
+    "AS BIGINT) AS top10_share_bps "
+    "FROM t, q, top",
+)
+def t34(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    r = kc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy("cnt", "user_id"))
+        .alias("rn"),
+    )
+    t = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    rt = r.crossJoin(F.broadcast(t))
+    p50 = rt.filter(F.expr("rn >= (n_keys + 1) DIV 2")).agg(
+        F.min("cnt").alias("p50")
+    )
+    p90 = rt.filter(F.expr("rn >= (9 * n_keys + 9) DIV 10")).agg(
+        F.min("cnt").alias("p90")
+    )
+    top = (
+        kc.orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    return (
+        t.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            F.col("p50").cast("bigint").alias("p50_cnt"),
+            F.col("p90").cast("bigint").alias("p90_cnt"),
+            F.expr(
+                "CAST((2 * max_cnt * 1000 + (total_rows DIV n_keys)) "
+                "DIV (2 * (total_rows DIV n_keys)) AS BIGINT)"
+            ).alias("max_over_mean_milli"),
+            F.expr(
+                "CAST((2 * top10_rows * 10000 + total_rows) "
+                "DIV (2 * total_rows) AS BIGINT)"
+            ).alias("top10_share_bps"),
+        )
+    )
+
+
+@q(
+    "l71_scorer_agreement",
+    # Quality-metric AGREEMENT matrix — before trusting a cheap score as
+    # a proxy for an expensive one, measure how consistently the two
+    # stratify the corpus: decile by lexical diversity (distinct/total
+    # tokens) × decile by the length-capped quality proxy (l67's
+    # score family), cell = doc count.  Rank-stable docs sit on the
+    # diagonal; the matrix is the evidence for/against swapping
+    # scorers.  Exact integers (half-up bps scores, ntile over total
+    # orders); two scalar-sort ntiles + one 10×10 agg — the l67
+    # economics twice.
+    "WITH toks AS (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt, "
+    "CAST(len(list_distinct(t)) AS BIGINT) AS nd, "
+    "CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sl "
+    "FROM toks WHERE len(t) > 0), "
+    "s AS (SELECT doc_id, "
+    "(2 * nd * 10000 + nt) // (2 * nt) AS div_bps, "
+    "least(nt, 200) * 50 + (2 * sl * 10 + nt) // (2 * nt) AS len_score "
+    "FROM m), "
+    "d AS (SELECT doc_id, "
+    "CAST(ntile(10) OVER (ORDER BY div_bps, doc_id) AS INT) AS decile_div, "
+    "CAST(ntile(10) OVER (ORDER BY len_score, doc_id) AS INT) AS decile_len "
+    "FROM s) "
+    "SELECT decile_div, decile_len, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM d GROUP BY decile_div, decile_len",
+)
+def l71(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    m = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("nt"),
+            F.size(F.array_distinct("t")).cast("bigint").alias("nd"),
+            F.aggregate(
+                F.transform(F.col("t"), lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("sl"),
+        )
+    )
+    s = m.select(
+        "doc_id",
+        F.expr("(2 * nd * 10000 + nt) DIV (2 * nt)").alias("div_bps"),
+        F.expr(
+            "least(nt, 200) * 50 + (2 * sl * 10 + nt) DIV (2 * nt)"
+        ).alias("len_score"),
+    )
+    d = s.select(
+        F.ntile(10)
+        .over(Window.orderBy("div_bps", "doc_id"))
+        .cast("int")
+        .alias("decile_div"),
+        F.ntile(10)
+        .over(Window.orderBy("len_score", "doc_id"))
+        .cast("int")
+        .alias("decile_len"),
+    )
+    return d.groupBy("decile_div", "decile_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@q(
+    "l72_dedup_threshold_sweep",
+    # Dedup-threshold TUNING table — pair counts at Jaccard cut points
+    # 0.5/0.6/0.7/0.8/0.9 from ONE exact similarity pass (conditional
+    # sums over the pair table), plus the would-be-removed doc count at
+    # each cut (distinct higher-id member).  The knob-choosing evidence
+    # l2/l52 consume a fixed threshold of.  Exact integer comparison
+    # (common·10 ≥ k·union — no float threshold); the pair tier reuses
+    # l2's bounded all-pairs shape at gate scale, the at-scale path is
+    # the same sweep over l52's prefix-filtered candidates.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh "
+    "GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT id_b, c, sa.sz + sb.sz - c AS u FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b), "
+    "cuts AS (SELECT unnest([5, 6, 7, 8, 9]) AS k) "
+    "SELECT k * 1000 AS threshold_bps, "
+    "CAST(SUM(CASE WHEN c * 10 >= k * u THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_pairs, "
+    "CAST(count(DISTINCT CASE WHEN c * 10 >= k * u THEN id_b END) "
+    "AS BIGINT) AS n_docs_removed "
+    "FROM cuts, pairs GROUP BY k",
+)
+def l72(spark, sf_dir):
+    from pgstream_spark.operators.dedup import shingles_col, tokens_col
+
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col(F.col("text")), n=3)).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .select("id_b", "c", (F.col("sa") + F.col("sb") - F.col("c")).alias("u"))
+    )
+    cuts = F.broadcast(
+        spark.createDataFrame([(5,), (6,), (7,), (8,), (9,)], "k int")
+    )
+    return (
+        pairs.crossJoin(cuts)
+        .groupBy((F.col("k") * 1000).cast("bigint").alias("threshold_bps"))
+        .agg(
+            F.sum(F.when(F.col("c") * 10 >= F.col("k") * F.col("u"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("c") * 10 >= F.col("k") * F.col("u"), F.col("id_b"))
+            )
+            .cast("bigint")
+            .alias("n_docs_removed"),
+        )
+    )
+
+
+@q(
+    "o9_keyset_mixed_order",
+    # Keyset pagination with MIXED sort directions — the o7 seek pager
+    # generalized to (date DESC, key ASC): the tuple decomposition
+    # flips per column (earlier date OR same date with larger key), a
+    # shape OFFSET pagination gets wrong silently when directions mix.
+    # The leading <= conjunct still reaches the parquet row-group
+    # stats; cursor inside the data range so the page is real at every
+    # SF.
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "WHERE o_orderdate <= TIMESTAMP '1998-06-01' "
+    "AND (o_orderdate < TIMESTAMP '1998-06-01' OR o_orderkey > 100) "
+    "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 50",
+)
+def o9(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cursor = F.lit("1998-06-01").cast("timestamp_ntz")
+    return (
+        o.filter(
+            (F.col("o_orderdate") <= cursor)
+            & ((F.col("o_orderdate") < cursor) | (F.col("o_orderkey") > 100))
+        )
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(50)
+    )
+
+
+@q(
+    "t33_interarrival_quantiles",
+    # Inter-arrival-time distribution per event type — the traffic-
+    # shape diagnosis behind rate limits and anomaly thresholds: lag
+    # gaps in integer seconds, then EXACT discrete quantiles (the w16
+    # ladder partitioned per type: smallest gap whose rank reaches
+    # ceil(q·n) — no interpolation, bit-stable).  One key shuffle
+    # carries both the lag and the rank windows; output is
+    # |event_types| rows.
+    # gaps from FLOOR-second epochs (epoch_us // 1e6): DuckDB's epoch()
+    # returns a fractional DOUBLE whose cast rounds — off-by-one vs the
+    # integer field arithmetic epoch_seconds uses (caught by the hash).
+    "WITH " + _EV + ", g AS (SELECT event_type, "
+    "epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER "
+    # order by the SAME floor-second key the Spark side sorts on —
+    # ordering by full-precision ts would pair different neighbors
+    # when two events share a second (sub-second ties).
+    "(PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000, event_id) "
+    "AS gap_s FROM ev), "
+    "gg AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY gap_s, "
+    "event_type) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n "
+    "FROM g WHERE gap_s IS NOT NULL) "
+    "SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps, "
+    "CAST(min(CASE WHEN rn * 2 >= n THEN gap_s END) AS BIGINT) AS p50_gap_s, "
+    "CAST(min(CASE WHEN rn * 10 >= 9 * n THEN gap_s END) AS BIGINT) "
+    "AS p90_gap_s, "
+    "CAST(max(gap_s) AS BIGINT) AS max_gap_s "
+    "FROM gg GROUP BY event_type",
+)
+def t33(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_seconds(F.col("ts")).alias("es"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("es") - F.lag("es").over(w)).cast("bigint").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_s", "event_type")
+    wn = Window.partitionBy("event_type")
+    gg = g.select(
+        "event_type",
+        "gap_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return gg.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("gap_s")))
+        .cast("bigint")
+        .alias("p50_gap_s"),
+        F.min(F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("gap_s")))
+        .cast("bigint")
+        .alias("p90_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
+
+
+@q(
+    "l75_minhash_calibration",
+    # MinHash CALIBRATION — the dedup analog of l65's ANN-recall
+    # harness: for every LSH candidate pair, estimated Jaccard
+    # (signature agreement k/8) vs EXACT Jaccard, rolled up per
+    # agreement level k.  The table that justifies (or indicts) the
+    # estimator before a threshold is trusted at corpus scale.  All
+    # integers: est = k·125000 micro exactly, exact Jaccard via the
+    # half-up micro recipe on |∩|/|∪| counts, mean error again half-up
+    # — no float crosses the engines.  Shape: l2d's banded candidate
+    # tier + O(candidates) exact verify (array intersect/union on the
+    # joined shingle arrays), never an all-pairs pass.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh3 AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS w1, "
+    "unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3 "
+    "FROM toks WHERE len(t) >= 3), "
+    "shm AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s FROM sh3 "
+    "UNION ALL SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    "WHERE len(t) < 3), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647 AS h "
+    "FROM shm), "
+    f"sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id), "
+    f"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    f"CAST(({_MH_NEQ_SQL}) AS BIGINT) AS k_equal "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "AND ((a.m0=b.m0 AND a.m1=b.m1 AND a.m2=b.m2 AND a.m3=b.m3) "
+    "OR (a.m4=b.m4 AND a.m5=b.m5 AND a.m6=b.m6 AND a.m7=b.m7))), "
+    "shd AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END) AS sh FROM toks), "
+    "p AS (SELECT k_equal, "
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS c, "
+    "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS u "
+    "FROM cand JOIN shd sa ON sa.doc_id = id_a "
+    "JOIN shd sb ON sb.doc_id = id_b), "
+    "e AS (SELECT k_equal, k_equal * 125000 AS est_micro, "
+    "(2 * c * 1000000 + u) // (2 * u) AS exact_micro FROM p) "
+    "SELECT k_equal, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST((2 * SUM(exact_micro) + count(*)) // (2 * count(*)) AS BIGINT) "
+    "AS mean_exact_micro, "
+    "CAST((2 * SUM(abs(est_micro - exact_micro)) + count(*)) "
+    "// (2 * count(*)) AS BIGINT) AS mean_abs_err_micro "
+    "FROM e GROUP BY k_equal",
+)
+def l75(spark, sf_dir):
+    from pgstream_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingles_col,
+        tokens_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_perm=8, seed=42, hash_fn="md5").cache()
+    cand = minhash_lsh_candidates(sig, bands=2, rows_per_band=4, bucket_cap=None)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    k_equal = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    ).cast("bigint")
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.slice("__sa", 1, 4) == F.slice("__sb", 1, 4))
+            | (F.slice("__sa", 5, 4) == F.slice("__sb", 5, 4))
+        )
+        .select("id_a", "id_b", k_equal.alias("k_equal"))
+    )
+    shd = d.select(
+        "doc_id", shingles_col(tokens_col(F.col("text")), 3).alias("sh")
+    )
+    p = (
+        pairs.join(
+            shd.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            shd.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__hb")),
+            "id_b",
+        )
+        .select(
+            "k_equal",
+            F.size(F.array_intersect("__ha", "__hb")).cast("bigint").alias("c"),
+            F.size(F.array_union("__ha", "__hb")).cast("bigint").alias("u"),
+        )
+    )
+    e = p.select(
+        "k_equal",
+        (F.col("k_equal") * 125000).alias("est_micro"),
+        F.expr("(2 * c * 1000000 + u) DIV (2 * u)").alias("exact_micro"),
+    )
+    return e.groupBy("k_equal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST((2 * SUM(exact_micro) + count(1)) DIV (2 * count(1)) "
+            "AS BIGINT)"
+        ).alias("mean_exact_micro"),
+        F.expr(
+            "CAST((2 * SUM(abs(est_micro - exact_micro)) + count(1)) "
+            "DIV (2 * count(1)) AS BIGINT)"
+        ).alias("mean_abs_err_micro"),
+    )
+
+
+@q(
+    "x9_cogrouped_arrow",
+    # Cogrouped applyInArrow — the Arrow-NATIVE form of x6's cogroup
+    # (Spark 4 API tier x8 opened, completed here): order header and
+    # its RAW line rows delivered side-by-side as pyarrow Tables, the
+    # kernel aggregates with pyarrow.compute only (sum/max — no pandas
+    # conversion anywhere).  Missing sides arrive as empty tables, so
+    # the kernel's COALESCE discipline must reproduce a full-outer-join
+    # oracle exactly; all money in integer cents.
+    "WITH o AS (SELECT o_orderkey AS k, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS oc FROM orders "
+    "WHERE o_orderkey <= 1500), "
+    "l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n, "
+    "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lc, "
+    "max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx "
+    "FROM lineitem WHERE l_orderkey <= 1500 GROUP BY 1) "
+    "SELECT COALESCE(o.k, l.k) AS k, o.oc AS order_cents, "
+    "CAST(COALESCE(l.n, 0) AS BIGINT) AS n_lines, "
+    "CAST(COALESCE(l.lc, 0) AS BIGINT) AS line_cents, "
+    "l.mx AS max_line_cents "
+    "FROM o FULL OUTER JOIN l ON o.k = l.k",
+)
+def x9(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("oc"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1500)
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("lc"),
+        )
+    )
+
+    def reconcile(left, right):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key = (left if left.num_rows else right)["k"][0].as_py()
+        oc = left["oc"][0].as_py() if left.num_rows else None
+        n = right.num_rows
+        lc = pc.sum(right["lc"]).as_py() if n else 0
+        mx = pc.max(right["lc"]).as_py() if n else None
+        return pa.table(
+            {
+                "k": pa.array([key], pa.int64()),
+                "order_cents": pa.array([oc], pa.int64()),
+                "n_lines": pa.array([n], pa.int64()),
+                "line_cents": pa.array([lc], pa.int64()),
+                "max_line_cents": pa.array([mx], pa.int64()),
+            }
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(li.groupBy("k"))
+        .applyInArrow(
+            reconcile,
+            "k bigint, order_cents bigint, n_lines bigint, "
+            "line_cents bigint, max_line_cents bigint",
+        )
+    )
+
+
+@q(
+    "f24_bitwise_agg",
+    # AGGREGATE-level bitwise algebra (f14 covers the expression level):
+    # per user, the OR-fold of one-hot event-type flags (= the exact
+    # set-of-types bitmap — the tiny-domain exact form of a Bloom/HLL
+    # membership sketch, mergeable by construction), its popcount, and
+    # the XOR-fold of event ids (order-free parity fingerprint).  One
+    # grouped agg, all integer; bitmaps OR-merge across shards without
+    # re-scanning — the property that makes them the cheap exact
+    # distinct-set carrier at bounded domain size.
+    "WITH " + _EV + ", f AS (SELECT user_id, event_id, "
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+    "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS flag "
+    "FROM ev) "
+    "SELECT user_id, CAST(bit_or(flag) AS BIGINT) AS type_bitmap, "
+    "CAST(bit_count(CAST(bit_or(flag) AS BIGINT)) AS BIGINT) AS n_types, "
+    "CAST(bit_xor(event_id) AS BIGINT) AS id_parity "
+    "FROM f GROUP BY user_id",
+)
+def f24(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+            "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END"
+        ).alias("flag"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.expr("CAST(bit_or(flag) AS BIGINT)").alias("type_bitmap"),
+        F.expr("CAST(bit_count(CAST(bit_or(flag) AS BIGINT)) AS BIGINT)").alias(
+            "n_types"
+        ),
+        F.expr("CAST(bit_xor(event_id) AS BIGINT)").alias("id_parity"),
+    )
+
+
+@q(
+    "l76_langid_confusion",
+    # Language-ID EVAL — the confusion matrix + per-language accuracy
+    # for the l4c classifier against the labeled `lang` column: the
+    # third member of the eval-harness family (l65 recall, l75
+    # calibration).  Accuracy in half-up bps from exact counts; one
+    # map-only classify pass + one |langs|² agg.  (The fixtures carry
+    # no Italian, so 'it' predictions appear only as confusion mass.)
+    "WITH toks AS (SELECT doc_id, lang, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "scores AS (SELECT doc_id, lang, "
+    "len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en, "
+    "len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS s_es, "
+    "len(list_filter(t, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS s_de, "
+    "len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','du','que'], x))) AS s_fr, "
+    "len(list_filter(t, x -> list_contains(['il','di','che','la','e','per','un','in','del','con'], x))) AS s_it "
+    "FROM toks), "
+    "pred AS (SELECT lang AS true_lang, "
+    "CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_it) = 0 THEN 'und' "
+    "WHEN s_it = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'it' "
+    "WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'fr' "
+    "WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'es' "
+    "WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'en' "
+    "ELSE 'de' END AS pred_lang FROM scores) "
+    "SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST((2 * SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) "
+    "* 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS cell_hit_bps "
+    "FROM pred GROUP BY true_lang, pred_lang",
+)
+def l76(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pred = language_id(d).select(
+        F.col("lang").alias("true_lang"), F.col("lang_pred").alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((2 * SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) "
+            "* 10000 + count(1)) DIV (2 * count(1)) AS BIGINT)"
+        ).alias("cell_hit_bps"),
+    )
+
+
+@q(
+    "t35_rate_limit_audit",
+    # Rate-limiter audit — per user, how often a trailing-60-second
+    # event window exceeded the limit (the abuse/bot screen every event
+    # pipeline runs): time-RANGE frame count over integer epoch
+    # seconds, threshold filter, then per-user violation stats.  One
+    # key shuffle carries the range window; output |users| rows.
+    "WITH " + _EV + ", w AS (SELECT user_id, "
+    "count(*) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts) // 1000000 "
+    "RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS cnt_60s "
+    "FROM ev) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CASE WHEN cnt_60s > 5 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_violations, "
+    "CAST(max(cnt_60s) AS BIGINT) AS peak_60s "
+    "FROM w GROUP BY user_id",
+)
+def t35(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_seconds(F.col("ts")).alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-60, Window.currentRow)
+    )
+    c = ev.select("user_id", F.count(F.lit(1)).over(w).alias("cnt_60s"))
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("cnt_60s") > 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.max("cnt_60s").cast("bigint").alias("peak_60s"),
+    )
+
+
+@q(
+    "g64_mom_revenue_change",
+    # Month-over-month revenue change per order priority — the
+    # executive trend table: calendar-month rollup in exact cents, lag
+    # within each priority, delta in half-up bps of the PRIOR month
+    # (integer cross-multiplication with sign handling via the abs+sign
+    # decomposition — DIV truncates toward zero, so negative deltas
+    # need the half-up recipe applied to |num|).  The window sorts the
+    # |priorities|×|months| AGGREGATE, never raw orders.
+    "WITH m AS (SELECT o_orderpriority AS pri, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS rev_cents FROM orders GROUP BY 1, 2), "
+    "l AS (SELECT pri, mon, rev_cents, "
+    "lag(rev_cents) OVER (PARTITION BY pri ORDER BY mon) AS prev "
+    "FROM m) "
+    "SELECT pri, CAST(mon AS DATE) AS mon, rev_cents, "
+    "CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE "
+    "CAST((CASE WHEN rev_cents >= prev THEN 1 ELSE -1 END) * "
+    "((2 * abs(rev_cents - prev) * 10000 + prev) // (2 * prev)) AS BIGINT) "
+    "END AS mom_change_bps FROM l",
+)
+def g64(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    lw = Window.partitionBy("pri").orderBy("mon")
+    l = m.withColumn("prev", F.lag("rev_cents").over(lw))
+    return l.select(
+        "pri",
+        F.col("mon").cast("date").alias("mon"),
+        "rev_cents",
+        F.expr(
+            "CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE "
+            "CAST((CASE WHEN rev_cents >= prev THEN 1 ELSE -1 END) * "
+            "((2 * abs(rev_cents - prev) * 10000 + prev) DIV (2 * prev)) "
+            "AS BIGINT) END"
+        ).alias("mom_change_bps"),
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -9448,7 +10254,12 @@ _GATE_ORDER_R5 = [
     "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
     "f19_datetime_format", "j8c_asof_tolerance", "x7_arrow_kernel",
     "l34_epoch_shuffle", "l68_temperature_mixture", "l69_ngram_novelty",
-    "l70_phrase_search",
+    "l70_phrase_search", "l73_dup_family_sizes", "l74_filter_funnel",
+    "t34_key_skew_profile", "l71_scorer_agreement",
+    "l72_dedup_threshold_sweep", "o9_keyset_mixed_order",
+    "t33_interarrival_quantiles", "l75_minhash_calibration",
+    "x9_cogrouped_arrow", "f24_bitwise_agg", "l76_langid_confusion",
+    "t35_rate_limit_audit", "g64_mom_revenue_change",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R5

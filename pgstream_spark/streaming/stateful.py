@@ -35,6 +35,7 @@ __all__ = [
     "watermarked_window_counts",
     "ewma_stream",
     "running_extrema",
+    "rate_limit_monitor",
 ]
 
 
@@ -520,5 +521,86 @@ def streaming_top_k(
         outputStructType=out_schema,
         stateStructType="vals array<double>, ids array<long>",
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_limit_monitor(
+    sdf: DataFrame,
+    key_col: str,
+    epoch_col: str,
+    window_s: int = 60,
+    limit: int = 5,
+) -> DataFrame:
+    """Per-key sliding-window rate-limit audit maintained ACROSS
+    micro-batches — the streaming twin of the batch RANGE-frame query
+    (``inventory.t35_rate_limit_audit``): for every event, the count of
+    that key's events in the trailing ``window_s`` seconds; a violation
+    when the count exceeds ``limit``.
+
+    State: the in-window event times plus three counters — bounded by
+    the key's PEAK in-window rate (the quantity being policed), not by
+    stream length, so the state store holds exactly what a token-bucket
+    enforcer would.
+
+    Contract: per key, event times must arrive in NON-DECREASING order
+    across micro-batches (intra-batch disorder is sorted away, matching
+    the batch query's total order); an event older than the key's
+    latest time is a late arrival past the ingestion watermark and is
+    dropped — counted nowhere, same as the compacted-log batch view.
+
+    Output (update mode): one row per key per batch it appeared in —
+    ``(key, n_events, n_violations, peak_window)``, cumulative — so the
+    latest row per key equals the batch audit over everything seen.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            recent, n_ev, n_vio, peak = state.get
+            recent = list(recent)
+        else:
+            recent, n_ev, n_vio, peak = [], 0, 0, 0
+        for pdf in pdfs:
+            # duplicates KEPT — every row is an event (batch parity)
+            for t in sorted(int(x) for x in pdf[epoch_col].dropna()):
+                if recent and t < recent[-1]:
+                    continue  # late arrival past the watermark
+                recent = [x for x in recent if x >= t - window_s]
+                recent.append(t)
+                c = len(recent)
+                n_ev += 1
+                if c > limit:
+                    n_vio += 1
+                if c > peak:
+                    peak = c
+        state.update((recent, n_ev, n_vio, peak))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n_ev],
+                "n_violations": [n_vio],
+                "peak_window": [peak],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", sdf.schema[key_col].dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_violations", T.LongType()),
+            T.StructField("peak_window", T.LongType()),
+        ]
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "recent array<long>, n_ev long, n_vio long, peak long"
+        ),
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

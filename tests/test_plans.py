@@ -840,3 +840,221 @@ def test_phrase_search_broadcasts_phrase_list(spark, sf_dir):
     for r in rows.values():
         # every matched doc contributes at least one hit
         assert r.n_hits >= r.n_docs > 0
+
+def test_dup_family_sizes_reconcile(spark, sf_dir):
+    # l73: histogram rows partition the corpus — n_docs sums to the
+    # corpus size and family_size * n_families == n_docs per row.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = QUERIES["l73_dup_family_sizes"](spark, sf_dir).collect()
+    assert rows
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.family_size * r.n_families == r.n_docs
+
+
+def test_filter_funnel_single_scan_monotone(spark, sf_dir):
+    # l74: one conditional-aggregation scan (no join/window) and the
+    # funnel is monotone non-increasing with exact drop accounting.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l74_filter_funnel"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "Join" not in txt
+    assert "Window" not in txt
+    rows = sorted(df.collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.survivors <= prev.survivors
+        assert cur.dropped == prev.survivors - cur.survivors
+
+
+def test_key_skew_profile_consistent(spark, sf_dir):
+    # t34: profile invariants — p50 <= p90 <= max, shares bounded, and
+    # the diagnosis never touches the fact table more than the one
+    # group-by (no self-join of the raw events).
+    from pgstream_spark.inventory import QUERIES
+
+    r = QUERIES["t34_key_skew_profile"](spark, sf_dir).collect()[0]
+    assert r.p50_cnt <= r.p90_cnt <= r.max_cnt
+    assert r.max_over_mean_milli >= 1000
+    assert 0 < r.top10_share_bps <= 10000
+    assert r.n_keys > 0 and r.total_rows > 0
+
+def test_scorer_agreement_partitions_corpus(spark, sf_dir):
+    # l71: the 10x10 matrix partitions the corpus; deciles in range;
+    # diagonal non-empty (the two scorers agree on SOME stratum).
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.operators.dedup import tokens_col
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = QUERIES["l71_scorer_agreement"](spark, sf_dir).collect()
+    nonempty = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(tokens_col(F.col("text"))) > 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == nonempty
+    assert all(1 <= r.decile_div <= 10 and 1 <= r.decile_len <= 10 for r in rows)
+    assert any(r.decile_div == r.decile_len for r in rows)
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    # l72: higher thresholds keep fewer pairs and remove fewer docs —
+    # the sweep must be monotone non-increasing in the cut.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = sorted(
+        QUERIES["l72_dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold_bps,
+    )
+    assert [r.threshold_bps for r in rows] == [5000, 6000, 7000, 8000, 9000]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_pairs <= prev.n_pairs
+        assert cur.n_docs_removed <= prev.n_docs_removed
+    assert all(r.n_docs_removed <= r.n_pairs for r in rows)
+
+
+def test_keyset_mixed_order_pushdown(spark, sf_dir):
+    # o9: the leading <= conjunct reaches the parquet scan so row-group
+    # stats can skip; the page is a real 50-row page.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["o9_keyset_mixed_order"](spark, sf_dir)
+    txt = explain_string(df, "formatted")
+    assert "PushedFilters" in txt
+    assert "o_orderdate" in txt.split("PushedFilters")[1][:200]
+    assert df.count() == 50
+
+
+def test_interarrival_quantiles_ordered(spark, sf_dir):
+    # t33: discrete-ladder quantiles are actual gap values with
+    # p50 <= p90 <= max per type.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["t33_interarrival_quantiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_gap_s <= r.p90_gap_s <= r.max_gap_s
+        assert r.n_gaps > 0
+
+def test_minhash_calibration_error_decreases_with_agreement(spark, sf_dir):
+    # l75: the estimator's mean error at full signature agreement (k=8)
+    # must not exceed the error at the lowest candidate agreement — the
+    # calibration table's raison d'etre; est levels are k/8 exactly.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = {r.k_equal: r for r in QUERIES["l75_minhash_calibration"](spark, sf_dir).collect()}
+    assert rows
+    assert all(4 <= k <= 8 for k in rows)  # band pass => half sig equal
+    lo, hi = min(rows), max(rows)
+    if lo < hi:
+        assert rows[hi].mean_abs_err_micro <= rows[lo].mean_abs_err_micro
+    for r in rows.values():
+        assert 0 <= r.mean_exact_micro <= 1_000_000
+
+
+def test_cogrouped_arrow_matches_join(spark, sf_dir):
+    # x9: the Arrow kernel's per-key reconciliation == the plain SQL
+    # full-outer aggregate join, column for column.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    got = {r.k: r for r in QUERIES["x9_cogrouped_arrow"](spark, sf_dir).collect()}
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("oc"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1500)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("lc"),
+            F.max(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("mx"),
+        )
+    )
+    want = o.join(li, "k", "full_outer").collect()
+    assert len(want) == len(got)
+    for w in want:
+        g = got[w.k]
+        assert g.order_cents == w.oc
+        assert g.n_lines == (w.n or 0)
+        assert g.line_cents == (w.lc or 0)
+        assert g.max_line_cents == w.mx
+
+
+def test_bitwise_agg_bitmap_semantics(spark, sf_dir):
+    # f24: popcount matches the distinct-type count exactly (the bitmap
+    # IS the distinct set at bounded domain) and bitmaps stay in range.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = {r.user_id: r for r in QUERIES["f24_bitwise_agg"](spark, sf_dir).collect()}
+    exact = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert rows.keys() == exact.keys()
+    for uid, r in rows.items():
+        assert r.n_types == exact[uid]
+        assert 1 <= r.type_bitmap <= 31
+
+def test_langid_confusion_reconciles(spark, sf_dir):
+    # l76: the confusion matrix partitions the corpus; diagonal cells
+    # carry cell_hit_bps == 10000, off-diagonal == 0.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = QUERIES["l76_langid_confusion"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.cell_hit_bps == (10000 if r.true_lang == r.pred_lang else 0)
+
+
+def test_rate_limit_audit_bounds(spark, sf_dir):
+    # t35: violations never exceed events; the peak window is at least 1
+    # (each event counts itself).
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["t35_rate_limit_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_events
+        assert r.peak_60s >= 1
+
+
+def test_mom_change_window_over_aggregate(spark, sf_dir):
+    # g64: the lag window runs over the months AGGREGATE (tiny), not the
+    # raw orders — first month per priority is NULL, rest bounded.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["g64_mom_revenue_change"](spark, sf_dir).collect()
+    by_pri = {}
+    for r in rows:
+        by_pri.setdefault(r.pri, []).append(r)
+    for pri, rs in by_pri.items():
+        rs.sort(key=lambda r: r.mon)
+        assert rs[0].mom_change_bps is None
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.mom_change_bps is not None and prev.rev_cents:
+                expect = round(
+                    (cur.rev_cents - prev.rev_cents) / prev.rev_cents * 10000
+                )
+                assert abs(cur.mom_change_bps - expect) <= 1

@@ -526,3 +526,100 @@ class TestStreakTracker:
             final.n_active_days,
             final.current_streak,
         ) == (3, 4, 1)
+
+
+class TestRateLimitMonitor:
+    """Streaming twin of t35_rate_limit_audit: bounded per-key state,
+    verified against an independent plain-python sliding-window audit."""
+
+    @staticmethod
+    def _expected(rows, window_s=60, limit=5):
+        from collections import defaultdict
+
+        by_key = defaultdict(list)
+        for k, t in rows:
+            by_key[k].append(t)
+        out = {}
+        for k, ts in by_key.items():
+            ts.sort()
+            recent, n_vio, peak = [], 0, 0
+            for t in ts:
+                recent = [x for x in recent if x >= t - window_s]
+                recent.append(t)
+                c = len(recent)
+                n_vio += c > limit
+                peak = max(peak, c)
+            out[k] = (len(ts), n_vio, peak)
+        return out
+
+    def test_matches_batch_audit_across_cuts(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+
+        from pgstream_spark.streaming.stateful import rate_limit_monitor
+
+        # key 1: burst straddling the batch cut (the cross-batch case);
+        # key 2: slow drip, never violates; duplicates within a second kept
+        b1 = [(1, 100), (1, 110), (1, 120), (1, 120), (2, 10)]
+        b2 = [(1, 130), (1, 140), (1, 150), (1, 300), (2, 500)]
+        src = str(tmp_path / "src")
+        schema = "user_id long, es long"
+        write_flat_parquet(spark, b1, schema, src + "/b1.parquet")
+        write_flat_parquet(spark, b2, schema, src + "/b2.parquet")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = _run(
+            rate_limit_monitor(sdf, "user_id", "es", window_s=60, limit=5),
+            tmp_path,
+            "ratelimit",
+            mode="update",
+        )
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        final = {}
+        for r in rows:  # memory sink appends updates; the last per key wins
+            final[r.key] = (r.n_events, r.n_violations, r.peak_window)
+        assert final == self._expected(b1 + b2)
+        # the straddling burst must count events from BOTH batches:
+        # at t=150 the [90, 150] window holds all seven earlier events
+        assert final[1][1] == 2 and final[1][2] == 7
+
+    def test_restart_resumes_window_state(self, spark, tmp_path):
+        from tests.conftest import write_flat_parquet
+
+        from pgstream_spark.streaming.stateful import rate_limit_monitor
+
+        src = str(tmp_path / "src")
+        schema = "user_id long, es long"
+        write_flat_parquet(
+            spark, [(1, 100), (1, 101), (1, 102)], schema, src + "/b1.parquet"
+        )
+        ckpt = str(tmp_path / "ck")
+        rows: list = []
+
+        def drain():
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                rate_limit_monitor(sdf, "user_id", "es", window_s=60, limit=3)
+                .writeStream.foreachBatch(
+                    lambda b, _id: rows.extend(b.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        # restart: the in-window events (100..102) must still be in state,
+        # so the next event makes the window 4 > limit 3 -> violation
+        write_flat_parquet(spark, [(1, 103)], schema, src + "/b2.parquet")
+        drain()
+        final = rows[-1]
+        assert (final.n_events, final.n_violations, final.peak_window) == (4, 1, 4)
