@@ -9384,6 +9384,677 @@ def g64(spark, sf_dir):
 
 
 @q(
+    "l77_lsh_precision_recall",
+    # LSH BANDING eval — the fourth eval-harness member: precision and
+    # recall of the md5 MinHash band-bucket candidate tier against the
+    # EXACT Jaccard-0.5 pair set.  l75 calibrates the estimator's
+    # values; this measures the candidate GENERATOR'S retrieval quality
+    # — the two numbers that together justify a banding config.  All
+    # counts exact; ratios half-up bps; the threshold compare is
+    # integer (2c >= u).  Gate tier prices the exact side with the
+    # bounded all-pairs join; at scale the exact set is itself
+    # estimated from a prefix-filter pass (l52), same sweep.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh3 AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS w1, "
+    "unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3 "
+    "FROM toks WHERE len(t) >= 3), "
+    "shm AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s FROM sh3 "
+    "UNION ALL SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    "WHERE len(t) < 3), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647 AS h "
+    "FROM shm), "
+    f"sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id), "
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "AND ((a.m0=b.m0 AND a.m1=b.m1 AND a.m2=b.m2 AND a.m3=b.m3) "
+    "OR (a.m4=b.m4 AND a.m5=b.m5 AND a.m6=b.m6 AND a.m7=b.m7))), "
+    "shd AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shd "
+    "GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS c "
+    "FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "exact AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE 2 * c >= sa.sz + sb.sz - c), "
+    "n AS (SELECT "
+    "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM cand "
+    "JOIN exact USING (id_a, id_b)) AS n_hit) "
+    "SELECT n_cand, n_exact, n_hit, "
+    "CAST((2 * n_hit * 10000 + n_cand) // (2 * n_cand) AS BIGINT) "
+    "AS precision_bps, "
+    "CAST((2 * n_hit * 10000 + n_exact) // (2 * n_exact) AS BIGINT) "
+    "AS recall_bps FROM n",
+)
+def l77(spark, sf_dir):
+    from pgstream_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_perm=8, seed=42, hash_fn="md5")
+    cand = minhash_lsh_candidates(
+        sig, bands=2, rows_per_band=4, bucket_cap=None
+    ).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = (
+        cand.join(exact, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_cand.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_cand",
+            "n_exact",
+            "n_hit",
+            F.expr(
+                "CAST((2 * n_hit * 10000 + n_cand) DIV (2 * n_cand) AS BIGINT)"
+            ).alias("precision_bps"),
+            F.expr(
+                "CAST((2 * n_hit * 10000 + n_exact) DIV (2 * n_exact) "
+                "AS BIGINT)"
+            ).alias("recall_bps"),
+        )
+    )
+
+
+@q(
+    "l78_pack_efficiency",
+    # Packing-efficiency audit over l12's context-window assignment —
+    # the number a training-throughput owner watches: per shard, tokens
+    # packed, windows opened (last chunk index + 1), fill ratio in bps
+    # of the 128-token budget, and how many documents straddle a window
+    # boundary (cross-window attention waste).  Same one-window-pass
+    # economics as l12; output |shards| rows.
+    "WITH toks AS (SELECT doc_id, doc_id % 8 AS shard, "
+    "greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')), 1) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, shard, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM toks), "
+    "p AS (SELECT shard, n_tokens, "
+    "CAST((cum - n_tokens) // 128 AS BIGINT) AS chunk_first, "
+    "CAST((cum - 1) // 128 AS BIGINT) AS chunk_last FROM c) "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+    "CAST(max(chunk_last) + 1 AS BIGINT) AS n_windows, "
+    "CAST((2 * SUM(n_tokens) * 10000 + (max(chunk_last) + 1) * 128) "
+    "// (2 * (max(chunk_last) + 1) * 128) AS BIGINT) AS fill_bps, "
+    "CAST(SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_straddlers FROM p GROUP BY shard",
+)
+def l78(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.greatest(F.size(tokens_col(F.col("text"))), F.lit(1))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    p = c.select(
+        "shard",
+        "n_tokens",
+        F.expr("CAST((cum - n_tokens) DIV 128 AS BIGINT)").alias("chunk_first"),
+        F.expr("CAST((cum - 1) DIV 128 AS BIGINT)").alias("chunk_last"),
+    )
+    return p.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.max("chunk_last") + 1).cast("bigint").alias("n_windows"),
+        F.expr(
+            "CAST((2 * SUM(n_tokens) * 10000 + (max(chunk_last) + 1) * 128) "
+            "DIV (2 * (max(chunk_last) + 1) * 128) AS BIGINT)"
+        ).alias("fill_bps"),
+        F.sum(
+            F.when(F.col("chunk_first") != F.col("chunk_last"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_straddlers"),
+    )
+
+
+@q(
+    "l79_vocab_growth",
+    # Vocabulary growth curve (the Heaps-law measurement, log-free):
+    # distinct token types and total tokens after 25/50/75/100 % of the
+    # corpus in doc_id order — the curve that predicts tokenizer vocab
+    # saturation and dedup value at 10× the data.  First-occurrence
+    # (min doc_id per token) is the same shape as l69's novelty join;
+    # checkpoints are FRACTIONS of max doc_id, so the query is
+    # scale-invariant (the g52 lesson — no absolute cursor that
+    # vacuates at a bigger SF).
+    "WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS w "
+    "FROM documents), "
+    "first AS (SELECT w, CAST(min(doc_id) AS BIGINT) AS fd FROM toks "
+    "GROUP BY w), "
+    "dl AS (SELECT doc_id, CAST(len(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) "
+    "AS nt FROM documents), "
+    "mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM dl), "
+    "cps AS (SELECT unnest([25, 50, 75, 100]) AS pct) "
+    "SELECT pct, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM first, mx "
+    "WHERE fd * 100 <= pct * m) AS vocab_size, "
+    "(SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM dl, mx "
+    "WHERE doc_id * 100 <= pct * m) AS total_tokens "
+    "FROM cps",
+)
+def l79(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    )
+    first = (
+        d.select("doc_id", F.explode(F.array_distinct("t")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").cast("bigint").alias("fd"))
+    )
+    dl = d.select("doc_id", F.size("t").cast("bigint").alias("nt"))
+    mx = F.broadcast(dl.agg(F.max("doc_id").cast("bigint").alias("m")))
+    cps = F.broadcast(
+        spark.createDataFrame([(25,), (50,), (75,), (100,)], "pct int")
+    )
+    vocab = (
+        first.crossJoin(mx)
+        .crossJoin(cps)
+        .filter(F.expr("fd * 100 <= pct * m"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    tokens = (
+        dl.crossJoin(mx)
+        .crossJoin(cps)
+        .filter(F.expr("doc_id * 100 <= pct * m"))
+        .groupBy("pct")
+        .agg(F.sum("nt").cast("bigint").alias("total_tokens"))
+    )
+    return vocab.join(tokens, "pct").select(
+        "pct", "vocab_size", "total_tokens"
+    )
+
+
+@q(
+    "t36_active_user_ratios",
+    # DAU/WAU engagement — the stickiness ratio every product dashboard
+    # leads with: per calendar week, distinct weekly actives, the sum
+    # of daily distinct actives over the week's active days, and
+    # stickiness (mean DAU / WAU) in half-up bps.  Two distinct counts
+    # over one scan lineage; the week window sorts the |weeks|
+    # aggregate.
+    "WITH " + _EV + ", d AS (SELECT DISTINCT "
+    "date_trunc('week', CAST(ts AS DATE)) AS wk, "
+    "CAST(ts AS DATE) AS day, user_id FROM ev), "
+    "dau AS (SELECT wk, day, CAST(count(*) AS BIGINT) AS n FROM d "
+    "GROUP BY wk, day), "
+    "wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+    "FROM d GROUP BY wk), "
+    "s AS (SELECT wk, CAST(SUM(n) AS BIGINT) AS sum_dau, "
+    "CAST(count(*) AS BIGINT) AS n_days FROM dau GROUP BY wk) "
+    "SELECT CAST(s.wk AS DATE) AS week, wau, sum_dau, n_days, "
+    "CAST((2 * sum_dau * 10000 + n_days * wau) // (2 * n_days * wau) "
+    "AS BIGINT) AS stickiness_bps "
+    "FROM s JOIN wau ON s.wk = wau.wk",
+)
+def t36(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", F.col("ts").cast("date")).alias("wk"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("wk", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wau = d.groupBy("wk").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    s = dau.groupBy("wk").agg(
+        F.sum("n").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return s.join(wau, "wk").select(
+        F.col("wk").cast("date").alias("week"),
+        "wau",
+        "sum_dau",
+        "n_days",
+        F.expr(
+            "CAST((2 * sum_dau * 10000 + n_days * wau) "
+            "DIV (2 * n_days * wau) AS BIGINT)"
+        ).alias("stickiness_bps"),
+    )
+
+
+@q(
+    "g65_revenue_concentration",
+    # Revenue concentration (the 80/20 audit): the smallest number of
+    # customers covering 50/80/90 % of total revenue, and what share of
+    # the customer base that is, in half-up bps.  Exact-cents ladder:
+    # rank customers by revenue (custkey tiebreak), first rank whose
+    # cumulative revenue crosses k % of total — the w16 discrete ladder
+    # over the |customers| AGGREGATE.
+    "WITH cr AS (SELECT o_custkey, "
+    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS rev FROM orders GROUP BY o_custkey), "
+    "r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) "
+    "AS rn, sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum FROM cr), "
+    "t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total, "
+    "CAST(count(*) AS BIGINT) AS n_cust FROM cr), "
+    "cps AS (SELECT unnest([50, 80, 90]) AS pct) "
+    "SELECT pct, "
+    "(SELECT CAST(min(rn) AS BIGINT) FROM r, t "
+    "WHERE cum * 100 >= pct * total) AS n_customers, "
+    "(SELECT CAST((2 * min(rn) * 10000 + any_value(n_cust)) "
+    "// (2 * any_value(n_cust)) AS BIGINT) "
+    "FROM r, t WHERE cum * 100 >= pct * total) AS customer_share_bps "
+    "FROM cps",
+)
+def g65(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    wr = Window.orderBy(F.desc("rev"), "o_custkey")
+    r = cr.select(
+        "rev",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("rev").over(wr).cast("bigint").alias("cum"),
+    )
+    t = F.broadcast(
+        cr.agg(
+            F.sum("rev").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        )
+    )
+    cps = F.broadcast(
+        spark.createDataFrame([(50,), (80,), (90,)], "pct int")
+    )
+    return (
+        r.crossJoin(t)
+        .crossJoin(cps)
+        .filter(F.expr("cum * 100 >= pct * total"))
+        .groupBy("pct")
+        .agg(
+            F.min("rn").cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST((2 * min(rn) * 10000 + any_value(n_cust)) "
+                "DIV (2 * any_value(n_cust)) AS BIGINT)"
+            ).alias("customer_share_bps"),
+        )
+    )
+
+
+@q(
+    "l80_tokenizer_fertility",
+    # Tokenizer FERTILITY by language — subword tokens per word in
+    # half-up milli, the number that decides whether a tokenizer is
+    # retrained for a language (high fertility = wasted context
+    # window).  Subword count from l4e's lookahead-free GPT-2-style
+    # boundary regex (same semantics in Java regex and RE2); word count
+    # from the standard token split; one scan, |langs| output rows.
+    "WITH c AS (SELECT lang, "
+    "CAST(len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) "
+    "AS BIGINT) AS n_sub, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS BIGINT) AS n_words FROM documents) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_sub) AS BIGINT) AS subword_tokens, "
+    "CAST(SUM(n_words) AS BIGINT) AS word_tokens, "
+    "CAST((2 * SUM(n_sub) * 1000 + SUM(n_words)) // (2 * SUM(n_words)) "
+    "AS BIGINT) AS fertility_milli "
+    "FROM c WHERE n_words > 0 GROUP BY lang",
+)
+def l80(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    c = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, "
+                "\"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\\\s]+\", 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_sub"),
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_words"),
+    ).filter(F.col("n_words") > 0)
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sub").cast("bigint").alias("subword_tokens"),
+        F.sum("n_words").cast("bigint").alias("word_tokens"),
+        F.expr(
+            "CAST((2 * SUM(n_sub) * 1000 + SUM(n_words)) "
+            "DIV (2 * SUM(n_words)) AS BIGINT)"
+        ).alias("fertility_milli"),
+    )
+
+
+@q(
+    "l81_dedup_quality_shift",
+    # What dedup DOES to corpus quality — per source: mean lexical-
+    # diversity score (exact bps ints) over ALL docs vs over exact-dup
+    # SURVIVORS (l1's min-doc_id-per-text rule), and the shift.  The
+    # before/after evidence a curation owner reads next to l73's family
+    # law; duplicates are low-diversity spam more often than not, so
+    # the shift should be >= 0.  One extra groupBy(text) vs the plain
+    # profile — linear, no pair join anywhere.
+    "WITH sc AS (SELECT doc_id, source, text, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS BIGINT) AS nt, "
+    "CAST(len(list_distinct(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS nd FROM documents), "
+    "q AS (SELECT doc_id, source, text, "
+    "(2 * nd * 10000 + nt) // (2 * nt) AS score FROM sc WHERE nt > 0), "
+    "surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_all, "
+    "CAST((2 * SUM(score) + count(*)) // (2 * count(*)) AS BIGINT) "
+    "AS mean_all_bps FROM q GROUP BY source), "
+    "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_surv, "
+    "CAST((2 * SUM(score) + count(*)) // (2 * count(*)) AS BIGINT) "
+    "AS mean_surv_bps FROM q JOIN surv USING (doc_id) GROUP BY source) "
+    "SELECT source, n_all, n_surv, mean_all_bps, mean_surv_bps, "
+    "mean_surv_bps - mean_all_bps AS shift_bps "
+    "FROM a JOIN s USING (source)",
+)
+def l81(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    sc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(tokens_col(F.col("text"))))
+        .cast("bigint")
+        .alias("nd"),
+    )
+    q = sc.filter(F.col("nt") > 0).select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr("(2 * nd * 10000 + nt) DIV (2 * nt)").alias("score"),
+    )
+    surv = q.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    mean_bps = F.expr(
+        "CAST((2 * SUM(score) + count(1)) DIV (2 * count(1)) AS BIGINT)"
+    )
+    a = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        mean_bps.alias("mean_all_bps"),
+    )
+    s = (
+        q.join(surv, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_surv"),
+            mean_bps.alias("mean_surv_bps"),
+        )
+    )
+    return a.join(s, "source").select(
+        "source",
+        "n_all",
+        "n_surv",
+        "mean_all_bps",
+        "mean_surv_bps",
+        (F.col("mean_surv_bps") - F.col("mean_all_bps")).alias("shift_bps"),
+    )
+
+
+@q(
+    "t37_burstiness",
+    # Traffic burstiness per event type — the Fano factor (index of
+    # dispersion, variance/mean of hourly counts) as ONE exact integer
+    # ratio: fano = (n·Σx² − (Σx)²) / (n·Σx) over the |type|×|hour|
+    # count table, emitted in half-up milli.  > 1000 means bursty
+    # (overdispersed), 1000 ≈ Poisson, < 1000 regular — the signal that
+    # picks t20's anomaly thresholds.  Two tiny aggregations; every
+    # intermediate a BIGINT (hourly counts bounded by the hour's
+    # volume).
+    "WITH " + _EV + ", hc AS (SELECT event_type, "
+    "date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x "
+    "FROM ev GROUP BY 1, 2), "
+    "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx "
+    "FROM hc GROUP BY event_type) "
+    "SELECT event_type, n AS n_hours, sx AS n_events, "
+    "CAST((2 * (n * sxx - sx * sx) * 1000 + n * sx) // (2 * n * sx) "
+    "AS BIGINT) AS fano_milli FROM m",
+)
+def t37(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST((2 * (n * sxx - sx * sx) * 1000 + n * sx) "
+            "DIV (2 * n * sx) AS BIGINT)"
+        ).alias("fano_milli"),
+    )
+
+
+@q(
+    "x10_map_in_pandas",
+    # Bare mapInPandas under the gate — the one Arrow entry point the
+    # x-family matrix still lacked (x1 pandas_udf, x3/x6 grouped/
+    # cogrouped pandas, x5 UDTF, x7/x8/x9 Arrow map/grouped/cogrouped):
+    # a per-batch vectorized transform with a BATCH-LOCAL reduction
+    # (rows out != rows in — the shape pandas_udf cannot express),
+    # emitting per-batch line counts and exact-cents sums that a plain
+    # GROUP BY oracle reproduces after re-aggregation.  Partition-count
+    # invariant because the final agg re-combines whatever batch cuts
+    # Arrow chose.
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS price_cents FROM lineitem GROUP BY l_returnflag",
+)
+def x10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def per_batch(it):
+        import pandas as pd
+
+        for pdf in it:
+            cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+            g = (
+                pd.DataFrame(
+                    {"l_returnflag": pdf["l_returnflag"], "c": cents}
+                )
+                .groupby("l_returnflag", as_index=False)
+                .agg(n=("c", "size"), s=("c", "sum"))
+            )
+            yield g
+
+    partial = li.mapInPandas(
+        per_batch, "l_returnflag string, n long, s long"
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.sum("s").cast("bigint").alias("price_cents"),
+    )
+
+
+@q(
+    "l82_simpson_diversity",
+    # Simpson's diversity index per source — the LOG-FREE vocabulary
+    # concentration metric (the entropy the gate discipline forbids —
+    # ln last-ulp differs across libm builds — has this exact-rational
+    # cousin): D = Σ nᵢ(nᵢ−1) / (N(N−1)), the probability two sampled
+    # tokens are the same type.  Reported as repeat_micro (half-up) —
+    # higher = more concentrated/spammy, the l33 hapax view's inverse.
+    # One token count + one agg per source; every intermediate BIGINT
+    # (term counts < 2^31, squares < 2^62).
+    "WITH tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n "
+    "FROM (SELECT source, unnest(list_filter(string_split_regex("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents) "
+    "GROUP BY source, w), "
+    "m AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, "
+    "CAST(SUM(n) AS BIGINT) AS total, "
+    "CAST(SUM(n * (n - 1)) AS BIGINT) AS rep FROM tc GROUP BY source) "
+    "SELECT source, vocab, total, "
+    "CAST((2 * rep * 1000000 + total * (total - 1)) "
+    "// (2 * total * (total - 1)) AS BIGINT) AS repeat_micro "
+    "FROM m WHERE total > 1",
+)
+def l82(spark, sf_dir):
+    from pgstream_spark.operators.dedup import tokens_col
+
+    tc = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("rep"),
+    )
+    return m.filter(F.col("total") > 1).select(
+        "source",
+        "vocab",
+        "total",
+        F.expr(
+            "CAST((2 * rep * 1000000 + total * (total - 1)) "
+            "DIV (2 * total * (total - 1)) AS BIGINT)"
+        ).alias("repeat_micro"),
+    )
+
+
+@q(
+    "t38_local_peaks",
+    # Local-peak detection in the hourly volume series per event type —
+    # the alarm-worthy-spike counter (strictly greater than BOTH
+    # neighbors on the observed-hour sequence): lag/lead over the
+    # |type|×|hour| aggregate, exact counts, plus the tallest peak and
+    # its hour.  Window economics of t20/t26 — never raw events.
+    "WITH " + _EV + ", hc AS (SELECT event_type, "
+    "date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x "
+    "FROM ev GROUP BY 1, 2), "
+    "n AS (SELECT event_type, h, x, "
+    "lag(x) OVER (PARTITION BY event_type ORDER BY h) AS xp, "
+    "lead(x) OVER (PARTITION BY event_type ORDER BY h) AS xn FROM hc), "
+    "p AS (SELECT event_type, h, x FROM n "
+    "WHERE xp IS NOT NULL AND xn IS NOT NULL AND x > xp AND x > xn), "
+    # tallest peak's hour: earliest hour holding the group max — a
+    # deterministic argmax under ties, spelled the same on both engines
+    "pm AS (SELECT event_type, h, x, "
+    "max(x) OVER (PARTITION BY event_type) AS mx FROM p) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks, "
+    "CAST(max(x) AS BIGINT) AS tallest_peak, "
+    "CAST(epoch_us(min(CASE WHEN x = mx THEN h END)) // 1000000 AS BIGINT) "
+    "AS tallest_peak_epoch_s FROM pm GROUP BY event_type",
+)
+def t38(spark, sf_dir):
+    from pgstream_spark.functions.datetime import epoch_seconds
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    n = hc.select(
+        "event_type",
+        "h",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    p = n.filter(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+    )
+    # tallest peak's hour: earliest hour holding the group max — a
+    # deterministic argmax under ties, spelled the same on both engines
+    pm = p.withColumn(
+        "mx", F.max("x").over(Window.partitionBy("event_type"))
+    )
+    return pm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+        F.max("x").cast("bigint").alias("tallest_peak"),
+        epoch_seconds(
+            F.min(F.when(F.col("x") == F.col("mx"), F.col("h")))
+        )
+        .cast("bigint")
+        .alias("tallest_peak_epoch_s"),
+    )
+
+
+@q(
+    "u6_symmetric_diff",
+    # Symmetric difference WITH side provenance — the audit form of the
+    # set ops (u1-u5 tell you the sets; this tells you which side each
+    # discrepancy came from): customers active only early vs only late,
+    # via two anti-join branches UNION ALL'd with a side tag.  The
+    # reconciliation query every migration runs.
+    "WITH early AS (SELECT DISTINCT o_custkey AS k FROM orders "
+    "WHERE o_orderdate < TIMESTAMP '1997-01-01'), "
+    "late AS (SELECT DISTINCT o_custkey AS k FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01') "
+    "SELECT k, 'early_only' AS side FROM early "
+    "WHERE k NOT IN (SELECT k FROM late) "
+    "UNION ALL SELECT k, 'late_only' AS side FROM late "
+    "WHERE k NOT IN (SELECT k FROM early)",
+)
+def u6(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    early = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    late = o.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    return (
+        early.join(late, "k", "left_anti")
+        .select("k", F.lit("early_only").alias("side"))
+        .unionAll(
+            late.join(early, "k", "left_anti").select(
+                "k", F.lit("late_only").alias("side")
+            )
+        )
+    )
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -10260,6 +10931,11 @@ _GATE_ORDER_R5 = [
     "t33_interarrival_quantiles", "l75_minhash_calibration",
     "x9_cogrouped_arrow", "f24_bitwise_agg", "l76_langid_confusion",
     "t35_rate_limit_audit", "g64_mom_revenue_change",
+    "l77_lsh_precision_recall", "l78_pack_efficiency", "l79_vocab_growth",
+    "t36_active_user_ratios", "g65_revenue_concentration",
+    "l80_tokenizer_fertility", "l81_dedup_quality_shift",
+    "t37_burstiness", "x10_map_in_pandas", "l82_simpson_diversity",
+    "t38_local_peaks", "u6_symmetric_diff",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R5

@@ -1058,3 +1058,223 @@ def test_mom_change_window_over_aggregate(spark, sf_dir):
                     (cur.rev_cents - prev.rev_cents) / prev.rev_cents * 10000
                 )
                 assert abs(cur.mom_change_bps - expect) <= 1
+
+def test_lsh_precision_recall_bounds(spark, sf_dir):
+    # l77: hits bounded by both sets; ratios in [0, 10000].
+    from pgstream_spark.inventory import QUERIES
+
+    r = QUERIES["l77_lsh_precision_recall"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_hit <= min(r.n_cand, r.n_exact)
+    assert 0 < r.precision_bps <= 10000
+    assert 0 < r.recall_bps <= 10000
+
+
+def test_pack_efficiency_reconciles_with_l12(spark, sf_dir):
+    # l78: the audit must agree with the packing it audits — same
+    # shards, per-shard window count == l12's max chunk_last + 1,
+    # straddlers == l12's straddles sum; fill never exceeds 100%.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+
+    audit = {r.shard: r for r in QUERIES["l78_pack_efficiency"](spark, sf_dir).collect()}
+    l12 = (
+        QUERIES["l12_sequence_pack"](spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            (F.max("chunk_last") + 1).alias("nw"),
+            F.sum(F.col("straddles").cast("int")).alias("ns"),
+        )
+        .collect()
+    )
+    assert {r.shard for r in l12} == set(audit)
+    for r in l12:
+        a = audit[r.shard]
+        assert a.n_windows == r.nw
+        assert a.n_straddlers == r.ns
+        assert 0 < a.fill_bps <= 10000
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    # l79: vocabulary and token totals grow monotonically with the
+    # corpus fraction; 100% vocab == the full distinct-token count.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.operators.dedup import tokens_col
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = sorted(
+        QUERIES["l79_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [25, 50, 75, 100]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.vocab_size >= prev.vocab_size
+        assert cur.total_tokens >= prev.total_tokens
+    full_vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_size == full_vocab
+
+
+def test_active_user_ratios_bounds(spark, sf_dir):
+    # t36: mean DAU can never exceed WAU (stickiness <= 100%), and the
+    # daily sum is at least the weekly distinct count.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["t36_active_user_ratios"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.stickiness_bps <= 10000
+        assert r.sum_dau >= r.wau
+        assert 1 <= r.n_days <= 7
+
+
+def test_revenue_concentration_monotone(spark, sf_dir):
+    # g65: covering more revenue needs at least as many customers.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = sorted(
+        QUERIES["g65_revenue_concentration"](spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [50, 80, 90]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_customers >= prev.n_customers
+        assert cur.customer_share_bps >= prev.customer_share_bps
+    # concentration means 50% of revenue takes < 50% of customers
+    assert rows[0].customer_share_bps < 5000
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    # l80: fertility >= 1000 milli on this alnum-word corpus (the
+    # subword regex never splits below word count here) and totals
+    # reconcile per language.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l80_tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility_milli >= 1000
+        assert r.subword_tokens >= r.word_tokens > 0
+
+
+def test_dedup_quality_shift_consistent(spark, sf_dir):
+    # l81: survivors are a subset (n_surv <= n_all) and the shift
+    # column is exactly the difference of the two means.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l81_dedup_quality_shift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_surv <= r.n_all
+        assert r.shift_bps == r.mean_surv_bps - r.mean_all_bps
+
+
+def test_burstiness_poisson_reference(spark, sf_dir):
+    # t37: Fano is positive; a manual recompute from the hourly counts
+    # matches the query's integer recipe exactly.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = {r.event_type: r for r in QUERIES["t37_burstiness"](spark, sf_dir).collect()}
+    hc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    xs = defaultdict(list)
+    for r in hc:
+        xs[r.event_type].append(r["count"])
+    for et, counts in xs.items():
+        n, sx, sxx = len(counts), sum(counts), sum(x * x for x in counts)
+        expect = (2 * (n * sxx - sx * sx) * 1000 + n * sx) // (2 * n * sx)
+        assert rows[et].fano_milli == expect
+        assert rows[et].n_hours == n and rows[et].n_events == sx
+
+
+def test_map_in_pandas_partition_invariant(spark, sf_dir):
+    # x10: batch-local partial aggregation re-combines to the same
+    # result under any partitioning.
+    from pgstream_spark.inventory import QUERIES
+
+    base = {
+        r.l_returnflag: (r.n_lines, r.price_cents)
+        for r in QUERIES["x10_map_in_pandas"](spark, sf_dir).collect()
+    }
+    assert base
+    from pgstream_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.l_returnflag: (r.n, r.c)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert base == exact
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    # l82: repeat probability is a probability (0..1e6 micro) and the
+    # vocabulary can't exceed the token total.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l82_simpson_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.repeat_micro <= 1_000_000
+        assert 0 < r.vocab <= r.total
+
+
+def test_local_peaks_reference(spark, sf_dir):
+    # t38: recompute peaks from the hourly series in plain python.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    got = {r.event_type: r for r in QUERIES["t38_local_peaks"](spark, sf_dir).collect()}
+    hc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in hc:
+        series[r.event_type].append((r.h, r["count"]))
+    for et, pts in series.items():
+        pts.sort()
+        peaks = [
+            (h, x)
+            for (hp, xp), (h, x), (hn, xn) in zip(pts, pts[1:], pts[2:])
+            if x > xp and x > xn
+        ]
+        if not peaks:
+            assert et not in got
+            continue
+        assert got[et].n_peaks == len(peaks)
+        assert got[et].tallest_peak == max(x for _, x in peaks)
+
+
+def test_symmetric_diff_sides_disjoint(spark, sf_dir):
+    # u6: the two sides are disjoint key sets with correct provenance.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["u6_symmetric_diff"](spark, sf_dir).collect()
+    early = {r.k for r in rows if r.side == "early_only"}
+    late = {r.k for r in rows if r.side == "late_only"}
+    assert early or late
+    assert not (early & late)
+    assert len(rows) == len(early) + len(late)
