@@ -506,3 +506,65 @@ class TestScramProperties:
         bad = bytes([proof[0] ^ 0x01]) + proof[1:]
         rec_bad = bytes(a ^ b for a, b in zip(bad, sig))
         assert hashlib.sha256(rec_bad).digest() != stored
+
+
+@given(
+    num=st.integers(min_value=0, max_value=2**40),
+    den=st.integers(min_value=1, max_value=2**40),
+)
+@settings(**SETTINGS)
+def test_half_up_div_recipe_is_round_half_up(num, den):
+    """The gate-wide half-up recipe `(2*num + den) DIV (2*den)` equals
+    true round-half-up of num/den (exact, via Fraction) for all
+    non-negative operands — the identity every bps/milli/micro column
+    in the inventory rests on."""
+    from fractions import Fraction
+
+    got = (2 * num + den) // (2 * den)
+    q = Fraction(num, den)
+    floor_q, rem = divmod(q.numerator, q.denominator)
+    # round-half-up: floor(q) + 1 iff fractional part >= 1/2
+    want = floor_q + (1 if Fraction(rem, q.denominator) >= Fraction(1, 2) else 0)
+    assert got == want
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60
+    ),
+    q_bps=st.integers(min_value=1, max_value=10000),
+)
+@settings(**SETTINGS)
+def test_discrete_quantile_ladder_recipe(values, q_bps):
+    """The w16/t33/t34/g65 discrete-quantile ladder — smallest value
+    whose 1-based rank satisfies `rn * 10000 >= q_bps * n` — equals the
+    ceil-index order statistic, the classical exact discrete quantile."""
+    import math
+
+    s = sorted(values)
+    n = len(s)
+    got = min(
+        v for rn, v in enumerate(s, start=1) if rn * 10000 >= q_bps * n
+    )
+    want = s[math.ceil(q_bps * n / 10000) - 1]
+    assert got == want
+
+
+@given(
+    num=st.integers(min_value=-(2**40), max_value=2**40),
+    den=st.integers(min_value=1, max_value=2**40),
+)
+@settings(**SETTINGS)
+def test_signed_half_up_needs_abs_decomposition(num, den):
+    """The signed form used by g64/t27: sign(num) * half-up(|num|/den)
+    equals round-half-away-from-zero — and for negative numerators it
+    is exactly what the naive recipe (which relies on truncating DIV)
+    would get wrong."""
+    from fractions import Fraction
+
+    sign = 1 if num >= 0 else -1
+    got = sign * ((2 * abs(num) + den) // (2 * den))
+    q = Fraction(abs(num), den)
+    floor_q, rem = divmod(q.numerator, q.denominator)
+    mag = floor_q + (1 if Fraction(rem, q.denominator) >= Fraction(1, 2) else 0)
+    assert got == sign * mag
