@@ -10055,6 +10055,154 @@ def u6(spark, sf_dir):
 
 
 @q(
+    "l83_char_trigram_profile",
+    # Character-trigram language profile — the char-level counterpart
+    # of the word-lexicon tier (l4c votes with word lists; real langid
+    # models vote with char n-gram profiles): top-5 char trigrams per
+    # language by exact count, rank ties broken lexicographically so
+    # the profile is deterministic everywhere.  Explode bounded by
+    # 3×chars; the rank window sorts the |langs|×|trigrams| AGGREGATE.
+    "WITH tg AS (SELECT lang, unnest([substr(lower(text), i, 3) "
+    "FOR i IN generate_series(1, length(text) - 2)]) AS g "
+    "FROM documents WHERE length(text) >= 3), "
+    "tc AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM tg "
+    "WHERE NOT regexp_matches(g, '[^a-z ]') GROUP BY lang, g), "
+    "r AS (SELECT lang, g, n, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n DESC, g) AS rk FROM tc) "
+    "SELECT lang, g AS trigram, n, CAST(rk AS BIGINT) AS rk "
+    "FROM r WHERE rk <= 5",
+)
+def l83(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # substr via transform over positions; keep only pure [a-z ] grams
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    ).filter(~F.col("g").rlike("[^a-z ]"))
+    tc = tg.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
+    return (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            F.col("g").alias("trigram"),
+            "n",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@q(
+    "t39_hourly_profile",
+    # Hour-of-day seasonality profile per event type — the diurnal
+    # shape t26's decomposition assumes and t20's thresholds consume:
+    # mean events per (type, hour-of-day) across all observed days, in
+    # half-up milli-events.  Two tiny aggregations; output |types|×24.
+    "WITH " + _EV + ", hc AS (SELECT event_type, "
+    "CAST(ts AS DATE) AS d, extract(hour FROM ts) AS hod, "
+    "CAST(count(*) AS BIGINT) AS x FROM ev GROUP BY 1, 2, 3), "
+    "nd AS (SELECT event_type, CAST(count(DISTINCT d) AS BIGINT) AS days "
+    "FROM hc GROUP BY event_type) "
+    "SELECT hc.event_type, CAST(hod AS BIGINT) AS hour_of_day, "
+    "CAST(SUM(x) AS BIGINT) AS n_events, "
+    "CAST((2 * SUM(x) * 1000 + days) // (2 * days) AS BIGINT) "
+    "AS mean_per_day_milli "
+    "FROM hc JOIN nd ON hc.event_type = nd.event_type "
+    "GROUP BY hc.event_type, hod, days",
+)
+def t39(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    nd = hc.groupBy("event_type").agg(
+        F.count_distinct("d").cast("bigint").alias("days")
+    )
+    return (
+        hc.join(nd, "event_type")
+        .groupBy("event_type", "hod", "days")
+        .agg(F.sum("x").cast("bigint").alias("n_events"))
+        .select(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hour_of_day"),
+            "n_events",
+            F.expr(
+                "CAST((2 * n_events * 1000 + days) DIV (2 * days) AS BIGINT)"
+            ).alias("mean_per_day_milli"),
+        )
+    )
+
+
+@q(
+    "w18_adoption_curve",
+    # Cumulative-distinct adoption curve — running count of users ever
+    # seen, per day: the growth chart a naive count(DISTINCT) OVER
+    # would recompute quadratically; the linear form is first-seen day
+    # per user (one agg) then a running sum over the |days| spine.
+    "WITH " + _EV + ", fs AS (SELECT user_id, "
+    "min(CAST(ts AS DATE)) AS first_day FROM ev GROUP BY user_id), "
+    "dd AS (SELECT first_day AS d, CAST(count(*) AS BIGINT) AS n_new "
+    "FROM fs GROUP BY first_day) "
+    "SELECT CAST(d AS DATE) AS day, n_new, "
+    "CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM dd",
+)
+def w18(spark, sf_dir):
+    from pgstream_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    dd = fs.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return dd.select(
+        F.col("d").cast("date").alias("day"),
+        "n_new",
+        F.sum("n_new").over(Window.orderBy("d")).cast("bigint").alias(
+            "cum_users"
+        ),
+    )
+
+
+@q(
+    "o10_top_percent",
+    # Top-1% selection by exact COUNT cutoff (ceil(n/100), ties broken
+    # by key) — the "head of the distribution" slice a percentile
+    # threshold gets wrong when values tie: rank-based, so the result
+    # size is exact at any scale.  Window sorts the order table once;
+    # at extreme scale the two-level o8/o3 partial-top-k shape drops in.
+    "WITH r AS (SELECT o_orderkey, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+    "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+    "count(*) OVER () AS n FROM orders) "
+    "SELECT o_orderkey, cents FROM r WHERE rn * 100 <= n + 99",
+)
+def o10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    r = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.filter(F.expr("rn * 100 <= n + 99")).select("o_orderkey", "cents")
+
+
+@q(
     "w17_streaks",
     # Gaps-and-islands: longest run of CONSECUTIVE active days per user
     # (epoch-day minus row_number is constant within a run — the
@@ -10935,7 +11083,45 @@ _GATE_ORDER_R5 = [
     "t36_active_user_ratios", "g65_revenue_concentration",
     "l80_tokenizer_fertility", "l81_dedup_quality_shift",
     "t37_burstiness", "x10_map_in_pandas", "l82_simpson_diversity",
-    "t38_local_peaks", "u6_symmetric_diff",
+    "t38_local_peaks", "u6_symmetric_diff", "l83_char_trigram_profile",
+    "t39_hourly_profile", "w18_adoption_curve", "o10_top_percent",
+]
+
+# Round-6 staging, PRE-BUILT at the round-5 close (do not activate until
+# the round-5 driver gate has run — it consumes the first 50 of the R5
+# order above).  Contents: every oracle-backed query with no driver row
+# after the round-5 window runs — the R5 tail (round-5 session
+# additions) plus the near-twin overflow — exactly 50 slots, cheapest
+# first within each family, the heavy exact tiers (l72 sweep, l75/l77
+# LSH eval, l69 novelty) LAST so a time budget cannot orphan cheap rows
+# behind them.  To activate in round 6: set `_GATE_ORDER = _GATE_ORDER_R6`.
+_GATE_ORDER_R6 = [
+    # -- round-5 session additions: newest, zero driver rows -----------
+    "l64b_entity_resolution_star", "l65_ann_recall",
+    "l66_cross_source_dup_matrix", "l67_quality_mixture_manifest",
+    "g56_tpch_q4_priority_late", "g57_tpch_q6_forecast_revenue",
+    "g58_tpch_q10_returned_items", "g59_tpch_q14_promo_effect",
+    "g60_tpch_q18_large_volume", "g61_tpch_q19_discounted_revenue",
+    "g62_tpch_q22_global_sales", "g64_mom_revenue_change",
+    "g65_revenue_concentration",
+    "l68_temperature_mixture", "l70_phrase_search",
+    "l71_scorer_agreement", "l73_dup_family_sizes", "l74_filter_funnel",
+    "l76_langid_confusion", "l78_pack_efficiency", "l79_vocab_growth",
+    "l80_tokenizer_fertility", "l81_dedup_quality_shift",
+    "l82_simpson_diversity", "l83_char_trigram_profile",
+    "t33_interarrival_quantiles", "t34_key_skew_profile",
+    "t35_rate_limit_audit", "t36_active_user_ratios", "t37_burstiness",
+    "t38_local_peaks", "t39_hourly_profile",
+    "o9_keyset_mixed_order", "o10_top_percent", "u6_symmetric_diff",
+    "w18_adoption_curve", "x9_cogrouped_arrow", "x10_map_in_pandas",
+    "f24_bitwise_agg",
+    # -- near-twin overflow from the R4/R5 backlogs ---------------------
+    "f13_string_agg", "f14_bitwise_ops", "u4_multiset_ops",
+    "f19_datetime_format", "j8c_asof_tolerance", "x7_arrow_kernel",
+    "l34_epoch_shuffle",
+    # -- heavy exact tiers LAST (time-budget discipline) ----------------
+    "l69_ngram_novelty", "l75_minhash_calibration",
+    "l72_dedup_threshold_sweep", "l77_lsh_precision_recall",
 ]
 
 _GATE_ORDER = _GATE_ORDER_R5

@@ -1278,3 +1278,76 @@ def test_symmetric_diff_sides_disjoint(spark, sf_dir):
     assert early or late
     assert not (early & late)
     assert len(rows) == len(early) + len(late)
+
+def test_char_trigram_profile_shape(spark, sf_dir):
+    # l83: exactly 5 ranked rows per language, rank-consistent counts.
+    from pgstream_spark.inventory import QUERIES
+
+    rows = QUERIES["l83_char_trigram_profile"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3, 4, 5]
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.n <= prev.n
+        assert all(len(r.trigram) == 3 for r in rs)
+
+
+def test_hourly_profile_reconciles(spark, sf_dir):
+    # t39: per-type event totals across the 24-hour profile equal the
+    # raw event counts.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = QUERIES["t39_hourly_profile"](spark, sf_dir).collect()
+    totals = {}
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        totals[r.event_type] = totals.get(r.event_type, 0) + r.n_events
+    raw = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert totals == raw
+
+
+def test_adoption_curve_monotone_and_complete(spark, sf_dir):
+    # w18: cumulative count is non-decreasing and ends at the total
+    # distinct user count.
+    from pgstream_spark.inventory import QUERIES
+    from pyspark.sql import functions as F
+    from pgstream_spark.sources.parquet import load_table
+
+    rows = sorted(
+        QUERIES["w18_adoption_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_users == prev.cum_users + cur.n_new
+    total = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert rows[-1].cum_users == total
+
+
+def test_top_percent_exact_count(spark, sf_dir):
+    # o10: the slice is exactly ceil(n/100) rows regardless of value ties.
+    import math
+
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.sources.parquet import load_table
+
+    got = QUERIES["o10_top_percent"](spark, sf_dir).count()
+    n = load_table(spark, sf_dir, "orders").count()
+    assert got == math.ceil(n / 100)
