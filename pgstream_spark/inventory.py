@@ -11124,7 +11124,7 @@ _GATE_ORDER_R6 = [
     "l72_dedup_threshold_sweep", "l77_lsh_precision_recall",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R5
+_GATE_ORDER = _GATE_ORDER_R6
 
 
 def _reorder_registry() -> None:
