@@ -50,6 +50,7 @@ import base64
 import hashlib
 import hmac
 import os
+import re
 import socket
 import struct
 import uuid
@@ -119,6 +120,15 @@ def _pg_text_array(elem: Callable[[str], Any]) -> Callable[[str], list]:
 
     def parse(s: str) -> list:
         body = s.strip()
+        if body.startswith("["):
+            # non-default lower bound renders as '[m:n]={...}' (one
+            # '[m:n]' per dimension); the bounds carry no information a
+            # 1-D decode needs — strip them, mirroring the binary
+            # decoder's tolerance of arbitrary lower bounds
+            eq = body.find("=")
+            if eq == -1:
+                raise ValueError(f"not an array literal: {s[:40]!r}")
+            body = body[eq + 1 :]
         if not (body.startswith("{") and body.endswith("}")):
             raise ValueError(f"not an array literal: {s[:40]!r}")
         body = body[1:-1]
@@ -127,6 +137,100 @@ def _pg_text_array(elem: Callable[[str], Any]) -> Callable[[str], list]:
         return [elem(p) for p in body.split(",") if p != "NULL"]
 
     return parse
+
+
+# -- typed decoders for the reference's remaining FromRow scalars -------
+# uuid / timestamptz / time / timetz / interval (OIDs 2950/1184/1083/
+# 1266/1186) are typed decodes in the reference's matrix (`/root/
+# reference/src/Database/PostgreSQL/Stream/FromRow.hs:184-188, 244-272`,
+# via the public postgresql-binary package); until round 6 they fell
+# back to raw text here.  Representation choices, Spark-first:
+#
+#   uuid        → canonical lowercase string (validated); Spark has no
+#                 UUID type, STRING is its idiom.
+#   timestamptz → tz-AWARE datetime normalized to UTC (the reference's
+#                 UTCTime), Spark TIMESTAMP (instant semantics).
+#   time        → datetime.time, Spark TIME(6) (native in Spark 4).
+#   timetz      → canonical 'HH:MM:SS[.ffffff]±HH:MM' STRING — Spark
+#                 has no TIME WITH TIME ZONE; the decode still parses
+#                 and normalizes (reference: (TimeOfDay, TimeZone)).
+#   interval    → datetime.timedelta with months flattened at 30 days,
+#                 exactly postgresql-binary's DiffTime flattening the
+#                 reference consumes; Spark INTERVAL DAY TO SECOND.
+
+
+def _pg_uuid(s: str) -> str:
+    return str(uuid.UUID(s.strip()))
+
+
+def _pg_time(s: str):
+    import datetime
+
+    return datetime.time.fromisoformat(s)
+
+
+def _timetz_canonical(t) -> str:
+    """'HH:MM:SS[.ffffff]±HH:MM[:SS]' with the fraction trimmed of
+    trailing zeros (Postgres display style) — the ONE canonical form
+    both the text and binary timetz decoders emit."""
+    base = t.replace(tzinfo=None).isoformat()
+    if "." in base:
+        base = base.rstrip("0").rstrip(".")
+    total = int(t.utcoffset().total_seconds())
+    sign = "+" if total >= 0 else "-"
+    hh, rem = divmod(abs(total), 3600)
+    mm, ss = divmod(rem, 60)
+    off = f"{sign}{hh:02d}:{mm:02d}" + (f":{ss:02d}" if ss else "")
+    return base + off
+
+
+def _pg_timetz(s: str) -> str:
+    import datetime
+
+    t = datetime.time.fromisoformat(s)
+    if t.tzinfo is None:
+        raise ValueError(f"timetz literal without offset: {s!r}")
+    return _timetz_canonical(t)
+
+
+def _pg_timestamptz(s: str):
+    import datetime
+
+    v = datetime.datetime.fromisoformat(s)
+    if v.tzinfo is None:  # server always sends an offset; be tolerant
+        return v.replace(tzinfo=datetime.timezone.utc)
+    return v.astimezone(datetime.timezone.utc)
+
+
+# default intervalstyle=postgres: '[±N year(s)] [±N mon(s)] [±N day(s)]
+# [±HH:MM:SS[.ffffff]]' — any subset, in that order
+_INTERVAL_UNIT = re.compile(r"([+-]?\d+)\s+(year|mon|day)s?")
+_INTERVAL_TIME = re.compile(r"([+-]?)(\d+):(\d\d):(\d\d(?:\.\d+)?)")
+
+
+def _pg_interval(s: str):
+    import datetime
+
+    months = days = 0
+    for n, unit in _INTERVAL_UNIT.findall(s):
+        if unit == "year":
+            months += 12 * int(n)
+        elif unit == "mon":
+            months += int(n)
+        else:
+            days += int(n)
+    us = 0
+    tm = _INTERVAL_TIME.search(s)
+    if tm:
+        sign = -1 if tm.group(1) == "-" else 1
+        frac = Decimal(tm.group(4))
+        us = sign * int(
+            (int(tm.group(2)) * 3600 + int(tm.group(3)) * 60) * 1_000_000
+            + (frac * 1_000_000).to_integral_value()
+        )
+    elif not _INTERVAL_UNIT.search(s):
+        raise ValueError(f"not an interval literal: {s[:40]!r}")
+    return datetime.timedelta(days=days + 30 * months, microseconds=us)
 
 
 _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
@@ -146,8 +250,13 @@ _OID_DECODE: dict[int, tuple[Callable[[str], Any], str]] = {
     1042: (str, "string"),  # bpchar
     1043: (str, "string"),  # varchar
     1082: (_pg_date, "date"),
+    1083: (_pg_time, "time(6)"),
     1114: (_pg_timestamp, "timestamp_ntz"),
+    1184: (_pg_timestamptz, "timestamp"),
+    1186: (_pg_interval, "interval day to second"),
+    1266: (_pg_timetz, "string"),  # Spark lacks TIME WITH TIME ZONE
     1700: (Decimal, "decimal(38,18)"),
+    2950: (_pg_uuid, "string"),
 }
 
 
@@ -200,6 +309,105 @@ def _bin_ts_dec(b: bytes):
     )
 
 
+# Binary layouts for the round-6 scalar additions — all public
+# PostgreSQL send() formats (and what postgresql-binary's *_int
+# decoders, the reference's consumers, read): timestamptz = int64 µs
+# since 2000-01-01 UTC; time = int64 µs since midnight; timetz =
+# int64 µs + int32 zone seconds WEST of UTC; interval = int64 µs +
+# int32 days + int32 months; uuid = 16 raw bytes.
+
+
+def _bin_tstz_enc(v) -> bytes:
+    import datetime
+
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=datetime.timezone.utc)
+    delta = v - datetime.datetime(2000, 1, 1, tzinfo=datetime.timezone.utc)
+    us = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return struct.pack("!q", us)
+
+
+def _bin_tstz_dec(b: bytes):
+    import datetime
+
+    return datetime.datetime(
+        2000, 1, 1, tzinfo=datetime.timezone.utc
+    ) + datetime.timedelta(microseconds=struct.unpack("!q", b)[0])
+
+
+def _time_us(t) -> int:
+    return (
+        (t.hour * 60 + t.minute) * 60 + t.second
+    ) * 1_000_000 + t.microsecond
+
+
+def _us_time(us: int, tz=None):
+    import datetime
+
+    s, frac = divmod(us, 1_000_000)
+    m, sec = divmod(s, 60)
+    h, mi = divmod(m, 60)
+    return datetime.time(h, mi, sec, frac, tzinfo=tz)
+
+
+def _bin_time_enc(v) -> bytes:
+    import datetime
+
+    if isinstance(v, str):
+        v = datetime.time.fromisoformat(v)
+    return struct.pack("!q", _time_us(v))
+
+
+def _bin_time_dec(b: bytes):
+    return _us_time(struct.unpack("!q", b)[0])
+
+
+def _bin_timetz_enc(v) -> bytes:
+    import datetime
+
+    t = datetime.time.fromisoformat(v) if isinstance(v, str) else v
+    off = t.utcoffset()
+    if off is None:
+        raise ValueError(f"timetz value without offset: {v!r}")
+    return struct.pack(
+        "!qi",
+        _time_us(t.replace(tzinfo=None)),
+        -int(off.total_seconds()),  # wire carries seconds WEST of UTC
+    )
+
+
+def _bin_timetz_dec(b: bytes) -> str:
+    import datetime
+
+    us, west = struct.unpack("!qi", b)
+    tz = datetime.timezone(datetime.timedelta(seconds=-west))
+    return _timetz_canonical(_us_time(us, tz))  # same form as text path
+
+
+def _bin_interval_enc(v) -> bytes:
+    # timedelta carries no month component — (µs, days, months=0)
+    return struct.pack(
+        "!qii", v.seconds * 1_000_000 + v.microseconds, v.days, 0
+    )
+
+
+def _bin_interval_dec(b: bytes):
+    import datetime
+
+    us, days, months = struct.unpack("!qii", b)
+    # months flatten at 30 days — postgresql-binary's DiffTime rule,
+    # which is what the reference's FromRow DiffTime instance consumes
+    return datetime.timedelta(days=days + 30 * months, microseconds=us)
+
+
+def _bin_uuid_enc(v) -> bytes:
+    return (v if isinstance(v, uuid.UUID) else uuid.UUID(str(v))).bytes
+
+
+def _bin_uuid_dec(b: bytes) -> str:
+    return str(uuid.UUID(bytes=bytes(b)))
+
+
 # OID → (encode value→bytes, decode bytes→value) for binary COPY
 _BIN_CODEC: dict[int, tuple[Callable[[Any], bytes], Callable[[bytes], Any]]] = {
     16: (lambda v: b"\x01" if v else b"\x00", lambda b: b == b"\x01"),
@@ -213,7 +421,12 @@ _BIN_CODEC: dict[int, tuple[Callable[[Any], bytes], Callable[[bytes], Any]]] = {
     1042: (lambda v: v.encode(), lambda b: b.decode()),
     1043: (lambda v: v.encode(), lambda b: b.decode()),
     1082: (_bin_date_enc, _bin_date_dec),
+    1083: (_bin_time_enc, _bin_time_dec),
     1114: (_bin_ts_enc, _bin_ts_dec),
+    1184: (_bin_tstz_enc, _bin_tstz_dec),
+    1186: (_bin_interval_enc, _bin_interval_dec),
+    1266: (_bin_timetz_enc, _bin_timetz_dec),
+    2950: (_bin_uuid_enc, _bin_uuid_dec),
 }
 
 
@@ -1380,10 +1593,37 @@ def _pg_literal(v: Any) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return f"TIMESTAMP WITH TIME ZONE '{v.isoformat(sep=' ')}'"
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
+    if isinstance(v, _dt.time):
+        if v.tzinfo is not None:
+            return f"TIME WITH TIME ZONE '{v.isoformat()}'"
+        return f"TIME '{v.isoformat()}'"
+    if isinstance(v, _dt.timedelta):
+        return f"INTERVAL '{_interval_text(v)}'"
+    if isinstance(v, uuid.UUID):
+        return f"UUID '{v}'"
     raise QueryError(f"no wire literal rendering for {type(v).__name__}", "")
+
+
+def _interval_text(v) -> str:
+    """Render a timedelta in Postgres interval text form
+    ('[±N days ]±HH:MM:SS[.ffffff]') — the inverse of
+    :func:`_pg_interval` up to month flattening."""
+    us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+    sign = "-" if us < 0 else ""
+    a = abs(us)
+    d, rem = divmod(a, 86_400_000_000)
+    h, rem = divmod(rem, 3_600_000_000)
+    m, rem = divmod(rem, 60_000_000)
+    s, frac = divmod(rem, 1_000_000)
+    t = f"{sign}{h:02d}:{m:02d}:{s:02d}"
+    if frac:
+        t += f".{frac:06d}".rstrip("0")
+    return (f"{sign}{d} days " if d else "") + t
 
 
 def _copy_text(v: Any) -> str | None:
@@ -1415,6 +1655,12 @@ def _copy_text(v: Any) -> str | None:
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, _dt.time):
+        return v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        return _interval_text(v)
+    if isinstance(v, uuid.UUID):
+        return str(v)
     raise QueryError(f"no COPY text rendering for {type(v).__name__}", "")
 
 

@@ -272,17 +272,20 @@ def gap_change_detector(
     ) -> Iterator[pd.DataFrame]:
         (prev,) = state.get if state.exists else (None,)
         out_val, out_prev, out_jump = [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(order_col).iterrows():
-                v = row[value_col]
-                if v is None or pd.isna(v):
-                    continue
-                v = float(v)
-                if prev is not None and abs(v - prev) > threshold:
-                    out_val.append(v)
-                    out_prev.append(prev)
-                    out_jump.append(v - prev)
-                prev = v
+        # merge ALL Arrow chunks before sorting: a >maxRecordsPerBatch
+        # group arrives as several chunks, and a per-chunk sort would
+        # fold later-chunk rows out of order_col order
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in pdf.sort_values(order_col, kind="stable").iterrows():
+            v = row[value_col]
+            if v is None or pd.isna(v):
+                continue
+            v = float(v)
+            if prev is not None and abs(v - prev) > threshold:
+                out_val.append(v)
+                out_prev.append(prev)
+                out_jump.append(v - prev)
+            prev = v
         state.update((prev,))
         yield pd.DataFrame(
             {
@@ -413,16 +416,23 @@ def streak_tracker(
         last, cur, best, ndays = (
             state.get if state.exists else (None, 0, 0, 0)
         )
-        for pdf in pdfs:
-            days = pdf[day_col].dropna()
-            # epoch-day ints: exact arithmetic, no tz/dtype hazards
-            for d in sorted(set(int(x) for x in days)):
-                if last is not None and d <= last:
-                    continue  # duplicate day or late arrival
-                cur = cur + 1 if (last is not None and d == last + 1) else 1
-                best = max(best, cur)
-                ndays += 1
-                last = d
+        # epoch-day ints: exact arithmetic, no tz/dtype hazards.  Merge
+        # ALL Arrow chunks before sorting so a multi-chunk group cannot
+        # drop later-chunk days that sort before an earlier chunk's max.
+        days = sorted(
+            set(
+                int(x)
+                for pdf in pdfs
+                for x in pdf[day_col].dropna()
+            )
+        )
+        for d in days:
+            if last is not None and d <= last:
+                continue  # duplicate day or late arrival
+            cur = cur + 1 if (last is not None and d == last + 1) else 1
+            best = max(best, cur)
+            ndays += 1
+            last = d
         state.update((last, cur, best, ndays))
         yield pd.DataFrame(
             {
@@ -544,14 +554,26 @@ def rate_limit_monitor(
     enforcer would.
 
     Contract: per key, event times must arrive in NON-DECREASING order
-    across micro-batches (intra-batch disorder is sorted away, matching
-    the batch query's total order); an event older than the key's
-    latest time is a late arrival past the ingestion watermark and is
-    dropped — counted nowhere, same as the compacted-log batch view.
+    across micro-batches (intra-batch disorder is sorted away — ALL
+    Arrow chunks of the group are merged before sorting, so groups
+    larger than ``arrow.maxRecordsPerBatch`` are safe); an event older
+    than the key's latest time is a late arrival past the ingestion
+    watermark and is dropped — counted nowhere, same as the
+    compacted-log batch view.
+
+    Tie semantics match the batch RANGE frame: events sharing a
+    timestamp are folded as ONE peer group, so every tied event sees
+    the full tie-group count (``RANGE ... AND CURRENT ROW`` includes
+    all peers), not a sequential prefix.  The one residual divergence
+    from the batch audit is a tie that STRADDLES a micro-batch
+    boundary: rows finalized in the earlier batch were counted without
+    the later batch's peers and streaming cannot retro-update them —
+    the same rows-already-emitted limit every update-mode monitor has.
 
     Output (update mode): one row per key per batch it appeared in —
     ``(key, n_events, n_violations, peak_window)``, cumulative — so the
-    latest row per key equals the batch audit over everything seen.
+    latest row per key equals the batch audit over everything seen
+    (modulo the boundary-tie note above).
     """
 
     def update(
@@ -564,19 +586,31 @@ def rate_limit_monitor(
             recent = list(recent)
         else:
             recent, n_ev, n_vio, peak = [], 0, 0, 0
-        for pdf in pdfs:
-            # duplicates KEPT — every row is an event (batch parity)
-            for t in sorted(int(x) for x in pdf[epoch_col].dropna()):
-                if recent and t < recent[-1]:
-                    continue  # late arrival past the watermark
-                recent = [x for x in recent if x >= t - window_s]
-                recent.append(t)
-                c = len(recent)
-                n_ev += 1
-                if c > limit:
-                    n_vio += 1
-                if c > peak:
-                    peak = c
+        # duplicates KEPT — every row is an event (batch parity); merge
+        # ALL Arrow chunks before sorting (multi-chunk group safety)
+        ts = sorted(
+            int(x) for pdf in pdfs for x in pdf[epoch_col].dropna()
+        )
+        i = 0
+        while i < len(ts):
+            # fold the whole tie group at once: RANGE-frame peers all
+            # see the full group count
+            t = ts[i]
+            j = i
+            while j < len(ts) and ts[j] == t:
+                j += 1
+            m = j - i
+            i = j
+            if recent and t < recent[-1]:
+                continue  # late arrival past the watermark
+            recent = [x for x in recent if x >= t - window_s]
+            recent.extend([t] * m)
+            c = len(recent)
+            n_ev += m
+            if c > limit:
+                n_vio += m
+            if c > peak:
+                peak = c
         state.update((recent, n_ev, n_vio, peak))
         yield pd.DataFrame(
             {

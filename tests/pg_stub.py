@@ -34,8 +34,13 @@ _TYPE_OID = {
     "REAL": 700,
     "DOUBLE": 701,
     "DATE": 1082,
+    "TIME": 1083,
     "TIMESTAMP": 1114,
-    "UUID": 2950,  # no binary codec client-side — the unsupported-OID probe
+    "TIMESTAMP WITH TIME ZONE": 1184,
+    "INTERVAL": 1186,
+    "TIME WITH TIME ZONE": 1266,
+    "UUID": 2950,
+    "JSON": 114,  # no binary codec client-side — the unsupported-OID probe
 }
 
 
@@ -58,13 +63,39 @@ def _oid_for(duck_type: str) -> int:
     return _TYPE_OID.get(t, 25)
 
 
+def _render_interval(v) -> str:
+    # Postgres text form '[±N days ]±HH:MM:SS[.ffffff]' — written
+    # independently of the client's renderer (string walk from total
+    # microseconds) so agreement is a two-implementation check
+    import datetime
+
+    assert isinstance(v, datetime.timedelta)
+    total = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    d = total // 86_400_000_000
+    rest = total % 86_400_000_000
+    hh = rest // 3_600_000_000
+    mm = rest % 3_600_000_000 // 60_000_000
+    ss = rest % 60_000_000 // 1_000_000
+    us = rest % 1_000_000
+    t = f"{sign}{hh:02d}:{mm:02d}:{ss:02d}"
+    if us:
+        t += ("%.6f" % (us / 1e6))[1:].rstrip("0")
+    return f"{sign}{d} days {t}" if d else t
+
+
 def _render(v: Any) -> bytes | None:
+    import datetime
+
     if v is None:
         return None
     if isinstance(v, bool):
         return b"t" if v else b"f"
     if isinstance(v, (bytes, bytearray)):
         return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, datetime.timedelta):
+        return _render_interval(v).encode()
     if isinstance(v, list):  # Postgres array text form, not Python repr
         return (
             "{"
@@ -125,6 +156,34 @@ def _bin_field(v: Any, duck_type: str) -> bytes | None:
         return struct.pack(
             "!q", (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         )
+    if t == "TIMESTAMP WITH TIME ZONE":
+        d = v - datetime.datetime(2000, 1, 1, tzinfo=datetime.timezone.utc)
+        return struct.pack(
+            "!q", (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        )
+    if t == "TIME":
+        return struct.pack(
+            "!q",
+            ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000
+            + v.microsecond,
+        )
+    if t == "TIME WITH TIME ZONE":
+        # int64 µs since midnight + int32 zone seconds WEST of UTC
+        west = -int(v.utcoffset().total_seconds())
+        return struct.pack(
+            "!qi",
+            ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000
+            + v.microsecond,
+            west,
+        )
+    if t == "INTERVAL":
+        # (µs, days, months) — DuckDB hands us a flattened timedelta,
+        # so months is always 0 here
+        return struct.pack(
+            "!qii", v.seconds * 1_000_000 + v.microseconds, v.days, 0
+        )
+    if t == "UUID":
+        return v.bytes
     if t == "VARCHAR":
         return str(v).encode()
     if t in _ARRAY_OID:  # 1-D array: ndim/hasnull/elemoid + dims + elems
@@ -202,6 +261,31 @@ def _bin_parse_field(b: bytes | None, duck_type: str) -> Any:
         return datetime.datetime(2000, 1, 1) + datetime.timedelta(
             microseconds=struct.unpack("!q", b)[0]
         )
+    if t == "TIMESTAMP WITH TIME ZONE":
+        return datetime.datetime(
+            2000, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(microseconds=struct.unpack("!q", b)[0])
+    if t == "TIME":
+        us = struct.unpack("!q", b)[0]
+        return (
+            datetime.datetime(2000, 1, 1)
+            + datetime.timedelta(microseconds=us)
+        ).time()
+    if t == "TIME WITH TIME ZONE":
+        us, west = struct.unpack("!qi", b)
+        base = datetime.datetime(2000, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+        return base.time().replace(
+            tzinfo=datetime.timezone(datetime.timedelta(seconds=-west))
+        )
+    if t == "INTERVAL":
+        us, days, months = struct.unpack("!qii", b)
+        return datetime.timedelta(days=days + 30 * months, microseconds=us)
+    if t == "UUID":
+        import uuid
+
+        return uuid.UUID(bytes=b)
     if t == "VARCHAR":
         return b.decode()
     if t in _ARRAY_OID:

@@ -9,6 +9,7 @@ from decimal import Decimal
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from tests.pg_stub import PgStubServer
 
@@ -54,6 +55,80 @@ class TestWireClient:
             datetime.date(2024, 1, 1), datetime.datetime(2024, 1, 1),
         )
         assert rows[2][1] == 3.0 and rows[2][4] == 14
+
+    def test_text_array_dimension_prefix(self):
+        """Arrays with a non-default lower bound render as
+        '[m:n]={...}' — the optional dimension prefix must be stripped
+        (the binary decoder already ignores lower bounds)."""
+        from pgstream_spark.sources.pgwire import _pg_text_array
+
+        p = _pg_text_array(int)
+        assert p("[0:2]={1,2,3}") == [1, 2, 3]
+        assert p("[-3:-3]={7}") == [7]
+        assert p("{1,2,NULL,3}") == [1, 2, 3]
+        with pytest.raises(ValueError):
+            p("[0:2]")
+        with pytest.raises(ValueError):
+            p("1,2,3")
+
+    def test_typed_scalar_decode_matrix(self, stub_db):
+        """uuid/timestamptz/time/timetz/interval (OIDs 2950/1184/1083/
+        1266/1186) decode TYPED over the simple-query path — the last
+        FromRow-parity scalars (FromRow.hs:184-188, 244-272).  The
+        reference consumes postgresql-binary's decoders, whose public
+        semantics are pinned here: timestamptz normalizes to UTC,
+        interval flattens months at 30 days (DiffTime)."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE typed_t AS SELECT "
+            "1 AS k, "
+            "uuid() AS u, "
+            "TIMESTAMPTZ '2004-10-19 10:23:54.5+02' AS tz, "
+            "TIME '10:23:54.123456' AS t, "
+            "TIMETZ '10:23:54+05:30' AS ttz, "
+            "INTERVAL '1 month 3 days 04:05:06.789' AS iv"
+        )
+        stub_db.execute(
+            "INSERT INTO typed_t VALUES "
+            "(2, NULL, NULL, NULL, NULL, NULL)"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            fields, rows = c.simple_query(
+                "SELECT * FROM typed_t ORDER BY k"
+            )
+        assert [oid for _, oid in fields] == [23, 2950, 1184, 1083, 1266, 1186]
+        utc = datetime.timezone.utc
+        r = rows[0]
+        import uuid as _uuid
+
+        assert str(_uuid.UUID(r[1])) == r[1]  # canonical lowercase
+        # offset form folded to the UTC instant (reference: UTCTime)
+        assert r[2] == datetime.datetime(2004, 10, 19, 8, 23, 54, 500000, tzinfo=utc)
+        assert r[3] == datetime.time(10, 23, 54, 123456)
+        assert r[4] == "10:23:54+05:30"  # canonical, offset preserved
+        # 1 month → 30 days (postgresql-binary DiffTime flattening)
+        assert r[5] == datetime.timedelta(
+            days=33, hours=4, minutes=5, seconds=6, milliseconds=789
+        )
+        assert rows[1] == (2, None, None, None, None, None)
+
+    def test_interval_text_parse_unit(self):
+        """The postgres-intervalstyle parser handles year/mon/day
+        components and signed time parts the stub can't emit (DuckDB
+        flattens months before the stub renders)."""
+        from pgstream_spark.sources.pgwire import _pg_interval
+
+        td = datetime.timedelta
+        assert _pg_interval("1 year 2 mons 3 days 04:05:06.789") == td(
+            days=14 * 30 + 3, hours=4, minutes=5, seconds=6, milliseconds=789
+        )
+        assert _pg_interval("-1 days +02:03:00") == td(days=-1, hours=2, minutes=3)
+        assert _pg_interval("-2 days -02:00:00") == td(days=-2, hours=-2)
+        assert _pg_interval("00:00:00") == td(0)
+        assert _pg_interval("-00:00:00.000001") == td(microseconds=-1)
+        with pytest.raises(ValueError):
+            _pg_interval("not an interval")
 
     def test_cleartext_auth(self, stub_db):
         from pgstream_spark.errors import QueryError
@@ -290,6 +365,48 @@ class TestSparkReads:
             )
             assert df.schema.simpleString() == "struct<k:bigint,v:double,s:string>"
             assert df.count() == 50
+
+    def test_read_table_typed_scalar_schema(self, spark, stub_db):
+        """The new typed OIDs surface as real Spark types: TIME(6),
+        TIMESTAMP (instant), DAY-TIME INTERVAL; timetz/uuid as the
+        documented canonical strings."""
+        from pgstream_spark.sources.pgwire import read_table
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE typ_spark AS SELECT "
+            "range AS k, "
+            "TIME '10:23:54.123456' AS t, "
+            "TIMESTAMPTZ '2004-10-19 10:23:54+02' AS tz, "
+            "TIMETZ '10:23:54+05:30' AS ttz, "
+            "INTERVAL '3 days 04:05:06' AS iv, "
+            "uuid() AS u FROM range(7)"
+        )
+        with PgStubServer(stub_db) as srv:
+            df = read_table(spark, _settings(srv), "SELECT * FROM typ_spark")
+            assert df.schema.simpleString() == (
+                "struct<k:bigint,t:time(6),tz:timestamp,ttz:string,"
+                "iv:interval day to second,u:string>"
+            )
+            got = df.orderBy("k").collect()
+        assert len(got) == 7
+        assert got[0].t == datetime.time(10, 23, 54, 123456)
+        assert got[0].iv == datetime.timedelta(days=3, hours=4, minutes=5, seconds=6)
+        assert got[0].ttz == "10:23:54+05:30"
+        import uuid as _uuid
+
+        assert str(_uuid.UUID(got[0].u)) == got[0].u
+        # aware value folded to the right instant regardless of session tz
+        utc_str = (
+            df.select(
+                F.date_format(
+                    F.to_utc_timestamp("tz", spark.conf.get("spark.sql.session.timeZone")),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("s")
+            )
+            .first()
+            .s
+        )
+        assert utc_str == "2004-10-19 08:23:54"
 
     def test_read_partitioned_matches_full_read(self, spark, stub_db):
         from pgstream_spark.sources.pgwire import read_partitioned
@@ -656,18 +773,18 @@ class TestCopyBinary:
         ).fetchone() == (50, 5000)
 
     def test_binary_unsupported_oid_raises_typed(self, stub_db):
-        # NUMERIC grew a binary codec (it used to be the probe type
-        # here); UUID (OID 2950) remains genuinely uncodec'd.
+        # NUMERIC and UUID both grew binary codecs (each was the probe
+        # type here once); JSON (OID 114) remains genuinely uncodec'd.
         from pgstream_spark.errors import QueryError
         from pgstream_spark.sources.pgwire import PgWireClient
 
         stub_db.execute(
-            "CREATE OR REPLACE TABLE uu_t AS SELECT "
-            "uuid() AS x FROM range(3)"
+            "CREATE OR REPLACE TABLE js_t AS SELECT "
+            "'{\"k\": 1}'::JSON AS x FROM range(3)"
         )
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
             with pytest.raises(QueryError, match="no binary codec"):
-                list(c.copy_out_binary("uu_t"))
+                list(c.copy_out_binary("js_t"))
 
     def test_binary_array_roundtrip_and_text_agreement(self, stub_db):
         """int4[]/int8[]/float4[]/float8[] (OIDs 1007/1016/1021/1022)
@@ -737,6 +854,85 @@ class TestCopyBinary:
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
             got = dict(c.copy_out_binary("arrn"))
         assert got == {1: [10, 30], 2: []}
+
+    def test_binary_typed_scalars_agree_with_text(self, stub_db):
+        """time/timestamptz/timetz/interval/uuid over binary COPY OUT
+        agree value-for-value with the text path (the stub packs with
+        its OWN independent writer), NULLs included — closing the
+        FromRow wire-parity matrix on the binary plane too."""
+        from pgstream_spark.sources.pgwire import (
+            PgWireClient,
+            _OID_DECODE,
+        )
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE typbin AS SELECT "
+            "range AS k, "
+            "TIME '00:00:01' + INTERVAL (range * 3671) SECOND AS t, "
+            "TIMESTAMPTZ '1999-12-31 23:59:59.25+00' "
+            "  + INTERVAL (range * 17) HOUR AS tz, "
+            "TIMETZ '23:59:59.875-08:00' AS ttz, "
+            "INTERVAL (range - 10) DAY + INTERVAL '01:02:03.000004' AS iv, "
+            "uuid() AS u "
+            "FROM range(20)"
+        )
+        stub_db.execute(
+            "INSERT INTO typbin VALUES (99, NULL, NULL, NULL, NULL, NULL)"
+        )
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            fields = c.probe_oids("typbin")
+            assert [oid for _, oid in fields] == [
+                20, 1083, 1184, 1266, 1186, 2950,
+            ]
+            binary = sorted(c.copy_out_binary("typbin"))
+            decoders = [_OID_DECODE[oid][0] for _, oid in fields]
+            text = sorted(
+                tuple(
+                    None if f is None else dec(f)
+                    for dec, f in zip(decoders, row)
+                )
+                for row in c.copy_out("typbin")
+            )
+        assert len(binary) == 21
+        assert binary == text
+        # typed values, not strings (except the documented timetz form)
+        r0 = binary[0]
+        assert isinstance(r0[1], datetime.time)
+        assert r0[2].tzinfo == datetime.timezone.utc
+        assert r0[3] == "23:59:59.875-08:00"
+        assert r0[4] == datetime.timedelta(
+            days=-10, hours=1, minutes=2, seconds=3, microseconds=4
+        )
+
+    def test_binary_typed_scalars_copy_in_roundtrip(self, stub_db):
+        """Typed Python values (time/aware datetime/timedelta/uuid
+        string) through binary COPY IN and back out."""
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        stub_db.execute(
+            "CREATE OR REPLACE TABLE typ_in (k BIGINT, t TIME, "
+            "tz TIMESTAMPTZ, ttz TIMETZ, iv INTERVAL, u UUID)"
+        )
+        utc = datetime.timezone.utc
+        rows = [
+            (
+                i,
+                datetime.time(i % 24, 30, 1, i * 7),
+                datetime.datetime(2020, 1, 1, tzinfo=utc)
+                + datetime.timedelta(hours=i, microseconds=i),
+                f"{i % 24:02d}:00:00+05:30",
+                datetime.timedelta(days=i - 2, seconds=i * 997, microseconds=i),
+                f"00000000-0000-4000-8000-{i:012d}",
+            )
+            for i in range(40)
+        ] + [(99, None, None, None, None, None)]
+        with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
+            n = c.copy_in_binary(
+                "typ_in", ["k", "t", "tz", "ttz", "iv", "u"], iter(rows)
+            )
+            back = sorted(c.copy_out_binary("typ_in"))
+        assert n == 41
+        assert back == sorted(rows)
 
     def test_binary_array_copy_in_roundtrip(self, stub_db):
         """Typed list values through binary COPY IN and back out."""
@@ -864,32 +1060,35 @@ class TestExtendedProtocol:
             ps.close()
 
     def test_mixed_binary_text_row(self, stub_db):
-        """A column with no binary codec (UUID) falls back to text while
+        """A column with no binary codec (JSON) falls back to text while
         its neighbors stay binary, via Bind's per-column formats —
-        NUMERIC and int4[] now negotiate binary (they used to be the
-        text fallback here, before their codecs landed)."""
+        NUMERIC, int4[] and UUID now negotiate binary (each was the
+        text fallback here once, before its codec landed)."""
         from decimal import Decimal
 
         from pgstream_spark.sources.pgwire import PgWireClient
 
         stub_db.execute(
             "CREATE OR REPLACE TABLE mixed (k BIGINT, amt DECIMAL(10,2), "
-            "u UUID, ia INTEGER[])"
+            "u UUID, js JSON, ia INTEGER[])"
         )
         stub_db.execute(
             "INSERT INTO mixed SELECT range, "
-            "CAST(range AS DECIMAL(10,2)) / 4, uuid(), [range] FROM range(8)"
+            "CAST(range AS DECIMAL(10,2)) / 4, uuid(), "
+            "to_json({'n': range}), [range] FROM range(8)"
         )
         with PgStubServer(stub_db) as srv, PgWireClient(_settings(srv)) as c:
-            ps = c.prepare("SELECT k, amt, u, ia FROM mixed WHERE k >= $1")
-            # bigint/numeric/int4[] binary; uuid text-only
-            assert ps.formats == [1, 1, 0, 1]
+            ps = c.prepare(
+                "SELECT k, amt, u, js, ia FROM mixed WHERE k >= $1"
+            )
+            # bigint/numeric/uuid/int4[] binary; json text-only
+            assert ps.formats == [1, 1, 1, 0, 1]
             rows = sorted(ps.execute([4]))
-        assert [(r[0], r[1], r[3]) for r in rows] == [
-            (4, Decimal("1.00"), [4]),
-            (5, Decimal("1.25"), [5]),
-            (6, Decimal("1.50"), [6]),
-            (7, Decimal("1.75"), [7]),
+        assert [(r[0], r[1], r[3], r[4]) for r in rows] == [
+            (4, Decimal("1.00"), '{"n":4}', [4]),
+            (5, Decimal("1.25"), '{"n":5}', [5]),
+            (6, Decimal("1.50"), '{"n":6}', [6]),
+            (7, Decimal("1.75"), '{"n":7}', [7]),
         ]
         assert all(isinstance(r[2], str) and len(r[2]) == 36 for r in rows)
 

@@ -543,11 +543,20 @@ class TestRateLimitMonitor:
         for k, ts in by_key.items():
             ts.sort()
             recent, n_vio, peak = [], 0, 0
-            for t in ts:
+            i = 0
+            while i < len(ts):
+                # RANGE-frame peer semantics: every tied event sees the
+                # FULL tie-group count, not a sequential prefix
+                t = ts[i]
+                j = i
+                while j < len(ts) and ts[j] == t:
+                    j += 1
+                m = j - i
+                i = j
                 recent = [x for x in recent if x >= t - window_s]
-                recent.append(t)
+                recent.extend([t] * m)
                 c = len(recent)
-                n_vio += c > limit
+                n_vio += m * (c > limit)
                 peak = max(peak, c)
             out[k] = (len(ts), n_vio, peak)
         return out
@@ -584,6 +593,69 @@ class TestRateLimitMonitor:
         # the straddling burst must count events from BOTH batches:
         # at t=150 the [90, 150] window holds all seven earlier events
         assert final[1][1] == 2 and final[1][2] == 7
+
+    def test_tie_group_matches_batch_range_frame(self, spark, tmp_path):
+        """Ties STRADDLING the limit: the batch RANGE frame gives every
+        tied row the full peer-group count, so all four t=100 events
+        violate (c=5 > 3) — a sequential token-bucket model would report
+        only two.  Arrow chunking is forced tiny so the group arrives in
+        multiple unsorted chunks (the merge-before-sort contract)."""
+        from tests.conftest import write_flat_parquet
+
+        from pgstream_spark.streaming.stateful import rate_limit_monitor
+
+        # deliberately out of order so a 2-row Arrow chunk boundary
+        # splits the tie group across chunks
+        b1 = [(1, 100), (1, 10), (1, 100), (1, 50), (1, 100), (1, 100)]
+        src = str(tmp_path / "src")
+        schema = "user_id long, es long"
+        write_flat_parquet(spark, b1, schema, src + "/b1.parquet")
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            name = _run(
+                rate_limit_monitor(sdf, "user_id", "es", window_s=60, limit=3),
+                tmp_path,
+                "ratelimit_tie",
+                mode="update",
+            )
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+        final = {
+            r.key: (r.n_events, r.n_violations, r.peak_window) for r in rows
+        }
+        # independent batch reference: the t35 RANGE-frame aggregation
+        from pyspark.sql import Window
+
+        bdf = spark.createDataFrame(b1, schema)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("es")
+            .rangeBetween(-60, Window.currentRow)
+        )
+        ref = {
+            r.user_id: (r.n, r.v, r.p)
+            for r in bdf.select(
+                "user_id", F.count(F.lit(1)).over(w).alias("c")
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("c") > 3).cast("long")).alias("v"),
+                F.max("c").alias("p"),
+            )
+            .collect()
+        }
+        assert final == ref == {1: (6, 4, 5)}
+        assert final == self._expected(b1, limit=3)
 
     def test_restart_resumes_window_state(self, spark, tmp_path):
         from tests.conftest import write_flat_parquet
