@@ -184,7 +184,25 @@ def main() -> None:
         # additions at the end, and those are exactly the rows with no
         # timing history anywhere
         unseen = [n for n in names if n not in prior]
-        return list(reversed(unseen)) + [n for n in names if n in prior]
+        # VERDICT r5 item 5: among seen queries, the rows the PREVIOUS
+        # full run deferred (-2.0 in BENCH_LOCAL's sweep) order FIRST,
+        # so consecutive runs cover the whole registry between them —
+        # a two-run full-coverage guarantee instead of a cursor that
+        # could starve the same tail twice.
+        prev_sweep: dict[str, float] = {}
+        local = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        if os.path.exists(local):
+            try:
+                with open(local) as fh:
+                    prev_sweep = json.load(fh).get("sweep", {}) or {}
+            except (OSError, ValueError):
+                pass
+        seen = [n for n in names if n in prior]
+        deferred = [n for n in seen if prev_sweep.get(n) == -2.0]
+        rest = [n for n in seen if prev_sweep.get(n) != -2.0]
+        return list(reversed(unseen)) + deferred + rest
 
     if not only:
         for name in sweep_order():
@@ -210,6 +228,38 @@ def main() -> None:
         "sweep_total": round(sum(v for v in sweep.values() if v > 0), 3),
         "sf": SF_DIR,
     }
+
+    # VERDICT r5 item 7: the headline trend in ONE machine-readable
+    # place.  Carry the prior record's history forward and append this
+    # run: round inferred from the driver's BENCH_r*.json count, cond
+    # from the documented co-tenant heuristic (l2b ≥ 11 s on a plan
+    # that runs 8.9-10.2 s clean ⇒ a noisy host, BASELINE.md).
+    if not only:
+        import glob as _glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        history: list[dict] = []
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+                history = json.load(fh).get("headline_history", []) or []
+        except (OSError, ValueError):
+            pass
+        l2b = timings.get("l2b_minhash_lsh")
+        history.append(
+            {
+                "round": len(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+                + 1,
+                "total": total,
+                "l2b": l2b,
+                "cond": (
+                    "unknown"
+                    if l2b is None
+                    else ("noisy" if l2b >= 11.0 else "clean")
+                ),
+                "source": "builder",
+            }
+        )
+        record["headline_history"] = history
     print(json.dumps(record))
     # Persist our own untruncated record so the next run's "unseen
     # first" rotation has real history (the driver's BENCH_r*.json
