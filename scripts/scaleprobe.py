@@ -14,6 +14,21 @@ Then times selected L queries at sf0.1 and the generated sf1 and prints
 one JSON line: {"sf0.1": {...}, "sf1": {...}, "slope": {...}}.
 
 Usage: python scripts/scaleprobe.py [query ...]   (default: l1 l2b l3d l4)
+       python scripts/scaleprobe.py --decade      (VERDICT r5 item 6)
+
+``--decade`` extends the measured scale law ONE MORE DECADE for the
+three queries that carry the dedup tier's heaviest shuffles — l2b (LSH
+banding), l52 (prefix filter), l69 (first-occurrence join) — timing
+them at sf0.1, sf1 AND a generated 500k-doc sf10 in one same-host run.
+The sf10 corpus preserves sf1's structural law (near-dup families of
+EXACTLY 10) one decade up: 10 outer "corpora" × 10 inner replicas of
+the sf0.1 base, where the outer level salts every token with the
+corpus index (disjoint shingle/token sets, so no cross-corpus pairs
+and no family inflation) and the inner level appends the same
+per-replica suffix sf1 uses (pairwise ~0.9 Jaccard).  True pairs thus
+grow linearly (50k families × 45), which is the corpus-growth regime
+a production dedup pipeline sees — more documents, not bigger
+duplicate clusters.
 """
 
 from __future__ import annotations
@@ -27,8 +42,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/pgstream_scale/sf1"
+DST10 = "/tmp/pgstream_scale/sf10"
 REPLICAS = 10
 DEFAULT_QUERIES = ["l1_exact_dedup", "l2b_minhash_lsh", "l3d_ivf_topk", "l4_text_stats"]
+DECADE_QUERIES = [
+    "l2b_minhash_lsh",
+    "l52_prefix_filter_join",
+    "l69_ngram_novelty",
+]
 
 
 def generate(spark) -> None:
@@ -95,6 +116,46 @@ def generate(spark) -> None:
                    f"{DST}/embeddings.parquet")
 
 
+def generate_sf10() -> None:
+    """500k-doc corpus: 10 token-salted disjoint copies of the sf0.1
+    base, each carrying sf1's 10-member near-dup families — family size
+    stays 10 while the corpus grows 100×, so pair growth stays linear
+    (the corpus-growth regime, not the cluster-inflation one)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST10, exist_ok=True)
+    path = f"{DST10}/documents.parquet"
+    if os.path.exists(path):
+        return
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    n = len(docs)
+    writer = None
+    try:
+        for j in range(REPLICAS):
+            base = docs.copy()
+            # outer salt: every token gains the corpus index, so
+            # corpora share no tokens/shingles (the family-suffix
+            # tokens below are shared but 2-of-~50 — under every
+            # similarity threshold and never in a rarity prefix)
+            base["text"] = [
+                " ".join(f"{w}{j}" for w in t.split())
+                for t in base["text"]
+            ]
+            for k in range(REPLICAS):
+                p = base.copy()
+                p["doc_id"] = p["doc_id"] + (j * REPLICAS + k) * n
+                p["text"] = p["text"] + f" replica{k} marker{k}"
+                tbl = pa.Table.from_pandas(p, preserve_index=False)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -116,11 +177,18 @@ def main() -> None:
 
     from pgstream_spark.inventory import QUERIES
 
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    decade = "--decade" in sys.argv[1:]
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or (
+        DECADE_QUERIES if decade else DEFAULT_QUERIES
+    )
+    levels = [("sf0.1", SRC), ("sf1", DST)]
+    if decade:
+        generate_sf10()
+        levels.append(("sf10", DST10))
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    result: dict[str, dict[str, float]] = {"sf0.1": {}, "sf1": {}}
-    for sf_label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+    result: dict[str, dict[str, float]] = {lab: {} for lab, _ in levels}
+    for sf_label, sf_dir in levels:
         for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -129,12 +197,19 @@ def main() -> None:
             print(f"  {sf_label} {name}: {dt}s", file=sys.stderr)
             spark.catalog.clearCache()
 
-    slope = {
+    out: dict[str, object] = dict(result)
+    out["slope_vs_10x_data"] = {
         n: round(result["sf1"][n] / result["sf0.1"][n], 2)
         for n in names
         if result["sf0.1"][n] > 0
     }
-    print(json.dumps({**result, "slope_vs_10x_data": slope}))
+    if decade:
+        out["slope_sf1_to_sf10"] = {
+            n: round(result["sf10"][n] / result["sf1"][n], 2)
+            for n in names
+            if result["sf1"][n] > 0
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

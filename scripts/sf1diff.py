@@ -118,6 +118,11 @@ def _definition_digest(name: str, df, oracle_sql: str) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"0x[0-9a-fA-F]+", "0x", plan)
+    # higher-order-function lambda variables are named from a
+    # SESSION-GLOBAL counter (``lambda x_1#`` on a cold session,
+    # ``x_6#`` after other HOF queries built) — observed flipping
+    # l52's digest between seed and rotate sessions
+    plan = re.sub(r"\b(lambda )?([a-z]+)_\d+#", r"\1\2_#", plan)
     return hashlib.sha256(
         (oracle_sql + "\n" + plan).encode()
     ).hexdigest()[:16]
@@ -189,7 +194,7 @@ def main() -> None:
         state = _load_state()
         stamped = skipped = 0
         for name, entry in sorted(state.get("results", {}).items()):
-            if entry.get("status") != "ok" or "digest" in entry:
+            if entry.get("status") != "ok":
                 skipped += 1
                 continue
             try:
