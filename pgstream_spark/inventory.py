@@ -11124,6 +11124,36 @@ _GATE_ORDER_R6 = [
     "l72_dedup_threshold_sweep", "l77_lsh_precision_recall",
 ]
 
+# Round-7 staging, PRE-BUILT at the round-6 open (activate only after
+# the round-6 driver gate has consumed the R6 window above: set
+# `_GATE_ORDER = _GATE_ORDER_R7`).  After round 6 every oracle-backed
+# query has a driver row, so the window's job changes from closing
+# verification debt to ROTATING RE-PROOF: these are the 50 queries
+# whose most recent driver check is OLDEST (the round-1/round-2
+# windows, re-proved under the current tree five rounds later), in
+# their original gate order.  Any new oracle-backed registration goes
+# to the FRONT of this list at its round (newest-first discipline),
+# pushing re-proof slots out rather than being orphaned at the tail.
+_GATE_ORDER_R7 = [
+    "s1_scan_count", "s3_paged_fetch", "p1_project_alias",
+    "p2_cast", "p3_filter_eq", "p4_between",
+    "p5_boolean_logic", "p6_null_predicates", "p7_in_subquery",
+    "p8_like_regex", "p9_param_binding", "j1_inner_equi",
+    "j2_multikey_equi", "j3_theta_join", "j4_broadcast_join",
+    "j5_outer_join", "j6_semi_anti", "j7_cross_join",
+    "j9_interval_join", "g1_tpch_q1", "g2_global_agg",
+    "g3_count_distinct", "g5_rollup", "g6_having",
+    "g7_filtered_agg", "g8_stats_agg", "g9_array_agg_ordered",
+    "w1_rank", "w2_lag_lead", "w3_moving_window",
+    "w4_running_total", "o1_multikey_sort", "o2_limit",
+    "o3_topk_per_group", "o4_offset_pagination", "u1_union",
+    "u2_intersect", "f1_f2_epoch_roundtrip", "f3_date_parts",
+    "f4_string_fns", "f5_math_fns", "f6_case_coalesce",
+    "f7_array_fns", "f8_map_fns", "f9_json_access",
+    "l1_exact_dedup", "l2_ngram_jaccard", "l2d_minhash_lsh_md5",
+    "l3_vector_topk", "l3b_lsh_topk",
+]
+
 _GATE_ORDER = _GATE_ORDER_R6
 
 
