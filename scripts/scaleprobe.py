@@ -168,7 +168,18 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.driver.memory", "8g")
+        # single-JVM local mode: driver memory IS the executor heap.
+        # The sf10 leg holds a 500k-doc prefix-filter candidate build
+        # across 32 threads — 8g OOMs there (observed), so --decade
+        # sizes the heap like a real executor fleet would (the
+        # per-thread share, ~1.5g, is an ordinary executor profile).
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM",
+                "48g" if "--decade" in sys.argv[1:] else "8g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1013,6 +1013,68 @@ class TestCopyBinary:
 
         check()
 
+    def test_typed_scalar_property_roundtrips(self):
+        """Property tests for the round-6 scalar codecs (client against
+        itself — exactness): binary enc∘dec == id for time/timestamptz/
+        interval/uuid/timetz, and the interval TEXT render∘parse == id
+        (the write path feeds the read path on a real server)."""
+        import datetime as dt
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgstream_spark.sources.pgwire import (
+            _bin_interval_dec,
+            _bin_interval_enc,
+            _bin_time_dec,
+            _bin_time_enc,
+            _bin_timetz_dec,
+            _bin_timetz_enc,
+            _bin_tstz_dec,
+            _bin_tstz_enc,
+            _bin_uuid_dec,
+            _bin_uuid_enc,
+            _interval_text,
+            _pg_interval,
+            _pg_timetz,
+        )
+
+        utc = dt.timezone.utc
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            us=st.integers(min_value=0, max_value=86_399_999_999),
+            # PG zone seconds run west-positive within ±15:59:59
+            west=st.integers(min_value=-57599, max_value=57599),
+            iv_us=st.integers(
+                min_value=-(10**15), max_value=10**15
+            ),
+            ts_us=st.integers(
+                min_value=-(2**52), max_value=2**52
+            ),
+            uu=st.uuids(),
+        )
+        def check(us, west, iv_us, ts_us, uu):
+            t = _bin_time_dec(__import__("struct").pack("!q", us))
+            assert _bin_time_dec(_bin_time_enc(t)) == t
+            # timetz: canonical string survives enc∘dec
+            s = _bin_timetz_dec(__import__("struct").pack("!qi", us, west))
+            assert _bin_timetz_dec(_bin_timetz_enc(s)) == s
+            assert _pg_timetz(s) == s  # canonical form is a fixed point
+            # interval: timedelta <-> binary and <-> postgres text
+            iv = dt.timedelta(microseconds=iv_us)
+            assert _bin_interval_dec(_bin_interval_enc(iv)) == iv
+            assert _pg_interval(_interval_text(iv)) == iv
+            # timestamptz: µs-precision instants round-trip
+            ts = dt.datetime(2000, 1, 1, tzinfo=utc) + dt.timedelta(
+                microseconds=ts_us
+            )
+            assert _bin_tstz_dec(_bin_tstz_enc(ts)) == ts
+            # uuid: canonical string <-> 16 bytes
+            assert _bin_uuid_dec(_bin_uuid_enc(str(uu))) == str(uu)
+
+        check()
+
     def test_binary_in_bad_table_raises_typed(self, stub_db):
         from pgstream_spark.errors import QueryError
         from pgstream_spark.sources.pgwire import PgWireClient
