@@ -11160,6 +11160,7 @@ _GATE_ORDER = _GATE_ORDER_R6
 def _reorder_registry() -> None:
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
     unknown += [n for n in _GATE_ORDER_R3 if n not in QUERIES]
+    unknown += [n for n in _GATE_ORDER_R7 if n not in QUERIES or n not in ORACLE]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}

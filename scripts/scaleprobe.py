@@ -207,6 +207,13 @@ def main() -> None:
             result[sf_label][name] = dt
             print(f"  {sf_label} {name}: {dt}s", file=sys.stderr)
             spark.catalog.clearCache()
+            # drop the finished query's shuffle files NOW (ContextCleaner
+            # frees them only after JVM GC) — without this the sf10 legs
+            # stack tens of GB of dead shuffle on one local disk and the
+            # next query dies spilling (observed: l52 sf10
+            # SPILL_OUT_OF_MEMORY "No space left on device" while 54 GB
+            # had been free at session start)
+            spark.sparkContext._jvm.System.gc()
 
     out: dict[str, object] = dict(result)
     out["slope_vs_10x_data"] = {
