@@ -1064,11 +1064,11 @@ def prefix_filter_pairs(
     pre = per_doc.select(
         "__id",
         "__sz",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice("__sorted", F.lit(1), plen), lambda s: s["__sh"]
             )
-        ).alias("__sh"),
+        ).alias("__pos", "__sh"),  # 0-based position in the rarity order
     )
     cand = (
         pre.alias("a")
@@ -1083,6 +1083,21 @@ def prefix_filter_pairs(
             & (
                 F.least("a.__sz", "b.__sz") * 1_000_000
                 >= F.lit(tm) * F.greatest("a.__sz", "b.__sz")
+            )
+            # POSITIONAL filter (PPJoin, Xiao et al. WWW 2008): Jaccard
+            # ≥ t ⇔ |∩| ≥ ⌈t/(1+t)·(|a|+|b|)⌉ =: α, and a pair whose
+            # sets first meet at (1-based) positions pa, pb can reach
+            # at most min(|a|−pa, |b|−pb) + 1 common tokens.  Pruned
+            # per matching row; the FIRST common token has the smallest
+            # positions, hence the LARGEST bound, so a viable pair
+            # always keeps at least that row — no pair is lost before
+            # exact verification.  α in exact integer millionths with a
+            # DIV-based ceiling (never rounds the bound down, so never
+            # over-prunes).
+            & F.expr(
+                "least(a.__sz - (a.__pos + 1), b.__sz - (b.__pos + 1)) + 1 "
+                f">= (CAST({tm} AS BIGINT) * (a.__sz + b.__sz) "
+                f"+ {1_000_000 + tm - 1}) DIV {1_000_000 + tm}"
             )
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
