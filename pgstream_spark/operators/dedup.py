@@ -431,16 +431,33 @@ def verify_candidate_pairs(
     if measure not in ("jaccard", "containment"):
         raise ValueError(f"unknown measure: {measure!r}")
     # Verify on int64 DICTIONARY IDS, not shingle strings: each distinct
-    # shingle gets a unique (not dense — uniqueness is all that matters)
-    # id, and the candidate join ships arrays of longs instead of ~25-byte
-    # strings — ~3× less shuffle for the O(candidates × |doc|) verify
-    # transport, the pipeline's dominant I/O term at corpus scale
-    # (measured at the 500k-doc decade probe: 47,962,800 candidates —
-    # exactly 10× sf1's 4,796,280 — whose string-array form is ~115 GB
-    # of shuffle).  EXACT: the mapping is bijective within the job, so
-    # |∩| and |∪| are unchanged; multiplicities are preserved by
-    # explode→collect_list (array_intersect/union dedupe either way,
-    # and containment's least(|A|,|B|) counts duplicates identically).
+    # shingle gets a unique id, and the candidate join ships arrays of
+    # longs instead of ~25-byte strings — ~3× less shuffle for the
+    # O(candidates × |doc|) verify transport, the pipeline's dominant
+    # I/O term at corpus scale (measured at the 500k-doc decade probe:
+    # 47,962,800 candidates — exactly 10× sf1's 4,796,280 — whose
+    # string-array form is ~115 GB of shuffle).  EXACT: the mapping is
+    # bijective, so |∩| and |∪| are unchanged; multiplicities are
+    # preserved by explode→collect_list (array_intersect/union dedupe
+    # either way, and containment's least(|A|,|B|) counts duplicates
+    # identically).
+    #
+    # The id must be a DETERMINISTIC function of the shingle VALUE, not
+    # of physical execution: the dictionary feeds BOTH the id_a and
+    # id_b join branches, and a stage retry (executor loss, shuffle-
+    # fetch failure, exchange reuse disabled) recomputes one branch
+    # independently — monotonically_increasing_id after a distinct
+    # would then assign the same shingle DIFFERENT ids per branch and
+    # array_intersect would undercount silently.  Instead: hash-bucket
+    # the vocabulary (pure value function), rank within the bucket by
+    # shingle order, and compose ``rank · NB + bucket`` — injective,
+    # collision-free at any vocabulary size (unlike a raw 64-bit hash,
+    # whose birthday bound fails around 10^10 shingles), and the
+    # per-bucket sort window is vocabulary-bounded and distributed
+    # across NB buckets (never a global single-partition window).
+    from pyspark.sql import Window
+
+    NB = 4096
     sh_rows = docs.select(
         F.col(id_col).alias("__vid"),
         F.explode(
@@ -450,7 +467,16 @@ def verify_candidate_pairs(
     shingle_ids = (
         sh_rows.select("__vs")
         .distinct()
-        .withColumn("__sid", F.monotonically_increasing_id())
+        .withColumn("__b", F.pmod(F.xxhash64("__vs"), F.lit(NB)))
+        .withColumn(
+            "__sid",
+            F.row_number()
+            .over(Window.partitionBy("__b").orderBy("__vs"))
+            .cast("bigint")
+            * NB
+            + F.col("__b"),
+        )
+        .drop("__b")
     )
     sh = (
         sh_rows.join(shingle_ids, "__vs")

@@ -164,6 +164,11 @@ def _pg_uuid(s: str) -> str:
 
 
 def _pg_time(s: str):
+    # Known limit, shared with psycopg2/psycopg3: Postgres' legal
+    # TIME '24:00:00' has no datetime.time representation and raises
+    # ValueError (a loud typed decode error, never a silent remap to
+    # 00:00:00 — which is a DIFFERENT value).  Same applies to the
+    # binary path (µs = 86_400_000_000) and to timetz below.
     import datetime
 
     return datetime.time.fromisoformat(s)

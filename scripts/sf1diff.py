@@ -109,23 +109,63 @@ def _load_state() -> dict:
     return {"cursor": 0, "results": {}}
 
 
+_MODULE_SRC_SHA: dict[str, str] = {}
+
+
+def _module_sha(modname: str) -> str:
+    if modname not in _MODULE_SRC_SHA:
+        try:
+            import importlib
+            import inspect
+
+            mod = importlib.import_module(modname)
+            _MODULE_SRC_SHA[modname] = hashlib.sha256(
+                inspect.getsource(mod).encode()
+            ).hexdigest()
+        except Exception:  # noqa: BLE001 — missing source ⇒ stable marker
+            _MODULE_SRC_SHA[modname] = "unavailable"
+    return _MODULE_SRC_SHA[modname]
+
+
 def _definition_digest(name: str, df, oracle_sql: str) -> str:
-    """sha256 of the oracle SQL + the query's analyzed-plan string with
-    run-varying tokens (exprIds ``#123``, object addresses ``0x...``)
-    normalized away.  Stable across processes (probed on plain SQL,
-    pandas-UDF and IVF-training queries); any operator change that
-    alters the plan re-queues the sf1 proof."""
+    """sha256 over everything that defines the query's behavior:
+
+    * the oracle SQL;
+    * the ANALYZED plan string, with run-varying tokens normalized
+      away — exprIds ``#123``, object addresses ``0x...``, and HOF
+      lambda variables (``lambda x_1#`` vs ``x_6#``: a SESSION-GLOBAL
+      counter, observed flipping l52's digest between sessions; the
+      rewrite is restricted to single-letter names so real columns
+      like ``day_7#`` keep their identity);
+    * the query callable's SOURCE — the plan string shows a Python/
+      pandas UDF only by name, so a UDF body edit would otherwise be
+      invisible to the digest;
+    * the source hash of every ``pgstream_spark.*`` module the
+      callable imports — operator-module UDF bodies (dedup.py,
+      similarity.py, …) live there, and an operator edit must re-queue
+      the sf1 proof of exactly the queries that import it.
+
+    Stable across processes (probed on plain SQL, pandas-UDF and
+    IVF-training queries)."""
     plan = df._jdf.queryExecution().analyzed().toString()
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"0x[0-9a-fA-F]+", "0x", plan)
-    # higher-order-function lambda variables are named from a
-    # SESSION-GLOBAL counter (``lambda x_1#`` on a cold session,
-    # ``x_6#`` after other HOF queries built) — observed flipping
-    # l52's digest between seed and rotate sessions
-    plan = re.sub(r"\b(lambda )?([a-z]+)_\d+#", r"\1\2_#", plan)
-    return hashlib.sha256(
-        (oracle_sql + "\n" + plan).encode()
-    ).hexdigest()[:16]
+    plan = re.sub(r"\b(lambda )?([a-z])_\d+#", r"\1\2_#", plan)
+    parts = [oracle_sql, plan]
+    try:
+        import inspect
+
+        from pgstream_spark.inventory import QUERIES as _Q
+
+        src = inspect.getsource(_Q[name])
+        parts.append(src)
+        mods = sorted(
+            set(re.findall(r"from (pgstream_spark(?:\.\w+)+) import", src))
+        )
+        parts.extend(f"{m}:{_module_sha(m)}" for m in mods)
+    except Exception:  # noqa: BLE001 — source unavailable ⇒ plan-only
+        pass
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
 def main() -> None:

@@ -109,12 +109,12 @@ def main() -> int:
         import re
 
         msg = str(e)
-        m = re.search(r"\[([A-Z_.]+)\][^\n]*?(SQLSTATE: \w+)?", msg)
-        sig = (
-            f"{m.group(1)}" + (f" {m.group(2)}" if m.group(2) else "")
-            if m
-            else f"{type(e).__name__}: {msg.splitlines()[0][:160]}"
-        )
+        cls = re.search(r"\[([A-Z_.]+)\]", msg)
+        state = re.search(r"SQLSTATE: \w+", msg)
+        if cls:
+            sig = cls.group(1) + (f" {state.group(0)}" if state else "")
+        else:
+            sig = f"{type(e).__name__}: {msg.splitlines()[0][:160]}"
         print(f"tws_probe: FAIL {sig}")
         return 1
     finally:

@@ -564,9 +564,12 @@ def test_prefix_filter_join_has_no_global_window(spark, sf_dir):
     # the PPJoin positional filter must survive optimization — it is the
     # 3.8× candidate cut that lets the 500k-doc decade leg complete
     # (SCALE.md round-6); its integer-ceiling overlap bound renders as a
-    # DIV by (1e6 + tm) in the join condition
-    analyzed = explain_string(df, "extended")
-    assert " div 1600000" in analyzed.lower() or " div 1600000)" in analyzed.lower()
+    # DIV by (1e6 + tm) in the join condition.  Checked on the OPTIMIZED
+    # plan (the extended explain also prints the pre-optimization
+    # analyzed plan, where the predicate would appear even if the
+    # optimizer later dropped it).
+    optimized = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert " div 1600000" in optimized
 
 
 def test_fuzzy_join_probe_side_parallelized(spark, sf_dir):
