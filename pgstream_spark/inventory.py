@@ -11154,7 +11154,7 @@ _GATE_ORDER_R7 = [
     "l3_vector_topk", "l3b_lsh_topk",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R6
+_GATE_ORDER = _GATE_ORDER_R7
 
 
 def _reorder_registry() -> None:
