@@ -78,6 +78,7 @@ def write_version(
     store_dir: str,
     df: DataFrame,
     note: str = "",
+    row_group_bytes: int | None = None,
 ) -> int:
     """Append an immutable dataset version under ``store_dir`` and
     return its version number — time-travel on plain parquet.
@@ -97,7 +98,16 @@ def write_version(
     existing = list_versions(store_dir)
     version = (existing[-1] if existing else 0) + 1
     vdir = os.path.join(store_dir, f"v{version:04d}")
-    df.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+    if row_group_bytes is None:
+        from pgstream_spark.sinks import ROW_GROUP_BYTES as row_group_bytes
+    (
+        df.write.mode("overwrite")
+        # bounded row groups so every committed version stays splittable
+        # for parallel re-reads (VERDICT r6: row-group granularity gates
+        # scan parallelism — see sinks.ROW_GROUP_BYTES)
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(os.path.join(vdir, "data"))
+    )
     spark = df.sparkSession
     n = spark.read.parquet(os.path.join(vdir, "data")).count()
     manifest = {

@@ -40,7 +40,19 @@ __all__ = [
     "write_zordered",
     "compact_dir",
     "export_shards",
+    "ROW_GROUP_BYTES",
 ]
+
+# Max parquet row-group size every writer in this module enforces
+# (``parquet.block.size``).  Scan splits are ROW-GROUP-bounded no matter
+# what ``spark.sql.files.maxPartitionBytes`` asks for, so one writer task
+# emitting a single giant row group caps the parallelism of every later
+# read of that artifact (measured: the sf1 single-write_table file ran
+# l69's scan stage on ONE thread while the 100-row-group sf10 file used
+# all 32 — SCALE.md "row-group granularity gates the scan stage").
+# 32 MB keeps a 1 GB task output splittable ~32 ways while staying large
+# enough that footer/stat overhead stays negligible.
+ROW_GROUP_BYTES = 32 << 20
 
 
 def write_bucketed(
@@ -50,6 +62,7 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     """Save ``df`` as a parquet catalog table hash-bucketed on
     ``bucket_cols`` (optionally sorted within buckets, which additionally
@@ -57,6 +70,7 @@ def write_bucketed(
     writer = (
         df.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")
+        .option("parquet.block.size", row_group_bytes)
         .mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
     )
@@ -70,11 +84,17 @@ def write_partitioned(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     """Write directory-partitioned parquet: one directory per distinct
     value combination of ``partition_cols``; filters on those columns
     prune directories at planning time."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    (
+        df.write.mode(mode)
+        .option("parquet.block.size", row_group_bytes)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def write_clustered(
@@ -83,6 +103,7 @@ def write_clustered(
     cluster_cols: list[str],
     n_files: int,
     mode: str = "overwrite",
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     """Range-cluster ``df`` on ``cluster_cols`` into ``n_files`` sorted
     files — the data-skipping write path.
@@ -100,6 +121,7 @@ def write_clustered(
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
         .write.mode(mode)
+        .option("parquet.block.size", row_group_bytes)
         .parquet(path)
     )
 
@@ -111,6 +133,7 @@ def write_zordered(
     n_files: int,
     bits: int = 8,
     mode: str = "overwrite",
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     """Z-order (Morton-curve) cluster ``df`` on TWO OR MORE numeric
     columns so footer-stat skipping works on EVERY z-column, not just
@@ -171,6 +194,7 @@ def write_zordered(
         .sortWithinPartitions("__z")
         .drop("__z", *rank_cols)
         .write.mode(mode)
+        .option("parquet.block.size", row_group_bytes)
         .parquet(path)
     )
 
@@ -179,6 +203,7 @@ def compact_dir(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 << 20,
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> int:
     """Compact a directory of small parquet files into ~``target``-sized
     ones; returns the new file count.
@@ -199,7 +224,12 @@ def compact_dir(
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    (
+        df.repartition(n)
+        .write.mode("overwrite")
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(tmp)
+    )
     bak = path.rstrip("/") + ".__compact_bak__"
     os.rename(path, bak)
     os.rename(tmp, path)
@@ -218,6 +248,7 @@ def export_shards(
     n_shards: int,
     id_col: str,
     mode: str = "overwrite",
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     """Export ``df`` as ``n_shards`` deterministic training shards.
 
@@ -239,6 +270,7 @@ def export_shards(
     (
         sharded.repartition(n_shards, "shard")
         .write.mode(mode)
+        .option("parquet.block.size", row_group_bytes)
         .partitionBy("shard")
         .parquet(path)
     )

@@ -156,6 +156,29 @@ def generate_sf10() -> None:
             writer.close()
 
 
+def _driver_mem() -> str:
+    """Heap for the single-JVM local session: the env override wins;
+    otherwise the mode default (48g for --decade, 8g), CLAMPED to ~60%
+    of detected physical RAM so the JVM launches on smaller hosts
+    instead of failing opaquely (ADVICE r6)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    want = 48 if "--decade" in sys.argv[1:] else 8
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        cap = max(2, int(pages * 0.6 / (1 << 30)))
+    except (ValueError, OSError):
+        cap = want
+    if cap < want:
+        print(
+            f"  [driver-mem] physical RAM caps heap at {cap}g "
+            f"(wanted {want}g); set SPARK_GRAFT_DRIVER_MEM to override",
+            file=sys.stderr,
+        )
+    return f"{min(want, cap)}g"
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -173,13 +196,10 @@ def main() -> None:
         # across 32 threads — 8g OOMs there (observed), so --decade
         # sizes the heap like a real executor fleet would (the
         # per-thread share, ~1.5g, is an ordinary executor profile).
-        .config(
-            "spark.driver.memory",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM",
-                "48g" if "--decade" in sys.argv[1:] else "8g",
-            ),
-        )
+        # ADVICE r6: clamp the default to ~60% of physical RAM so the
+        # JVM can still launch on smaller hosts, and name the override
+        # knob when the clamp engages.
+        .config("spark.driver.memory", _driver_mem())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

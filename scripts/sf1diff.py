@@ -112,19 +112,128 @@ def _load_state() -> dict:
 _MODULE_SRC_SHA: dict[str, str] = {}
 
 
+def _module_source(modname: str) -> str:
+    try:
+        import importlib
+        import inspect
+
+        return inspect.getsource(importlib.import_module(modname))
+    except Exception:  # noqa: BLE001 — missing source ⇒ empty
+        return ""
+
+
 def _module_sha(modname: str) -> str:
     if modname not in _MODULE_SRC_SHA:
+        src = _module_source(modname)
+        _MODULE_SRC_SHA[modname] = (
+            hashlib.sha256(src.encode()).hexdigest() if src else "unavailable"
+        )
+    return _MODULE_SRC_SHA[modname]
+
+
+_PGS_ABS_RE = re.compile(
+    r"from\s+(pgstream_spark(?:\.\w+)*)\s+import"
+    r"|import\s+(pgstream_spark(?:\.\w+)*)"
+)
+_PGS_REL_RE = re.compile(r"from\s+(\.+)(\w+(?:\.\w+)*)\s+import")
+
+_MODULE_DIRECT: dict[str, frozenset] = {}
+
+
+def _pgs_imports_in(src: str, package: str) -> set:
+    """pgstream_spark modules imported by ``src`` (absolute + relative)."""
+    found = set()
+    for m in _PGS_ABS_RE.finditer(src):
+        found.add(m.group(1) or m.group(2))
+    for m in _PGS_REL_RE.finditer(src):
+        dots, tail = m.group(1), m.group(2)
+        parts = package.split(".")
+        if len(dots) > 1:
+            parts = parts[: len(parts) - (len(dots) - 1)]
+        if parts and parts[0] == "pgstream_spark":
+            found.add(".".join(parts + [tail]))
+    return found
+
+
+def _direct_pgs_imports(modname: str) -> frozenset:
+    if modname not in _MODULE_DIRECT:
+        package = modname.rsplit(".", 1)[0] if "." in modname else modname
         try:
+            import importlib
+
+            pkg = importlib.import_module(modname).__package__
+            if pkg:
+                package = pkg
+        except Exception:  # noqa: BLE001 — fall back to the name split
+            pass
+        _MODULE_DIRECT[modname] = frozenset(
+            _pgs_imports_in(_module_source(modname), package)
+        )
+    return _MODULE_DIRECT[modname]
+
+
+def _import_closure(seeds: set) -> set:
+    """Transitive closure over pgstream_spark imports (ADVICE r6: an edit
+    to a module reached only transitively — e.g. dedup.py's inline import
+    of similarity — must still flip the digests of queries that import
+    dedup)."""
+    closure: set = set()
+    frontier = list(seeds)
+    while frontier:
+        mod = frontier.pop()
+        if mod in closure or not mod.startswith("pgstream_spark"):
+            continue
+        closure.add(mod)
+        frontier.extend(_direct_pgs_imports(mod) - closure)
+    return closure
+
+
+_TOPLEVEL_BINDINGS: dict[str, dict] = {}
+
+
+def _toplevel_bindings(modname: str) -> dict:
+    """name -> defining pgstream_spark module, for every name bound by a
+    module-level ``from pgstream_spark... import name`` in ``modname``
+    (ADVICE r6: callables that use a module-top import — e.g.
+    ``exact_dedup`` from the inventory header — carried no module hash).
+    Re-exported names are resolved to the module that actually defines
+    them so a package ``__init__`` import doesn't drag the whole package
+    closure into every digest."""
+    if modname not in _TOPLEVEL_BINDINGS:
+        out: dict = {}
+        try:
+            import ast
             import importlib
             import inspect
 
-            mod = importlib.import_module(modname)
-            _MODULE_SRC_SHA[modname] = hashlib.sha256(
-                inspect.getsource(mod).encode()
-            ).hexdigest()
-        except Exception:  # noqa: BLE001 — missing source ⇒ stable marker
-            _MODULE_SRC_SHA[modname] = "unavailable"
-    return _MODULE_SRC_SHA[modname]
+            tree = ast.parse(_module_source(modname))
+            for node in tree.body:
+                if not (
+                    isinstance(node, ast.ImportFrom)
+                    and node.module
+                    and node.module.startswith("pgstream_spark")
+                    and node.level == 0
+                ):
+                    continue
+                for alias in node.names:
+                    bound = alias.asname or alias.name
+                    target = node.module
+                    try:  # resolve re-exports to the defining module
+                        obj = getattr(
+                            importlib.import_module(node.module), alias.name
+                        )
+                        defmod = inspect.getmodule(obj)
+                        if defmod is not None and defmod.__name__.startswith(
+                            "pgstream_spark"
+                        ):
+                            target = defmod.__name__
+                    except Exception:  # noqa: BLE001 — keep the import target
+                        pass
+                    out[bound] = target
+        except Exception:  # noqa: BLE001 — no bindings ⇒ empty map
+            pass
+        _TOPLEVEL_BINDINGS[modname] = out
+    return _TOPLEVEL_BINDINGS[modname]
 
 
 def _definition_digest(name: str, df, oracle_sql: str) -> str:
@@ -133,36 +242,45 @@ def _definition_digest(name: str, df, oracle_sql: str) -> str:
     * the oracle SQL;
     * the ANALYZED plan string, with run-varying tokens normalized
       away — exprIds ``#123``, object addresses ``0x...``, and HOF
-      lambda variables (``lambda x_1#`` vs ``x_6#``: a SESSION-GLOBAL
-      counter, observed flipping l52's digest between sessions; the
-      rewrite is restricted to single-letter names so real columns
-      like ``day_7#`` keep their identity);
+      lambda variables (``lambda x_1#`` vs ``lambda x_6#``: a
+      SESSION-GLOBAL counter, observed flipping l52's digest between
+      sessions; every occurrence of a lambda var in the analyzed-plan
+      string carries the ``lambda `` prefix — probed — so the rewrite
+      is anchored to it and real columns like ``x_1`` or ``day_7``
+      keep their identity, ADVICE r6);
     * the query callable's SOURCE — the plan string shows a Python/
       pandas UDF only by name, so a UDF body edit would otherwise be
       invisible to the digest;
     * the source hash of every ``pgstream_spark.*`` module the
-      callable imports — operator-module UDF bodies (dedup.py,
-      similarity.py, …) live there, and an operator edit must re-queue
-      the sf1 proof of exactly the queries that import it.
+      callable reaches — inline imports in its own body, module-top
+      imports whose bound names the body references (resolved through
+      package re-exports to the defining module), and the TRANSITIVE
+      closure of those modules' own imports (ADVICE r6: dedup.py's
+      inline import of similarity must flip dedup-importing digests).
 
     Stable across processes (probed on plain SQL, pandas-UDF and
     IVF-training queries)."""
     plan = df._jdf.queryExecution().analyzed().toString()
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"0x[0-9a-fA-F]+", "0x", plan)
-    plan = re.sub(r"\b(lambda )?([a-z])_\d+#", r"\1\2_#", plan)
+    plan = re.sub(r"\blambda (\w+?)_\d+#", r"lambda \1_#", plan)
     parts = [oracle_sql, plan]
     try:
         import inspect
 
         from pgstream_spark.inventory import QUERIES as _Q
 
-        src = inspect.getsource(_Q[name])
+        fn = _Q[name]
+        src = inspect.getsource(fn)
         parts.append(src)
-        mods = sorted(
-            set(re.findall(r"from (pgstream_spark(?:\.\w+)+) import", src))
+        holder = getattr(fn, "__module__", "pgstream_spark.inventory")
+        seeds = _pgs_imports_in(src, holder.rsplit(".", 1)[0])
+        for bound, target in _toplevel_bindings(holder).items():
+            if re.search(rf"\b{re.escape(bound)}\b", src):
+                seeds.add(target)
+        parts.extend(
+            f"{m}:{_module_sha(m)}" for m in sorted(_import_closure(seeds))
         )
-        parts.extend(f"{m}:{_module_sha(m)}" for m in mods)
     except Exception:  # noqa: BLE001 — source unavailable ⇒ plan-only
         pass
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
@@ -229,12 +347,15 @@ def main() -> None:
     }
 
     if seed:
-        # One-time migration: stamp current definition digests onto
-        # entries that are already green, WITHOUT re-running them.
+        # Digest-algorithm migration: re-stamp current definition digests
+        # onto entries that are green AND ALREADY CARRY a digest, without
+        # re-running them.  Entries whose digest was deliberately STRIPPED
+        # (the pending re-proof queue) are never stamped here — seeding
+        # must not silently clear the queue.
         state = _load_state()
         stamped = skipped = 0
         for name, entry in sorted(state.get("results", {}).items()):
-            if entry.get("status") != "ok":
+            if entry.get("status") != "ok" or "digest" not in entry:
                 skipped += 1
                 continue
             try:
@@ -247,7 +368,10 @@ def main() -> None:
                 print(f"  ! {name}: {e}", file=sys.stderr)
         with open(STATE, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
-        print(f"seeded {stamped} digests ({skipped} already had one or not green)")
+        print(
+            f"seeded {stamped} digests "
+            f"({skipped} not green or queued for re-proof)"
+        )
         spark.stop()
         return
 

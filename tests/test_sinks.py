@@ -262,3 +262,68 @@ def test_parquet_schema_evolution_merge_read(spark, tmp_path):
     assert old.filter(F.col("extra").isNull()).count() == 50
     new = merged.filter("batch = 2")
     assert new.filter(F.col("extra") == F.col("id") * 2).count() == 50
+
+
+class TestRowGroupTargets:
+    """VERDICT r6 item 6: scan splits are row-group-bounded, so a writer
+    emitting one giant row group caps every later read's parallelism
+    (the l69 sf1-single-file pathology, SCALE.md).  Every sinks.py
+    writer threads ``parquet.block.size``; these tests pin that the knob
+    reaches the files — a sub-target write must produce MULTIPLE row
+    groups per file, never one monolith."""
+
+    @staticmethod
+    def _row_groups(path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            md = pq.ParquetFile(f).metadata
+            out.append((f, md.num_row_groups, md.num_rows))
+        assert out, f"no parquet files under {path}"
+        return out
+
+    def test_export_shards_emits_bounded_row_groups(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.sinks import export_shards
+
+        d = load_table(spark, sf_dir, "documents")
+        path = str(tmp_path / "shard_rg")
+        # one shard = one writer task holding the whole corpus; a 64 KB
+        # target must still split it into several row groups
+        export_shards(d, path, 1, "doc_id", row_group_bytes=64 << 10)
+        groups = self._row_groups(path)
+        assert all(n > 1 for _, n, _ in groups), groups
+
+    def test_compact_dir_emits_bounded_row_groups(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.sinks import compact_dir
+
+        d = load_table(spark, sf_dir, "documents")
+        path = str(tmp_path / "compact_rg")
+        d.repartition(16).write.parquet(path)  # small-files ingest shape
+        n_files = compact_dir(
+            spark, path, target_file_bytes=1 << 30, row_group_bytes=64 << 10
+        )
+        assert n_files == 1  # compacted to one file...
+        groups = self._row_groups(path)
+        assert all(n > 1 for _, n, _ in groups), groups  # ...but splittable
+
+    def test_clustered_write_emits_bounded_row_groups(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.sinks import write_clustered
+
+        li = load_table(spark, sf_dir, "lineitem")
+        path = str(tmp_path / "clustered_rg")
+        write_clustered(li, path, ["l_orderkey"], 1, row_group_bytes=64 << 10)
+        groups = self._row_groups(path)
+        assert all(n > 1 for _, n, _ in groups), groups
+
+    def test_write_version_emits_bounded_row_groups(self, spark, sf_dir, tmp_path):
+        from pgstream_spark.operators.snapshot import write_version
+
+        d = load_table(spark, sf_dir, "documents").coalesce(1)
+        store = str(tmp_path / "versions_rg")
+        v = write_version(store, d, row_group_bytes=64 << 10)
+        groups = self._row_groups(f"{store}/v{v:04d}/data")
+        assert all(n > 1 for _, n, _ in groups), groups
