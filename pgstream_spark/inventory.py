@@ -6559,6 +6559,26 @@ def l52(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q("l52b_prefix_filter_dict", ORACLE["l52_prefix_filter_join"])
+def l52b(spark, sf_dir):
+    """Dictionary-id verify transport pinned under l52's SAME all-pairs
+    oracle — two plans, one hash (VERDICT r6 item 3).
+
+    ``transport="auto"`` picks the cheaper string-array transport below
+    ~200k docs, so every gate-scale run of l2b/l52 exercises only that
+    form; this twin keeps the int64 dictionary-id form — the one that
+    survives the 500k-doc decade probe (SCALE.md: ~3× less verify
+    shuffle) — under the bit-exact oracle at every scale the gate runs.
+    """
+    from pgstream_spark.operators.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = prefix_filter_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, transport="dict"
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @q(
     "w15_weighted_median",
     # Exact QUANTITY-weighted median unit price per return flag: the
@@ -11135,6 +11155,10 @@ _GATE_ORDER_R6 = [
 # to the FRONT of this list at its round (newest-first discipline),
 # pushing re-proof slots out rather than being orphaned at the tail.
 _GATE_ORDER_R7 = [
+    # round-7 session addition — newest-first per the rotation contract
+    # (pushes the tail re-proof slot l3b_lsh_topk out to the R8 window)
+    "l52b_prefix_filter_dict",
+    # -- re-proof rotation: the 50 oldest r1/r2 greens ------------------
     "s1_scan_count", "s3_paged_fetch", "p1_project_alias",
     "p2_cast", "p3_filter_eq", "p4_between",
     "p5_boolean_logic", "p6_null_predicates", "p7_in_subquery",

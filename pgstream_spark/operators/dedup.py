@@ -415,6 +415,8 @@ def verify_candidate_pairs(
     n: int = 3,
     threshold: float = 0.8,
     measure: str = "jaccard",
+    transport: str = "auto",
+    dict_transport_min_docs: int = 200_000,
 ) -> DataFrame:
     """Exact verification of candidate pairs (id_a, id_b).
 
@@ -427,20 +429,58 @@ def verify_candidate_pairs(
     this IS the at-scale containment path; the all-pairs
     :func:`ngram_containment_pairs` is the oracle tier).  Returns pairs
     with ``<measure> >= threshold``.
+
+    ``transport`` picks how shingle arrays travel through the candidate
+    join — the pipeline's dominant shuffle at corpus scale (VERDICT r6):
+
+    * ``"strings"`` — ship the shingle STRING arrays directly.  No
+      vocabulary pass, so at small/medium corpora it is ~2× faster
+      end-to-end (measured at sf0.1: 8.9 s vs 18.2 s), but the shuffle
+      is ~25 bytes/shingle and at the 500k-doc decade probe it was
+      ~115 GB — more than a single fat node's free disk.
+    * ``"dict"`` — map each distinct shingle to an int64 DICTIONARY ID
+      first and ship arrays of longs: ~3× less verify shuffle, the only
+      form that completed the sf10 probe on one node (SCALE.md).  The
+      extra vocabulary distinct + per-bucket rank + join-back is what
+      makes it a loss below ~10⁷ candidates.
+    * ``"auto"`` (default) — count the docs (one metadata-cheap job on
+      the pruned id column) and pick ``dict`` at
+      ``dict_transport_min_docs`` and above.  The default threshold sits
+      between the measured decade-probe legs: 50k docs / 4.8M candidates
+      (strings fine, ~11.5 GB shuffle) and 500k docs / 48M candidates
+      (strings impossible on one node).  Both forms are oracle-proven
+      under the SAME SQL (the two-plans-one-hash pattern): scores are
+      identical because the id mapping is bijective.
     """
     if measure not in ("jaccard", "containment"):
         raise ValueError(f"unknown measure: {measure!r}")
-    # Verify on int64 DICTIONARY IDS, not shingle strings: each distinct
-    # shingle gets a unique id, and the candidate join ships arrays of
-    # longs instead of ~25-byte strings — ~3× less shuffle for the
-    # O(candidates × |doc|) verify transport, the pipeline's dominant
-    # I/O term at corpus scale (measured at the 500k-doc decade probe:
-    # 47,962,800 candidates — exactly 10× sf1's 4,796,280 — whose
-    # string-array form is ~115 GB of shuffle).  EXACT: the mapping is
-    # bijective, so |∩| and |∪| are unchanged; multiplicities are
-    # preserved by explode→collect_list (array_intersect/union dedupe
-    # either way, and containment's least(|A|,|B|) counts duplicates
-    # identically).
+    if transport not in ("auto", "strings", "dict"):
+        raise ValueError(f"unknown transport: {transport!r}")
+    if transport == "auto":
+        transport = (
+            "dict"
+            if docs.select(id_col).count() >= dict_transport_min_docs
+            else "strings"
+        )
+    if transport == "strings":
+        sh = docs.select(
+            F.col(id_col).alias("__vid"),
+            F.coalesce(
+                shingles_col(tokens_col(F.col(text_col)), n),
+                F.array().cast("array<string>"),
+            ).alias("__vsh"),
+        )
+        return _score_pairs(candidates, sh, measure, threshold)
+    # transport == "dict": verify on int64 DICTIONARY IDS, not shingle
+    # strings — each distinct shingle gets a unique id, and the candidate
+    # join ships arrays of longs instead of ~25-byte strings — ~3× less
+    # shuffle for the O(candidates × |doc|) verify transport, the
+    # pipeline's dominant I/O term at corpus scale (measured at the
+    # 500k-doc decade probe: 47,962,800 candidates — exactly 10× sf1's
+    # 4,796,280 — whose string-array form is ~115 GB of shuffle).  EXACT:
+    # the mapping is bijective, so |∩| and |∪| are unchanged; shingle
+    # arrays are already distinct (shingles_col), and containment's
+    # least(|A|,|B|) is unchanged under a bijection.
     #
     # The id must be a DETERMINISTIC function of the shingle VALUE, not
     # of physical execution: the dictionary feeds BOTH the id_a and
@@ -478,11 +518,32 @@ def verify_candidate_pairs(
         )
         .drop("__b")
     )
+    # Left-join from the full doc-id set so a doc whose text yields no
+    # shingle rows (NULL text → explode drops it) keeps an EMPTY array —
+    # same degenerate-doc semantics as the strings transport (a pair
+    # touching it scores 0/NULL and survives only at threshold <= 0)
+    # instead of silently vanishing from the verify join (ADVICE r6).
     sh = (
-        sh_rows.join(shingle_ids, "__vs")
-        .groupBy("__vid")
-        .agg(F.collect_list("__sid").alias("__vsh"))
+        docs.select(F.col(id_col).alias("__vid"))
+        .join(
+            sh_rows.join(shingle_ids, "__vs")
+            .groupBy("__vid")
+            .agg(F.collect_list("__sid").alias("__vsh")),
+            "__vid",
+            "left",
+        )
+        .withColumn(
+            "__vsh", F.coalesce("__vsh", F.array().cast("array<bigint>"))
+        )
     )
+    return _score_pairs(candidates, sh, measure, threshold)
+
+
+def _score_pairs(
+    candidates: DataFrame, sh: DataFrame, measure: str, threshold: float
+) -> DataFrame:
+    """Attach ``__vsh`` arrays to both pair sides and score — shared by
+    both verify transports so they cannot drift semantically."""
     inter = F.size(F.array_intersect("__sha", "__shb"))
     score = (
         inter / F.size(F.array_union("__sha", "__shb"))
@@ -1035,6 +1096,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    transport: str = "auto",
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (the PPJoin family,
     Chaudhuri et al. ICDE 2006 / Xiao et al. WWW 2008): identical result
@@ -1130,5 +1192,6 @@ def prefix_filter_pairs(
         .distinct()
     )
     return verify_candidate_pairs(
-        cand, docs, id_col, text_col, n=n, threshold=threshold
+        cand, docs, id_col, text_col, n=n, threshold=threshold,
+        transport=transport,
     )

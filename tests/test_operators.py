@@ -1139,6 +1139,82 @@ class TestContainmentVerifyTier:
         with pytest.raises(ValueError):
             verify_candidate_pairs(docs, docs, measure="dice")
 
+    def test_unknown_transport_raises(self, spark):
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            verify_candidate_pairs(docs, docs, transport="zstd")
+
+    def test_transports_agree_exactly(self, spark):
+        # VERDICT r6 item 3 (two-plans-one-hash): the strings and dict
+        # verify transports must produce IDENTICAL scored pairs — the
+        # dictionary-id mapping is bijective, so |∩|/|∪| is unchanged.
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(f"w{j}" for j in range(i % 7, i % 7 + 12)))
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(docs, num_perm=64)
+        cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+        for measure in ("jaccard", "containment"):
+            a = {
+                (r.id_a, r.id_b): round(r[measure], 9)
+                for r in verify_candidate_pairs(
+                    cands, docs, threshold=0.5,
+                    measure=measure, transport="strings",
+                ).collect()
+            }
+            b = {
+                (r.id_a, r.id_b): round(r[measure], 9)
+                for r in verify_candidate_pairs(
+                    cands, docs, threshold=0.5,
+                    measure=measure, transport="dict",
+                ).collect()
+            }
+            assert a == b and a, measure
+
+    def test_degenerate_doc_pair_survives_at_threshold_zero(self, spark):
+        # ADVICE r6: a NULL-text doc yields no shingle rows; the dict
+        # transport's explode->join->collect_list dropped it, silently
+        # losing any candidate pair touching it.  Both transports must
+        # now score such a pair 0 (kept at threshold 0), never drop it.
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None)],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        for transport in ("strings", "dict"):
+            rows = verify_candidate_pairs(
+                cands, docs, threshold=0.0, transport=transport
+            ).collect()
+            assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [
+                (1, 2, 0.0)
+            ], transport
+
+    def test_auto_transport_picks_strings_below_threshold(self, spark):
+        # auto = strings below dict_transport_min_docs: the plan must
+        # carry NO vocabulary window (the dict transport's signature op)
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"a b c d e f g{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        small = verify_candidate_pairs(cands, docs, threshold=0.0)
+        assert "row_number" not in small._jdf.queryExecution().analyzed().toString()
+        big = verify_candidate_pairs(
+            cands, docs, threshold=0.0, dict_transport_min_docs=5
+        )
+        assert "row_number" in big._jdf.queryExecution().analyzed().toString()
+
 
 class TestSimhashMd5:
     def test_hamming_ordering_and_exact_dup(self, spark):
