@@ -50,6 +50,14 @@ DECADE_QUERIES = [
     "l52_prefix_filter_join",
     "l69_ngram_novelty",
 ]
+# --decade-ann (VERDICT r6 item 5): the vector tier's scale laws, same
+# standard as the dedup trio — sign-LSH bucketed candidates, IVF
+# partition-pruned probes, and IVF-PQ/ADC — over a 500k-vector corpus.
+DECADE_ANN_QUERIES = [
+    "l3b_lsh_topk",
+    "l3d_ivf_topk",
+    "l36_ivf_adc",
+]
 
 
 def generate(spark) -> None:
@@ -156,6 +164,48 @@ def generate_sf10() -> None:
             writer.close()
 
 
+def generate_sf10_embeddings() -> None:
+    """500k-vector corpus for the ANN decade leg: 25 outer "corpora"
+    (each shifted by its own N(0,1) region offset — corpora occupy
+    disjoint regions, so top-k neighborhoods never mix across them) ×
+    10 inner near-identical replicas (σ=0.01 perturbation, the same
+    family design as the sf1 embeddings) of the 2k sf0.1 base.  Family
+    size stays 10 while the corpus grows 250× — the corpus-growth
+    regime, matching the documents sf10 design.  250 separate
+    ``write_table`` calls → 250 row groups, so the scan stage can use
+    every thread (the l69 row-group lesson)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST10, exist_ok=True)
+    path = f"{DST10}/embeddings.parquet"
+    if os.path.exists(path):
+        return
+    embs = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    m = len(embs)
+    base = np.stack(embs["embedding"].to_numpy())
+    rng = np.random.default_rng(17)
+    writer = None
+    try:
+        for j in range(25):
+            offset = rng.normal(0, 1.0, base.shape[1]).astype(base.dtype)
+            corpus = base + offset
+            for k in range(REPLICAS):
+                p = embs.copy()
+                p["vec_id"] = embs["vec_id"] + (j * REPLICAS + k) * m
+                p["embedding"] = list(
+                    corpus + rng.normal(0, 0.01, base.shape).astype(base.dtype)
+                )
+                tbl = pa.Table.from_pandas(p, preserve_index=False)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def _driver_mem() -> str:
     """Heap for the single-JVM local session: the env override wins;
     otherwise the mode default (48g for --decade, 8g), CLAMPED to ~60%
@@ -164,7 +214,10 @@ def _driver_mem() -> str:
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
-    want = 48 if "--decade" in sys.argv[1:] else 8
+    args = sys.argv[1:]
+    # vectors are ~250× lighter than the doc corpus (500k × 64 floats),
+    # so the ANN leg needs headroom, not the full dedup-probe heap
+    want = 48 if "--decade" in args else (16 if "--decade-ann" in args else 8)
     try:
         pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
         cap = max(2, int(pages * 0.6 / (1 << 30)))
@@ -209,12 +262,18 @@ def main() -> None:
     from pgstream_spark.inventory import QUERIES
 
     decade = "--decade" in sys.argv[1:]
+    decade_ann = "--decade-ann" in sys.argv[1:]
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or (
-        DECADE_QUERIES if decade else DEFAULT_QUERIES
+        DECADE_ANN_QUERIES
+        if decade_ann
+        else (DECADE_QUERIES if decade else DEFAULT_QUERIES)
     )
     levels = [("sf0.1", SRC), ("sf1", DST)]
     if decade:
         generate_sf10()
+        levels.append(("sf10", DST10))
+    if decade_ann:
+        generate_sf10_embeddings()
         levels.append(("sf10", DST10))
     spark.range(1000).selectExpr("sum(id)").collect()
 
