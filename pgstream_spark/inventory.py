@@ -9728,6 +9728,283 @@ def g65(spark, sf_dir):
 
 
 @q(
+    "g66_tpch_q7_volume_shipping",
+    # Q7 volume shipping between nation groups.  The canonical two-
+    # nation literal pair is scale-DEPENDENT on this fixture (at
+    # sf0.001 a single nation may own zero suppliers — the g52
+    # vacuousness lesson), so the predicate is the scale-invariant
+    # parity split: supplier nations even, customer nations odd.  Same
+    # shape as canonical Q7 — six-table join, two-sided nation
+    # predicate, ship-year rollup of exact revenue.
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+    + _dsum("l_extendedprice * (1 - l_discount)") + " AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1 "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY 1, 2, 3",
+)
+def g66(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        n.filter(F.col("n_nationkey") % 2 == 1).select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(dsum(rev).alias("revenue"))
+
+
+@q(
+    "g67_tpch_q8_market_share",
+    # Q8 national market share: of all PROMO-part revenue sold to
+    # customers in nations 0-11 (the "region" — the fixture's region
+    # table keys don't partition nations, so the nation-id range plays
+    # the region), the share supplied from even nations, per order
+    # year.  share = exact-sum / exact-sum: both numerator and
+    # denominator go through the dsum integer transport, so the final
+    # double division is bit-identical cross-engine.
+    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+    + _dsum(
+        "CASE WHEN s_nationkey % 2 = 0 "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    + " / (" + _dsum("l_extendedprice * (1 - l_discount)")
+    + ") AS mkt_share "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN part ON l_partkey = p_partkey "
+    "WHERE c_nationkey < 12 AND p_type = 'PROMO' "
+    "GROUP BY 1",
+)
+def g67(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 12).select(
+        "c_custkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev_i = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * _SCALE
+    ).cast("bigint")
+    num = F.sum(
+        F.when(F.col("s_nationkey") % 2 == 0, rev_i).otherwise(F.lit(0))
+    ).cast("double") / float(_SCALE)
+    den = F.sum(rev_i).cast("double") / float(_SCALE)
+    return j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg((num / den).alias("mkt_share"))
+
+
+@q(
+    "g68_tpch_q12_late_priority",
+    # Q12 shipping-mode priority split, adapted: the fixture has no
+    # l_shipmode, so l_returnflag plays the mode dimension; "late" is
+    # the g56 stand-in predicate (shipped > 180 d after order).  Pure
+    # integer counts — exact by construction.
+    "SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY "
+    "GROUP BY l_returnflag",
+)
+def g68(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 180 DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+            "low_line_count"
+        ),
+    )
+
+
+@q(
+    "g69_tpch_q13_order_distribution",
+    # Q13 customer order-count distribution (zero-order customers kept
+    # by the left join; the canonical comment NOT-LIKE filter becomes
+    # the priority exclusion — same "excluded subclass" shape).
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+    "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "AND o_orderpriority <> '4-NOT SPECIFIED' "
+    "GROUP BY c_custkey) GROUP BY c_count",
+)
+def g69(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@q(
+    "g70_tpch_q17_small_qty_revenue",
+    # Q17 small-quantity-order revenue.  The 20%-of-average predicate
+    # is a FLOAT boundary cross-engine, so it is rewritten exactly:
+    # quantities are integral, so qty < avg(qty)/5 becomes
+    # 5·qty·n < Σqty in BIGINT — no float ever compared.  avg_yearly =
+    # dsum/7: exact-transport double divided by the same literal on
+    # both engines.  Three brands, grouped, so every scale keeps
+    # non-empty output (the single-brand canonical form is vacuous at
+    # sf0.001 on this fixture).
+    "WITH pq AS (SELECT l_partkey, "
+    "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qsum, "
+    "CAST(count(*) AS BIGINT) AS qn FROM lineitem GROUP BY l_partkey) "
+    "SELECT p_brand, " + _dsum("l_extendedprice") + " / 7.0 AS avg_yearly "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN pq USING (l_partkey) "
+    "WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_size < 10 "
+    "AND 5 * CAST(round(l_quantity) AS BIGINT) * qn < qsum "
+    "GROUP BY p_brand",
+)
+def g70(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") < 10)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_key")).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).cast("bigint").alias("qn"),
+    )
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pq_key"))
+        .filter(
+            5 * F.round("l_quantity").cast("bigint") * F.col("qn")
+            < F.col("qsum")
+        )
+    )
+    return j.groupBy("p_brand").agg(
+        (dsum("l_extendedprice") / 7.0).alias("avg_yearly")
+    )
+
+
+@q(
+    "g71_tpch_q21_waiting_supplier",
+    # Q21 suppliers who kept waiting, adapted to the fixture (late =
+    # shipped > 365 d after order, the g56 stand-in): count each late
+    # line whose order involves >= 2 suppliers but where THIS supplier
+    # is the only late one.  The correlated EXISTS/NOT-EXISTS pair is
+    # folded into one per-order aggregate (distinct suppliers, distinct
+    # late suppliers) — identical result, one shuffle fewer, and the
+    # same plan shape both engines execute.
+    "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+    "CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY "
+    "THEN 1 ELSE 0 END AS late "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+    "os AS (SELECT l_orderkey, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, "
+    "CAST(count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS BIGINT) "
+    "AS n_late FROM lo GROUP BY l_orderkey) "
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM lo JOIN os USING (l_orderkey) "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE late = 1 AND n_supp >= 2 AND n_late = 1 "
+    "GROUP BY s_name",
+)
+def g71(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    os_ = lo.groupBy(F.col("l_orderkey").alias("os_key")).agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).cast("bigint").alias("n_late"),
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    j = (
+        lo.filter(F.col("late") == 1)
+        .join(os_, F.col("l_orderkey") == F.col("os_key"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
+
+
+@q(
     "l80_tokenizer_fertility",
     # Tokenizer FERTILITY by language — subword tokens per word in
     # half-up milli, the number that decides whether a tokenizer is
@@ -11155,9 +11432,12 @@ _GATE_ORDER_R6 = [
 # to the FRONT of this list at its round (newest-first discipline),
 # pushing re-proof slots out rather than being orphaned at the tail.
 _GATE_ORDER_R7 = [
-    # round-7 session addition — newest-first per the rotation contract
-    # (pushes the tail re-proof slot l3b_lsh_topk out to the R8 window)
+    # round-7 session additions — newest-first per the rotation contract
+    # (each pushes one tail re-proof slot out to the R8 window)
     "l52b_prefix_filter_dict",
+    "g66_tpch_q7_volume_shipping", "g67_tpch_q8_market_share",
+    "g68_tpch_q12_late_priority", "g69_tpch_q13_order_distribution",
+    "g70_tpch_q17_small_qty_revenue", "g71_tpch_q21_waiting_supplier",
     # -- re-proof rotation: the 50 oldest r1/r2 greens ------------------
     "s1_scan_count", "s3_paged_fetch", "p1_project_alias",
     "p2_cast", "p3_filter_eq", "p4_between",
