@@ -10005,6 +10005,63 @@ def g71(spark, sf_dir):
 
 
 @q(
+    "l84_incremental_neardup",
+    # Incremental near-dup ingest (operators/neardup_index.py): history
+    # (doc_id < 250) is banded ONCE into a persisted signature index;
+    # the new batch (doc_id >= 250) is signed, probed for cross-batch
+    # band collisions, and exactly verified — O(batch) per ingest,
+    # never O(corpus).  md5 signatures (num_perm=8, seed=42) so the
+    # oracle rebuilds the identical pipeline: same affine coefficients
+    # (_MH_COEFFS), band predicate = exact equality of signature
+    # halves, then l2's exact 3-gram Jaccard on the candidates.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh3 AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS w1, "
+    "unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3 "
+    "FROM toks WHERE len(t) >= 3), "
+    "shm AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s FROM sh3 "
+    "UNION ALL SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    "WHERE len(t) < 3), "
+    "sh AS (SELECT DISTINCT doc_id, s FROM shm), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647 AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id), "
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sig a JOIN sig b ON a.doc_id < 250 AND b.doc_id >= 250 "
+    "AND ((a.m0=b.m0 AND a.m1=b.m1 AND a.m2=b.m2 AND a.m3=b.m3) "
+    "OR (a.m4=b.m4 AND a.m5=b.m5 AND a.m6=b.m6 AND a.m7=b.m7))), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT c.id_a, c.id_b, count(*) AS cnt FROM cand c "
+    "JOIN sh sa ON sa.doc_id = c.id_a "
+    "JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(cnt / (za.sz + zb.sz - cnt), 6) AS jaccard "
+    "FROM common JOIN sizes za ON za.doc_id = id_a "
+    "JOIN sizes zb ON zb.doc_id = id_b "
+    "WHERE cnt / (za.sz + zb.sz - cnt) >= 0.6",
+)
+def l84(spark, sf_dir):
+    import tempfile
+
+    from pgstream_spark.operators.neardup_index import (
+        probe_neardup_index,
+        write_neardup_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    path = tempfile.mkdtemp(prefix="neardup_idx_") + "/idx"
+    write_neardup_index(
+        hist, path, num_perm=8, bands=2, seed=42, hash_fn="md5"
+    )
+    out = probe_neardup_index(spark, path, batch, d, threshold=0.6)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q(
     "l80_tokenizer_fertility",
     # Tokenizer FERTILITY by language — subword tokens per word in
     # half-up milli, the number that decides whether a tokenizer is
@@ -11438,6 +11495,7 @@ _GATE_ORDER_R7 = [
     "g66_tpch_q7_volume_shipping", "g67_tpch_q8_market_share",
     "g68_tpch_q12_late_priority", "g69_tpch_q13_order_distribution",
     "g70_tpch_q17_small_qty_revenue", "g71_tpch_q21_waiting_supplier",
+    "l84_incremental_neardup",
     # -- re-proof rotation: the 50 oldest r1/r2 greens ------------------
     "s1_scan_count", "s3_paged_fetch", "p1_project_alias",
     "p2_cast", "p3_filter_eq", "p4_between",

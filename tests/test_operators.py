@@ -1216,6 +1216,139 @@ class TestContainmentVerifyTier:
         assert "row_number" in big._jdf.queryExecution().analyzed().toString()
 
 
+class TestNeardupIndex:
+    """Incremental near-dup index: ingest is O(batch), probe == what a
+    full-corpus re-banding would find for the cross pairs."""
+
+    @staticmethod
+    def _docs(spark):
+        base = " ".join(f"tok{i}" for i in range(30))
+        rows = [(i, base + f" suffix{i % 3}") for i in range(12)]
+        rows += [(100 + i, " ".join(f"uniq{100 + i}w{j}" for j in range(20)))
+                 for i in range(6)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_probe_matches_full_corpus_banding(self, spark, tmp_path):
+        from pgstream_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            verify_candidate_pairs,
+        )
+        from pgstream_spark.operators.neardup_index import (
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        hist = d.filter("doc_id < 8 or doc_id >= 100")
+        batch = d.filter("doc_id >= 8 and doc_id < 100")
+        path = str(tmp_path / "idx")
+        write_neardup_index(hist, path, num_perm=16, bands=4, seed=7)
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in probe_neardup_index(
+                spark, path, batch, d, threshold=0.5
+            ).collect()
+        }
+        # reference: band the WHOLE corpus, keep only (hist, batch) pairs
+        sigs = minhash_signatures(d, num_perm=16, seed=7)
+        cands = minhash_lsh_candidates(
+            sigs, bands=4, rows_per_band=4, bucket_cap=None
+        )
+        hist_ids = {r.doc_id for r in hist.select("doc_id").collect()}
+        want = set()
+        for r in verify_candidate_pairs(cands, d, threshold=0.5).collect():
+            a, b = r.id_a, r.id_b
+            if (a in hist_ids) != (b in hist_ids):
+                h, n = (a, b) if a in hist_ids else (b, a)
+                want.add((h, n, round(r.jaccard, 9)))
+        assert got == want and got
+
+    def test_append_then_probe_sees_both_generations(self, spark, tmp_path):
+        from pgstream_spark.operators.neardup_index import (
+            append_neardup_index,
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
+        append_neardup_index(
+            d.filter("doc_id >= 4 and doc_id < 8"), path
+        )
+        pairs = probe_neardup_index(
+            spark, path, d.filter("doc_id >= 8 and doc_id < 12"), d,
+            threshold=0.5,
+        )
+        hit_ids = {r.id_a for r in pairs.collect()}
+        assert hit_ids & {0, 1, 2, 3}, hit_ids      # initial generation
+        assert hit_ids & {4, 5, 6, 7}, hit_ids      # appended generation
+
+    def test_probe_without_broadcast_matches(self, spark, tmp_path):
+        from pgstream_spark.operators.neardup_index import (
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 8"), path, num_perm=16, bands=4)
+        batch = d.filter("doc_id >= 8 and doc_id < 12")
+        a = {
+            (r.id_a, r.id_b)
+            for r in probe_neardup_index(spark, path, batch, d).collect()
+        }
+        b = {
+            (r.id_a, r.id_b)
+            for r in probe_neardup_index(
+                spark, path, batch, d, broadcast_batch=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_manifest_pins_parameters(self, spark, tmp_path):
+        import json
+
+        from pgstream_spark.operators.neardup_index import (
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_neardup_index(
+            d, path, num_perm=16, bands=4, seed=9, hash_fn="md5", n=2
+        )
+        with open(path + "/_manifest.json") as fh:
+            m = json.load(fh)
+        assert m == {
+            "n": 2, "num_perm": 16, "bands": 4, "seed": 9, "hash_fn": "md5"
+        }
+        with pytest.raises(ValueError):
+            write_neardup_index(d, path, num_perm=10, bands=4)
+
+    def test_bucket_cap_drops_saturated_buckets(self, spark, tmp_path):
+        from pgstream_spark.operators.neardup_index import (
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        # every doc identical -> every index bucket holds all of them;
+        # a cap of 1 must kill all candidates, uncapped must find them
+        d = spark.createDataFrame(
+            [(i, "same words for every single doc here") for i in range(8)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
+        batch = d.filter("doc_id >= 4")
+        assert probe_neardup_index(spark, path, batch, d).count() > 0
+        assert (
+            probe_neardup_index(spark, path, batch, d, bucket_cap=1).count()
+            == 0
+        )
+
+
 class TestSimhashMd5:
     def test_hamming_ordering_and_exact_dup(self, spark):
         from pgstream_spark.operators import simhash_signatures_md5
