@@ -11516,6 +11516,37 @@ _GATE_ORDER_R7 = [
     "l3_vector_topk", "l3b_lsh_topk",
 ]
 
+# Round-8 staging, PRE-BUILT at the round-7 close (activate only after
+# the round-7 driver gate has consumed the first 50 of the R7 order:
+# set `_GATE_ORDER = _GATE_ORDER_R8`).  Re-proof rotation, continued:
+# the 8 re-proof slots the round-7 session additions pushed out of the
+# R7 window (still carrying round-1 rows — the oldest greens in the
+# registry) first, then the remaining r1/r2/r3-checked queries oldest-
+# first in registration order.  Any new oracle-backed registration goes
+# to the FRONT at its round, pushing re-proof slots out the tail.
+_GATE_ORDER_R8 = [
+    # -- pushed out of the R7 window by the round-7 additions -----------
+    "f7_array_fns", "f8_map_fns", "f9_json_access",
+    "l1_exact_dedup", "l2_ngram_jaccard", "l2d_minhash_lsh_md5",
+    "l3_vector_topk", "l3b_lsh_topk",
+    # -- next-oldest driver rows (r1 tail, then r2, then r3 head) -------
+    "j8_asof_join",
+    "f11_money_arithmetic", "t4_tumbling_window", "t5_session_window",
+    "t7_stateful_dedup", "l4_text_stats", "l4b_fingerprint",
+    "l4c_language_id", "x1_pandas_kernel", "x3_grouped_map",
+    "x4_udaf_weighted_mean", "x5_udtf_explode", "g10_tpch_q3_shipping",
+    "g11_tpch_q5_local_supplier", "l3c_embedding_neardup", "l4d_quality_score",
+    "t9_time_rollup", "x5b_python_udtf", "g12_tpch_q6_forecast",
+    "g13_tpch_q14_promo", "g14_tpch_q18_large_orders", "l4e_bpe_token_count",
+    "g15_percentiles", "g16_histogram", "t10_funnel_conversion",
+    "w5_distribution_ranks", "g17_correlated_subquery", "l8_dedup_clusters",
+    "l6_hash_sample", "l7_stratified_sample", "g18_tpch_q7_nation_volume",
+    "l4f_repetition_stats", "l4g_pii_scrub", "l9_source_mixture",
+    "g19_tpch_q10_returns", "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
+    "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
+    "l5_multimodal_features", "f12_regexp_extract_all",
+]
+
 _GATE_ORDER = _GATE_ORDER_R7
 
 
@@ -11523,6 +11554,7 @@ def _reorder_registry() -> None:
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
     unknown += [n for n in _GATE_ORDER_R3 if n not in QUERIES]
     unknown += [n for n in _GATE_ORDER_R7 if n not in QUERIES or n not in ORACLE]
+    unknown += [n for n in _GATE_ORDER_R8 if n not in QUERIES or n not in ORACLE]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}
