@@ -300,7 +300,7 @@ def main() -> None:
         for n in names
         if result["sf0.1"][n] > 0
     }
-    if decade:
+    if decade or decade_ann:
         out["slope_sf1_to_sf10"] = {
             n: round(result["sf10"][n] / result["sf1"][n], 2)
             for n in names
