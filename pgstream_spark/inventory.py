@@ -10062,6 +10062,124 @@ def l84(spark, sf_dir):
 
 
 @q(
+    "l85_simhash_pr",
+    # SimHash eval — completes the approximate tier's eval harnesses
+    # (l65 ANN recall, l75 MinHash calibration, l77 LSH banding PR,
+    # l76 lang-ID confusion): precision/recall of the SimHash
+    # hamming<=3 pair set against the EXACT trigram-Jaccard-0.5 truth
+    # (the SAME truth set l77 scores the MinHash banding against, so
+    # the two generators' PR numbers are directly comparable).  The
+    # predicted set is generated the way SimHash dedup actually
+    # runs at corpus scale (Manku et al., WWW 2007): 4 bit-blocks of 8,
+    # equality join per block — by pigeonhole any pair within hamming 3
+    # of a 32-bit signature agrees on >=1 whole block, so the banded
+    # join + exact hamming filter reproduces the all-pairs hamming set
+    # WITHOUT an all-pairs join.  All counts exact; ratios half-up bps.
+    # Features are TRIGRAM shingles like the rest of the dedup tier —
+    # the bigram variant's truth join hits the bigram Zipf head at sf1
+    # (killed at 26 min; the trigram shape is the proven l2-class join).
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh), "
+    "votes AS (SELECT doc_id, b, "
+    "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM h CROSS JOIN unnest(" + str(list(range(32))) + ") AS g(b) "
+    "GROUP BY doc_id, b), "
+    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN "
+    "(CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh32 "
+    "FROM votes GROUP BY doc_id), "
+    "blk AS (SELECT doc_id, sh32, b AS blk, (sh32 >> (8 * b)) & 255 AS key "
+    "FROM sig CROSS JOIN unnest([0, 1, 2, 3]) AS g(b)), "
+    "pred AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key "
+    "AND a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.sh32, b.sh32)) <= 3), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh "
+    "GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "truth AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE 2 * c >= sa.sz + sb.sz - c), "
+    "n AS (SELECT "
+    "(SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM pred "
+    "JOIN truth USING (id_a, id_b)) AS n_hit) "
+    "SELECT n_pred, n_true, n_hit, "
+    "CAST((2 * n_hit * 10000 + n_pred) // (2 * n_pred) AS BIGINT) "
+    "AS precision_bps, "
+    "CAST((2 * n_hit * 10000 + n_true) // (2 * n_true) AS BIGINT) "
+    "AS recall_bps FROM n",
+)
+def l85(spark, sf_dir):
+    from pgstream_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_signatures_md5,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash_signatures_md5(d, "doc_id", "text", n=3, bits=32)
+    blocks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "key"),
+    )
+    pred = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= 3
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    n_pred = F.broadcast(pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred")))
+    n_true = F.broadcast(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+    n_hit = F.broadcast(
+        pred.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+    )
+    return (
+        n_pred.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            "n_pred",
+            "n_true",
+            "n_hit",
+            F.expr(
+                "CAST((2 * n_hit * 10000 + n_pred) DIV (2 * n_pred) AS BIGINT)"
+            ).alias("precision_bps"),
+            F.expr(
+                "CAST((2 * n_hit * 10000 + n_true) DIV (2 * n_true) AS BIGINT)"
+            ).alias("recall_bps"),
+        )
+    )
+
+
+@q(
     "l80_tokenizer_fertility",
     # Tokenizer FERTILITY by language — subword tokens per word in
     # half-up milli, the number that decides whether a tokenizer is
@@ -11495,7 +11613,7 @@ _GATE_ORDER_R7 = [
     "g66_tpch_q7_volume_shipping", "g67_tpch_q8_market_share",
     "g68_tpch_q12_late_priority", "g69_tpch_q13_order_distribution",
     "g70_tpch_q17_small_qty_revenue", "g71_tpch_q21_waiting_supplier",
-    "l84_incremental_neardup",
+    "l84_incremental_neardup", "l85_simhash_pr",
     # -- re-proof rotation: the 50 oldest r1/r2 greens ------------------
     "s1_scan_count", "s3_paged_fetch", "p1_project_alias",
     "p2_cast", "p3_filter_eq", "p4_between",
@@ -11526,7 +11644,7 @@ _GATE_ORDER_R7 = [
 # to the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R8 = [
     # -- pushed out of the R7 window by the round-7 additions -----------
-    "f7_array_fns", "f8_map_fns", "f9_json_access",
+    "f6_case_coalesce", "f7_array_fns", "f8_map_fns", "f9_json_access",
     "l1_exact_dedup", "l2_ngram_jaccard", "l2d_minhash_lsh_md5",
     "l3_vector_topk", "l3b_lsh_topk",
     # -- next-oldest driver rows (r1 tail, then r2, then r3 head) -------
