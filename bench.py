@@ -236,6 +236,21 @@ def main() -> None:
         "sf": SF_DIR,
     }
 
+    # One read of the prior record + one round inference, shared by the
+    # sweep_best merge and the headline-history append below (they must
+    # agree on the round number or the two trends drift apart).
+    if not only:
+        import glob as _glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        this_round = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+        prev_rec: dict = {}
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+                prev_rec = json.load(fh)
+        except (OSError, ValueError):
+            pass
+
     # VERDICT r6 item 4: MERGE this run's sweep into the persisted
     # cross-run record instead of replacing it.  One budgeted run used
     # to overwrite BENCH_LOCAL.json's full-registry union with its own
@@ -245,30 +260,20 @@ def main() -> None:
     # actually timed; ``sweep`` stays this-run-only (the -2.0 markers
     # drive the deferred-first rotation).
     if not only:
-        import glob as _glob
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        this_round = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
-        best: dict[str, dict] = {}
-        try:
-            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
-                prev_rec = json.load(fh)
-            best = {
-                k: v
-                for k, v in (prev_rec.get("sweep_best") or {}).items()
-                if isinstance(v, dict) and v.get("secs", 0) > 0
-            }
-            # format migration: fold a pre-sweep_best flat sweep in once
-            for k, v in (prev_rec.get("sweep") or {}).items():
-                if isinstance(v, (int, float)) and v > 0:
-                    e = best.get(k)
-                    if e is None or v < e["secs"]:
-                        best[k] = {
-                            "secs": v,
-                            "round": e["round"] if e else this_round - 1,
-                        }
-        except (OSError, ValueError):
-            pass
+        best: dict[str, dict] = {
+            k: v
+            for k, v in (prev_rec.get("sweep_best") or {}).items()
+            if isinstance(v, dict) and v.get("secs", 0) > 0
+        }
+        # format migration: fold a pre-sweep_best flat sweep in once
+        for k, v in (prev_rec.get("sweep") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                e = best.get(k)
+                if e is None or v < e["secs"]:
+                    best[k] = {
+                        "secs": v,
+                        "round": e["round"] if e else this_round - 1,
+                    }
         for k, v in sweep.items():
             if v > 0:
                 e = best.get(k)
@@ -284,20 +289,11 @@ def main() -> None:
     # from the documented co-tenant heuristic (l2b ≥ 11 s on a plan
     # that runs 8.9-10.2 s clean ⇒ a noisy host, BASELINE.md).
     if not only:
-        import glob as _glob
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        history: list[dict] = []
-        try:
-            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
-                history = json.load(fh).get("headline_history", []) or []
-        except (OSError, ValueError):
-            pass
+        history: list[dict] = prev_rec.get("headline_history", []) or []
         l2b = timings.get("l2b_minhash_lsh")
         history.append(
             {
-                "round": len(_glob.glob(os.path.join(here, "BENCH_r*.json")))
-                + 1,
+                "round": this_round,
                 "total": total,
                 "l2b": l2b,
                 "cond": (
@@ -316,7 +312,6 @@ def main() -> None:
     # only: a single-query invocation must not masquerade as a sweep.
     if not only:
         try:
-            here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
                 json.dump(record, fh)
         except OSError:

@@ -39,6 +39,7 @@ __all__ = [
     "ngram_containment_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "drop_saturated_buckets",
     "verify_candidate_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
@@ -369,34 +370,7 @@ def minhash_lsh_candidates(
         ).alias("band", "bucket"),
     )
     if bucket_cap is not None:
-        # one extra map-side-combinable count; drops the quadratic tail
-        sizes = buckets.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bn")
-        )
-        if bucket_cap == "auto":
-            sizes = sizes.persist()
-            # exact median bucket size from the size→count histogram
-            # (distinct-size rows only — bounded by the max bucket size,
-            # not by |buckets|; deterministic and partition-invariant,
-            # unlike approx_percentile's merge-order-dependent sketch)
-            hist = sorted(
-                (row["__bn"], row["__cnt"])
-                for row in sizes.groupBy("__bn")
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .collect()
-            )
-            total = sum(c for _, c in hist)
-            cum, median = 0, hist[-1][0] if hist else 1
-            for size, cnt in hist:
-                cum += cnt
-                if 2 * cum >= total:
-                    median = size
-                    break
-            bucket_cap = max(64, 32 * median)
-        buckets = buckets.join(
-            sizes.filter(F.col("__bn") <= bucket_cap).select("band", "bucket"),
-            on=["band", "bucket"],
-        )
+        buckets = drop_saturated_buckets(buckets, bucket_cap)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bucket"])
@@ -405,6 +379,44 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return cand
+
+
+def drop_saturated_buckets(buckets: DataFrame, bucket_cap) -> DataFrame:
+    """Apply the stop-bucket guard to (band, bucket, …) rows: drop whole
+    buckets holding more than ``bucket_cap`` rows — vocabulary artifacts
+    whose pair count grows quadratically.  ``"auto"`` derives the cap as
+    32× the EXACT MEDIAN bucket size (computed from a tiny size→count
+    histogram — at most one row per DISTINCT bucket size reaches the
+    driver; deterministic and partition-invariant, unlike
+    approx_percentile's merge-order-dependent sketch), floored at 64 —
+    on a corpus without artifacts every bucket sits under the derived
+    cap, so auto is RESULT-IDENTICAL to uncapped (pytest-pinned).
+    Shared by ``minhash_lsh_candidates`` and the incremental index's
+    probe so the two paths cannot drift."""
+    # one extra map-side-combinable count; drops the quadratic tail
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    if bucket_cap == "auto":
+        sizes = sizes.persist()
+        hist = sorted(
+            (row["__bn"], row["__cnt"])
+            for row in sizes.groupBy("__bn")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .collect()
+        )
+        total = sum(c for _, c in hist)
+        cum, median = 0, hist[-1][0] if hist else 1
+        for size, cnt in hist:
+            cum += cnt
+            if 2 * cum >= total:
+                median = size
+                break
+        bucket_cap = max(64, 32 * median)
+    return buckets.join(
+        sizes.filter(F.col("__bn") <= bucket_cap).select("band", "bucket"),
+        on=["band", "bucket"],
+    )
 
 
 def verify_candidate_pairs(
@@ -443,9 +455,12 @@ def verify_candidate_pairs(
       form that completed the sf10 probe on one node (SCALE.md).  The
       extra vocabulary distinct + per-bucket rank + join-back is what
       makes it a loss below ~10⁷ candidates.
-    * ``"auto"`` (default) — count the docs (one metadata-cheap job on
-      the pruned id column) and pick ``dict`` at
-      ``dict_transport_min_docs`` and above.  The default threshold sits
+    * ``"auto"`` (default) — count the docs and pick ``dict`` at
+      ``dict_transport_min_docs`` and above.  The count runs EAGERLY at
+      plan-construction time; on a plain parquet scan it is a
+      footer-metadata job (sub-second at any scale), but on a computed
+      ``docs`` lineage (upstream joins/filters) it evaluates that
+      lineage — pass ``transport`` explicitly there.  The default threshold sits
       between the measured decade-probe legs: 50k docs / 4.8M candidates
       (strings fine, ~11.5 GB shuffle) and 500k docs / 48M candidates
       (strings impossible on one node).  Both forms are oracle-proven

@@ -19,8 +19,10 @@ Scale shape: the probe BROADCASTS the batch's banded rows (bands × |batch|
 tiny rows) against the index scan, so the index — the big side — is
 never shuffled; candidates then deduplicate and verify in O(candidates)
 (``verify_candidate_pairs`` economics, transport auto-gated).  The
-optional ``bucket_cap`` drops saturated vocabulary-artifact buckets,
-the same stop-bucket guard ``minhash_lsh_candidates`` applies.
+probe applies the batch path's stop-bucket guard by default
+(``dedup.drop_saturated_buckets``, ``bucket_cap="auto"``) so a
+saturated vocabulary-artifact bucket cannot grow candidates with
+corpus size.
 
 Reference parity note: the reference engine delegates dedup-shaped
 workloads to SQL it streams from PostgreSQL (src/PostgreSQL/Stream.hs);
@@ -37,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgstream_spark.operators.dedup import (
+    drop_saturated_buckets,
     minhash_signatures,
     verify_candidate_pairs,
 )
@@ -166,7 +169,7 @@ def probe_neardup_index(
     text_col: str = "text",
     threshold: float = 0.8,
     measure: str = "jaccard",
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
     broadcast_batch: bool = True,
     transport: str = "auto",
 ) -> DataFrame:
@@ -179,20 +182,18 @@ def probe_neardup_index(
     (default) ships the batch's banded rows to the index scan so the
     index never shuffles; disable for batches too large to broadcast
     (the join then shuffles both sides on (band, bucket)).
-    ``bucket_cap`` drops index buckets holding more than this many rows
-    before pairing — the stop-bucket guard against vocabulary-artifact
-    buckets whose candidate count grows with corpus size.
+    ``bucket_cap`` is the SAME stop-bucket guard the batch path applies
+    (``dedup.drop_saturated_buckets``, default ``"auto"`` = 32× the
+    exact median index-bucket size, floored at 64): a saturated
+    vocabulary-artifact bucket would otherwise pair |bucket| × |batch|
+    rows per probe — candidate count growing with CORPUS size, the
+    exact break of the O(batch) ingest contract.  On an artifact-free
+    corpus auto is result-identical to ``None`` (uncapped).
     """
     params = _read_manifest(path)
     idx = spark.read.parquet(path)
     if bucket_cap is not None:
-        keep = (
-            idx.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= bucket_cap)
-            .select("band", "bucket")
-        )
-        idx = idx.join(keep, ["band", "bucket"])
+        idx = drop_saturated_buckets(idx, bucket_cap)
     probe = _banded(batch, id_col, text_col, params).withColumnRenamed(
         "id", "__pid"
     )

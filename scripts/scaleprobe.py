@@ -263,17 +263,17 @@ def main() -> None:
 
     decade = "--decade" in sys.argv[1:]
     decade_ann = "--decade-ann" in sys.argv[1:]
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or (
-        DECADE_ANN_QUERIES
-        if decade_ann
-        else (DECADE_QUERIES if decade else DEFAULT_QUERIES)
-    )
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not names:  # the two decade suites COMPOSE in one invocation
+        names = (DECADE_QUERIES if decade else []) + (
+            DECADE_ANN_QUERIES if decade_ann else []
+        ) or DEFAULT_QUERIES
     levels = [("sf0.1", SRC), ("sf1", DST)]
     if decade:
         generate_sf10()
-        levels.append(("sf10", DST10))
     if decade_ann:
         generate_sf10_embeddings()
+    if decade or decade_ann:
         levels.append(("sf10", DST10))
     spark.range(1000).selectExpr("sum(id)").collect()
 
