@@ -10043,6 +10043,7 @@ def g71(spark, sf_dir):
 def l84(spark, sf_dir):
     import hashlib as _hashlib
     import os as _os
+    import shutil as _shutil
     import tempfile
 
     from pgstream_spark.operators.neardup_index import (
@@ -10053,23 +10054,48 @@ def l84(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     hist = d.filter(F.col("doc_id") < 250)
     batch = d.filter(F.col("doc_id") >= 250)
-    # Deterministic per-fixture path, built at most once per host: the
+    # Deterministic per-CONTENT path, built at most once per host: the
     # index is a pure function of (docs, signature params), so a cached
     # manifest means a digest-only plan construction (sf1diff walks one
     # per rotation) skips the write job entirely — and nothing leaks a
-    # fresh /tmp directory per construction.
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # fresh /tmp directory per construction.  The cache tag hashes the
+    # fixture's documents.parquet CONTENT IDENTITY (size + mtime of the
+    # file, or of every fragment when Spark wrote a directory), not just
+    # its path — regenerating the fixture in place can never reuse a
+    # stale index (ADVICE r7).  Builds go to a mkdtemp-unique directory
+    # and publish via atomic rename, so concurrent runs race safely:
+    # one wins the rename, the other discards its build and reuses.
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if _os.path.isdir(src):
+        ident = ";".join(
+            f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
+            for e in sorted(_os.scandir(src), key=lambda e: e.name)
+        )
+    else:
+        st = _os.stat(src)
+        ident = f"{st.st_size}:{st.st_mtime_ns}"
+    tag = _hashlib.md5(f"{sf_dir}|{ident}".encode()).hexdigest()[:12]
     path = _os.path.join(
         tempfile.gettempdir(), f"pgstream_neardup_idx_{tag}"
     )
     if not _os.path.exists(_os.path.join(path, "_manifest.json")):
+        build = tempfile.mkdtemp(prefix="pgstream_neardup_build_")
+        idx = _os.path.join(build, "idx")
         write_neardup_index(
-            hist, path, num_perm=8, bands=2, seed=42, hash_fn="md5"
+            hist, idx, num_perm=8, bands=2, seed=42, hash_fn="md5"
         )
+        try:
+            _os.rename(idx, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
     # bucket_cap=None: the DuckDB oracle rebuilds the UNCAPPED banding,
-    # and the gate corpus is artifact-free anyway (auto == None there)
+    # and the gate corpus is artifact-free anyway (auto == None there).
+    # expected_corpus: the manifest fingerprint must match the fixture's
+    # current history slice — the belt to the content-keyed tag's braces.
     out = probe_neardup_index(
-        spark, path, batch, d, threshold=0.6, bucket_cap=None
+        spark, path, batch, d, threshold=0.6, bucket_cap=None,
+        expected_corpus=hist,
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -11680,7 +11706,7 @@ _GATE_ORDER_R8 = [
     "l5_multimodal_features", "f12_regexp_extract_all",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R7
+_GATE_ORDER = _GATE_ORDER_R8
 
 
 def _reorder_registry() -> None:

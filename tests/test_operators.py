@@ -1275,7 +1275,7 @@ class TestNeardupIndex:
         path = str(tmp_path / "idx")
         write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
         append_neardup_index(
-            d.filter("doc_id >= 4 and doc_id < 8"), path
+            d.filter("doc_id >= 4 and doc_id < 8"), path, "batch-1"
         )
         pairs = probe_neardup_index(
             spark, path, d.filter("doc_id >= 8 and doc_id < 12"), d,
@@ -1321,9 +1321,14 @@ class TestNeardupIndex:
         )
         with open(path + "/_manifest.json") as fh:
             m = json.load(fh)
-        assert m == {
+        for key, want in {
             "n": 2, "num_perm": 16, "bands": 4, "seed": 9, "hash_fn": "md5"
-        }
+        }.items():
+            assert m[key] == want
+        # corpus identity is pinned at write time, ledger starts empty
+        assert m["corpus"]["count"] == d.count()
+        assert isinstance(m["corpus"]["fp"], int)
+        assert m["batches"] == {}
         with pytest.raises(ValueError):
             write_neardup_index(d, path, num_perm=10, bands=4)
 
@@ -1347,6 +1352,137 @@ class TestNeardupIndex:
             probe_neardup_index(spark, path, batch, d, bucket_cap=1).count()
             == 0
         )
+
+    def test_append_replay_is_idempotent(self, spark, tmp_path):
+        import json
+
+        from pgstream_spark.operators.neardup_index import (
+            append_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
+        with open(path + "/_manifest.json") as fh:
+            pre_append = fh.read()  # manifest state before the batch
+        batch = d.filter("doc_id >= 4 and doc_id < 8")
+        assert append_neardup_index(batch, path, "b1") is True
+        n1 = spark.read.parquet(path).count()
+        with open(path + "/_manifest.json") as fh:
+            post_append = json.load(fh)
+        assert "b1" in post_append["batches"]
+
+        # ledgered replay: a second delivery of the same batch is a no-op
+        assert append_neardup_index(batch, path, "b1") is False
+        assert spark.read.parquet(path).count() == n1
+
+        # half-applied replay: crash BETWEEN the parquet write and the
+        # manifest commit leaves the partition on disk but no ledger
+        # entry — the retry must OVERWRITE the partition, not append
+        with open(path + "/_manifest.json", "w") as fh:
+            fh.write(pre_append)
+        assert append_neardup_index(batch, path, "b1") is True
+        assert spark.read.parquet(path).count() == n1
+        with open(path + "/_manifest.json") as fh:
+            assert json.load(fh) == post_append
+
+        # the ledger refuses the reserved/empty ids
+        with pytest.raises(ValueError):
+            append_neardup_index(batch, path, "")
+        with pytest.raises(ValueError):
+            append_neardup_index(batch, path, "__base__")
+
+    def test_fingerprint_is_incremental_and_probe_refuses_stale(
+        self, spark, tmp_path
+    ):
+        from pgstream_spark.operators.neardup_index import (
+            append_neardup_index,
+            corpus_fingerprint,
+            index_corpus_info,
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        hist0 = d.filter("doc_id < 4")
+        batch1 = d.filter("doc_id >= 4 and doc_id < 8")
+        path = str(tmp_path / "idx")
+        write_neardup_index(hist0, path, num_perm=16, bands=4)
+        append_neardup_index(batch1, path, "b1")
+        # XOR-incremental: manifest fp after append == fingerprint of the
+        # union, computed from scratch
+        info = index_corpus_info(spark, path)
+        want = corpus_fingerprint(d.filter("doc_id < 8"))
+        assert info["corpus"] == want and info["batches"] == ["b1"]
+
+        probe = d.filter("doc_id >= 8 and doc_id < 12")
+        # matching history passes ...
+        assert probe_neardup_index(
+            spark, path, probe, d, threshold=0.5,
+            expected_corpus=d.filter("doc_id < 8"),
+        ).count() > 0
+        # ... a regenerated-in-place corpus (same ids, new texts) refuses
+        stale = d.filter("doc_id < 8").withColumn(
+            "text", F.concat(F.col("text"), F.lit(" regenerated"))
+        )
+        with pytest.raises(ValueError, match="stale"):
+            probe_neardup_index(
+                spark, path, probe, d, expected_corpus=stale
+            )
+
+    def test_manifest_io_hadoop_fs_scheme(self, spark, tmp_path):
+        # a scheme'd path exercises the Hadoop FileSystem manifest route
+        # (file:// locally — same code path hdfs:// / s3a:// would take)
+        from pgstream_spark.operators.neardup_index import (
+            append_neardup_index,
+            index_corpus_info,
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = "file://" + str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
+        append_neardup_index(d.filter("doc_id >= 4 and doc_id < 8"), path, "b1")
+        info = index_corpus_info(spark, path)
+        assert info["corpus"]["count"] == 8 and info["batches"] == ["b1"]
+        pairs = probe_neardup_index(
+            spark, path, d.filter("doc_id >= 8 and doc_id < 12"), d,
+            threshold=0.5,
+        )
+        assert {r.id_a for r in pairs.collect()} & {4, 5, 6, 7}
+
+    def test_streaming_foreachbatch_ingest(self, spark, tmp_path):
+        from pgstream_spark.operators.neardup_index import (
+            foreach_batch_appender,
+            index_corpus_info,
+            probe_neardup_index,
+            write_neardup_index,
+        )
+
+        d = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_neardup_index(d.filter("doc_id < 4"), path, num_perm=16, bands=4)
+        src = str(tmp_path / "incoming")
+        d.filter("doc_id >= 4 and doc_id < 8").write.parquet(src)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(foreach_batch_appender(path))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        info = index_corpus_info(spark, path)
+        assert info["batches"] == ["stream-0"]
+        assert info["corpus"]["count"] == 8
+        pairs = probe_neardup_index(
+            spark, path, d.filter("doc_id >= 8 and doc_id < 12"), d,
+            threshold=0.5,
+        )
+        assert {r.id_a for r in pairs.collect()} & {4, 5, 6, 7}
 
 
 class TestSimhashMd5:
