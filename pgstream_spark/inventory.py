@@ -6565,8 +6565,10 @@ def l52b(spark, sf_dir):
     oracle — two plans, one hash (VERDICT r6 item 3).
 
     ``transport="auto"`` picks the cheaper string-array transport below
-    ~200k docs, so every gate-scale run of l2b/l52 exercises only that
-    form; this twin keeps the int64 dictionary-id form — the one that
+    ~256 MiB of estimated shingle payload (the bytes gate — ~200k docs
+    of this fixture's shape), so every gate-scale run of l2b/l52
+    exercises only that form; this twin keeps the int64 dictionary-id
+    form — the one that
     survives the 500k-doc decade probe (SCALE.md: ~3× less verify
     shuffle) — under the bit-exact oracle at every scale the gate runs.
     """

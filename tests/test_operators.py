@@ -1199,8 +1199,10 @@ class TestContainmentVerifyTier:
             ], transport
 
     def test_auto_transport_picks_strings_below_threshold(self, spark):
-        # auto = strings below dict_transport_min_docs: the plan must
-        # carry NO vocabulary window (the dict transport's signature op)
+        # auto = strings below dict_transport_min_bytes (a bytes gate on
+        # Catalyst's plan-size estimate — NO eager job): the small plan
+        # must carry NO vocabulary window (the dict transport's
+        # signature op), the forced-small threshold must flip to dict
         from pgstream_spark.operators.dedup import verify_candidate_pairs
 
         docs = spark.createDataFrame(
@@ -1211,9 +1213,44 @@ class TestContainmentVerifyTier:
         small = verify_candidate_pairs(cands, docs, threshold=0.0)
         assert "row_number" not in small._jdf.queryExecution().analyzed().toString()
         big = verify_candidate_pairs(
-            cands, docs, threshold=0.0, dict_transport_min_docs=5
+            cands, docs, threshold=0.0, dict_transport_min_bytes=5
         )
         assert "row_number" in big._jdf.queryExecution().analyzed().toString()
+
+    def test_auto_transport_bytes_gate_scales_with_doc_length(self, spark, tmp_path):
+        # the r7 gate counted DOCS; the bytes gate must flip to dict for
+        # few-but-huge documents just like many-small ones.  Write two
+        # parquet corpora with the same doc count and ~40× different
+        # text lengths and pick a threshold between their estimates.
+        from pgstream_spark.operators.dedup import verify_candidate_pairs
+
+        short = spark.createDataFrame(
+            [(i, "w a b c") for i in range(50)], "doc_id long, text string"
+        )
+        long_ = spark.createDataFrame(
+            [(i, " ".join(f"tok{i}x{j}" for j in range(200)))
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        ps, pl = str(tmp_path / "short"), str(tmp_path / "long")
+        short.write.parquet(ps)
+        long_.write.parquet(pl)
+        ds, dl = spark.read.parquet(ps), spark.read.parquet(pl)
+        szs, szl = (
+            int(str(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+            for d in (ds, dl)
+        )
+        assert szl > 3 * szs  # length shows up in the estimate
+        thr = 10 * (szs + szl) // 2  # between the two, post-expansion
+        cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        pshort = verify_candidate_pairs(
+            cands, ds, threshold=0.0, dict_transport_min_bytes=thr
+        )
+        plong = verify_candidate_pairs(
+            cands, dl, threshold=0.0, dict_transport_min_bytes=thr
+        )
+        assert "row_number" not in pshort._jdf.queryExecution().analyzed().toString()
+        assert "row_number" in plong._jdf.queryExecution().analyzed().toString()
 
 
 class TestNeardupIndex:
