@@ -7623,7 +7623,15 @@ def s6_stream(spark, sf_dir):
             .option("user", "gate")
             .option("table", "nation")
             .option("cursor_column", "n_nationkey")
-            .option("max_rows_per_batch", 7)
+            # 7 forces 4 paged micro-batches — the offset-replay shape
+            # the gate verifies.  The bench path raises this via env
+            # (VERDICT r7 item 8): s6's sweep cost is protocol
+            # round-trips, not plan work, and the paged contract stays
+            # covered by the gate default + the streaming pytest tier.
+            .option(
+                "max_rows_per_batch",
+                int(os.environ.get("SPARK_GRAFT_S6_BATCH", "7")),
+            )
             .load()
         )
         schema = stream.schema
