@@ -11402,6 +11402,148 @@ def g62(spark, sf_dir):
 
 
 # =====================================================================
+# Round-8 additions: file-source round-trips under the hash gate, and
+# content-defined chunking for sub-document dedup
+# =====================================================================
+
+def _fixture_sidecar(sf_dir: str, table: str, ext: str) -> str:
+    """Content-keyed /tmp path for a deterministic re-encoding of a
+    fixture table (the l84 cache pattern): the tag hashes the source
+    parquet's size+mtime, so a regenerated fixture can never reuse a
+    stale sidecar, and concurrent builders write unique temp files and
+    publish with an atomic replace."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    src = _os.path.join(sf_dir, f"{table}.parquet")
+    st = _os.stat(src)
+    tag = _hashlib.md5(
+        f"{src}|{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"pgstream_{table}_{tag}.{ext}"
+    )
+
+
+def _write_sidecar(path: str, copy_sql: str) -> None:
+    import os as _os
+
+    import duckdb as _duckdb
+
+    if _os.path.exists(path):
+        return
+    tmp = f"{path}.tmp-{_os.getpid()}"
+    _duckdb.connect().execute(copy_sql.format(out=tmp))
+    _os.replace(tmp, path)  # atomic publish; losers overwrite identically
+
+
+_CUST_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+_CUST_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+@q(
+    "s8_jsonl_source",
+    # The JSONL file source (sources/text.py — explicit schema,
+    # PERMISSIVE corrupt-capture) under the hash gate: the fixture's
+    # customer table is re-encoded once as newline-delimited JSON (a
+    # deterministic DuckDB COPY to a content-keyed sidecar), read back
+    # through read_jsonl, and must hash-match a direct read of the
+    # parquet — text round-trip of every type in the row (bigint, text,
+    # int, double via shortest-repr, text).  JSONL is the interchange
+    # format every LLM training corpus actually arrives in; this pins
+    # the ingest edge end-to-end, not just in pytest.
+    f"SELECT {_CUST_COLS} FROM customer",
+)
+def s8(spark, sf_dir):
+    import os as _os
+
+    from pgstream_spark.sources.text import read_jsonl
+
+    path = _fixture_sidecar(sf_dir, "customer", "jsonl")
+    src = _os.path.join(sf_dir, "customer.parquet")
+    _write_sidecar(
+        path,
+        f"COPY (SELECT {_CUST_COLS} FROM '{src}' ORDER BY c_custkey) "
+        "TO '{out}' (FORMAT JSON)",
+    )
+    df = read_jsonl(spark, path, _CUST_SCHEMA)
+    # no corrupt-filter: a malformed line must surface as a gate
+    # mismatch, not silently drop
+    return df.select(*[c.strip() for c in _CUST_COLS.split(",")])
+
+
+@q(
+    "s9_csv_source",
+    # The CSV file source under the same round-trip gate as s8 —
+    # DuckDB writes RFC-quoted CSV with header, read_csv parses with
+    # the declared schema; doubles cross the text boundary via
+    # shortest-repr and must land bit-identical.
+    f"SELECT {_CUST_COLS} FROM customer",
+)
+def s9(spark, sf_dir):
+    import os as _os
+
+    from pgstream_spark.sources.text import read_csv
+
+    path = _fixture_sidecar(sf_dir, "customer", "csv")
+    src = _os.path.join(sf_dir, "customer.parquet")
+    _write_sidecar(
+        path,
+        f"COPY (SELECT {_CUST_COLS} FROM '{src}' ORDER BY c_custkey) "
+        "TO '{out}' (FORMAT CSV, HEADER)",
+    )
+    df = read_csv(spark, path, _CUST_SCHEMA, header=True)
+    return df.select(*[c.strip() for c in _CUST_COLS.split(",")])
+
+
+@q(
+    "l86_cdc_chunks",
+    # Content-defined chunking (dedup.content_defined_chunks, the LBFS
+    # Rabin-boundary rule at token granularity): a chunk ends after
+    # token i wherever the md5-prefix integer of the trailing 2-token
+    # context is ≡ 0 mod 8 (expected chunk ≈ 8 tokens), so boundaries
+    # depend only on LOCAL content and an insertion re-aligns every
+    # chunk outside the edit — the shift-robust unit for sub-document
+    # dedup that l37's fixed windows cannot give.  Output: one row per
+    # chunk with its content hash and the count of distinct docs
+    # sharing it (>= 2 = duplicated chunk).  Map-side HOF pass + one
+    # hash combine + one equi-join back; no self-join anywhere.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "ch AS (SELECT doc_id, t, CASE WHEN len(t) - 1 >= 2 THEN "
+    "[i FOR i IN generate_series(2, len(t) - 1) IF "
+    "(CAST(('0x' || substr(md5(array_to_string(t[i-1:i], ' ')), 1, 8)) AS BIGINT) "
+    "& 2147483647) % 8 = 0] ELSE [] END AS bpos "
+    "FROM toks WHERE len(t) >= 1), "
+    "se AS (SELECT doc_id, t, list_prepend(1, [p + 1 FOR p IN bpos]) AS starts, "
+    "list_append(bpos, len(t)) AS ends FROM ch), "
+    "ex AS (SELECT doc_id, t, starts, ends, "
+    "unnest(generate_series(1, len(starts))) AS ci FROM se), "
+    "chunks AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+    "CAST(ends[ci] - starts[ci] + 1 AS BIGINT) AS n_tok, "
+    "md5(array_to_string(t[starts[ci]:ends[ci]], ' ')) AS chunk_hash FROM ex) "
+    "SELECT doc_id, chunk_idx, n_tok, chunk_hash, n_docs FROM chunks "
+    "JOIN (SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM chunks GROUP BY 1) sh USING (chunk_hash)",
+)
+def l86(spark, sf_dir):
+    from pgstream_spark.operators.dedup import content_defined_chunks
+
+    return content_defined_chunks(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_tok",
+        "chunk_hash",
+        "n_docs",
+    )
+
+
+# =====================================================================
 # Driver-gate registration order
 # =====================================================================
 # The driver's CORRECTNESS gate evaluates queries in registration order
@@ -11694,6 +11836,9 @@ _GATE_ORDER_R7 = [
 # first in registration order.  Any new oracle-backed registration goes
 # to the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R8 = [
+    # round-8 session additions — newest-first per the rotation contract
+    # (each pushes one tail re-proof slot out to the R9 window)
+    "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
     "f6_case_coalesce", "f7_array_fns", "f8_map_fns", "f9_json_access",
     "l1_exact_dedup", "l2_ngram_jaccard", "l2d_minhash_lsh_md5",

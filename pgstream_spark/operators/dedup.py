@@ -46,6 +46,7 @@ __all__ = [
     "duplicate_span_stats",
     "span_scrub",
     "dedup_clusters_twostar",
+    "content_defined_chunks",
 ]
 
 
@@ -938,6 +939,83 @@ def embedding_neardup_lsh_oracle_sql(
         "round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
         "FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b "
         f"WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}"
+    )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    mask_bits: int = 3,
+) -> DataFrame:
+    """Content-defined chunking (CDC) of each document's token stream —
+    the shift-robust complement to :func:`duplicate_span_stats`'s fixed
+    windows.
+
+    A chunk boundary falls AFTER token ``i`` wherever the hash of the
+    trailing ``window``-token context is ≡ 0 (mod ``2**mask_bits``) —
+    the Rabin-fingerprint boundary rule of LBFS (Muthitacharoen et al.,
+    SOSP 2001) and every CDC dedup system since, at token granularity.
+    Because boundaries depend only on LOCAL content, inserting a
+    paragraph shifts chunk POSITIONS but not chunk IDENTITIES: every
+    chunk outside the edit re-aligns and keeps its hash, which is what
+    makes CDC the right unit for sub-document dedup of near-identical
+    web snapshots (fixed windows lose alignment after one insertion).
+    Expected chunk length ≈ ``2**mask_bits`` tokens.
+
+    Returns one row per (doc, chunk): ``(id, chunk_idx, n_tok,
+    chunk_hash, n_docs)`` where ``n_docs`` counts the DISTINCT documents
+    sharing the chunk's content hash — ≥2 marks a duplicated chunk.
+
+    Cross-engine determinism: the boundary hash is the md5-prefix
+    integer (the l2d idiom, computable verbatim in DuckDB), the chunk
+    hash plain md5 of the space-joined tokens.  Scale shape: one
+    map-side HOF pass per doc (no self-join), a hash-keyed combine for
+    the share counts, and one equi-join back — the same linear plan
+    family as ``duplicate_span_stats``."""
+    t = tokens_col(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("id"), t.alias("__t")).filter(
+        F.size("__t") >= 1
+    )
+    n = F.size("__t")
+    mod = 1 << mask_bits
+
+    def is_boundary(i):
+        ctx = F.concat_ws(" ", F.slice("__t", i - (window - 1), window))
+        h = (
+            F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(2147483647))
+        )
+        return h % mod == 0
+
+    # boundaries live in [window, n-1]: a chunk never ends before one
+    # full hash context exists, and position n is always the final end
+    bpos = F.when(
+        n - 1 >= window,
+        F.filter(F.sequence(F.lit(window), n - 1), is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    ranges = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    ex = d.select("id", "__t", F.posexplode(ranges).alias("__ci", "__r"))
+    length = F.col("__r.e") - F.col("__r.s") + 1
+    rows = ex.select(
+        "id",
+        (F.col("__ci") + 1).cast("bigint").alias("chunk_idx"),
+        length.cast("bigint").alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("__t", F.col("__r.s"), length))
+        ).alias("chunk_hash"),
+    )
+    shared = rows.groupBy("chunk_hash").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    return rows.join(shared, "chunk_hash").select(
+        "id", "chunk_idx", "n_tok", "chunk_hash", "n_docs"
     )
 
 

@@ -15,6 +15,16 @@ one JSON line: {"sf0.1": {...}, "sf1": {...}, "slope": {...}}.
 
 Usage: python scripts/scaleprobe.py [query ...]   (default: l1 l2b l3d l4)
        python scripts/scaleprobe.py --decade      (VERDICT r5 item 6)
+       python scripts/scaleprobe.py --ann-recall  (VERDICT r7 item 2)
+
+``--ann-recall`` closes the decade probe's quality gap: the round-7
+``--decade-ann`` leg proved the WALL-CLOCK law (25× data → 1.6-2.2×
+wall) but not that recall@k survives as the corpus densifies.  This
+mode samples ~100 query vectors spread across the corpus, computes the
+brute-force top-10 TRUTH once per scale (one bounded broadcast leg —
+the ``similarity.brute_force_top_k`` oracle shape), and scores each
+approximate tier (l3b sign-LSH, l3d IVF, l36 IVF-ADC) at the SAME gate
+parameters the wall table used, at 2k / 20k / 500k vectors.
 
 ``--decade`` extends the measured scale law ONE MORE DECADE for the
 three queries that carry the dedup tier's heaviest shuffles — l2b (LSH
@@ -206,6 +216,76 @@ def generate_sf10_embeddings() -> None:
             writer.close()
 
 
+def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
+    """recall@k of each approximate ANN tier against brute-force truth,
+    per scale level.  Query vectors are sampled by a deterministic
+    stride over vec_id so they spread across every region/family of the
+    generated corpora; truth is computed ONCE per level and each tier's
+    predictions join against it (set-intersection recall, the standard
+    definition).  Tiers run at the GATE parameters (l3b: m_bits=6,
+    tables=6; l3d/l36: n_lists=16, n_probes=4) — the same configuration
+    whose wall-clock law the round-7 decade probe measured, so the
+    recall and wall tables are directly comparable."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pgstream_spark.operators.ivf import ivf_adc_top_k, ivf_top_k, train_centroids
+    from pgstream_spark.operators.pq import default_codebooks
+    from pgstream_spark.operators.similarity import (
+        brute_force_top_k,
+        lsh_bucketed_top_k,
+    )
+
+    out: dict[str, dict] = {}
+    books = default_codebooks(dim=64, m_subspaces=16, n_codes=16)
+    for label, sf_dir in levels:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        step = max(1, n // n_queries)
+        queries = (
+            emb.filter(F.col("vec_id") % step == 0).limit(n_queries).persist()
+        )
+        nq = queries.count()
+        truth = (
+            brute_force_top_k(queries, emb, k=k)
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        t_truth = truth.count()
+        cents = train_centroids(emb, n_lists=16, sample_size=1024)
+        level: dict[str, object] = {"n_vectors": n, "n_queries": nq}
+        tiers = (
+            (
+                "l3b_lsh",
+                lambda: lsh_bucketed_top_k(
+                    queries, emb, k=k, m_bits=6, tables=6, dim=64
+                ),
+            ),
+            ("l3d_ivf", lambda: ivf_top_k(queries, emb, cents, k=k, n_probes=4)),
+            (
+                "l36_ivf_adc",
+                lambda: ivf_adc_top_k(
+                    queries, emb, cents, books, k=k, n_probes=4, shortlist=64
+                ),
+            ),
+        )
+        for name, fn in tiers:
+            t0 = _time.perf_counter()
+            pred = fn().select("query_id", "neighbor_id")
+            hits = pred.join(truth, ["query_id", "neighbor_id"]).count()
+            level[name] = {
+                f"recall_at_{k}": round(hits / t_truth, 4),
+                "wall_s": round(_time.perf_counter() - t0, 2),
+            }
+            print(f"  {label} {name}: {level[name]}", file=sys.stderr)
+            spark.sparkContext._jvm.System.gc()
+        truth.unpersist()
+        queries.unpersist()
+        out[label] = level
+    return out
+
+
 def _driver_mem() -> str:
     """Heap for the single-JVM local session: the env override wins;
     otherwise the mode default (48g for --decade, 8g), CLAMPED to ~60%
@@ -217,7 +297,9 @@ def _driver_mem() -> str:
     args = sys.argv[1:]
     # vectors are ~250× lighter than the doc corpus (500k × 64 floats),
     # so the ANN leg needs headroom, not the full dedup-probe heap
-    want = 48 if "--decade" in args else (16 if "--decade-ann" in args else 8)
+    want = 48 if "--decade" in args else (
+        16 if ("--decade-ann" in args or "--ann-recall" in args) else 8
+    )
     try:
         pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
         cap = max(2, int(pages * 0.6 / (1 << 30)))
@@ -263,15 +345,18 @@ def main() -> None:
 
     decade = "--decade" in sys.argv[1:]
     decade_ann = "--decade-ann" in sys.argv[1:]
+    ann_rec = "--ann-recall" in sys.argv[1:]
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if not names:  # the two decade suites COMPOSE in one invocation
+    if not names:  # the suites COMPOSE in one invocation
         names = (DECADE_QUERIES if decade else []) + (
             DECADE_ANN_QUERIES if decade_ann else []
-        ) or DEFAULT_QUERIES
+        )
+        if not names and not ann_rec:
+            names = DEFAULT_QUERIES
     levels = [("sf0.1", SRC), ("sf1", DST)]
     if decade:
         generate_sf10()
-    if decade_ann:
+    if decade_ann or ann_rec:
         generate_sf10_embeddings()
     if decade or decade_ann:
         levels.append(("sf10", DST10))
@@ -306,6 +391,10 @@ def main() -> None:
             for n in names
             if result["sf1"][n] > 0
         }
+    if ann_rec:
+        out["ann_recall"] = ann_recall(
+            spark, [("sf0.1", SRC), ("sf1", DST), ("sf10", DST10)]
+        )
     print(json.dumps(out))
     spark.stop()
 

@@ -1522,6 +1522,60 @@ class TestNeardupIndex:
         assert {r.id_a for r in pairs.collect()} & {4, 5, 6, 7}
 
 
+class TestContentDefinedChunks:
+    """CDC at token granularity: boundaries from local content only, so
+    edits invalidate a bounded neighborhood, never the whole doc."""
+
+    @staticmethod
+    def _chunks(spark, rows):
+        from pgstream_spark.operators.dedup import content_defined_chunks
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return content_defined_chunks(d).collect()
+
+    def test_partition_invariants(self, spark):
+        toks = [f"w{i * 7 % 53}x{i}" for i in range(60)]
+        out = self._chunks(spark, [(1, " ".join(toks))])
+        idx = sorted(r.chunk_idx for r in out)
+        assert idx == list(range(1, len(out) + 1))  # contiguous 1..k
+        assert sum(r.n_tok for r in out) == 60      # chunks tile the doc
+        assert all(r.n_docs == 1 for r in out)
+
+    def test_shift_robustness(self, spark):
+        # inserting 3 tokens mid-doc must re-align every chunk outside
+        # the edit: only the chunk(s) covering the insertion (plus at
+        # most one boundary-context neighbor each side) may change.
+        toks = [f"w{i * 7 % 53}x{i}" for i in range(60)]
+        edited = toks[:30] + ["ins0", "ins1", "ins2"] + toks[30:]
+        out = self._chunks(
+            spark, [(1, " ".join(toks)), (2, " ".join(edited))]
+        )
+        h1 = {r.chunk_hash for r in out if r.id == 1}
+        h2 = {r.chunk_hash for r in out if r.id == 2}
+        lost = h1 - h2
+        assert h1 & h2, "no chunk survived a 3-token insertion"
+        assert len(lost) <= 3, (
+            f"{len(lost)} of {len(h1)} chunks invalidated by a local edit"
+        )
+        # shared chunks are flagged as duplicated across the two docs
+        shared_rows = [r for r in out if r.chunk_hash in (h1 & h2)]
+        assert all(r.n_docs == 2 for r in shared_rows)
+
+    def test_degenerate_docs(self, spark):
+        out = self._chunks(spark, [(1, "solo"), (2, ""), (3, "a b")])
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.id, []).append(r)
+        assert len(by_doc.get(1, [])) == 1 and by_doc[1][0].n_tok == 1
+        assert 2 not in by_doc          # empty text -> no chunks
+        assert sum(r.n_tok for r in by_doc[3]) == 2
+
+    def test_identical_docs_share_everything(self, spark):
+        text = " ".join(f"t{i}" for i in range(40))
+        out = self._chunks(spark, [(1, text), (2, text)])
+        assert out and all(r.n_docs == 2 for r in out)
+
+
 class TestSimhashMd5:
     def test_hamming_ordering_and_exact_dup(self, spark):
         from pgstream_spark.operators import simhash_signatures_md5
