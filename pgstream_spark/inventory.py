@@ -11861,6 +11861,33 @@ _GATE_ORDER_R8 = [
     "l5_multimodal_features", "f12_regexp_extract_all",
 ]
 
+# Round-9 staging, PRE-BUILT at the round-8 close (activate only after
+# the round-8 driver gate has consumed the first 50 of the R8 order:
+# set `_GATE_ORDER = _GATE_ORDER_R9`).  Re-proof rotation, continued:
+# the 4 re-proof slots the round-8 session additions pushed out of the
+# R8 window first, then the remaining queries whose most recent driver
+# row is OLDEST (r2 tail, then r3), in registration order within a
+# round.  Any new oracle-backed registration goes to the FRONT at its
+# round, pushing re-proof slots out the tail.
+_GATE_ORDER_R9 = [
+    # -- pushed out of the R8 window by the round-8 additions -----------
+    "l10_corpus_profile", "l14_curation_pipeline",
+    "l5_multimodal_features", "f12_regexp_extract_all",
+    # -- next-oldest driver rows (r2 tail, then r3) ---------------------
+    "l11_contamination", "g29_pivot", "g30_unpivot", "l15_quality_topk_per_lang",
+    "l16_tficf_top_terms", "l17_posting_lists", "t11_sliding_window", "l18_containment_dedup",
+    "l19_embedding_quantize", "l20_cms_term_counts", "l2e_simhash_md5", "l21_bigram_lm_score",
+    "l22_incremental_dedup", "l23_corpus_diff", "l24_token_ids", "t14_cdc_apply",
+    "t12_gapfill_locf", "t13_gapfill_interpolate", "j10_salted_join", "l25_chunk_windows",
+    "w6_time_range_frame", "t15_ohlc_bars", "w7_ewma_decay", "t16_cohort_retention",
+    "l26_bm25_scores", "l27_hybrid_rrf", "w8_value_windows", "w9_rolling_corr",
+    "f16_uuid3_deterministic", "w10_ratio_to_report", "l28_weighted_sample", "j11_broadcast_range",
+    "t18_drawdown", "w11_bollinger", "t19_ohlc_daily_rollup", "x6_cogrouped_map",
+    "l29_canonical_docs", "l30_shard_manifest", "t20_count_anomaly", "t21_growth_accounting",
+    "l31_distribution_drift", "l32_token_budget", "w12_ignore_nulls_carry", "l27b_hybrid_rrf_ann",
+    "j8b_asof_salted", "a12_error_surface",
+]
+
 _GATE_ORDER = _GATE_ORDER_R8
 
 
@@ -11869,6 +11896,7 @@ def _reorder_registry() -> None:
     unknown += [n for n in _GATE_ORDER_R3 if n not in QUERIES]
     unknown += [n for n in _GATE_ORDER_R7 if n not in QUERIES or n not in ORACLE]
     unknown += [n for n in _GATE_ORDER_R8 if n not in QUERIES or n not in ORACLE]
+    unknown += [n for n in _GATE_ORDER_R9 if n not in QUERIES or n not in ORACLE]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}
