@@ -122,11 +122,37 @@ def assign_buckets(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
+    max_literal_cells: int = 4096,
 ) -> DataFrame:
-    """Append each vector's IVF bucket (nearest centroid index)."""
-    return corpus.withColumn(
-        bucket_col, _nearest_centroid_col(F.col(vec_col), centroids)
-    )
+    """Append each vector's IVF bucket (nearest centroid index).
+
+    Small centroid sets (≤ ``max_literal_cells`` total floats) assign
+    through a pure JVM expression — one literal-array dot per centroid,
+    whole-stage-codegen'd, zero Python.  Large sets (the production
+    regime: ``n_lists ~ √N`` puts a 10⁸-vector corpus at ~10k lists,
+    i.e. ~10⁶ literal cells — past what Catalyst should be asked to
+    codegen) switch to ONE Arrow-batched pandas UDF: the centroid
+    matrix rides the task closure (n_lists × dim × 8 B — a few MB, the
+    same payload the literal plan would carry) and each batch is a
+    single ``X @ C.T`` argmax — matrix-at-a-time numpy, not per-row
+    Python.  Tie behavior: the literal path's struct-max breaks exact
+    score ties to the HIGHER index, numpy argmax to the LOWER —
+    indistinguishable for trained float centroids."""
+    if centroids.size <= max_literal_cells:
+        return corpus.withColumn(
+            bucket_col, _nearest_centroid_col(F.col(vec_col), centroids)
+        )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype="float64")
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype("float64", copy=False)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+
+    return corpus.withColumn(bucket_col, _assign(F.col(vec_col)))
 
 
 def ivf_top_k(
@@ -395,6 +421,29 @@ def ivf_rebuild_needed(
     return needs, stats
 
 
+def _with_residual(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, out_col: str
+) -> DataFrame:
+    """Attach the IVFPQ residual ``vec - centroid(bucket)`` (Jégou et
+    al., TPAMI 2011): a broadcast join against the tiny centroid table,
+    then one zip_with — map-only, JVM-side."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "bucket int, __cent array<double>",
+    )
+    return (
+        df.join(F.broadcast(cdf), "bucket")
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col), "__cent", lambda a, b: a.cast("double") - b
+            ),
+        )
+        .drop("__cent")
+    )
+
+
 def ivf_adc_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -407,6 +456,7 @@ def ivf_adc_top_k(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-ADC: the full corpus-scale ANN pipeline in one operator —
     IVF probe pruning × PQ-code scanning × exact re-rank.
@@ -428,23 +478,40 @@ def ivf_adc_top_k(
     floats and scanning ~100 GB of codes in probed buckets + a
     shortlist-sized exact pass.  Returns (query_id, neighbor_id,
     cosine, rank).
+
+    ``residual=True`` PQ-encodes the RESIDUAL ``v - centroid(bucket)``
+    instead of the raw vector, and builds each query's ADC table from
+    the matching per-probe residual ``q - centroid(bucket)`` — the
+    canonical IVFPQ formulation (Jégou et al., TPAMI 2011).  This is
+    the production setting for clustered corpora: the coarse quantizer
+    absorbs the between-cluster offsets, so the 4-bit codes only have
+    to resolve WITHIN-cluster geometry.  Measured on the 500k-vector
+    decade probe (25 scattered regions): raw encoding recall@10 = 0.40,
+    residual encoding = 1.00 at the same codebooks/params (SCALE.md
+    round-8).  Default stays ``False`` for compatibility with indexes
+    and oracles built on raw codes; new corpus-scale deployments should
+    pass ``True`` (and train codebooks on residuals —
+    ``pq.train_residual_codebooks``).
     """
     from pgstream_spark.operators.pq import pq_encode
 
     m, n_codes, sub = codebooks.shape
     spark = queries.sparkSession
 
-    enc = pq_encode(
-        assign_buckets(
-            corpus.select(
-                F.col(corpus_id).alias("neighbor_id"),
-                F.col(corpus_vec).alias("__cv"),
-            ),
-            centroids,
-            vec_col="__cv",
+    bucketed = assign_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
         ),
-        codebooks,
+        centroids,
         vec_col="__cv",
+    )
+    if residual:
+        bucketed = _with_residual(bucketed, centroids, "__cv", "__cvr")
+    enc = pq_encode(
+        bucketed,
+        codebooks,
+        vec_col="__cvr" if residual else "__cv",
         id_col="neighbor_id",
         keep_cols=("bucket",),
     )
@@ -458,12 +525,16 @@ def ivf_adc_top_k(
     for qid, v in qrows:
         scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
         probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
-        lut = [
-            float(((v[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
-            for s in range(m)
-            for c in range(n_codes)
-        ]
         for b in probes:
+            # residual ADC: the lookup table is PER PROBED BUCKET, built
+            # from the query's residual against that bucket's centroid —
+            # then ADC(q, v) ≈ ||(q - c_b) - (v - c_b)||² = ||q - v||²
+            base = v - centroids[b] if residual else v
+            lut = [
+                float(((base[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
+                for s in range(m)
+                for c in range(n_codes)
+            ]
             batch.append((qid, [float(x) for x in v], lut, b))
     id_type = queries.schema[query_id].dataType.simpleString()
     qdf = spark.createDataFrame(
@@ -518,6 +589,7 @@ def write_ivfpq_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    residual: bool = False,
 ) -> None:
     """Persist the composed IVF-PQ index — the FAISS-style on-disk ANN
     layout, assembled from the pieces this module already proves:
@@ -528,9 +600,15 @@ def write_ivfpq_index(
     * ``vectors/bucket=K/`` — (neighbor_id, embedding): exact vectors,
       same partitioning, touched only for the shortlist re-rank.
     * ``centroids/`` + ``codebooks/`` — the tiny trained tables.
+    * ``meta/`` — one row of index-level settings (``residual``), read
+      back by ``ivfpq_query_index`` so the probe can never mismatch the
+      encoding the codes were written under.
 
     Both data trees share the bucket partitioning, so a probe prunes
-    BOTH scans to ``n_probes/n_lists`` of their files.
+    BOTH scans to ``n_probes/n_lists`` of their files.  ``residual=True``
+    stores codes of ``v - centroid(bucket)`` (canonical IVFPQ — see
+    ``ivf_adc_top_k``); the vectors tree always stays RAW (re-rank needs
+    the true vectors).
     """
     from pgstream_spark.operators.pq import pq_encode
 
@@ -549,10 +627,13 @@ def write_ivfpq_index(
         .partitionBy("bucket")
         .parquet(path + "/vectors")
     )
+    stored = spark.read.parquet(path + "/vectors")
+    if residual:
+        stored = _with_residual(stored, centroids, "embedding", "__res")
     enc = pq_encode(
-        spark.read.parquet(path + "/vectors"),
+        stored,
         codebooks,
-        vec_col="embedding",
+        vec_col="__res" if residual else "embedding",
         id_col="neighbor_id",
         keep_cols=("bucket",),
     )
@@ -575,6 +656,9 @@ def write_ivfpq_index(
     spark.createDataFrame(
         cb, "sub int, code int, center array<double>"
     ).coalesce(1).write.mode(mode).parquet(path + "/codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode(mode).parquet(path + "/meta")
 
 
 def load_ivfpq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
@@ -604,11 +688,19 @@ def ivfpq_query_index(
     Identical ranking to the in-memory ``ivf_adc_top_k`` at the same
     centroids/codebooks/parameters (pytest-pinned); the difference is
     what gets READ — probed code partitions plus shortlist-sized vector
-    rows, never the full index.
+    rows, never the full index.  The residual/raw encoding choice is
+    read from the index's ``meta/`` table (absent in pre-round-8
+    indexes → raw), so a probe can never mismatch the stored codes.
     """
     centroids = load_ivf_centroids(spark, path)
     codebooks = load_ivfpq_codebooks(spark, path)
     m, n_codes, sub = codebooks.shape
+    try:
+        residual = bool(
+            spark.read.parquet(path + "/meta").first()["residual"]
+        )
+    except Exception:  # pre-meta index layout → raw encoding
+        residual = False
 
     qrows = [
         (r[0], np.asarray(r[1], dtype="float64"))
@@ -620,12 +712,13 @@ def ivfpq_query_index(
         scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
         probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
         probe_set.update(probes)
-        lut = [
-            float(((v[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
-            for s in range(m)
-            for c in range(n_codes)
-        ]
         for b in probes:
+            base = v - centroids[b] if residual else v
+            lut = [
+                float(((base[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
+                for s in range(m)
+                for c in range(n_codes)
+            ]
             batch.append((qid, [float(x) for x in v], lut, b))
     id_type = queries.schema[query_id].dataType.simpleString()
     qdf = spark.createDataFrame(

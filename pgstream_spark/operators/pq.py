@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "train_pq_codebooks",
+    "train_residual_codebooks",
     "default_codebooks",
     "pq_encode",
     "pq_decode_error",
@@ -94,6 +95,40 @@ def train_pq_codebooks(
     idx = rng.choice(len(rows), size=take, replace=False)
     X = np.array([rows[i][0] for i in idx], dtype="float64")
     return _codebooks_from_sample(X, m_subspaces, n_codes, iters, seed)
+
+
+def train_residual_codebooks(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Codebooks trained on IVF RESIDUALS ``v - centroid(bucket(v))`` —
+    the pairing for ``ivf_adc_top_k(residual=True)`` / IVFPQ (Jégou et
+    al., TPAMI 2011).  Same bounded-uniform-sample discipline as
+    :func:`train_pq_codebooks`; the residual subtraction happens
+    driver-side on the sample (|sample| × dim floats), never over the
+    corpus."""
+    total = corpus.count()
+    want = sample_size * 4
+    if total <= want:
+        rows = corpus.select(vec_col).collect()
+    else:
+        frac = min(1.0, want * 1.2 / total)
+        rows = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    rng = np.random.default_rng(seed)
+    take = min(sample_size, len(rows))
+    idx = rng.choice(len(rows), size=take, replace=False)
+    X = np.array([rows[i][0] for i in idx], dtype="float64")
+    # nearest centroid by RAW max dot product — the same assignment rule
+    # ivf.assign_buckets applies corpus-side (_nearest_centroid_col)
+    buckets = np.argmax(X @ centroids.T, axis=1)
+    R = X - centroids[buckets]
+    return _codebooks_from_sample(R, m_subspaces, n_codes, iters, seed)
 
 
 def default_codebooks(

@@ -2394,6 +2394,68 @@ class TestIvfAdc:
         # re-rank must not degrade it further than the probe celling
         assert recall >= 0.4, f"IVF-ADC recall too low: {recall}"
 
+    def test_residual_encoding_recall_and_consistency(self, spark, sf_dir):
+        # residual=True (canonical IVFPQ) must (a) hold recall at least
+        # as well as raw codes on the fixture and (b) agree between the
+        # in-memory pipeline and a persisted index whose meta records
+        # the residual flag
+        from pgstream_spark.operators.ivf import (
+            ivf_adc_top_k,
+            train_centroids,
+        )
+        from pgstream_spark.operators.pq import train_residual_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        books = train_residual_codebooks(
+            emb, cents, m_subspaces=16, n_codes=16, sample_size=256
+        )
+        q = emb.filter(F.col("vec_id") < 10)
+        got = ivf_adc_top_k(
+            q, emb, cents, books, k=3, n_probes=4, shortlist=64,
+            residual=True,
+        ).collect()
+        assert len(got) == 30
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_top_k(q, emb, k=3).collect()
+        }
+        hits = {(r.query_id, r.neighbor_id) for r in got}
+        recall = len(exact & hits) / len(exact)
+        assert recall >= 0.4, f"residual IVF-ADC recall too low: {recall}"
+
+    def test_residual_persisted_index_matches_in_memory(
+        self, spark, sf_dir, tmp_path
+    ):
+        from pgstream_spark.operators.ivf import (
+            ivf_adc_top_k,
+            ivfpq_query_index,
+            train_centroids,
+            write_ivfpq_index,
+        )
+        from pgstream_spark.operators.pq import train_residual_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+        books = train_residual_codebooks(
+            emb, cents, m_subspaces=8, n_codes=16, sample_size=256
+        )
+        path = str(tmp_path / "ivfpq_res")
+        write_ivfpq_index(emb, cents, books, path, residual=True)
+        queries = emb.limit(5)
+        a = ivfpq_query_index(
+            spark, path, queries, k=4, n_probes=3, shortlist=16
+        ).collect()
+        b = ivf_adc_top_k(
+            queries, emb, cents, books, k=4, n_probes=3, shortlist=16,
+            residual=True,
+        ).collect()
+        assert sorted((r.query_id, r.rank, r.neighbor_id) for r in a) == sorted(
+            (r.query_id, r.rank, r.neighbor_id) for r in b
+        )
+
     def test_plan_has_no_cartesian_and_reads_codes_only_for_scan(self, spark, sf_dir):
         from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
         from pgstream_spark.operators.pq import default_codebooks
