@@ -24,6 +24,7 @@ zero-training.  Both share the same bucketed join shape.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,7 +143,6 @@ def assign_buckets(
         return corpus.withColumn(
             bucket_col, _nearest_centroid_col(F.col(vec_col), centroids)
         )
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = np.ascontiguousarray(centroids, dtype="float64")

@@ -2394,6 +2394,24 @@ class TestIvfAdc:
         # re-rank must not degrade it further than the probe celling
         assert recall >= 0.4, f"IVF-ADC recall too low: {recall}"
 
+    def test_assign_buckets_udf_path_matches_literal_path(self, spark, sf_dir):
+        # past max_literal_cells the assignment switches to the Arrow
+        # pandas-UDF matrix argmax — same buckets as the JVM expression
+        import numpy as np
+
+        from pgstream_spark.operators.ivf import assign_buckets
+        from pgstream_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        C = np.random.default_rng(3).normal(size=(16, 64))
+        lit = assign_buckets(emb, C).select("vec_id", "bucket").collect()
+        udf = assign_buckets(emb, C, max_literal_cells=1).select(
+            "vec_id", "bucket"
+        ).collect()
+        assert sorted((r.vec_id, r.bucket) for r in lit) == sorted(
+            (r.vec_id, r.bucket) for r in udf
+        )
+
     def test_residual_encoding_recall_and_consistency(self, spark, sf_dir):
         # residual=True (canonical IVFPQ) must (a) hold recall at least
         # as well as raw codes on the fixture and (b) agree between the
