@@ -231,7 +231,10 @@ def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
     from pyspark.sql import functions as F
 
     from pgstream_spark.operators.ivf import ivf_adc_top_k, ivf_top_k, train_centroids
-    from pgstream_spark.operators.pq import default_codebooks
+    from pgstream_spark.operators.pq import (
+        default_codebooks,
+        train_residual_codebooks,
+    )
     from pgstream_spark.operators.similarity import (
         brute_force_top_k,
         lsh_bucketed_top_k,
@@ -254,7 +257,28 @@ def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
         )
         t_truth = truth.count()
         cents = train_centroids(emb, n_lists=16, sample_size=1024)
-        level: dict[str, object] = {"n_vectors": n, "n_queries": nq}
+        # the SCALED configuration: n_lists grows ~sqrt(N) (16 at the 2k
+        # gate corpus, ~256 at 500k — the measured recall sweet spot),
+        # probe fraction pinned at 1/16, residual-trained codebooks.
+        # This is the production IVFPQ recipe (Jégou et al., TPAMI 2011)
+        # the round-8 cliff investigation landed (SCALE.md).
+        n_lists_s = max(16, int(round((n ** 0.5) / 2.8)))
+        cents_s = (
+            cents
+            if n_lists_s == 16
+            else train_centroids(
+                emb, n_lists=n_lists_s, sample_size=max(4096, n_lists_s * 4),
+                iters=8,
+            )
+        )
+        books_s = train_residual_codebooks(
+            emb, cents_s, m_subspaces=16, n_codes=16
+        )
+        level: dict[str, object] = {
+            "n_vectors": n,
+            "n_queries": nq,
+            "n_lists_scaled": n_lists_s,
+        }
         tiers = (
             (
                 "l3b_lsh",
@@ -267,6 +291,21 @@ def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
                 "l36_ivf_adc",
                 lambda: ivf_adc_top_k(
                     queries, emb, cents, books, k=k, n_probes=4, shortlist=64
+                ),
+            ),
+            (
+                "l36_adc_residual",
+                lambda: ivf_adc_top_k(
+                    queries, emb, cents, books, k=k, n_probes=4,
+                    shortlist=64, residual=True,
+                ),
+            ),
+            (
+                "l36_adc_res_scaled",
+                lambda: ivf_adc_top_k(
+                    queries, emb, cents_s, books_s, k=k,
+                    n_probes=max(4, n_lists_s // 16), shortlist=128,
+                    residual=True,
                 ),
             ),
         )
