@@ -10076,15 +10076,9 @@ def l84(spark, sf_dir):
     # and publish via atomic rename, so concurrent runs race safely:
     # one wins the rename, the other discards its build and reuses.
     src = _os.path.join(sf_dir, "documents.parquet")
-    if _os.path.isdir(src):
-        ident = ";".join(
-            f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
-            for e in sorted(_os.scandir(src), key=lambda e: e.name)
-        )
-    else:
-        st = _os.stat(src)
-        ident = f"{st.st_size}:{st.st_mtime_ns}"
-    tag = _hashlib.md5(f"{sf_dir}|{ident}".encode()).hexdigest()[:12]
+    tag = _hashlib.md5(
+        f"{sf_dir}|{_fixture_ident(src)}".encode()
+    ).hexdigest()[:12]
     path = _os.path.join(
         tempfile.gettempdir(), f"pgstream_neardup_idx_{tag}"
     )
@@ -11406,20 +11400,36 @@ def g62(spark, sf_dir):
 # content-defined chunking for sub-document dedup
 # =====================================================================
 
+def _fixture_ident(src: str) -> str:
+    """Content identity of a fixture parquet (file OR Spark-written
+    directory): size+mtime of the file, or of every fragment when the
+    table is a directory — shared by every content-keyed /tmp cache
+    (l84's index, the s8/s9 sidecars) so none can reuse a stale
+    artifact after the fixture is regenerated in place."""
+    import os as _os
+
+    if _os.path.isdir(src):
+        return ";".join(
+            f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
+            for e in sorted(_os.scandir(src), key=lambda e: e.name)
+        )
+    st = _os.stat(src)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _fixture_sidecar(sf_dir: str, table: str, ext: str) -> str:
     """Content-keyed /tmp path for a deterministic re-encoding of a
     fixture table (the l84 cache pattern): the tag hashes the source
-    parquet's size+mtime, so a regenerated fixture can never reuse a
-    stale sidecar, and concurrent builders write unique temp files and
-    publish with an atomic replace."""
+    parquet's content identity (``_fixture_ident``), so a regenerated
+    fixture can never reuse a stale sidecar, and concurrent builders
+    write unique temp files and publish with an atomic replace."""
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
     src = _os.path.join(sf_dir, f"{table}.parquet")
-    st = _os.stat(src)
     tag = _hashlib.md5(
-        f"{src}|{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{src}|{_fixture_ident(src)}".encode()
     ).hexdigest()[:12]
     return _os.path.join(
         _tempfile.gettempdir(), f"pgstream_{table}_{tag}.{ext}"
@@ -11465,6 +11475,8 @@ def s8(spark, sf_dir):
 
     path = _fixture_sidecar(sf_dir, "customer", "jsonl")
     src = _os.path.join(sf_dir, "customer.parquet")
+    if _os.path.isdir(src):  # Spark-written table -> DuckDB glob
+        src = _os.path.join(src, "*.parquet")
     _write_sidecar(
         path,
         f"COPY (SELECT {_CUST_COLS} FROM '{src}' ORDER BY c_custkey) "
@@ -11491,6 +11503,8 @@ def s9(spark, sf_dir):
 
     path = _fixture_sidecar(sf_dir, "customer", "csv")
     src = _os.path.join(sf_dir, "customer.parquet")
+    if _os.path.isdir(src):  # Spark-written table -> DuckDB glob
+        src = _os.path.join(src, "*.parquet")
     _write_sidecar(
         path,
         f"COPY (SELECT {_CUST_COLS} FROM '{src}' ORDER BY c_custkey) "

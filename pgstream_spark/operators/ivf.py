@@ -444,6 +444,42 @@ def _with_residual(
     )
 
 
+def _adc_probe_batch(
+    qrows: list,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    n_probes: int,
+    residual: bool,
+) -> tuple[list, set]:
+    """Driver-side probe selection + ADC lookup tables, shared by the
+    in-memory (`ivf_adc_top_k`) and persisted (`ivfpq_query_index`)
+    pipelines so the two can never diverge.  Returns (batch rows of
+    (qid, vec, lut, bucket), probed-bucket set).  With raw encoding the
+    LUT is probe-invariant and computed once per query; with residual
+    encoding it is per probed bucket (built from ``q - c_b``, so
+    ADC(q,v) ≈ ||(q-c_b)-(v-c_b)||² = ||q-v||²)."""
+    m, n_codes, sub = codebooks.shape
+    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def lut_for(base: np.ndarray) -> list:
+        return [
+            float(((base[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
+            for s in range(m)
+            for c in range(n_codes)
+        ]
+
+    batch, probe_set = [], set()
+    for qid, v in qrows:
+        scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
+        probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
+        probe_set.update(probes)
+        raw_lut = None if residual else lut_for(v)
+        for b in probes:
+            lut = lut_for(v - centroids[b]) if residual else raw_lut
+            batch.append((qid, [float(x) for x in v], lut, b))
+    return batch, probe_set
+
+
 def ivf_adc_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -520,22 +556,7 @@ def ivf_adc_top_k(
         (r[0], np.asarray(r[1], dtype="float64"))
         for r in queries.select(query_id, query_vec).collect()
     ]
-    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    batch = []
-    for qid, v in qrows:
-        scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
-        probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
-        for b in probes:
-            # residual ADC: the lookup table is PER PROBED BUCKET, built
-            # from the query's residual against that bucket's centroid —
-            # then ADC(q, v) ≈ ||(q - c_b) - (v - c_b)||² = ||q - v||²
-            base = v - centroids[b] if residual else v
-            lut = [
-                float(((base[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
-                for s in range(m)
-                for c in range(n_codes)
-            ]
-            batch.append((qid, [float(x) for x in v], lut, b))
+    batch, _ = _adc_probe_batch(qrows, centroids, codebooks, n_probes, residual)
     id_type = queries.schema[query_id].dataType.simpleString()
     qdf = spark.createDataFrame(
         batch,
@@ -656,9 +677,39 @@ def write_ivfpq_index(
     spark.createDataFrame(
         cb, "sub int, code int, center array<double>"
     ).coalesce(1).write.mode(mode).parquet(path + "/codebooks")
+    if mode == "append":
+        # an appended generation must match the encoding already stored
+        # — a mixed raw+residual code tree under one flag would return
+        # silently wrong ADC distances
+        existing = _read_ivfpq_meta(spark, path)
+        if existing != bool(residual):
+            raise ValueError(
+                f"index at {path} is {'residual' if existing else 'raw'}-"
+                f"encoded; append with residual={residual} would mix "
+                f"encodings — rebuild with mode='overwrite' instead"
+            )
+    # meta is a single-row settings table: always overwritten, never
+    # appended (an appended second row would make the flag ambiguous)
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
-    ).coalesce(1).write.mode(mode).parquet(path + "/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _read_ivfpq_meta(spark: SparkSession, path: str) -> bool:
+    """The index's residual flag.  Only a MISSING ``meta/`` tree (the
+    pre-round-8 layout, which is always raw-encoded) falls back to
+    False; any other failure (throttle, permissions, corrupt footer)
+    propagates — silently assuming raw against residual codes would
+    return plausible-but-wrong rankings (measured 0.40 vs 1.00
+    recall)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return bool(spark.read.parquet(path + "/meta").first()["residual"])
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return False  # pre-meta index layout → raw encoding
+        raise
 
 
 def load_ivfpq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
@@ -695,31 +746,15 @@ def ivfpq_query_index(
     centroids = load_ivf_centroids(spark, path)
     codebooks = load_ivfpq_codebooks(spark, path)
     m, n_codes, sub = codebooks.shape
-    try:
-        residual = bool(
-            spark.read.parquet(path + "/meta").first()["residual"]
-        )
-    except Exception:  # pre-meta index layout → raw encoding
-        residual = False
+    residual = _read_ivfpq_meta(spark, path)
 
     qrows = [
         (r[0], np.asarray(r[1], dtype="float64"))
         for r in queries.select(query_id, query_vec).collect()
     ]
-    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    batch, probe_set = [], set()
-    for qid, v in qrows:
-        scores = c_norm @ (v / (np.linalg.norm(v) or 1.0))
-        probes = [int(b) for b in np.argsort(-scores, kind="stable")[:n_probes]]
-        probe_set.update(probes)
-        for b in probes:
-            base = v - centroids[b] if residual else v
-            lut = [
-                float(((base[s * sub : (s + 1) * sub] - codebooks[s][c]) ** 2).sum())
-                for s in range(m)
-                for c in range(n_codes)
-            ]
-            batch.append((qid, [float(x) for x in v], lut, b))
+    batch, probe_set = _adc_probe_batch(
+        qrows, centroids, codebooks, n_probes, residual
+    )
     id_type = queries.schema[query_id].dataType.simpleString()
     qdf = spark.createDataFrame(
         batch,

@@ -149,6 +149,7 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
     text = json.dumps(manifest, sort_keys=True)
     if "://" in path:
         jvm = spark._jvm
+        gw = spark.sparkContext._gateway
         conf = spark._jsc.hadoopConfiguration()
         dst = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST))
         tmp = jvm.org.apache.hadoop.fs.Path(
@@ -158,9 +159,17 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
         out = fs.create(tmp, True)
         out.write(bytearray(text, "utf-8"))
         out.close()
-        fs.delete(dst, False)  # HDFS rename refuses to clobber
-        if not fs.rename(tmp, dst):
-            raise IOError(f"manifest rename failed: {tmp} -> {dst}")
+        # FileContext.rename(.., Rename.OVERWRITE) is the ATOMIC
+        # replace-commit (plain FileSystem.rename refuses to clobber on
+        # HDFS, and delete-then-rename would leave a manifest-less —
+        # bricked — index if the process died between the two)
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), conf
+        )
+        fc.rename(tmp, dst, opts)
         return
     tmp_local = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp_local, "w") as fh:
@@ -226,6 +235,11 @@ def write_neardup_index(
         .repartition(n_files, "band", "bucket")
         .sortWithinPartitions("band", "bucket")
         .write.mode("overwrite")
+        # a REBUILD must drop every partition, including appended
+        # batch=<id> ones — pin static overwrite so a session-wide
+        # dynamic partitionOverwriteMode cannot leave stale batches
+        # under a freshly-stamped manifest
+        .option("partitionOverwriteMode", "static")
         .option("parquet.block.size", ROW_GROUP_BYTES)
         .partitionBy("batch")
         .parquet(path)

@@ -71,18 +71,14 @@ def _kmeans(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.n
     return cents
 
 
-def train_pq_codebooks(
-    corpus: DataFrame,
-    vec_col: str = "embedding",
-    m_subspaces: int = 8,
-    n_codes: int = 16,
-    sample_size: int = 2048,
-    iters: int = 10,
-    seed: int = 42,
+def _sample_vectors(
+    corpus: DataFrame, vec_col: str, sample_size: int, seed: int
 ) -> np.ndarray:
-    """Per-subspace k-means codebooks from a bounded UNIFORM sample (the
-    ivf.train_centroids discipline: ``sample(fraction)``, never
-    ``limit()``).  Returns (m_subspaces, n_codes, dim // m_subspaces)."""
+    """Bounded UNIFORM vector sample (the ivf.train_centroids
+    discipline: ``sample(fraction)``, never ``limit()`` — limit reads
+    the first partitions, which on a source-sorted corpus trains on one
+    region only).  The ONLY driver-side materialization in either
+    trainer; shared so the two cannot drift."""
     total = corpus.count()
     want = sample_size * 4
     if total <= want:
@@ -93,7 +89,22 @@ def train_pq_codebooks(
     rng = np.random.default_rng(seed)
     take = min(sample_size, len(rows))
     idx = rng.choice(len(rows), size=take, replace=False)
-    X = np.array([rows[i][0] for i in idx], dtype="float64")
+    return np.array([rows[i][0] for i in idx], dtype="float64")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks from a bounded uniform sample
+    (``_sample_vectors``).  Returns (m_subspaces, n_codes,
+    dim // m_subspaces)."""
+    X = _sample_vectors(corpus, vec_col, sample_size, seed)
     return _codebooks_from_sample(X, m_subspaces, n_codes, iters, seed)
 
 
@@ -110,20 +121,10 @@ def train_residual_codebooks(
     """Codebooks trained on IVF RESIDUALS ``v - centroid(bucket(v))`` —
     the pairing for ``ivf_adc_top_k(residual=True)`` / IVFPQ (Jégou et
     al., TPAMI 2011).  Same bounded-uniform-sample discipline as
-    :func:`train_pq_codebooks`; the residual subtraction happens
-    driver-side on the sample (|sample| × dim floats), never over the
-    corpus."""
-    total = corpus.count()
-    want = sample_size * 4
-    if total <= want:
-        rows = corpus.select(vec_col).collect()
-    else:
-        frac = min(1.0, want * 1.2 / total)
-        rows = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
-    rng = np.random.default_rng(seed)
-    take = min(sample_size, len(rows))
-    idx = rng.choice(len(rows), size=take, replace=False)
-    X = np.array([rows[i][0] for i in idx], dtype="float64")
+    :func:`train_pq_codebooks` (shared ``_sample_vectors``); the
+    residual subtraction happens driver-side on the sample (|sample| ×
+    dim floats), never over the corpus."""
+    X = _sample_vectors(corpus, vec_col, sample_size, seed)
     # nearest centroid by RAW max dot product — the same assignment rule
     # ivf.assign_buckets applies corpus-side (_nearest_centroid_col)
     buckets = np.argmax(X @ centroids.T, axis=1)

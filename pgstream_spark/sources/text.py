@@ -58,13 +58,21 @@ def read_csv(
     header: bool = True,
     delimiter: str = ",",
     mode: str = "PERMISSIVE",
+    escape: str = '"',
 ) -> DataFrame:
-    """Read CSV with a declared schema and corrupt-row quarantine."""
+    """Read CSV with a declared schema and corrupt-row quarantine.
+
+    ``escape`` defaults to ``'"'`` — RFC 4180's doubled-quote escaping,
+    the dialect every mainstream writer (DuckDB, pandas, Excel,
+    Postgres COPY CSV) emits.  Spark's own default is backslash, under
+    which an RFC file's ``"a""b"`` mis-parses; pass ``escape="\\\\"``
+    for backslash-escaped input."""
     return (
         spark.read.schema(_with_corrupt(schema))
         .option("header", str(header).lower())
         .option("delimiter", delimiter)
         .option("mode", mode)
+        .option("escape", escape)
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .csv(path)
     )

@@ -255,6 +255,35 @@ class TestFileSources:
         }
         assert [r._corrupt for r in bad.collect()] == ["2,oops"]
 
+    def test_csv_rfc_quote_roundtrip(self, spark, tmp_path):
+        # DuckDB (like Excel/pandas/Postgres COPY CSV) writes RFC 4180
+        # doubled-quote escaping; read_csv's default escape='\"' must
+        # parse embedded quotes, delimiters, and newlines-in-values back
+        # bit-identically (Spark's own backslash default mis-parses
+        # "a""b").
+        import duckdb
+
+        from pgstream_spark.sources.text import read_csv, split_corrupt
+
+        p = str(tmp_path / "rfc.csv")
+        duckdb.connect().execute(
+            "COPY (SELECT * FROM (VALUES "
+            "(1, 'plain'), "
+            "(2, 'comma, inside'), "
+            "(3, 'quote \" and doubled \"\" inside'), "
+            "(4, 'both \",\" mixed')) v(id, txt)) "
+            f"TO '{p}' (FORMAT CSV, HEADER)"
+        )
+        df = read_csv(spark, p, "id long, txt string")
+        clean, bad = split_corrupt(df)
+        assert bad.count() == 0
+        assert {(r.id, r.txt) for r in clean.collect()} == {
+            (1, "plain"),
+            (2, "comma, inside"),
+            (3, 'quote " and doubled "" inside'),
+            (4, 'both "," mixed'),
+        }
+
     def test_failfast_mode_raises(self, spark, tmp_path):
         from pgstream_spark.errors import QueryError  # noqa: F401  (import parity)
         from pgstream_spark.sources.text import read_jsonl
