@@ -11557,6 +11557,183 @@ def l86(spark, sf_dir):
     )
 
 
+# Split rule on an arbitrary key, DuckDB spelling (mixture.split_rule_bp).
+def _split_case(key_expr: str) -> str:
+    b = f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+    return (
+        f"CASE WHEN {b} < 8000 THEN 'train' "
+        f"WHEN {b} < 9000 THEN 'val' ELSE 'test' END"
+    )
+
+
+@q(
+    "l87_cluster_safe_split",
+    # Leakage-safe train/val/test split (mixture.cluster_safe_split):
+    # the md5-threshold rule keyed on the near-dup FAMILY canonical
+    # (l8's proven closure), so duplicate families never straddle the
+    # held-out boundary — the structural fix for the contamination l11
+    # measures after the fact.  Output: per-split doc/family counts
+    # plus the audit scalar that justifies the operator — how many
+    # families a naive doc_id-keyed rule WOULD have leaked across
+    # splits.  Scale shape: clustering is the proven banded pipeline;
+    # the split itself is map-only; the audit is one hash aggregate on
+    # the family key.
+    "WITH RECURSIVE toks AS (SELECT doc_id, text, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "prs AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE c / (sa.sz + sb.sz - c) >= 0.6), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM prs "
+    "UNION SELECT id_b, id_a FROM prs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a), "
+    "clus AS (SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node), "
+    "alldocs AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster "
+    "FROM documents d LEFT JOIN clus c ON c.node = d.doc_id), "
+    "asg AS (SELECT doc_id, cluster, "
+    + _split_case("cluster")
+    + " AS split, "
+    + _split_case("doc_id")
+    + " AS nsplit FROM alldocs), "
+    "leak AS (SELECT CAST(count(*) AS BIGINT) AS leaky_families_naive FROM "
+    "(SELECT cluster FROM asg GROUP BY cluster "
+    "HAVING count(DISTINCT nsplit) > 1)) "
+    "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT cluster) AS BIGINT) AS n_families, "
+    "leaky_families_naive FROM asg, leak "
+    "GROUP BY split, leaky_families_naive",
+)
+def l87(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters
+    from pgstream_spark.operators.mixture import (
+        cluster_safe_split,
+        split_rule_bp,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    docs = (
+        d.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+    )
+    asg = cluster_safe_split(docs, "cluster").withColumn(
+        "nsplit", split_rule_bp(F.col("doc_id"))
+    )
+    leak = (
+        asg.groupBy("cluster")
+        .agg(F.countDistinct("nsplit").alias("__k"))
+        .agg(
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaky_families_naive")
+        )
+    )
+    per = asg.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_families"),
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_families", "leaky_families_naive"
+    )
+
+
+@q(
+    "l89_random_projection",
+    # Johnson–Lindenstrauss ±1 sign projection (linalg.random_projection,
+    # Achlioptas 2003): 64-d float vectors → 16 exact-integer components
+    # p_j = Σ_i s_ij·round(x_i·1000), signs a pure md5 function of
+    # (seed,i,j) — the DATA-INDEPENDENT reduction path beside l46's
+    # trained PCA: no training pass, map-only JVM fold, streaming-safe,
+    # bit-identical on every engine because quantization precedes the
+    # (associative, integer) sum.  The oracle rebuilds the same sign
+    # matrix from SQL md5 and replays the fold relationally.
+    "WITH r AS (SELECT i.i AS i, j.j AS j, "
+    "CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(i.i AS VARCHAR) || ':' "
+    "|| CAST(j.j AS VARCHAR)), 1, 1)) AS BIGINT) < 8 THEN 1 ELSE -1 END AS s "
+    "FROM generate_series(0, 63) i(i), generate_series(0, 15) j(j)), "
+    "v AS (SELECT vec_id, "
+    "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx, "
+    "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings), "
+    "p AS (SELECT vec_id, r.j, CAST(sum(v.qx * r.s) AS BIGINT) AS pj "
+    "FROM v JOIN r ON v.i = r.i GROUP BY vec_id, r.j) "
+    "SELECT vec_id, array_to_string(array_agg(pj ORDER BY j), ',') AS proj "
+    "FROM p GROUP BY vec_id",
+)
+def l89(spark, sf_dir):
+    from pgstream_spark.operators.linalg import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    # serialized for the gate: the driver's compare sorts scalar columns
+    return random_projection(e, d=64, out_dim=16, scale=1_000).select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("proj"), lambda x: x.cast("string")), ","
+        ).alias("proj"),
+    )
+
+
+@q(
+    "l90_mrr_eval",
+    # Retrieval-ORDER eval (retrieval.ranking_metrics): MRR + P@10 of
+    # the brute-force cosine ranking (l3's proven bit-exact shape,
+    # k=10) against label relevance — the eval-harness member that
+    # scores ranking quality where l65 scores candidate recall.
+    # Reciprocal rank in exact micro-units (10^6 DIV rank): integer
+    # arithmetic end to end, no float metric crosses engines.
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql "
+    "FROM embeddings WHERE vec_id < 20), "
+    "scored AS (SELECT q.query_id, q.ql, e.vec_id AS neighbor_id, "
+    "e.label AS nl, "
+    "list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos_raw "
+    "FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id), "
+    "ranked AS (SELECT query_id, neighbor_id, ql, nl, "
+    "row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM scored), "
+    "m AS (SELECT query_id, "
+    "min(CASE WHEN nl = ql THEN rank END) AS fr, "
+    "CAST(count(*) FILTER (WHERE nl = ql) AS BIGINT) AS rel_at_10 "
+    "FROM ranked WHERE rank <= 10 GROUP BY query_id) "
+    "SELECT query_id, CAST(coalesce(fr, 0) AS INT) AS first_rel_rank, "
+    "CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_micro, rel_at_10 "
+    "FROM m",
+)
+def l90(spark, sf_dir):
+    from pgstream_spark.operators.retrieval import ranking_metrics
+
+    e = _t(spark, sf_dir, "embeddings")
+    top = brute_force_top_k(e.filter(F.col("vec_id") < 20), e, k=10)
+    lab = e.select("vec_id", "label")
+    rel = (
+        top.select("query_id", "neighbor_id")
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("__nl"),
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("__ql") == F.col("__nl"))
+        .select("query_id", "neighbor_id")
+    )
+    return ranking_metrics(top, rel, k=10)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -11852,6 +12029,7 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
+    "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
     "f6_case_coalesce", "f7_array_fns", "f8_map_fns", "f9_json_access",
@@ -11885,7 +12063,8 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "l10_corpus_profile", "l14_curation_pipeline",
+    "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
+    "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
     "l5_multimodal_features", "f12_regexp_extract_all",
     # -- next-oldest driver rows (r2 tail, then r3) ---------------------
     "l11_contamination", "g29_pivot", "g30_unpivot", "l15_quality_topk_per_lang",

@@ -32,7 +32,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_upper", "pca_from_gram", "pca_project"]
+__all__ = [
+    "gram_upper",
+    "pca_from_gram",
+    "pca_project",
+    "jl_sign_matrix",
+    "random_projection",
+]
 
 
 def _q(vec_col: str, scale: int) -> Column:
@@ -140,3 +146,76 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*dots))
+
+
+def jl_sign_matrix(d: int, out_dim: int, seed: str = "jl") -> list:
+    """Deterministic ±1 sign matrix (d × out_dim) for the projection:
+    ``+1`` iff the first hex nibble of ``md5(f"{seed}:{i}:{j}")`` is
+    below 8 — an unbiased coin on md5's uniform nibble that any engine
+    reproduces exactly (DuckDB spelling:
+    ``CAST(('0x' || substr(md5(seed||':'||i||':'||j), 1, 1)) AS BIGINT) < 8``).
+    No RNG state anywhere: the matrix is a pure function of (seed, i, j),
+    so re-runs, appends, and cross-engine oracles all agree."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(d)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d: int = 64,
+    out_dim: int = 16,
+    scale: int = 1_000,
+    seed: str = "jl",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: d-dim vectors → out_dim
+    integer components ``p_j = Σ_i s_ij · round(x_i · scale)`` with
+    ``s_ij ∈ {±1}`` from `jl_sign_matrix` (Achlioptas 2003's database-
+    friendly ±1 variant — dot products are preserved in expectation up
+    to the out_dim scaling, error ~ 1/sqrt(out_dim)).
+
+    This is the DATA-INDEPENDENT dimensionality-reduction path, the
+    complement of `pca_from_gram`/`pca_project`: no training pass, no
+    collected statistics — the matrix is a hash, so the operator is a
+    single map-only JVM expression (zip_with + integer fold per output
+    component, whole-stage codegen, no shuffle, no Python) that an
+    incremental/streaming ingest can apply row-at-a-time and any later
+    batch reproduces bit-exactly.  At 100 TB: scan-speed; nothing
+    leaves the executors.
+
+    Determinism discipline: components are integer-quantized BEFORE the
+    fold (round(x·scale) → BIGINT), so the sum is exact and associative
+    — bit-identical in any execution order and in the DuckDB oracle
+    (the l19/l46 quantization discipline).  Overflow bound: |p_j| ≤
+    d·B·scale for |x| ≤ B — at d=64, scale=10³, unit-ish components
+    that is ~2^17, nowhere near 2^63.
+
+    ``d`` must equal the vector length (zip_with would null-pad a
+    mismatch); callers with ragged vectors should filter first.
+    """
+    signs = jl_sign_matrix(d, out_dim, seed)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(scale)).cast("bigint"),
+    )
+    outs = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(signs[i][j]).cast("bigint") for i in range(d)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(q, sj, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"p{j}")
+        )
+    return df.withColumn(out_col, F.array(*outs))

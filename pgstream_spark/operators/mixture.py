@@ -34,6 +34,8 @@ __all__ = [
     "weighted_sample_ares",
     "epoch_shuffle",
     "stratified_split",
+    "cluster_safe_split",
+    "split_leakage_audit",
 ]
 
 
@@ -233,5 +235,73 @@ def stratified_split(
             .when(F.col("__rk") <= c2, F.lit("val"))
             .otherwise(F.lit("test"))
             .alias("split"),
+        )
+    )
+
+
+def split_rule_bp(
+    key: Column, train_bp: int = 8000, val_bp: int = 1000
+) -> Column:
+    """The hash-threshold split rule on an arbitrary key: md5-bucket of
+    the key in basis points, ``train`` below ``train_bp``, ``val`` in
+    the next ``val_bp``, ``test`` above.  Map-only, reproducible on any
+    engine (same rule as ``hash_bucket_bp``)."""
+    b = hash_bucket_bp(key)
+    return (
+        F.when(b < int(train_bp), F.lit("train"))
+        .when(b < int(train_bp) + int(val_bp), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash-threshold rule
+    is applied to the near-dup FAMILY key (``cluster_col``), not the
+    row id, so every member of a duplicate family lands in the same
+    split by construction.
+
+    Splitting by row id leaks: near-identical documents straddle the
+    train/test boundary and the held-out set scores memorization, not
+    generalization (the contamination mechanism l11 measures after the
+    fact — this operator prevents it structurally).  Keying the rule on
+    the family canonical (``dedup_clusters``' ``cluster``, or any
+    group key: url host, repository, conversation id) is the standard
+    fix (cf. the dedup-before-split discipline in Lee et al. 2022).
+
+    Map-only over a corpus that already carries its cluster key — no
+    shuffle, no state; the split is a pure function of the key, so
+    re-runs, re-shards, and incremental appends all agree.  Quotas are
+    binomial around train_bp/val_bp (families are atomic — exact
+    quotas and family atomicity are mutually exclusive; l61's rank
+    form gives exact quotas when leakage is not a concern).
+    """
+    return df.withColumn(
+        split_col, split_rule_bp(F.col(cluster_col), train_bp, val_bp)
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    cluster_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """One-row audit: how many families have members in >1 split.
+    Zero for any assignment produced by `cluster_safe_split`; run it on
+    a row-id-keyed split to quantify the leakage that rule causes.
+    One hash aggregate on the family key — corpus-linear, result is a
+    scalar."""
+    return (
+        df.groupBy(cluster_col)
+        .agg(F.countDistinct(split_col).alias("__k"))
+        .agg(
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaky_families")
         )
     )

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pgstream_spark.operators.terms import term_frequencies
 from pgstream_spark.operators.textstats import _tokens
 
-__all__ = ["bm25_scores", "bm25_ranks", "rrf_fusion"]
+__all__ = ["bm25_scores", "bm25_ranks", "rrf_fusion", "ranking_metrics"]
 
 
 def bm25_scores(
@@ -224,4 +224,57 @@ def sparse_cosine_top_k(
         .select(
             "query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"), "rank"
         )
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking quality: MRR + precision@k of a (query, item,
+    rank) ranking against a (query, item) relevance set — the eval-
+    harness member that scores RETRIEVAL ORDER, where l65 scores ANN
+    candidate RECALL.
+
+    Returns one row per query present in ``ranked``:
+
+    * ``first_rel_rank`` — rank of the first relevant item within the
+      top k (0 if none made it);
+    * ``rr_micro`` — reciprocal rank in exact micro-units
+      (``10^6 DIV first_rel_rank``; 0 if none) — integer arithmetic,
+      never a float, so the metric hashes bit-identically on any
+      engine (mean MRR is a trivial downstream aggregate);
+    * ``rel_at_k`` — relevant items in the top k (precision@k's
+      numerator; the denominator is the constant k).
+
+    Scale shape: the ranking is already ≤ k rows per query; one left
+    join against the relevance set on (query, item) — both sides
+    query-bounded, never corpus-sized — and one per-query aggregate.
+    NDCG is deliberately not emitted here: its log2 discount makes the
+    metric a float reduction (1-ulp libm hazard) without changing any
+    decision MRR/P@k inform at eval time.
+    """
+    r = ranked.filter(F.col(rank_col) <= k)
+    j = r.join(
+        relevant.select(query_col, item_col).withColumn("__rel", F.lit(1)),
+        [query_col, item_col],
+        "left",
+    )
+    agg = j.groupBy(query_col).agg(
+        F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__fr"),
+        F.sum(F.when(F.col("__rel") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias(f"rel_at_{k}"),
+    )
+    return agg.select(
+        query_col,
+        F.coalesce(F.col("__fr"), F.lit(0)).cast("int").alias("first_rel_rank"),
+        F.coalesce(F.expr("1000000 DIV __fr"), F.lit(0))
+        .cast("long")
+        .alias("rr_micro"),
+        f"rel_at_{k}",
     )

@@ -4839,3 +4839,156 @@ class TestEntityResolution:
         assert len(rows) > 0          # real families, not a vacuous pass
         assert all(r.n_phrases >= 2 for r in rows)
         assert all(r.canonical <= r.last_member for r in rows)
+
+
+class TestClusterSafeSplit:
+    """mixture.cluster_safe_split — family-atomic splits + leakage audit."""
+
+    def _docs(self, spark):
+        # 5 families × 4 members + 10 singletons
+        rows = [(f * 100 + m, f) for f in range(5) for m in range(4)]
+        rows += [(9000 + i, 9000 + i) for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, cluster long")
+
+    def test_family_atomicity(self, spark):
+        from pgstream_spark.operators.mixture import cluster_safe_split
+
+        out = cluster_safe_split(self._docs(spark), "cluster").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.cluster, set()).add(r.split)
+        assert all(len(s) == 1 for s in per.values())
+
+    def test_audit_zero_on_cluster_key_and_positive_on_row_key(self, spark):
+        from pgstream_spark.operators.mixture import (
+            cluster_safe_split,
+            split_leakage_audit,
+            split_rule_bp,
+        )
+        from pyspark.sql import functions as F
+
+        d = self._docs(spark)
+        safe = cluster_safe_split(d, "cluster")
+        assert split_leakage_audit(safe, "cluster").collect()[0].leaky_families == 0
+        naive = d.withColumn("split", split_rule_bp(F.col("doc_id")))
+        # 4-member families under an id-keyed rule: each leaks with
+        # prob 1 - (.8^4+.1^4+.1^4) ≈ 0.59 — 5 families, ~0 chance all stay
+        leaky = split_leakage_audit(naive, "cluster").collect()[0].leaky_families
+        assert leaky >= 1
+
+    def test_deterministic_and_map_only(self, spark):
+        from pgstream_spark.operators.mixture import cluster_safe_split
+
+        d = self._docs(spark)
+        a = sorted(map(tuple, cluster_safe_split(d, "cluster").collect()))
+        b = sorted(
+            map(tuple, cluster_safe_split(d.repartition(7), "cluster").collect())
+        )
+        assert a == b
+        plan = cluster_safe_split(d, "cluster")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure per-row rule: no shuffle
+
+
+class TestRandomProjection:
+    """linalg.random_projection — deterministic JL sign projection."""
+
+    def test_matches_hand_fold(self, spark):
+        import hashlib
+
+        from pgstream_spark.operators.linalg import jl_sign_matrix, random_projection
+
+        vec = [0.25 * ((i % 7) - 3) for i in range(8)]
+        df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+        out = random_projection(df, d=8, out_dim=4, scale=1000).collect()[0].proj
+        signs = jl_sign_matrix(8, 4)
+        q = [round(float(__import__("numpy").float32(x)) * 1000) for x in vec]
+        expect = [sum(signs[i][j] * q[i] for i in range(8)) for j in range(4)]
+        assert list(out) == expect
+        # the sign matrix really is the md5 rule
+        assert signs[0][0] == (
+            1 if int(hashlib.md5(b"jl:0:0").hexdigest()[0], 16) < 8 else -1
+        )
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.linalg import random_projection
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings").limit(40)
+        a = {r.vec_id: list(r.proj) for r in random_projection(e).collect()}
+        b = {
+            r.vec_id: list(r.proj)
+            for r in random_projection(e.repartition(13)).collect()
+        }
+        assert a == b
+
+    def test_jl_distortion_bounded(self, spark, sf_dir):
+        """Norm preservation in expectation: |p|²/(out_dim·scale²) ≈ |x|²
+        on average (±1 signs, Achlioptas 2003) — loose per-corpus bound."""
+        import numpy as np
+
+        from pgstream_spark.operators.linalg import random_projection
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings").limit(50)
+        rows = random_projection(e, out_dim=16, scale=1000).select(
+            "embedding", "proj"
+        ).collect()
+        ratios = []
+        for r in rows:
+            nx = float(np.sum(np.asarray(r.embedding, dtype=np.float64) ** 2))
+            npj = float(np.sum(np.asarray(r.proj, dtype=np.float64) ** 2))
+            if nx > 0:
+                ratios.append(npj / (16 * 1000.0**2) / nx)
+        m = float(np.mean(ratios))
+        assert 0.7 < m < 1.3  # concentration of the JL estimator
+
+    def test_map_only_plan(self, spark, sf_dir):
+        from pgstream_spark.operators.linalg import random_projection
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        plan = (
+            random_projection(e)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # scan-speed: no shuffle anywhere
+
+
+class TestRankingMetrics:
+    """retrieval.ranking_metrics — exact-integer MRR / precision@k."""
+
+    def test_known_ranking(self, spark):
+        from pgstream_spark.operators.retrieval import ranking_metrics
+
+        ranked = spark.createDataFrame(
+            # q1: relevant at ranks 2 and 5; q2: none relevant; q3: rank 1
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+             (2, 20, 1), (2, 21, 2),
+             (3, 30, 1), (3, 31, 2)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        rel = spark.createDataFrame(
+            [(1, 11), (1, 14), (3, 30), (2, 99)],
+            "query_id long, neighbor_id long",
+        )
+        out = {r.query_id: r for r in ranking_metrics(ranked, rel, k=5).collect()}
+        assert out[1].first_rel_rank == 2
+        assert out[1].rr_micro == 500000
+        assert out[1].rel_at_5 == 2
+        assert out[2].first_rel_rank == 0 and out[2].rr_micro == 0
+        assert out[2].rel_at_5 == 0
+        assert out[3].first_rel_rank == 1 and out[3].rr_micro == 1000000
+
+    def test_k_truncation(self, spark):
+        from pgstream_spark.operators.retrieval import ranking_metrics
+
+        ranked = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        rel = spark.createDataFrame([(1, 12)], "query_id long, neighbor_id long")
+        out = ranking_metrics(ranked, rel, k=2).collect()[0]
+        # the only relevant item sits at rank 3 — outside k=2
+        assert out.first_rel_rank == 0 and out.rr_micro == 0 and out.rel_at_2 == 0
