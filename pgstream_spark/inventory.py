@@ -5707,6 +5707,31 @@ def p12(spark, sf_dir):
 
 
 @q(
+    "p13_distinct_on",
+    # Postgres DISTINCT ON — first row per key under the statement's
+    # ORDER BY — a reference-surface idiom (its pass-through SQL runs
+    # on Postgres where DISTINCT ON is native).  Spark has no DISTINCT
+    # ON; the engine expresses it as the deterministic row_number()=1
+    # rewrite (o3's machinery with the Postgres tie-break contract:
+    # the ORDER BY must extend the DISTINCT ON key, remaining ties
+    # broken by a unique key).  Latest order per customer here.
+    "SELECT DISTINCT ON (o_custkey) "
+    "o_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey",
+)
+def p13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@q(
     "j13_null_safe_join",
     # NULL-safe equality join (Spark eqNullSafe <=> / standard IS NOT
     # DISTINCT FROM): NULL keys MATCH each other instead of silently
@@ -11734,6 +11759,38 @@ def l90(spark, sf_dir):
     return ranking_metrics(top, rel, k=10)
 
 
+@q(
+    "l91_hashed_classifier",
+    # Model-based quality filtering (quality.hashed_linear_score): the
+    # CCNet/C4-class "quality classifier" stage as a pure relational
+    # plan — feature = token md5-bucket, score = sigmoid(mean bucket
+    # weight), keep = score >= 0.5.  Weights integer micro-units, doc
+    # sum BIGINT exact, mean via non-negative integer DIV; only the
+    # final sigmoid touches libm (rounded 6, the standard discipline).
+    # Tokenize + one per-doc aggregate: scan-speed at 100 TB.  Real
+    # deployments pass a trained coefficient vector (weights=); the
+    # md5-derived default keeps the gate engine-agnostic.
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS t FROM documents), "
+    "w AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5('w:' || CAST("
+    "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 "
+    "AS VARCHAR)), 1, 12)) AS BIGINT) % 2000001 AS wq FROM toks), "
+    "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(wq) AS BIGINT) AS z FROM w GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, CAST(z // n_tokens AS BIGINT) AS mean_w_micro, "
+    "round(1.0 / (1.0 + exp(-(CAST(z // n_tokens AS DOUBLE) / 1000000.0 - 1.0))), 6) "
+    "AS score, "
+    "round(1.0 / (1.0 + exp(-(CAST(z // n_tokens AS DOUBLE) / 1000000.0 - 1.0))), 6) "
+    ">= 0.5 AS keep FROM a",
+)
+def l91(spark, sf_dir):
+    from pgstream_spark.operators.quality import hashed_linear_score
+
+    return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -12029,6 +12086,7 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
+    "l91_hashed_classifier", "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
@@ -12063,6 +12121,7 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
+    "l9_source_mixture", "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
     "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
     "l5_multimodal_features", "f12_regexp_extract_all",

@@ -39,7 +39,13 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "expect_split", "benford_audit", "profile_columns"]
+__all__ = [
+    "expect",
+    "expect_split",
+    "benford_audit",
+    "profile_columns",
+    "hashed_linear_score",
+]
 
 
 def _violation(rule: tuple) -> Column:
@@ -322,4 +328,94 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.col("p.n_distinct").cast("bigint").alias("n_distinct"),
         F.col("p.min_value").alias("min_value"),
         F.col("p.max_value").alias("max_value"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weights: Sequence[float] | None = None,
+    seed: str = "w",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Model-based quality scoring with a frozen hashed linear model —
+    the "quality classifier" stage of a curation pipeline (the
+    fastText/logistic filter in CCNet/C4-class pipelines), as a pure
+    relational plan: feature = token's md5 bucket in [0, n_buckets),
+    score = sigmoid(mean bucket weight).  No model runtime, no UDF —
+    tokenize → bucket → weight lookup → one per-doc aggregate, all
+    whole-stage codegen; at 100 TB this runs at scan speed with one
+    doc-keyed combine.
+
+    Two weight sources:
+
+    * ``weights`` — a trained model's coefficient vector (len
+      n_buckets), embedded as micro-unit integer literals via
+      element_at (broadcast-free: the vector is part of the plan);
+    * default — deterministic md5-derived weights
+      (``md5(seed:bucket)`` → uniform integer in [0, 2·10⁶]), the
+      engine-agnostic stand-in that lets the full pipeline be
+      oracle-verified bit-exactly (real deployments pass ``weights``).
+
+    Determinism discipline: weights are integer micro-units and the
+    per-doc sum is BIGINT (exact, associative); the mean uses integer
+    DIV (operands kept non-negative — both engines truncate
+    identically there); only the final sigmoid touches libm and is
+    rounded (default 6), the inventory's standard treatment for a
+    single transcendental.
+
+    Returns (id, ``n_tokens``, ``mean_w_micro``, ``score``, ``keep``)
+    — ``keep`` is the score ≥ 0.5 filter verdict.  Docs with zero
+    tokens produce no row (nothing to score).
+    """
+    from pgstream_spark.operators.textstats import _tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError(
+                f"weights must have n_buckets={n_buckets} entries, got {len(weights)}"
+            )
+        # micro-unit literals, shifted non-negative for the DIV discipline
+        lits = F.array(
+            *[
+                F.lit(int(round(w * 1_000_000)) + 1_000_000).cast("bigint")
+                for w in weights
+            ]
+        )
+        wq = F.element_at(lits, (bucket + 1).cast("int"))
+    else:
+        wq = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), bucket.cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2_000_001
+        )
+    agg = toks.select(F.col(id_col), wq.alias("__wq")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__wq").cast("long").alias("__z"),
+    )
+    mean_micro = F.expr("__z DIV n_tokens")
+    x = mean_micro.cast("double") / 1_000_000.0 - 1.0
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), round_digits)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        mean_micro.cast("bigint").alias("mean_w_micro"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
     )

@@ -4992,3 +4992,69 @@ class TestRankingMetrics:
         out = ranking_metrics(ranked, rel, k=2).collect()[0]
         # the only relevant item sits at rank 3 — outside k=2
         assert out.first_rel_rank == 0 and out.rr_micro == 0 and out.rel_at_2 == 0
+
+
+class TestHashedLinearScore:
+    """quality.hashed_linear_score — frozen hashed linear classifier."""
+
+    def test_trained_weights_hand_computed(self, spark):
+        import hashlib
+        import math
+
+        from pgstream_spark.operators.quality import hashed_linear_score
+
+        nb = 8
+        weights = [(-1.0 + 0.25 * i) for i in range(nb)]
+        df = spark.createDataFrame(
+            [(1, "alpha beta beta"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in hashed_linear_score(
+            df, n_buckets=nb, weights=weights
+        ).collect()}
+        assert 2 not in out  # zero tokens -> no row
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+        wq = lambda t: int(round(weights[bucket(t)] * 1_000_000)) + 1_000_000
+        z = wq("alpha") + 2 * wq("beta")
+        mean = z // 3
+        score = round(1.0 / (1.0 + math.exp(-(mean / 1_000_000.0 - 1.0))), 6)
+        r = out[1]
+        assert r.n_tokens == 3 and r.mean_w_micro == mean
+        assert abs(r.score - score) < 1e-9
+        assert r.keep == (score >= 0.5)
+
+    def test_weight_arity_guard(self, spark):
+        import pytest as _pytest
+
+        from pgstream_spark.operators.quality import hashed_linear_score
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="n_buckets"):
+            hashed_linear_score(df, n_buckets=8, weights=[0.0] * 4)
+
+    def test_default_weights_partition_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.quality import hashed_linear_score
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents").limit(60)
+        a = {r.doc_id: (r.mean_w_micro, r.score) for r in hashed_linear_score(d).collect()}
+        b = {
+            r.doc_id: (r.mean_w_micro, r.score)
+            for r in hashed_linear_score(d.repartition(11)).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        from pgstream_spark.operators.quality import hashed_linear_score
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        plan = (
+            hashed_linear_score(d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one doc-keyed aggregate: exactly one exchange, no join anywhere
+        assert plan.count("Exchange") == 1 and "Join" not in plan
