@@ -11540,6 +11540,60 @@ def s9(spark, sf_dir):
 
 
 @q(
+    "s10_pruned_scan",
+    # FILE-level data skipping (sources/skipping.py) under the hash
+    # gate: documents re-clustered once into 8 range-disjoint files
+    # (sinks.write_clustered, content-keyed /tmp cache, atomic
+    # publish), a footer-built _file_stats.parquet manifest beside
+    # them, and the read planned through pruned_parquet — only files
+    # whose [min,max] overlap the predicate are opened (pytest pins
+    # the inputFiles count; here the ORACLE pins that pruning is a
+    # pure superset pre-filter: the result must hash-match the plain
+    # full-table WHERE).  The manifest-before-scan economics is what a
+    # table format buys at 100 TB; this is that mechanism for the
+    # engine's plain-parquet artifacts.
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id BETWEEN 100 AND 199",
+)
+def s10(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sinks import write_clustered
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        pruned_parquet,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(f"{sf_dir}|{_fixture_ident(src)}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docskip_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_docskip_build_")
+        tbl = _os.path.join(build, "tbl")
+        write_clustered(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+            tbl,
+            ["doc_id"],
+            n_files=8,
+        )
+        write_stats_manifest(spark, tbl, ["doc_id"])
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+    return pruned_parquet(spark, path, "doc_id", lower=100, upper=199).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@q(
     "l86_cdc_chunks",
     # Content-defined chunking (dedup.content_defined_chunks, the LBFS
     # Rabin-boundary rule at token granularity): a chunk ends after
@@ -12086,7 +12140,7 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
-    "l91_hashed_classifier", "p13_distinct_on",
+    "s10_pruned_scan", "l91_hashed_classifier", "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
@@ -12121,7 +12175,7 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "l9_source_mixture", "g19_tpch_q10_returns",
+    "l4g_pii_scrub", "l9_source_mixture", "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
     "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
     "l5_multimodal_features", "f12_regexp_extract_all",

@@ -1,0 +1,225 @@
+"""File-level data skipping: per-file min/max manifests + a pruned reader.
+
+Parquet footers already give Spark ROW-GROUP skipping, but the scan
+still opens every file to read its footer — at 100 TB (hundreds of
+thousands of files) listing + footer reads dominate a selective query.
+Table formats (Iceberg/Delta) fix this with a FILE-level stats manifest
+consulted before the scan plans; this module is that mechanism for the
+engine's plain-parquet artifacts:
+
+* `write_stats_manifest` — one row per data file with min/max/null/row
+  counts for chosen columns.  Default ``method="footers"`` reads ONLY
+  parquet footers via pyarrow (metadata-only: no data pages touched —
+  the Iceberg manifest-build strategy); ``method="scan"`` derives the
+  same rows with a column-pruned Spark aggregate for filesystems pyarrow
+  can't reach.  The manifest lands INSIDE the table directory as
+  ``_file_stats.parquet`` — the underscore prefix keeps every Spark scan
+  of the table from picking it up as data.
+* `pruned_parquet` — plans a read over only the files whose [min, max]
+  can overlap a ``BETWEEN``-style predicate, then applies the exact
+  predicate on top.  Pruning is a SUPERSET pre-filter, so the result is
+  bit-identical to the full scan no matter how the table is laid out;
+  the layout (``sinks.write_clustered`` / ``write_zordered``) only
+  decides how MUCH gets skipped.
+
+Works best over `sinks.write_clustered` output (disjoint per-file
+ranges → selectivity ≈ files skipped); still correct over any layout.
+Append workflows call `update_stats_manifest` after each batch —
+O(new files) footer reads reconcile the manifest in place (rows are
+per-file, so appends compose by concatenation and compactions by
+removal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_stats_manifest",
+    "update_stats_manifest",
+    "read_stats_manifest",
+    "pruned_parquet",
+]
+
+MANIFEST_NAME = "_file_stats.parquet"
+
+
+def _data_files(table_path: str) -> list[str]:
+    return sorted(
+        os.path.join(table_path, n)
+        for n in os.listdir(table_path)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
+def _footer_stats(
+    table_path: str, cols: list[str], files: list[str] | None = None
+) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in (files if files is not None else _data_files(table_path)):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        row: dict = {"file": os.path.basename(f), "n_rows": md.num_rows}
+        for c in cols:
+            mins, maxs, nulls = [], [], 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count or 0
+            row[f"min_{c}"] = min(mins) if mins else None
+            row[f"max_{c}"] = max(maxs) if maxs else None
+            row[f"nulls_{c}"] = nulls if mins else None
+        rows.append(row)
+    return rows
+
+
+def write_stats_manifest(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    method: str = "footers",
+) -> str:
+    """Build ``<table>/_file_stats.parquet`` (one row per data file:
+    ``file``, ``n_rows``, and ``min_/max_/nulls_<col>`` per stat column).
+    Returns the manifest path.  File names are stored RELATIVE to the
+    table directory, so the table (manifest included) can be moved or
+    renamed atomically after the build.  ``method="footers"`` is
+    metadata-only;
+    ``method="scan"`` runs a column-pruned Spark aggregate grouped by
+    ``input_file_name()`` (any Spark-readable filesystem)."""
+    dest = os.path.join(table_path, MANIFEST_NAME)
+    if method == "footers":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = _footer_stats(table_path, cols)
+        if not rows:
+            raise ValueError(f"no data files under {table_path}")
+        tbl = pa.Table.from_pylist(rows)
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, dest)  # atomic publish
+        return dest
+    if method != "scan":
+        raise ValueError(f"method must be 'footers' or 'scan', got {method!r}")
+    df = spark.read.parquet(table_path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
+        ]
+    stats = (
+        df.groupBy(F.input_file_name().alias("file")).agg(*aggs).toPandas()
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats["file"] = stats["file"].map(lambda u: os.path.basename(u))
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(stats.sort_values("file")), tmp)
+    os.replace(tmp, dest)
+    return dest
+
+
+def update_stats_manifest(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+) -> str:
+    """Incrementally reconcile the manifest with the directory: add
+    footer-stat rows for files the manifest doesn't know (a fresh
+    append batch), drop rows whose file is gone (compaction), keep the
+    rest untouched — O(new + removed) footer reads, never a table
+    rescan, so a streaming ``foreachBatch`` can call this after every
+    append.  Metadata-only and atomic (same tmp + os.replace publish
+    as the full build).  Raises if the existing manifest lacks one of
+    ``cols`` (stat sets must not silently diverge across appends)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = os.path.join(table_path, MANIFEST_NAME)
+    old = pq.read_table(dest).to_pylist() if os.path.exists(dest) else []
+    for c in cols:
+        if old and f"min_{c}" not in old[0]:
+            raise ValueError(
+                f"existing manifest has no stats for {c!r} — rebuild with "
+                "write_stats_manifest to change the stat column set"
+            )
+    present = {os.path.basename(f) for f in _data_files(table_path)}
+    known = {r["file"] for r in old}
+    kept = [r for r in old if r["file"] in present]
+    new_names = sorted(present - known)
+    if new_names:
+        kept.extend(
+            _footer_stats(
+                table_path,
+                cols,
+                files=[os.path.join(table_path, n) for n in new_names],
+            )
+        )
+    kept.sort(key=lambda r: r["file"])
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(kept), tmp)
+    os.replace(tmp, dest)
+    return dest
+
+
+def read_stats_manifest(spark: SparkSession, table_path: str) -> DataFrame:
+    """The manifest as a DataFrame.  Loaded via pyarrow: Spark's reader
+    skips underscore-prefixed files even when named explicitly (the
+    same convention that hides the manifest from table scans), and the
+    manifest is file-count-sized — driver-side by design."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(table_path, MANIFEST_NAME)).to_pandas()
+    return spark.createDataFrame(pdf)
+
+
+def pruned_parquet(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Read the table with FILE-level skipping on ``col`` ∈ [lower,
+    upper] (either bound may be None = unbounded), then apply the exact
+    predicate.  A file survives iff its [min, max] can overlap the
+    range (all-NULL stat → prunable: NULL never satisfies a range
+    predicate).  The manifest is driver-side and file-count-sized —
+    the same economics as a table format's manifest scan; the data
+    read is then limited to surviving files, inside which parquet
+    row-group stats prune further."""
+    import pyarrow.parquet as pq
+
+    manifest = pq.read_table(
+        os.path.join(table_path, MANIFEST_NAME),
+        columns=["file", f"min_{col}", f"max_{col}"],
+    ).to_pylist()
+    keep = []
+    for r in manifest:
+        lo, hi = r[f"min_{col}"], r[f"max_{col}"]
+        if lo is None or hi is None:
+            continue  # no stats or all-NULL: range predicate can't match
+        if (upper is None or lo <= upper) and (lower is None or hi >= lower):
+            keep.append(os.path.join(table_path, r["file"]))
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (F.col(col) >= F.lit(lower))
+    if upper is not None:
+        pred = pred & (F.col(col) <= F.lit(upper))
+    if not keep:
+        schema = spark.read.parquet(table_path).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*sorted(keep)).filter(pred)

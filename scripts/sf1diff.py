@@ -344,6 +344,11 @@ def main() -> None:
         # oracle tier stays at gate scale.
         "l29_canonical_docs": "all-pairs oracle quadratic at sf1; twin l55 covered",
         "l64_entity_resolution": "shares l8's recursive-reachability oracle class",
+        # Same pipeline as l29 (cluster-closure CTE) feeding the split
+        # rule; the split/audit stages themselves are map-only + one
+        # family-key aggregate (sf1-covered transitively by l55's
+        # cluster tier + the l61/l6 md5-rule rows).
+        "l87_cluster_safe_split": "composes l29's all-pairs/recursive oracle; split rule sf1-covered via l55+l61 tiers",
     }
 
     if seed:

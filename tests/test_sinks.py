@@ -327,3 +327,107 @@ class TestRowGroupTargets:
         v = write_version(store, d, row_group_bytes=64 << 10)
         groups = self._row_groups(f"{store}/v{v:04d}/data")
         assert all(n > 1 for _, n, _ in groups), groups
+
+
+class TestDataSkipping:
+    """sources/skipping.py — file-level stats manifest + pruned reads."""
+
+    def _make(self, spark, tmp_path, method="footers"):
+        from pgstream_spark.sinks import write_clustered
+        from pgstream_spark.sources.skipping import write_stats_manifest
+
+        df = spark.range(0, 800).selectExpr(
+            "id AS k", "CAST(id % 7 AS INT) AS v"
+        )
+        tbl = str(tmp_path / "tbl")
+        write_clustered(df, tbl, ["k"], n_files=8)
+        write_stats_manifest(spark, tbl, ["k"], method=method)
+        return tbl
+
+    def test_pruned_equals_full_scan_and_skips_files(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import pruned_parquet
+
+        tbl = self._make(spark, tmp_path)
+        pruned = pruned_parquet(spark, tbl, "k", lower=100, upper=199)
+        full = spark.read.parquet(tbl).filter("k BETWEEN 100 AND 199")
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        n_total = len(spark.read.parquet(tbl).inputFiles())
+        assert n_total == 8
+        assert len(pruned.inputFiles()) < n_total  # files actually skipped
+
+    def test_scan_method_matches_footers(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import read_stats_manifest
+
+        tbl_a = self._make(spark, tmp_path / "a", method="footers")
+        tbl_b = self._make(spark, tmp_path / "b", method="scan")
+        cols = ["file", "n_rows", "min_k", "max_k", "nulls_k"]
+        a = sorted(map(tuple, read_stats_manifest(spark, tbl_a).select(cols).collect()))
+        b = sorted(map(tuple, read_stats_manifest(spark, tbl_b).select(cols).collect()))
+        # file names differ per write; compare the stats payload
+        assert [t[1:] for t in a] == [t[1:] for t in b]
+
+    def test_empty_range_returns_typed_empty(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import pruned_parquet
+
+        tbl = self._make(spark, tmp_path)
+        out = pruned_parquet(spark, tbl, "k", lower=10_000, upper=20_000)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+    def test_manifest_survives_table_rename(self, spark, tmp_path):
+        import os
+
+        from pgstream_spark.sources.skipping import pruned_parquet
+
+        tbl = self._make(spark, tmp_path)
+        moved = str(tmp_path / "moved")
+        os.rename(tbl, moved)  # relative file names: manifest stays valid
+        out = pruned_parquet(spark, moved, "k", lower=0, upper=9)
+        assert out.count() == 10
+
+    def test_manifest_not_read_as_data(self, spark, tmp_path):
+        tbl = self._make(spark, tmp_path)
+        # the underscore-prefixed manifest must be invisible to a plain scan
+        assert spark.read.parquet(tbl).count() == 800
+
+    def test_incremental_update_after_append_and_compaction(self, spark, tmp_path):
+        import os
+
+        from pgstream_spark.sources.skipping import (
+            pruned_parquet,
+            read_stats_manifest,
+            update_stats_manifest,
+        )
+
+        tbl = self._make(spark, tmp_path)
+        # append a batch out-of-band (new file, ids 800-899)
+        spark.range(800, 900).selectExpr(
+            "id AS k", "CAST(id % 7 AS INT) AS v"
+        ).coalesce(1).write.mode("append").parquet(tbl)
+        update_stats_manifest(spark, tbl, ["k"])
+        m = {r.file: r for r in read_stats_manifest(spark, tbl).collect()}
+        assert len(m) == 9
+        out = pruned_parquet(spark, tbl, "k", lower=850, upper=860)
+        assert out.count() == 11 and len(out.inputFiles()) == 1
+        # remove a file (compaction-style) — row must drop from the manifest
+        victim = sorted(
+            n for n in os.listdir(tbl)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )[0]
+        os.remove(os.path.join(tbl, victim))
+        update_stats_manifest(spark, tbl, ["k"])
+        assert read_stats_manifest(spark, tbl).count() == 8
+        assert victim not in {
+            r.file for r in read_stats_manifest(spark, tbl).collect()
+        }
+
+    def test_update_refuses_silent_stat_set_change(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import update_stats_manifest
+
+        tbl = self._make(spark, tmp_path)
+        with _pytest.raises(ValueError, match="rebuild"):
+            update_stats_manifest(spark, tbl, ["v"])
