@@ -11594,6 +11594,61 @@ def s10(spark, sf_dir):
 
 
 @q(
+    "s11_zorder_scan",
+    # Multi-column skipping over a Z-ORDERED layout (sinks.write_zordered
+    # + skipping.pruned_parquet(ranges=...)): lineitem Morton-clustered
+    # on (l_partkey, l_suppkey) so footer stats bite on BOTH columns —
+    # the Delta OPTIMIZE ZORDER read path, end to end.  The oracle pins
+    # the superset contract: the pruned conjunction read hash-matches
+    # the plain two-range WHERE (pytest pins that files are actually
+    # skipped on each axis).
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem "
+    "WHERE l_partkey BETWEEN 10 AND 60 AND l_suppkey BETWEEN 1 AND 5",
+)
+def s11(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sinks import write_zordered
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        pruned_parquet,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "lineitem.parquet")
+    tag = _hashlib.md5(f"{sf_dir}|{_fixture_ident(src)}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_lizorder_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_lizorder_build_")
+        tbl = _os.path.join(build, "tbl")
+        write_zordered(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+            ),
+            tbl,
+            ["l_partkey", "l_suppkey"],
+            n_files=16,
+            bits=6,
+        )
+        write_stats_manifest(spark, tbl, ["l_partkey", "l_suppkey"])
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+    return pruned_parquet(
+        spark,
+        path,
+        ranges={"l_partkey": (10, 60), "l_suppkey": (1, 5)},
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
+@q(
     "l86_cdc_chunks",
     # Content-defined chunking (dedup.content_defined_chunks, the LBFS
     # Rabin-boundary rule at token granularity): a chunk ends after
@@ -12140,7 +12195,8 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
-    "s10_pruned_scan", "l91_hashed_classifier", "p13_distinct_on",
+    "s11_zorder_scan", "s10_pruned_scan", "l91_hashed_classifier",
+    "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
@@ -12175,7 +12231,8 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "l4g_pii_scrub", "l9_source_mixture", "g19_tpch_q10_returns",
+    "l4f_repetition_stats", "l4g_pii_scrub", "l9_source_mixture",
+    "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
     "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
     "l5_multimodal_features", "f12_regexp_extract_all",

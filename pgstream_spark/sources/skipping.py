@@ -189,36 +189,58 @@ def read_stats_manifest(spark: SparkSession, table_path: str) -> DataFrame:
 def pruned_parquet(
     spark: SparkSession,
     table_path: str,
-    col: str,
+    col: str | None = None,
     lower=None,
     upper=None,
+    ranges: dict | None = None,
 ) -> DataFrame:
-    """Read the table with FILE-level skipping on ``col`` ∈ [lower,
-    upper] (either bound may be None = unbounded), then apply the exact
-    predicate.  A file survives iff its [min, max] can overlap the
-    range (all-NULL stat → prunable: NULL never satisfies a range
+    """Read the table with FILE-level skipping on a range predicate,
+    then apply the exact predicate.  Single column:
+    ``pruned_parquet(spark, path, "k", lo, hi)``; conjunction (the
+    ``write_zordered`` use case — every z-column's stats bite):
+    ``pruned_parquet(spark, path, ranges={"a": (lo, hi), "b": (lo,
+    None)})`` — bounds may be None = unbounded on that side.
+
+    A file survives iff EVERY ranged column's [min, max] can overlap
+    its range (all-NULL stat → prunable: NULL never satisfies a range
     predicate).  The manifest is driver-side and file-count-sized —
     the same economics as a table format's manifest scan; the data
     read is then limited to surviving files, inside which parquet
     row-group stats prune further."""
     import pyarrow.parquet as pq
 
+    if (col is None) == (ranges is None):
+        raise ValueError("pass exactly one of col or ranges")
+    if ranges is None:
+        ranges = {col: (lower, upper)}
+    cols = sorted(ranges)
     manifest = pq.read_table(
         os.path.join(table_path, MANIFEST_NAME),
-        columns=["file", f"min_{col}", f"max_{col}"],
+        columns=["file"] + [p for c in cols for p in (f"min_{c}", f"max_{c}")],
     ).to_pylist()
     keep = []
     for r in manifest:
-        lo, hi = r[f"min_{col}"], r[f"max_{col}"]
-        if lo is None or hi is None:
-            continue  # no stats or all-NULL: range predicate can't match
-        if (upper is None or lo <= upper) and (lower is None or hi >= lower):
+        ok = True
+        for c in cols:
+            lo, hi = r[f"min_{c}"], r[f"max_{c}"]
+            want_lo, want_hi = ranges[c]
+            if lo is None or hi is None:
+                ok = False  # no stats or all-NULL: range can't match
+                break
+            if (want_hi is not None and lo > want_hi) or (
+                want_lo is not None and hi < want_lo
+            ):
+                ok = False
+                break
+        if ok:
             keep.append(os.path.join(table_path, r["file"]))
     pred = F.lit(True)
-    if lower is not None:
-        pred = pred & (F.col(col) >= F.lit(lower))
-    if upper is not None:
-        pred = pred & (F.col(col) <= F.lit(upper))
+    for c in cols:
+        want_lo, want_hi = ranges[c]
+        if want_lo is not None:
+            pred = pred & (F.col(c) >= F.lit(want_lo))
+        if want_hi is not None:
+            pred = pred & (F.col(c) <= F.lit(want_hi))
     if not keep:
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)

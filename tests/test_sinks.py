@@ -431,3 +431,50 @@ class TestDataSkipping:
         tbl = self._make(spark, tmp_path)
         with _pytest.raises(ValueError, match="rebuild"):
             update_stats_manifest(spark, tbl, ["v"])
+
+    def test_zorder_prunes_on_every_z_column(self, spark, tmp_path):
+        """The reason write_zordered exists: a lexicographic layout on
+        (a, b) leaves b's per-file min/max spanning the whole domain, so
+        a b-only filter skips nothing; the Morton layout skips on both."""
+        from pgstream_spark.sinks import write_clustered, write_zordered
+        from pgstream_spark.sources.skipping import (
+            pruned_parquet,
+            write_stats_manifest,
+        )
+
+        df = spark.range(0, 4096).selectExpr(
+            "CAST(id % 64 AS DOUBLE) AS a", "CAST(id DIV 64 AS DOUBLE) AS b"
+        )
+        zt, ct = str(tmp_path / "z"), str(tmp_path / "c")
+        write_zordered(df, zt, ["a", "b"], n_files=16, bits=6)
+        write_clustered(df, ct, ["a", "b"], n_files=16)
+        for t in (zt, ct):
+            write_stats_manifest(spark, t, ["a", "b"])
+        rng = {"b": (0.0, 7.0)}  # trailing column only
+        z = pruned_parquet(spark, zt, ranges=rng)
+        c = pruned_parquet(spark, ct, ranges=rng)
+        assert sorted(map(tuple, z.collect())) == sorted(map(tuple, c.collect()))
+        assert len(z.inputFiles()) < 16           # z-order: b stats bite
+        assert len(c.inputFiles()) == 16          # lexicographic: they don't
+        # conjunction prunes deeper than either axis alone
+        both = pruned_parquet(
+            spark, zt, ranges={"a": (0.0, 7.0), "b": (0.0, 7.0)}
+        )
+        assert len(both.inputFiles()) <= len(z.inputFiles())
+        full = spark.read.parquet(zt).filter(
+            "a BETWEEN 0 AND 7 AND b BETWEEN 0 AND 7"
+        )
+        assert sorted(map(tuple, both.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_pruned_parquet_arg_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import pruned_parquet
+
+        tbl = self._make(spark, tmp_path)
+        with _pytest.raises(ValueError, match="exactly one"):
+            pruned_parquet(spark, tbl)
+        with _pytest.raises(ValueError, match="exactly one"):
+            pruned_parquet(spark, tbl, "k", 0, 1, ranges={"k": (0, 1)})
