@@ -42,6 +42,7 @@ __all__ = [
     "update_stats_manifest",
     "read_stats_manifest",
     "pruned_parquet",
+    "delete_where",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -245,3 +246,101 @@ def pruned_parquet(
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*sorted(keep)).filter(pred)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lower=None,
+    upper=None,
+    values: list | None = None,
+) -> dict:
+    """Targeted row deletion with file-level pruning: consult the
+    manifest for the files that CAN contain matches (range overlap, or
+    min ≤ v ≤ max for any of ``values``), rewrite only those files with
+    the matching rows removed, leave every other file untouched
+    byte-for-byte, and reconcile the manifest — the "delete these user
+    ids from 100 TB" operation, costed at the files-containing-them,
+    not the corpus.  Pass a range (``lower``/``upper``) or an explicit
+    ``values`` list (broadcast-sized: it becomes a literal NOT IN).
+
+    Sequencing is stage → swap-in → remove → reconcile: survivors are
+    fully written to a staging directory before any original file is
+    touched, so a crash never loses undeleted rows; a crash between
+    swap-in and removal can leave BOTH the rewritten and original
+    files visible (duplicates, repaired by re-running the same delete
+    — it is idempotent on the data predicate).  For full
+    copy-on-write atomicity compose with `operators/snapshot`'s
+    versioned writes instead; this is the in-place form for artifact
+    directories the engine owns.
+
+    Returns ``{"files_touched", "files_total", "rows_deleted"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    if (values is None) == (lower is None and upper is None):
+        raise ValueError("pass exactly one of values or a lower/upper range")
+    import pyarrow.parquet as pq
+
+    manifest = pq.read_table(
+        os.path.join(table_path, MANIFEST_NAME),
+        columns=["file", f"min_{col}", f"max_{col}"],
+    ).to_pylist()
+    touched = []
+    for r in manifest:
+        lo, hi = r[f"min_{col}"], r[f"max_{col}"]
+        if lo is None or hi is None:
+            continue  # all-NULL/statless file cannot match a value/range
+        if values is not None:
+            if any(lo <= v <= hi for v in values):
+                touched.append(r["file"])
+        elif (upper is None or lo <= upper) and (lower is None or hi >= lower):
+            touched.append(r["file"])
+    if not touched:
+        return {
+            "files_touched": 0,
+            "files_total": len(manifest),
+            "rows_deleted": 0,
+        }
+    if values is not None:
+        pred = F.col(col).isin(list(values))
+    else:
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (F.col(col) >= F.lit(lower))
+        if upper is not None:
+            pred = pred & (F.col(col) <= F.lit(upper))
+    paths = [os.path.join(table_path, f) for f in touched]
+    src = spark.read.parquet(*paths)
+    before = src.count()
+    survivors = src.filter(~pred)
+    staging = tempfile.mkdtemp(prefix="pgstream_delete_stage_")
+    survivors.write.mode("overwrite").parquet(staging)
+    # count the STAGED bytes (footers), not the lazy plan — the plan's
+    # source files are about to be removed
+    kept_rows = sum(r["n_rows"] for r in _footer_stats(staging, []))
+    staged = _data_files(staging)
+    # swap-in under per-INVOCATION-unique names: a pid-only prefix
+    # collides with this process's earlier delete's files — the replace
+    # would overwrite a live data file that is also in `paths` and then
+    # be removed with it (observed: repeated value-deletes lost rows)
+    token = uuid.uuid4().hex[:12]
+    for i, f in enumerate(staged):
+        os.replace(
+            f, os.path.join(table_path, f"del-{token}-{i:05d}.parquet")
+        )
+    for p in paths:
+        os.remove(p)
+    shutil.rmtree(staging, ignore_errors=True)
+    cols = sorted(
+        c[len("min_"):] for c in manifest[0] if c.startswith("min_")
+    )
+    update_stats_manifest(spark, table_path, cols)
+    return {
+        "files_touched": len(touched),
+        "files_total": len(manifest),
+        "rows_deleted": int(before - kept_rows),
+    }

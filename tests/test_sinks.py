@@ -478,3 +478,70 @@ class TestDataSkipping:
             pruned_parquet(spark, tbl)
         with _pytest.raises(ValueError, match="exactly one"):
             pruned_parquet(spark, tbl, "k", 0, 1, ranges={"k": (0, 1)})
+
+    def test_delete_where_touches_only_matching_files(self, spark, tmp_path):
+        import os
+
+        from pgstream_spark.sources.skipping import (
+            delete_where,
+            pruned_parquet,
+            read_stats_manifest,
+        )
+
+        tbl = self._make(spark, tmp_path)
+        untouched_before = {
+            n: os.path.getmtime(os.path.join(tbl, n))
+            for n in os.listdir(tbl)
+            if n.endswith(".parquet") and not n.startswith("_")
+        }
+        res = delete_where(spark, tbl, "k", lower=150, upper=249)
+        assert res["rows_deleted"] == 100
+        assert 0 < res["files_touched"] < res["files_total"]
+        # table content == original minus the range
+        out = sorted(r.k for r in spark.read.parquet(tbl).collect())
+        assert out == [k for k in range(800) if not 150 <= k <= 249]
+        # non-matching files byte-untouched (same path, same mtime)
+        after = {
+            n: os.path.getmtime(os.path.join(tbl, n))
+            for n in os.listdir(tbl)
+            if n.endswith(".parquet") and not n.startswith("_")
+        }
+        survived = set(untouched_before) & set(after)
+        assert len(survived) == res["files_total"] - res["files_touched"]
+        assert all(untouched_before[n] == after[n] for n in survived)
+        # manifest reconciled: pruned reads stay correct post-delete
+        assert read_stats_manifest(spark, tbl).count() == len(after)
+        assert pruned_parquet(spark, tbl, "k", 150, 249).count() == 0
+        assert pruned_parquet(spark, tbl, "k", 100, 299).count() == 100
+
+    def test_delete_where_values_and_idempotence(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl = self._make(spark, tmp_path)
+        res = delete_where(spark, tbl, "k", values=[3, 500, 799])
+        assert res["rows_deleted"] == 3
+        again = delete_where(spark, tbl, "k", values=[3, 500, 799])
+        assert again["rows_deleted"] == 0  # idempotent on the predicate
+        assert spark.read.parquet(tbl).count() == 797
+
+    def test_delete_where_no_match_is_metadata_only(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl = self._make(spark, tmp_path)
+        res = delete_where(spark, tbl, "k", lower=5000, upper=6000)
+        assert res == {
+            "files_touched": 0,
+            "files_total": 8,
+            "rows_deleted": 0,
+        }
+
+    def test_delete_where_arg_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl = self._make(spark, tmp_path)
+        with _pytest.raises(ValueError, match="exactly one"):
+            delete_where(spark, tbl, "k")
+        with _pytest.raises(ValueError, match="exactly one"):
+            delete_where(spark, tbl, "k", lower=1, values=[2])
