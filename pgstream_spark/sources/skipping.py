@@ -43,6 +43,7 @@ __all__ = [
     "read_stats_manifest",
     "pruned_parquet",
     "delete_where",
+    "foreach_batch_stats_appender",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -65,7 +66,17 @@ def _footer_stats(
     for f in (files if files is not None else _data_files(table_path)):
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        row: dict = {"file": os.path.basename(f), "n_rows": md.num_rows}
+        st_f = os.stat(f)
+        row: dict = {
+            "file": os.path.basename(f),
+            "n_rows": md.num_rows,
+            # content identity: update_stats_manifest refreshes a row
+            # whose file was REPLACED under the same name (idempotent
+            # batch-replay overwrites) — without this the stale stats
+            # misdescribe the new bytes and pruning drops real matches
+            "size": st_f.st_size,
+            "mtime_ns": st_f.st_mtime_ns,
+        }
         for c in cols:
             mins, maxs, nulls = [], [], 0
             for rg in range(md.num_row_groups):
@@ -127,6 +138,16 @@ def write_stats_manifest(
     import pyarrow.parquet as pq
 
     stats["file"] = stats["file"].map(lambda u: os.path.basename(u))
+
+    def _ident(name, what):
+        try:  # local FS only; None elsewhere → update always refreshes
+            st_f = os.stat(os.path.join(table_path, name))
+            return getattr(st_f, what)
+        except OSError:
+            return None
+
+    stats["size"] = stats["file"].map(lambda n: _ident(n, "st_size"))
+    stats["mtime_ns"] = stats["file"].map(lambda n: _ident(n, "st_mtime_ns"))
     tmp = f"{dest}.tmp-{os.getpid()}"
     pq.write_table(pa.Table.from_pandas(stats.sort_values("file")), tmp)
     os.replace(tmp, dest)
@@ -158,15 +179,25 @@ def update_stats_manifest(
                 "write_stats_manifest to change the stat column set"
             )
     present = {os.path.basename(f) for f in _data_files(table_path)}
-    known = {r["file"] for r in old}
-    kept = [r for r in old if r["file"] in present]
-    new_names = sorted(present - known)
-    if new_names:
+    by_name = {r["file"]: r for r in old}
+    kept, refresh = [], []
+    for n in sorted(present):
+        r = by_name.get(n)
+        st_f = os.stat(os.path.join(table_path, n))
+        if (
+            r is not None
+            and r.get("size") == st_f.st_size
+            and r.get("mtime_ns") == st_f.st_mtime_ns
+        ):
+            kept.append(r)  # unchanged bytes: reuse the stats row
+        else:
+            refresh.append(n)  # new file OR replaced under the same name
+    if refresh:
         kept.extend(
             _footer_stats(
                 table_path,
                 cols,
-                files=[os.path.join(table_path, n) for n in new_names],
+                files=[os.path.join(table_path, n) for n in refresh],
             )
         )
     kept.sort(key=lambda r: r["file"])
@@ -344,3 +375,47 @@ def delete_where(
         "files_total": len(manifest),
         "rows_deleted": int(before - kept_rows),
     }
+
+
+def foreach_batch_stats_appender(table_path: str, cols: list[str]):
+    """``writeStream.foreachBatch`` sink that streams micro-batches into
+    a stats-indexed parquet table EXACTLY ONCE: each batch's files land
+    under batch-id-derived names (``ingest-<batchId>-*``), a replayed
+    micro-batch (failure between the append and the checkpoint commit)
+    first removes its own previous files and writes fresh — an
+    idempotent overwrite, the `streaming/exactly_once` ledger pattern
+    keyed on Spark's restart-stable ``batchId`` — and the manifest is
+    reconciled incrementally (O(batch files) footer reads) so
+    `pruned_parquet` stays correct batch-over-batch::
+
+        (stream.writeStream
+            .foreachBatch(foreach_batch_stats_appender(path, ["k"]))
+            .option("checkpointLocation", ck).start())
+
+    Bootstrap: the table directory need not exist — the first batch
+    creates it and `update_stats_manifest` builds the manifest from
+    scratch (stat columns fixed by ``cols`` for the table's lifetime).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(table_path, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="pgstream_ingest_stage_")
+        batch_df.write.mode("overwrite").parquet(staging)
+        for stale in glob.glob(
+            os.path.join(table_path, f"ingest-{int(batch_id):09d}-*.parquet")
+        ):
+            os.remove(stale)  # replayed batch: overwrite, don't duplicate
+        for i, f in enumerate(_data_files(staging)):
+            os.replace(
+                f,
+                os.path.join(
+                    table_path, f"ingest-{int(batch_id):09d}-{i:05d}.parquet"
+                ),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        update_stats_manifest(batch_df.sparkSession, table_path, cols)
+
+    return _apply

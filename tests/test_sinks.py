@@ -545,3 +545,33 @@ class TestDataSkipping:
             delete_where(spark, tbl, "k")
         with _pytest.raises(ValueError, match="exactly one"):
             delete_where(spark, tbl, "k", lower=1, values=[2])
+
+    def test_streaming_ingest_into_stats_indexed_table(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import (
+            foreach_batch_stats_appender,
+            pruned_parquet,
+            read_stats_manifest,
+        )
+
+        src = str(tmp_path / "incoming")
+        spark.range(0, 300).selectExpr("id AS k").write.parquet(src)
+        tbl = str(tmp_path / "tbl")
+        fn = foreach_batch_stats_appender(tbl, ["k"])
+        q = (
+            spark.readStream.schema("k long")
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(tbl).count() == 300
+        n_manifest = read_stats_manifest(spark, tbl).count()
+        assert n_manifest >= 1
+        # a replayed micro-batch overwrites its own files — no duplicates
+        fn(spark.range(0, 300).selectExpr("id AS k"), 0)
+        assert spark.read.parquet(tbl).count() == 300
+        assert read_stats_manifest(spark, tbl).count() == n_manifest
+        out = pruned_parquet(spark, tbl, "k", 10, 19)
+        assert out.count() == 10
