@@ -465,6 +465,10 @@ def main() -> None:
         )
     else:
         for name in only or DEFAULT:
+            if name in SF1_ORACLE_SKIP:
+                out[name] = f"skipped: {SF1_ORACLE_SKIP[name]}"
+                print(f"  - {name} (skipped)", file=sys.stderr)
+                continue
             try:
                 problems = compare(
                     name, QUERIES[name](spark, DST), con, ORACLE[name]

@@ -1350,3 +1350,72 @@ class TestDriftMonitor:
             for r in spark.read.parquet(f"{store}/counts/v0").collect()
         }
         assert counts == {(0, 25), (1, 25), (2, 25), (3, 25)}
+
+
+class TestObserve:
+    """streaming/observe.py — in-flight metrics, no second pass."""
+
+    def test_observe_batch_audit_rail(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.streaming.observe import observe_batch
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, None)],
+            "id long, v double",
+        )
+        out, obs = observe_batch(
+            df,
+            "audit",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+            F.max("id").alias("max_id"),
+        )
+        assert out.count() == 4  # the action that materializes metrics
+        got = obs.get
+        assert got == {"rows": 4, "nulls": 2, "max_id": 4}
+
+    def test_streaming_observed_metrics_per_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.streaming.observe import MetricsRecorder, observed
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(60)], "id long, v double"
+        ).coalesce(1).write.parquet(src)
+        rec = MetricsRecorder(query_name="obs_q")
+        spark.streams.addListener(rec)
+        try:
+            stream = (
+                spark.readStream.schema("id long, v double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            stream = observed(
+                stream,
+                "quality",
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).alias(
+                    "zeros"
+                ),
+            )
+            q = (
+                stream.writeStream.format("noop")
+                .queryName("obs_q")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            batches = rec.wait_for_batches(1, nonempty=True)
+            # observed metrics cover exactly the batch's own rows
+            n_total = sum(b["observed"]["quality"]["n"] for b in batches)
+            z_total = sum(b["observed"]["quality"]["zeros"] for b in batches)
+            assert n_total == 60 and z_total == 12
+            assert rec.totals()["rows"] == 60
+            assert all(
+                b["rows"] == b["observed"]["quality"]["n"] for b in batches
+            )
+        finally:
+            spark.streams.removeListener(rec)
