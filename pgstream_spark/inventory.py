@@ -4884,6 +4884,25 @@ def l36(spark, sf_dir):
     )
 
 
+@q("l36b_ivf_adc_residual")  # the PRODUCTION IVFPQ recipe the round-8
+# decade probe validated (SCALE.md: raw codes cliff to 0.395 recall@10
+# at 500k vectors, residual + sqrt-scaled lists hold 0.953): residual
+# encoding + residual-trained codebooks.  Approximate by nature
+# (data-trained centroids) → rows-only; recall + persisted==in-memory
+# agreement pytest-pinned like l36.
+def l36b(spark, sf_dir):
+    from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
+    from pgstream_spark.operators.pq import train_residual_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_lists=16, sample_size=1024, iters=8)
+    books = train_residual_codebooks(emb, cents, m_subspaces=16, n_codes=16)
+    return ivf_adc_top_k(
+        emb.filter(F.col("vec_id") < 10), emb, cents, books,
+        k=5, n_probes=4, shortlist=64, residual=True,
+    )
+
+
 @q(
     "l37_duplicate_spans",
     # Exact duplicate-substring stats (dedup.duplicate_span_stats, Lee
