@@ -214,12 +214,34 @@ def compact_dir(
     by file count, not bytes.  Local-FS swap is rename-based; on an
     object store write to a versioned prefix and flip a manifest instead
     (documented, not emulated here).
+
+    If the directory carries a `sources/skipping` stats manifest, it is
+    rebuilt after the swap with the same stat columns — compaction
+    changes every file, so the old rows would misdescribe all of them.
     """
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        write_stats_manifest,
+    )
+
+    def _is_data(f: str) -> bool:
+        return f.endswith(".parquet") and not f.startswith(("_", "."))
+
+    stat_cols: list | None = None
+    old_manifest = os.path.join(path, MANIFEST_NAME)
+    if os.path.exists(old_manifest):
+        import pyarrow.parquet as pq
+
+        stat_cols = sorted(
+            c[len("min_"):]
+            for c in pq.read_schema(old_manifest).names
+            if c.startswith("min_")
+        )
     total = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, files in os.walk(path)
         for f in files
-        if f.endswith(".parquet")
+        if _is_data(f)
     )
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -234,11 +256,13 @@ def compact_dir(
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
+    if stat_cols is not None:
+        write_stats_manifest(spark, path, stat_cols)
     return sum(
         1
         for _, _, files in os.walk(path)
         for f in files
-        if f.endswith(".parquet")
+        if _is_data(f)
     )
 
 

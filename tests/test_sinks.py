@@ -575,3 +575,18 @@ class TestDataSkipping:
         assert read_stats_manifest(spark, tbl).count() == n_manifest
         out = pruned_parquet(spark, tbl, "k", 10, 19)
         assert out.count() == 10
+
+    def test_compact_dir_rebuilds_manifest(self, spark, tmp_path):
+        from pgstream_spark.sinks import compact_dir
+        from pgstream_spark.sources.skipping import (
+            pruned_parquet,
+            read_stats_manifest,
+        )
+
+        tbl = self._make(spark, tmp_path)  # 8 files + manifest
+        n = compact_dir(spark, tbl, target_file_bytes=1 << 30)
+        assert n == 1  # data files only — the manifest is not counted
+        m = read_stats_manifest(spark, tbl)
+        assert m.count() == 1  # rebuilt for the compacted layout
+        out = pruned_parquet(spark, tbl, "k", 100, 199)
+        assert out.count() == 100  # prune still correct post-compaction
