@@ -5750,6 +5750,34 @@ def p13(spark, sf_dir):
     )
 
 
+from pgstream_spark.functions.strings import (  # noqa: E402 — near p14
+    similar_to_regex as _sim_rx,
+)
+
+_P14_PAT = "Customer#%(1|2)[0-9]"
+
+
+@q(
+    "p14_similar_to",
+    # Postgres SIMILAR TO (functions/strings.py): the reference's SQL
+    # surface includes all three Postgres pattern languages; Spark has
+    # no SIMILAR TO and DuckDB's same-named operator is plain regex
+    # (no %/_ translation) — so the engine ships the §9.7.2 compiler
+    # and BOTH engines here run the IDENTICAL compiled anchored regex
+    # (the oracle embeds the compiler's output; pytest pins the
+    # compiler against the Postgres-doc examples).
+    "SELECT c_custkey, c_name FROM customer "
+    f"WHERE regexp_matches(c_name, '{_sim_rx(_P14_PAT)}')",
+)
+def p14(spark, sf_dir):
+    from pgstream_spark.functions.strings import similar_to
+
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(similar_to("c_name", _P14_PAT)).select(
+        "c_custkey", "c_name"
+    )
+
+
 @q(
     "j13_null_safe_join",
     # NULL-safe equality join (Spark eqNullSafe <=> / standard IS NOT
@@ -12214,8 +12242,8 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
-    "s11_zorder_scan", "s10_pruned_scan", "l91_hashed_classifier",
-    "p13_distinct_on",
+    "p14_similar_to", "s11_zorder_scan", "s10_pruned_scan",
+    "l91_hashed_classifier", "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
@@ -12250,8 +12278,8 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "l4f_repetition_stats", "l4g_pii_scrub", "l9_source_mixture",
-    "g19_tpch_q10_returns",
+    "g18_tpch_q7_nation_volume", "l4f_repetition_stats", "l4g_pii_scrub",
+    "l9_source_mixture", "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
     "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",
     "l5_multimodal_features", "f12_regexp_extract_all",

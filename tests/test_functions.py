@@ -181,3 +181,74 @@ class TestUuid3:
         # namespace separates id spaces
         other = df.select(uuid3(F.col("name"), namespace="else").alias("u")).collect()
         assert other[0].u != vals[0]
+
+
+class TestSimilarTo:
+    """functions/strings.py — Postgres SIMILAR TO compiled to regex."""
+
+    def test_postgres_doc_examples(self):
+        # the four examples from Postgres docs §9.7.2
+        import re
+
+        from pgstream_spark.functions.strings import similar_to_regex
+
+        def m(s, p):
+            return re.fullmatch(similar_to_regex(p)[4:-2], s) is not None
+
+        assert m("abc", "abc")
+        assert not m("abc", "a")
+        assert m("abc", "%(b|d)%")
+        assert not m("abc", "(b|c)%")
+
+    def test_wildcards_classes_escape_anchoring(self):
+        import re
+
+        from pgstream_spark.functions.strings import similar_to_regex
+
+        rx = similar_to_regex("a_c%")
+        assert re.match(rx, "axc-tail") and not re.match(rx, "ac")
+        # %/_ stay literal inside character classes
+        rx = similar_to_regex("[%_]!")
+        assert re.match(rx, "%!") and re.match(rx, "_!")
+        assert not re.match(rx, "x!")
+        # ESCAPE makes the wildcard literal
+        rx = similar_to_regex("100!%", escape="!")
+        assert re.match(rx, "100%") and not re.match(rx, "100x")
+        # SIMILAR TO is full-string: no partial match
+        assert not re.match(similar_to_regex("bc"), "abc")
+        # literal regex metachars in the SQL dialect
+        assert re.match(similar_to_regex("a.b"), "a.b")
+        assert not re.match(similar_to_regex("a.b"), "axb")
+
+    def test_error_cases(self):
+        import pytest as _pytest
+
+        from pgstream_spark.functions.strings import similar_to_regex
+
+        with _pytest.raises(ValueError, match="escape"):
+            similar_to_regex("a", escape="!!")
+        with _pytest.raises(ValueError, match="ends with"):
+            similar_to_regex("a!", escape="!")
+        with _pytest.raises(ValueError, match="unterminated"):
+            similar_to_regex("[abc")
+
+    def test_column_form_matches_python_reference(self, spark, sf_dir):
+        import re
+
+        from pgstream_spark.functions.strings import (
+            similar_to,
+            similar_to_regex,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        c = load_table(spark, sf_dir, "customer")
+        pat = "Customer#%(1|2)[0-9]"
+        got = {
+            r.c_name
+            for r in c.filter(similar_to("c_name", pat)).collect()
+        }
+        rx = re.compile(similar_to_regex(pat))
+        want = {
+            r.c_name for r in c.collect() if rx.match(r.c_name)
+        }
+        assert got == want and len(got) > 0
