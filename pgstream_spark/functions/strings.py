@@ -12,11 +12,15 @@ JVM ``rlike``.
 
 Translation rules (Postgres §9.7.2):
 
-* ``%`` → ``.*``, ``_`` → ``.`` (outside character classes);
+* ``%`` → ``.*``, ``_`` → ``.`` (outside character classes), matching
+  across newlines like SQL wildcards do (the compiled regex carries
+  ``(?s)`` — Java regex and RE2 both honor it);
 * ``| * + ? ( ) { } [ ]`` keep their regex meanings;
-* an optional ``escape`` character makes the next char literal;
-* every other regex metacharacter (``. \\ ^ $``) is literal in the
-  SQL dialect and gets escaped;
+* the ``escape`` character makes the next char literal — Postgres's
+  DEFAULT is backslash (pass ``escape=None`` for ``ESCAPE NONE``
+  semantics, where backslash is an ordinary literal);
+* other regex metacharacters (``. ^ $``) are literal in the SQL
+  dialect and get escaped;
 * the whole pattern is anchored (SIMILAR TO matches the ENTIRE
   string — the sharpest behavioral difference from rlike's search).
 """
@@ -34,11 +38,12 @@ __all__ = ["similar_to_regex", "similar_to"]
 _LITERAL_META = ".\\^$"
 
 
-def similar_to_regex(pattern: str, escape: str | None = None) -> str:
+def similar_to_regex(pattern: str, escape: str | None = "\\") -> str:
     """Compile a Postgres ``SIMILAR TO`` pattern to an anchored regex
     string (usable by Spark ``rlike``/``regexp_like`` and DuckDB
     ``regexp_matches`` alike — both engines then run the IDENTICAL
-    regex).  ``escape`` is the optional SQL ESCAPE character."""
+    regex).  ``escape`` is the SQL ESCAPE character — backslash by
+    default, exactly as in Postgres; ``escape=None`` = ESCAPE NONE."""
     if escape is not None and len(escape) != 1:
         raise ValueError("escape must be a single character")
     out: list[str] = []
@@ -72,11 +77,11 @@ def similar_to_regex(pattern: str, escape: str | None = None) -> str:
         i += 1
     if in_class:
         raise ValueError("unterminated character class in pattern")
-    return "^(?:" + "".join(out) + ")$"
+    return "(?s)^(?:" + "".join(out) + ")$"
 
 
 def similar_to(
-    col: Column | str, pattern: str, escape: str | None = None
+    col: Column | str, pattern: str, escape: str | None = "\\"
 ) -> Column:
     """``col SIMILAR TO pattern`` as a boolean Column — the compiled
     anchored regex through ``rlike``: map-only, whole-stage codegen,

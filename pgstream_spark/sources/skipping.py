@@ -254,8 +254,10 @@ def pruned_parquet(
     for r in manifest:
         ok = True
         for c in cols:
-            lo, hi = r[f"min_{c}"], r[f"max_{c}"]
             want_lo, want_hi = ranges[c]
+            if want_lo is None and want_hi is None:
+                continue  # unbounded both sides: no predicate, no pruning
+            lo, hi = r[f"min_{c}"], r[f"max_{c}"]
             if lo is None or hi is None:
                 ok = False  # no stats or all-NULL: range can't match
                 break
@@ -316,11 +318,11 @@ def delete_where(
         raise ValueError("pass exactly one of values or a lower/upper range")
     import pyarrow.parquet as pq
 
+    dest = os.path.join(table_path, MANIFEST_NAME)
     manifest = pq.read_table(
-        os.path.join(table_path, MANIFEST_NAME),
-        columns=["file", f"min_{col}", f"max_{col}"],
+        dest, columns=["file", "n_rows", f"min_{col}", f"max_{col}"]
     ).to_pylist()
-    touched = []
+    touched, before = [], 0
     for r in manifest:
         lo, hi = r[f"min_{col}"], r[f"max_{col}"]
         if lo is None or hi is None:
@@ -328,8 +330,10 @@ def delete_where(
         if values is not None:
             if any(lo <= v <= hi for v in values):
                 touched.append(r["file"])
+                before += r["n_rows"]
         elif (upper is None or lo <= upper) and (lower is None or hi >= lower):
             touched.append(r["file"])
+            before += r["n_rows"]
     if not touched:
         return {
             "files_touched": 0,
@@ -346,9 +350,14 @@ def delete_where(
             pred = pred & (F.col(col) <= F.lit(upper))
     paths = [os.path.join(table_path, f) for f in touched]
     src = spark.read.parquet(*paths)
-    before = src.count()
-    survivors = src.filter(~pred)
-    staging = tempfile.mkdtemp(prefix="pgstream_delete_stage_")
+    # NULL keys never match a value/range predicate, so they SURVIVE —
+    # a bare ~pred is NULL for them and filter() would silently delete
+    # exactly the rows the predicate does not cover
+    survivors = src.filter(~pred | F.col(col).isNull())
+    # stage INSIDE the table's filesystem: /tmp may be another mount and
+    # os.replace across devices raises EXDEV (the compact_dir lesson);
+    # the underscore prefix keeps scans from seeing the staging dir
+    staging = tempfile.mkdtemp(prefix="_delete_stage_", dir=table_path)
     survivors.write.mode("overwrite").parquet(staging)
     # count the STAGED bytes (footers), not the lazy plan — the plan's
     # source files are about to be removed
@@ -366,8 +375,13 @@ def delete_where(
     for p in paths:
         os.remove(p)
     shutil.rmtree(staging, ignore_errors=True)
+    # stat columns from the manifest's FULL schema — the projected read
+    # above only carried the delete column, and rebuilding with a subset
+    # would null out every other column's stats for the rewritten files
     cols = sorted(
-        c[len("min_"):] for c in manifest[0] if c.startswith("min_")
+        c[len("min_"):]
+        for c in pq.read_schema(dest).names
+        if c.startswith("min_")
     )
     update_stats_manifest(spark, table_path, cols)
     return {
@@ -402,7 +416,9 @@ def foreach_batch_stats_appender(table_path: str, cols: list[str]):
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(table_path, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix="pgstream_ingest_stage_")
+        # stage inside the table's filesystem (os.replace across mounts
+        # raises EXDEV); the underscore prefix hides it from scans
+        staging = tempfile.mkdtemp(prefix="_ingest_stage_", dir=table_path)
         batch_df.write.mode("overwrite").parquet(staging)
         for stale in glob.glob(
             os.path.join(table_path, f"ingest-{int(batch_id):09d}-*.parquet")

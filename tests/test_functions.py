@@ -193,12 +193,27 @@ class TestSimilarTo:
         from pgstream_spark.functions.strings import similar_to_regex
 
         def m(s, p):
-            return re.fullmatch(similar_to_regex(p)[4:-2], s) is not None
+            return re.match(similar_to_regex(p), s) is not None
 
         assert m("abc", "abc")
         assert not m("abc", "a")
         assert m("abc", "%(b|d)%")
         assert not m("abc", "(b|c)%")
+
+    def test_default_escape_is_backslash_and_dotall(self):
+        # Postgres §9.7.2: the DEFAULT escape character is backslash;
+        # SQL wildcards match across newlines (regex needs (?s))
+        import re
+
+        from pgstream_spark.functions.strings import similar_to_regex
+
+        rx = similar_to_regex("50\\%")  # pattern: 50\%
+        assert re.match(rx, "50%") and not re.match(rx, "50x")
+        # ESCAPE NONE: backslash is an ordinary literal character
+        rx = similar_to_regex("a\\b", escape=None)
+        assert re.match(rx, "a\\b")
+        assert re.match(similar_to_regex("a%b"), "a\nb")
+        assert re.match(similar_to_regex("a_b"), "a\nb")
 
     def test_wildcards_classes_escape_anchoring(self):
         import re

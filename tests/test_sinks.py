@@ -590,3 +590,73 @@ class TestDataSkipping:
         assert m.count() == 1  # rebuilt for the compacted layout
         out = pruned_parquet(spark, tbl, "k", 100, 199)
         assert out.count() == 100  # prune still correct post-compaction
+
+    def test_delete_preserves_other_columns_stats(self, spark, tmp_path):
+        """A delete keyed on one column must not null out the OTHER stat
+        columns for the rewritten files (reported by review: the manifest
+        rebuild used only the projected delete column)."""
+        from pgstream_spark.sinks import write_zordered
+        from pgstream_spark.sources.skipping import (
+            delete_where,
+            pruned_parquet,
+            read_stats_manifest,
+            write_stats_manifest,
+        )
+
+        df = spark.range(0, 4096).selectExpr(
+            "CAST(id % 64 AS DOUBLE) AS a", "CAST(id DIV 64 AS DOUBLE) AS b"
+        )
+        tbl = str(tmp_path / "z")
+        write_zordered(df, tbl, ["a", "b"], n_files=16, bits=6)
+        write_stats_manifest(spark, tbl, ["a", "b"])
+        res = delete_where(spark, tbl, "a", lower=0.0, upper=3.0)
+        assert res["rows_deleted"] == 4 * 64
+        m = read_stats_manifest(spark, tbl)
+        assert m.filter("min_b IS NULL").count() == 0  # b stats intact
+        out = pruned_parquet(spark, tbl, ranges={"b": (0.0, 7.0)})
+        full = spark.read.parquet(tbl).filter("b BETWEEN 0 AND 7")
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_delete_where_spares_null_keys(self, spark, tmp_path):
+        """NULL keys match no value/range predicate — they must survive
+        the delete (a bare ~pred is NULL for them and filter() drops
+        NULL: the review-reported silent-deletion hazard)."""
+        from pgstream_spark.sources.skipping import (
+            delete_where,
+            write_stats_manifest,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 7), (4, None)],
+            "id long, k int",
+        )
+        tbl = str(tmp_path / "t")
+        df.coalesce(1).write.parquet(tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        res = delete_where(spark, tbl, "k", values=[5, 7])
+        assert res["rows_deleted"] == 2
+        left = sorted(r.id for r in spark.read.parquet(tbl).collect())
+        assert left == [2, 4]  # the NULL-keyed rows survive
+
+    def test_unbounded_range_never_prunes(self, spark, tmp_path):
+        """ranges={col: (None, None)} adds no predicate — it must not
+        prune all-NULL-stat files either (superset contract)."""
+        from pgstream_spark.sources.skipping import (
+            pruned_parquet,
+            write_stats_manifest,
+        )
+
+        spark.createDataFrame(
+            [(1, 10)], "id long, k int"
+        ).coalesce(1).write.parquet(str(tmp_path / "t"))
+        spark.createDataFrame(
+            [(2, None)], "id long, k int"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "t"))
+        tbl = str(tmp_path / "t")
+        write_stats_manifest(spark, tbl, ["id", "k"])
+        out = pruned_parquet(
+            spark, tbl, ranges={"id": (0, 10), "k": (None, None)}
+        )
+        assert sorted(r.id for r in out.collect()) == [1, 2]
