@@ -11635,6 +11635,10 @@ def s10(spark, sf_dir):
         except OSError:
             pass  # a concurrent run published first — use theirs
         _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"docskip cache publish failed and no healthy cache exists at {path}"
+            )
     return pruned_parquet(spark, path, "doc_id", lower=100, upper=199).select(
         "doc_id", "lang", "n_chars"
     )
@@ -11688,6 +11692,10 @@ def s11(spark, sf_dir):
         except OSError:
             pass  # a concurrent run published first — use theirs
         _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"zorder cache publish failed and no healthy cache exists at {path}"
+            )
     return pruned_parquet(
         spark,
         path,
