@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_stream_time_join"]
+__all__ = ["stream_stream_time_join", "stream_static_point_in_time"]
 
 
 def stream_stream_time_join(
@@ -58,3 +58,50 @@ def stream_stream_time_join(
     )
     out = l.join(r, cond, how)
     return out.withColumn(key, F.coalesce(F.col(lk), F.col(rk))).drop(lk, rk)
+
+
+def stream_static_point_in_time(
+    stream: DataFrame,
+    history: DataFrame,
+    on: str,
+    fact_ts: str,
+) -> DataFrame:
+    """Enrich a fact stream with the dimension version valid AT EVENT
+    TIME — the streaming read side of SCD2 (`operators/scd2`), as a
+    stream-static interval join: ``key match AND valid_from <= ts <
+    valid_to`` (open ``valid_to`` = current version).  SCD2 intervals
+    are disjoint per key, so at most one version matches; facts before
+    the first version or inside a deletion hole keep NULL version
+    columns (left outer) — exactly `scd2.point_in_time_join`'s
+    contract, whose output column shape (version columns suffixed
+    ``_r``) this matches so the batch operator is the oracle.
+
+    Mode-agnostic: on a batch frame it is an ordinary interval join; on
+    a streaming frame Spark plans it as a STATELESS per-micro-batch
+    join against the static side — no watermark, no state store, no
+    foreachBatch.  Scale shape: an equi-join keyed on ``on`` (the
+    interval bound rides as a post-join filter, not in the exchange);
+    broadcast the history when it is dimension-sized.
+
+    Static-side caveat (Spark semantics, not this function's): file
+    sources freeze their file LISTING when the streaming query starts,
+    so dimension updates written after start are not visible to an
+    already-running query.  For live dimension reloads run the batch
+    operator inside ``foreachBatch`` (reload + `point_in_time_join`
+    per micro-batch) — one line with the same oracle.
+    """
+    keep_key = stream[on]
+    ver = [c for c in history.columns if c != on]
+    h = history.select(
+        F.col(on).alias("__pit_key"),
+        *[F.col(c).alias(f"{c}_r") for c in ver],
+    )
+    cond = (
+        (keep_key == F.col("__pit_key"))
+        & (stream[fact_ts] >= F.col("valid_from_r"))
+        & (
+            F.col("valid_to_r").isNull()
+            | (stream[fact_ts] < F.col("valid_to_r"))
+        )
+    )
+    return stream.join(h, cond, "left_outer").drop("__pit_key")

@@ -1419,3 +1419,85 @@ class TestObserve:
             )
         finally:
             spark.streams.removeListener(rec)
+
+
+class TestStreamStaticPointInTime:
+    """streaming/joins.stream_static_point_in_time — SCD2 read side."""
+
+    _CH = [
+        (1, "2024-01-01", 1, "U", 10.0),
+        (1, "2024-02-01", 2, "U", 20.0),
+        (1, "2024-03-01", 3, "D", None),
+        (1, "2024-04-01", 4, "U", 40.0),
+        (2, "2024-01-15", 5, "U", 99.0),
+    ]
+    _FACTS = [
+        (100, 1, "2024-01-20"),  # inside v1
+        (101, 1, "2024-02-15"),  # inside v2
+        (102, 1, "2024-03-10"),  # deletion hole -> NULL
+        (103, 1, "2024-12-01"),  # current open version
+        (104, 1, "2023-06-01"),  # before first version -> NULL
+        (105, 2, "2024-06-01"),
+    ]
+
+    def _history(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgstream_spark.operators.scd2 import scd2_history
+
+        ch = spark.createDataFrame(
+            self._CH, "k long, ts string, seq long, op string, val double"
+        ).withColumn("ts", F.col("ts").cast("date"))
+        return scd2_history(
+            ch, key_col="k", ts_col="ts", seq_col="seq", op_col="op",
+            payload_cols=["val"],
+        )
+
+    def _facts(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            self._FACTS, "fid long, k long, fts string"
+        ).withColumn("fts", F.col("fts").cast("date"))
+
+    def test_batch_form_matches_point_in_time_join(self, spark):
+        from pgstream_spark.operators.scd2 import point_in_time_join
+        from pgstream_spark.streaming.joins import stream_static_point_in_time
+
+        h, f = self._history(spark), self._facts(spark)
+        a = {
+            r.fid: (r.val_r, r.valid_from_r, r.valid_to_r)
+            for r in stream_static_point_in_time(f, h, "k", "fts").collect()
+        }
+        b = {
+            r.fid: (r.val_r, r.valid_from_r, r.valid_to_r)
+            for r in point_in_time_join(f, h, on="k", fact_ts="fts").collect()
+        }
+        assert a == b and a[102][0] is None and a[104][0] is None
+
+    def test_streaming_form_matches_batch(self, spark, tmp_path):
+        from pgstream_spark.streaming.joins import stream_static_point_in_time
+
+        src = str(tmp_path / "facts")
+        self._facts(spark).coalesce(2).write.parquet(src)
+        h = self._history(spark)
+        stream = (
+            spark.readStream.schema("fid long, k long, fts date")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_static_point_in_time(stream, h, "k", "fts")
+            .writeStream.format("memory")
+            .queryName("pit_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.fid: r.val_r
+            for r in spark.sql("SELECT * FROM pit_out").collect()
+        }
+        assert got == {100: 10.0, 101: 20.0, 102: None, 103: 40.0,
+                       104: None, 105: 99.0}
