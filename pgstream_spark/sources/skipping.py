@@ -44,6 +44,7 @@ __all__ = [
     "pruned_parquet",
     "delete_where",
     "foreach_batch_stats_appender",
+    "metadata_aggregate",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -435,3 +436,43 @@ def foreach_batch_stats_appender(table_path: str, cols: list[str]):
         update_stats_manifest(batch_df.sparkSession, table_path, cols)
 
     return _apply
+
+
+def metadata_aggregate(spark: SparkSession, table_path: str) -> DataFrame:
+    """Answer the metadata-expressible aggregates — per stat column:
+    ``count(*)``, ``count(col)`` (rows minus nulls), ``min``, ``max`` —
+    from the MANIFEST ALONE: no data file is opened (the
+    metadata-optimized aggregate path a table format's engine takes for
+    ``SELECT count(*) FROM t``).  One row per stat column:
+    ``(column, n_rows, n_nonnull, min, max)`` with min/max rendered as
+    strings (column types differ).  At 100 TB this is a driver-side
+    read of file-count-sized metadata — milliseconds against any table
+    the engine stats-indexed.
+
+    Exactness: n_rows/null counts are footer-exact; parquet footer
+    min/max are exact for the types the writers here emit (numeric,
+    date, short strings) — pyarrow surfaces truncated statistics only
+    for long binary values, where a stats-indexed column is the wrong
+    layout anyway."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(os.path.join(table_path, MANIFEST_NAME)).to_pylist()
+    cols = sorted(c[len("min_"):] for c in (rows[0] if rows else {}) if c.startswith("min_"))
+    out = []
+    for c in cols:
+        n = sum(r["n_rows"] for r in rows)
+        nulls = sum(r.get(f"nulls_{c}") or 0 for r in rows)
+        mins = [r[f"min_{c}"] for r in rows if r[f"min_{c}"] is not None]
+        maxs = [r[f"max_{c}"] for r in rows if r[f"max_{c}"] is not None]
+        out.append(
+            (
+                c,
+                int(n),
+                int(n - nulls),
+                str(min(mins)) if mins else None,
+                str(max(maxs)) if maxs else None,
+            )
+        )
+    return spark.createDataFrame(
+        out, "column string, n_rows long, n_nonnull long, min string, max string"
+    )

@@ -660,3 +660,22 @@ class TestDataSkipping:
             spark, tbl, ranges={"id": (0, 10), "k": (None, None)}
         )
         assert sorted(r.id for r in out.collect()) == [1, 2]
+
+    def test_metadata_aggregate_matches_scan(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import (
+            metadata_aggregate,
+            write_stats_manifest,
+        )
+
+        df = spark.createDataFrame(
+            [(i, None if i % 5 == 0 else i * 2) for i in range(200)],
+            "id long, v long",
+        )
+        tbl = str(tmp_path / "t")
+        df.repartition(4).write.parquet(tbl)
+        write_stats_manifest(spark, tbl, ["id", "v"])
+        got = {r.column: r for r in metadata_aggregate(spark, tbl).collect()}
+        assert got["id"].n_rows == 200 and got["id"].n_nonnull == 200
+        assert got["id"].min == "0" and got["id"].max == "199"
+        assert got["v"].n_nonnull == 160  # 40 NULLs (every 5th)
+        assert got["v"].min == "2" and got["v"].max == "398"
