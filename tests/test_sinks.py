@@ -679,3 +679,18 @@ class TestDataSkipping:
         assert got["id"].min == "0" and got["id"].max == "199"
         assert got["v"].n_nonnull == 160  # 40 NULLs (every 5th)
         assert got["v"].min == "2" and got["v"].max == "398"
+
+    def test_pruned_read_still_pushes_filters(self, spark, tmp_path):
+        """File pruning COMPOSES with parquet pushdown: inside the
+        surviving files the exact predicate still reaches the scan
+        (row-group stats prune further)."""
+        from pgstream_spark.sources.skipping import pruned_parquet
+
+        tbl = self._make(spark, tmp_path)
+        plan = (
+            pruned_parquet(spark, tbl, "k", 100, 199)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100)" in plan
