@@ -45,6 +45,7 @@ __all__ = [
     "delete_where",
     "foreach_batch_stats_appender",
     "metadata_aggregate",
+    "vacuum_staging",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -476,3 +477,28 @@ def metadata_aggregate(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(
         out, "column string, n_rows long, n_nonnull long, min string, max string"
     )
+
+
+def vacuum_staging(table_path: str, grace_seconds: float = 3600.0) -> int:
+    """Remove crashed writes' leftover staging directories
+    (``_delete_stage_*`` / ``_ingest_stage_*``) older than
+    ``grace_seconds``.  They are invisible to scans (underscore prefix)
+    and harmless to correctness — this reclaims their space.  The grace
+    window keeps a LIVE operation's staging safe: never call with a
+    grace shorter than your longest running delete/ingest.  Returns the
+    number of directories removed."""
+    import shutil
+    import time
+
+    removed = 0
+    now = time.time()
+    for n in os.listdir(table_path):
+        p = os.path.join(table_path, n)
+        if (
+            os.path.isdir(p)
+            and n.startswith(("_delete_stage_", "_ingest_stage_"))
+            and now - os.path.getmtime(p) > grace_seconds
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+    return removed

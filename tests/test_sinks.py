@@ -694,3 +694,20 @@ class TestDataSkipping:
             .toString()
         )
         assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100)" in plan
+
+    def test_vacuum_staging_respects_grace(self, spark, tmp_path):
+        import os
+        import time
+
+        from pgstream_spark.sources.skipping import vacuum_staging
+
+        tbl = self._make(spark, tmp_path)
+        old = os.path.join(tbl, "_delete_stage_crashed")
+        new = os.path.join(tbl, "_ingest_stage_live")
+        os.makedirs(old)
+        os.makedirs(new)
+        past = time.time() - 7200
+        os.utime(old, (past, past))
+        assert vacuum_staging(tbl, grace_seconds=3600) == 1
+        assert not os.path.exists(old) and os.path.exists(new)
+        assert spark.read.parquet(tbl).count() == 800  # data untouched
