@@ -58,6 +58,15 @@ def similar_to_regex(pattern: str, escape: str | None = "\\") -> str:
             i += 2
             continue
         if in_class:
+            if pattern.startswith("[:", i) or pattern.startswith("[.", i) or pattern.startswith("[=", i):
+                # POSIX bracket classes ([:digit:]) / collating elements:
+                # RE2 accepts them, Java regex silently misparses them as
+                # nested class unions — refuse rather than diverge the two
+                # engines (callers can write [0-9]-style ranges instead)
+                raise ValueError(
+                    "POSIX bracket expressions ([: :], [. .], [= =]) are "
+                    "not supported inside character classes"
+                )
             out.append(ch)
             if ch == "]":
                 in_class = False
@@ -66,6 +75,16 @@ def similar_to_regex(pattern: str, escape: str | None = "\\") -> str:
         if ch == "[":
             in_class = True
             out.append(ch)
+            i += 1
+            # POSIX: a ']' first in the class (after optional '^') is a
+            # LITERAL — Java regex needs it escaped to read it that way
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                out.append("\\]")
+                i += 1
+            continue
         elif ch == "%":
             out.append(".*")
         elif ch == "_":

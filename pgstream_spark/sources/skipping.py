@@ -80,18 +80,30 @@ def _footer_stats(
             "mtime_ns": st_f.st_mtime_ns,
         }
         for c in cols:
-            mins, maxs, nulls = [], [], 0
+            # null counts are tracked INDEPENDENTLY of min/max presence:
+            # an all-NULL chunk has no min/max but a perfectly good
+            # null_count, and metadata_aggregate must not mistake
+            # "stats missing" for "zero nulls"
+            mins, maxs = [], []
+            nulls, nulls_known = 0, True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
-                    mins, maxs = None, None
+                if st is None:
+                    mins, maxs, nulls_known = None, None, False
                     break
-                mins.append(st.min)
-                maxs.append(st.max)
-                nulls += st.null_count or 0
+                if st.has_null_count:
+                    nulls += st.null_count
+                else:
+                    nulls_known = False
+                if not st.has_min_max:
+                    mins, maxs = None, None
+                    continue
+                if mins is not None:
+                    mins.append(st.min)
+                    maxs.append(st.max)
             row[f"min_{c}"] = min(mins) if mins else None
             row[f"max_{c}"] = max(maxs) if maxs else None
-            row[f"nulls_{c}"] = nulls if mins else None
+            row[f"nulls_{c}"] = nulls if nulls_known else None
         rows.append(row)
     return rows
 
@@ -322,9 +334,9 @@ def delete_where(
 
     dest = os.path.join(table_path, MANIFEST_NAME)
     manifest = pq.read_table(
-        dest, columns=["file", "n_rows", f"min_{col}", f"max_{col}"]
+        dest, columns=["file", f"min_{col}", f"max_{col}"]
     ).to_pylist()
-    touched, before = [], 0
+    touched = []
     for r in manifest:
         lo, hi = r[f"min_{col}"], r[f"max_{col}"]
         if lo is None or hi is None:
@@ -332,10 +344,8 @@ def delete_where(
         if values is not None:
             if any(lo <= v <= hi for v in values):
                 touched.append(r["file"])
-                before += r["n_rows"]
         elif (upper is None or lo <= upper) and (lower is None or hi >= lower):
             touched.append(r["file"])
-            before += r["n_rows"]
     if not touched:
         return {
             "files_touched": 0,
@@ -351,6 +361,10 @@ def delete_where(
         if upper is not None:
             pred = pred & (F.col(col) <= F.lit(upper))
     paths = [os.path.join(table_path, f) for f in touched]
+    # footer-exact baseline from the touched files THEMSELVES (metadata-
+    # only): immune to a stale manifest row after an unreconciled
+    # same-name replace, unlike trusting manifest n_rows
+    before = sum(r["n_rows"] for r in _footer_stats(table_path, [], files=paths))
     src = spark.read.parquet(*paths)
     # NULL keys never match a value/range predicate, so they SURVIVE —
     # a bare ~pred is NULL for them and filter() would silently delete
@@ -459,17 +473,20 @@ def metadata_aggregate(spark: SparkSession, table_path: str) -> DataFrame:
 
     rows = pq.read_table(os.path.join(table_path, MANIFEST_NAME)).to_pylist()
     cols = sorted(c[len("min_"):] for c in (rows[0] if rows else {}) if c.startswith("min_"))
+    n = sum(r["n_rows"] for r in rows)
     out = []
     for c in cols:
-        n = sum(r["n_rows"] for r in rows)
-        nulls = sum(r.get(f"nulls_{c}") or 0 for r in rows)
+        per_file = [r.get(f"nulls_{c}") for r in rows]
+        # any file with an UNKNOWN null count -> n_nonnull is unknown,
+        # not silently overstated (None is "no stats", never "0 nulls")
+        nulls = None if any(v is None for v in per_file) else sum(per_file)
         mins = [r[f"min_{c}"] for r in rows if r[f"min_{c}"] is not None]
         maxs = [r[f"max_{c}"] for r in rows if r[f"max_{c}"] is not None]
         out.append(
             (
                 c,
                 int(n),
-                int(n - nulls),
+                None if nulls is None else int(n - nulls),
                 str(min(mins)) if mins else None,
                 str(max(maxs)) if maxs else None,
             )
@@ -494,11 +511,12 @@ def vacuum_staging(table_path: str, grace_seconds: float = 3600.0) -> int:
     now = time.time()
     for n in os.listdir(table_path):
         p = os.path.join(table_path, n)
-        if (
-            os.path.isdir(p)
-            and n.startswith(("_delete_stage_", "_ingest_stage_"))
-            and now - os.path.getmtime(p) > grace_seconds
-        ):
-            shutil.rmtree(p, ignore_errors=True)
-            removed += 1
+        if not n.startswith(("_delete_stage_", "_ingest_stage_")):
+            continue
+        try:  # a live operation may remove its own staging concurrently
+            if os.path.isdir(p) and now - os.path.getmtime(p) > grace_seconds:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
     return removed

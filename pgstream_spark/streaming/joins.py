@@ -92,6 +92,12 @@ def stream_static_point_in_time(
     """
     keep_key = stream[on]
     ver = [c for c in history.columns if c != on]
+    clashes = set(stream.columns) & ({f"{c}_r" for c in ver} | {"__pit_key"})
+    if clashes:
+        raise ValueError(
+            f"stream columns collide with enrichment output: {sorted(clashes)}"
+            " — rename them before the join"
+        )
     h = history.select(
         F.col(on).alias("__pit_key"),
         *[F.col(c).alias(f"{c}_r") for c in ver],

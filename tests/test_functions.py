@@ -267,3 +267,19 @@ class TestSimilarTo:
             r.c_name for r in c.collect() if rx.match(r.c_name)
         }
         assert got == want and len(got) > 0
+
+    def test_bracket_class_edge_forms(self):
+        import re
+
+        import pytest as _pytest
+
+        from pgstream_spark.functions.strings import similar_to_regex
+
+        # POSIX literal-] as the first class member
+        rx = similar_to_regex("[]a]x")
+        assert re.match(rx, "]x") and re.match(rx, "ax")
+        rx = similar_to_regex("[^]a]x")
+        assert re.match(rx, "bx") and not re.match(rx, "]x")
+        # POSIX bracket expressions: Java and RE2 disagree — refused
+        with _pytest.raises(ValueError, match="bracket"):
+            similar_to_regex("x[[:digit:]]")

@@ -711,3 +711,23 @@ class TestDataSkipping:
         assert vacuum_staging(tbl, grace_seconds=3600) == 1
         assert not os.path.exists(old) and os.path.exists(new)
         assert spark.read.parquet(tbl).count() == 800  # data untouched
+
+    def test_metadata_aggregate_unknown_nulls_not_zero(self, spark, tmp_path):
+        """A file whose stat column is entirely NULL has no min/max; its
+        null count must flow through as known (or the aggregate as
+        unknown) — never silently as 'zero nulls'."""
+        from pgstream_spark.sources.skipping import (
+            metadata_aggregate,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        spark.createDataFrame([(1, 10)], "id long, v int").coalesce(1).write.parquet(tbl)
+        spark.createDataFrame(
+            [(2, None), (3, None)], "id long, v int"
+        ).coalesce(1).write.mode("append").parquet(tbl)
+        write_stats_manifest(spark, tbl, ["v"])
+        got = {r.column: r for r in metadata_aggregate(spark, tbl).collect()}
+        # parquet footers DO carry null counts for all-null chunks, so
+        # the exact answer is available: 3 rows, 1 non-null
+        assert got["v"].n_rows == 3 and got["v"].n_nonnull == 1
