@@ -11836,6 +11836,53 @@ def l87(spark, sf_dir):
     )
 
 
+@q("l87b_cluster_split_prefix", ORACLE["l87_cluster_safe_split"])
+def l87b(spark, sf_dir):
+    # l87's leakage-safe split with the SCALE plan swapped in: family
+    # pairs come from dedup.prefix_filter_pairs (the PPJoin form that
+    # survives the sf1 corpus where the all-pairs join OOMs) instead of
+    # ngram_jaccard_pairs.  Oracle is l87's verbatim — two plans, one
+    # hash (the l55/l29 discipline): the scalable pair generator is
+    # drop-in equivalent through clustering, split assignment, AND the
+    # leakage audit.
+    from pgstream_spark.operators.dedup import (
+        dedup_clusters,
+        prefix_filter_pairs,
+    )
+    from pgstream_spark.operators.mixture import (
+        cluster_safe_split,
+        split_rule_bp,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    docs = (
+        d.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+    )
+    asg = cluster_safe_split(docs, "cluster").withColumn(
+        "nsplit", split_rule_bp(F.col("doc_id"))
+    )
+    leak = (
+        asg.groupBy("cluster")
+        .agg(F.countDistinct("nsplit").alias("__k"))
+        .agg(
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaky_families_naive")
+        )
+    )
+    per = asg.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_families"),
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_families", "leaky_families_naive"
+    )
+
+
 @q(
     "l89_random_projection",
     # Johnson–Lindenstrauss ±1 sign projection (linalg.random_projection,
@@ -12250,8 +12297,8 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
-    "p14_similar_to", "s11_zorder_scan", "s10_pruned_scan",
-    "l91_hashed_classifier", "p13_distinct_on",
+    "l87b_cluster_split_prefix", "p14_similar_to", "s11_zorder_scan",
+    "s10_pruned_scan", "l91_hashed_classifier", "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
     # -- pushed out of the R7 window by the round-7 additions -----------
@@ -12286,7 +12333,8 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "g18_tpch_q7_nation_volume", "l4f_repetition_stats", "l4g_pii_scrub",
+    "l7_stratified_sample", "g18_tpch_q7_nation_volume",
+    "l4f_repetition_stats", "l4g_pii_scrub",
     "l9_source_mixture", "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",
     "g22_tpch_q4_priority", "l10_corpus_profile", "l14_curation_pipeline",

@@ -349,6 +349,9 @@ def main() -> None:
         # family-key aggregate (sf1-covered transitively by l55's
         # cluster tier + the l61/l6 md5-rule rows).
         "l87_cluster_safe_split": "composes l29's all-pairs/recursive oracle; split rule sf1-covered via l55+l61 tiers",
+        # The Spark plan here (prefix-filter pairs) IS the sf1-surviving
+        # form — only the recursive-closure ORACLE cannot run at sf1.
+        "l87b_cluster_split_prefix": "shares l87's recursive-closure oracle; its prefix-pair plan is the sf1-surviving form (l55-covered)",
     }
 
     if seed:
