@@ -11704,6 +11704,62 @@ def s11(spark, sf_dir):
 
 
 @q(
+    "s12_bloom_scan",
+    # Per-file BLOOM sidecar skipping (skipping.add_bloom_sidecar +
+    # bloom_pruned_parquet): documents re-sharded BY LANGUAGE so doc_id
+    # is scattered — every file's [min,max] spans the id domain and
+    # min/max pruning is useless — then a point lookup on doc_ids reads
+    # only the files whose bloom can contain them (the file-level Bloom
+    # feature of the big table formats).  The oracle pins the superset
+    # contract: the bloom-pruned IN-read hash-matches the plain WHERE;
+    # pytest pins that files are actually skipped on a scattered layout.
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id IN (7, 123, 256, 401)",
+)
+def s12(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        add_bloom_sidecar,
+        bloom_pruned_parquet,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(f"{sf_dir}|{_fixture_ident(src)}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docbloom_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_docbloom_build_")
+        tbl = _os.path.join(build, "tbl")
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .repartition(8, "lang")  # ids scattered: min/max can't prune
+            .write.parquet(tbl)
+        )
+        write_stats_manifest(spark, tbl, ["doc_id"])
+        add_bloom_sidecar(spark, tbl, "doc_id")
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"docbloom cache publish failed and no healthy cache exists at {path}"
+            )
+    return bloom_pruned_parquet(
+        spark, path, "doc_id", [7, 123, 256, 401]
+    ).select("doc_id", "lang", "n_chars")
+
+
+@q(
     "l86_cdc_chunks",
     # Content-defined chunking (dedup.content_defined_chunks, the LBFS
     # Rabin-boundary rule at token granularity): a chunk ends after
@@ -12297,7 +12353,7 @@ _GATE_ORDER_R7 = [
 _GATE_ORDER_R8 = [
     # round-8 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R9 window)
-    "l87b_cluster_split_prefix", "p14_similar_to", "s11_zorder_scan",
+    "s12_bloom_scan", "l87b_cluster_split_prefix", "p14_similar_to", "s11_zorder_scan",
     "s10_pruned_scan", "l91_hashed_classifier", "p13_distinct_on",
     "l87_cluster_safe_split", "l89_random_projection", "l90_mrr_eval",
     "s8_jsonl_source", "s9_csv_source", "l86_cdc_chunks",
@@ -12333,7 +12389,7 @@ _GATE_ORDER_R8 = [
 # round, pushing re-proof slots out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
-    "l7_stratified_sample", "g18_tpch_q7_nation_volume",
+    "l6_hash_sample", "l7_stratified_sample", "g18_tpch_q7_nation_volume",
     "l4f_repetition_stats", "l4g_pii_scrub",
     "l9_source_mixture", "g19_tpch_q10_returns",
     "g20_tpch_q19_disjunctive", "g21_tpch_q22_dormant",

@@ -46,6 +46,8 @@ __all__ = [
     "foreach_batch_stats_appender",
     "metadata_aggregate",
     "vacuum_staging",
+    "add_bloom_sidecar",
+    "bloom_pruned_parquet",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -520,3 +522,125 @@ def vacuum_staging(table_path: str, grace_seconds: float = 3600.0) -> int:
         except OSError:
             continue
     return removed
+
+
+# ---------------------------------------------------------------------
+# Per-file Bloom sidecars: point-lookup skipping on ANY layout
+# ---------------------------------------------------------------------
+
+def _bloom_hashes(value, m_bits: int, k: int) -> list[int]:
+    """k bit positions for a value — md5 of ``f"{i}:{value}"`` per
+    hash, deterministic across build and probe (values are rendered
+    with ``str``, so int and string key columns are exact; float keys
+    are rejected at build time — repr drift would create false
+    NEGATIVES, the one failure a Bloom prune must never have)."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{i}:{value}".encode()).digest()[:8], "big"
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def add_bloom_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 6,
+) -> str:
+    """Extend the stats manifest with a per-file BLOOM FILTER over
+    ``col`` (stored as ``bloom_<col>`` binary: one k byte + ⌈m/8⌉
+    bitmap bytes — self-describing), enabling POINT-lookup file
+    skipping on layouts where min/max is useless: a high-cardinality
+    key scattered uniformly across files has every file's [min, max]
+    spanning the domain, but each file holds only its own values, so a
+    membership probe prunes to the files that can contain the key —
+    the file-level Bloom feature of the big table formats.
+
+    Cost: one column-pruned read per file (distinct values hashed into
+    the bitmap) — a build-time pass like any index; ~1 KB per file per
+    column at the default 8192 bits (≲1 % false-positive rate at ~570
+    distinct values/file; size the bits ~14× expected distincts for
+    1 %).  Files appended AFTER the build carry no bloom and are never
+    bloom-pruned (safe superset) until the sidecar is rebuilt.
+
+    Integer and string key columns only (see `_bloom_hashes`).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    dest = os.path.join(table_path, MANIFEST_NAME)
+    rows = pq.read_table(dest).to_pylist()
+    by_name = {r["file"]: r for r in rows}
+    for f in _data_files(table_path):
+        tbl = pq.read_table(f, columns=[col])
+        vals = pc.unique(tbl.column(col)).to_pylist()
+        bits = bytearray(m_bits // 8)
+        for v in vals:
+            if v is None:
+                continue
+            if isinstance(v, float):
+                raise TypeError(
+                    f"bloom sidecar on float column {col!r} unsupported: "
+                    "repr drift would create false negatives"
+                )
+            for pos in _bloom_hashes(v, m_bits, k):
+                bits[pos // 8] |= 1 << (pos % 8)
+        by_name[os.path.basename(f)][f"bloom_{col}"] = bytes([k]) + bytes(bits)
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(list(by_name.values())), tmp)
+    os.replace(tmp, dest)
+    return dest
+
+
+def bloom_pruned_parquet(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+) -> DataFrame:
+    """Point-lookup read through the Bloom sidecar: open only the files
+    whose bloom CAN contain at least one probe value (plus any file
+    with no bloom — membership unknown is never pruned), then apply
+    the exact IN predicate.  Superset contract like `pruned_parquet`:
+    bit-identical to the full scan on any layout; the bloom only
+    decides how much is skipped.  NULL-keyed rows are never IN-matches,
+    so bloom contents ignore NULLs soundly."""
+    import pyarrow.parquet as pq
+
+    if not values:
+        raise ValueError("values must be non-empty")
+    manifest = pq.read_table(
+        os.path.join(table_path, MANIFEST_NAME),
+        columns=["file", f"bloom_{col}"],
+    ).to_pylist()
+    keep = []
+    for r in manifest:
+        blob = r.get(f"bloom_{col}")
+        if not blob:
+            keep.append(os.path.join(table_path, r["file"]))
+            continue  # no bloom: membership unknown, never prune
+        k, bits = blob[0], blob[1:]
+        m_bits = len(bits) * 8
+        hit = any(
+            all(
+                bits[pos // 8] & (1 << (pos % 8))
+                for pos in _bloom_hashes(v, m_bits, k)
+            )
+            for v in values
+        )
+        if hit:
+            keep.append(os.path.join(table_path, r["file"]))
+    if not keep:
+        schema = spark.read.parquet(table_path).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*sorted(keep)).filter(
+        F.col(col).isin(list(values))
+    )

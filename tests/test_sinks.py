@@ -731,3 +731,93 @@ class TestDataSkipping:
         # parquet footers DO carry null counts for all-null chunks, so
         # the exact answer is available: 3 rows, 1 non-null
         assert got["v"].n_rows == 3 and got["v"].n_nonnull == 1
+
+    def test_bloom_prunes_scattered_keys(self, spark, tmp_path):
+        """The layout min/max can't help: keys scattered uniformly mod 8
+        put every file's [min,max] across the domain — the bloom still
+        prunes a point lookup to the one file holding the key."""
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            write_stats_manifest,
+        )
+
+        df = spark.range(0, 800).selectExpr("id AS k", "id % 8 AS bucket")
+        tbl = str(tmp_path / "t")
+        df.repartition(8, "bucket").write.parquet(tbl)  # k scattered
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        out = bloom_pruned_parquet(spark, tbl, "k", [5])
+        full = spark.read.parquet(tbl).filter("k IN (5)")
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        n_total = len(spark.read.parquet(tbl).inputFiles())
+        assert len(out.inputFiles()) < n_total  # min/max could never prune here
+        # a value present nowhere: most files bloom-pruned, result empty
+        miss = bloom_pruned_parquet(spark, tbl, "k", [999999])
+        assert miss.count() == 0
+
+    def test_bloom_superset_never_false_negative(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            write_stats_manifest,
+        )
+
+        df = spark.range(0, 500).selectExpr(
+            "id AS k", "CAST(concat('u', id % 97) AS string) AS name"
+        )
+        tbl = str(tmp_path / "t")
+        df.repartition(6).write.parquet(tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "name")
+        # every probe value must come back complete (superset contract)
+        for probe in (["u0"], ["u13", "u95"], ["u96", "nope"]):
+            got = sorted(
+                r.k for r in bloom_pruned_parquet(
+                    spark, tbl, "name", probe
+                ).collect()
+            )
+            want = sorted(
+                r.k
+                for r in spark.read.parquet(tbl).collect()
+                if r.name in probe
+            )
+            assert got == want
+
+    def test_bloom_unbuilt_files_never_pruned(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            update_stats_manifest,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        spark.range(0, 100).selectExpr("id AS k").coalesce(1).write.parquet(tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        # append AFTER the bloom build: new file has no bloom
+        spark.range(100, 200).selectExpr("id AS k").coalesce(1).write.mode(
+            "append"
+        ).parquet(tbl)
+        update_stats_manifest(spark, tbl, ["k"])
+        out = bloom_pruned_parquet(spark, tbl, "k", [150])
+        assert [r.k for r in out.collect()] == [150]  # found despite no bloom
+
+    def test_bloom_float_column_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 1.5)], "k long, v double"
+        ).coalesce(1).write.parquet(tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        with _pytest.raises(TypeError, match="float"):
+            add_bloom_sidecar(spark, tbl, "v")
