@@ -12382,11 +12382,13 @@ _GATE_ORDER_R8 = [
 # Round-9 staging, PRE-BUILT at the round-8 close (activate only after
 # the round-8 driver gate has consumed the first 50 of the R8 order:
 # set `_GATE_ORDER = _GATE_ORDER_R9`).  Re-proof rotation, continued:
-# the 4 re-proof slots the round-8 session additions pushed out of the
-# R8 window first, then the remaining queries whose most recent driver
-# row is OLDEST (r2 tail, then r3), in registration order within a
-# round.  Any new oracle-backed registration goes to the FRONT at its
-# round, pushing re-proof slots out the tail.
+# the 14 re-proof slots the round-8 additions pushed out of the R8
+# window first (in their R8 order — the tail-consistency assert in the
+# round tooling pins `R8[50:] == R9[:len(R8)-50]`), then the remaining
+# queries whose most recent driver row is OLDEST (r2 tail, then r3),
+# in registration order within a round.  Any new oracle-backed
+# registration goes to the FRONT at its round, pushing re-proof slots
+# out the tail.
 _GATE_ORDER_R9 = [
     # -- pushed out of the R8 window by the round-8 additions -----------
     "l6_hash_sample", "l7_stratified_sample", "g18_tpch_q7_nation_volume",
