@@ -4870,7 +4870,10 @@ def l34(spark, sf_dir):
 
 
 @q("l36_ivf_adc")  # composed IVF×PQ×re-rank; recall + plan pytest-pinned,
-# approximate by nature (data-trained centroids) → rows-only, NOT gated
+# approximate by nature (data-trained centroids) → rows-only, NOT gated.
+# residual=False is EXPLICIT: this is the raw-code tier kept as the
+# baseline arm of the recall comparison (the library default flipped to
+# residual in round 9 — l36b is the default recipe now)
 def l36(spark, sf_dir):
     from pgstream_spark.operators.ivf import ivf_adc_top_k, train_centroids
     from pgstream_spark.operators.pq import default_codebooks
@@ -4880,7 +4883,7 @@ def l36(spark, sf_dir):
     books = default_codebooks(dim=64, m_subspaces=16, n_codes=16)
     return ivf_adc_top_k(
         emb.filter(F.col("vec_id") < 10), emb, cents, books,
-        k=5, n_probes=4, shortlist=64,
+        k=5, n_probes=4, shortlist=64, residual=False,
     )
 
 
@@ -11603,42 +11606,9 @@ def s9(spark, sf_dir):
     "WHERE doc_id BETWEEN 100 AND 199",
 )
 def s10(spark, sf_dir):
-    import hashlib as _hashlib
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
+    from pgstream_spark.sources.skipping import pruned_parquet
 
-    from pgstream_spark.sinks import write_clustered
-    from pgstream_spark.sources.skipping import (
-        MANIFEST_NAME,
-        pruned_parquet,
-        write_stats_manifest,
-    )
-
-    src = _os.path.join(sf_dir, "documents.parquet")
-    tag = _hashlib.md5(f"{sf_dir}|{_fixture_ident(src)}".encode()).hexdigest()[
-        :12
-    ]
-    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docskip_{tag}")
-    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
-        build = _tempfile.mkdtemp(prefix="pgstream_docskip_build_")
-        tbl = _os.path.join(build, "tbl")
-        write_clustered(
-            _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
-            tbl,
-            ["doc_id"],
-            n_files=8,
-        )
-        write_stats_manifest(spark, tbl, ["doc_id"])
-        try:
-            _os.rename(tbl, path)  # atomic publish
-        except OSError:
-            pass  # a concurrent run published first — use theirs
-        _shutil.rmtree(build, ignore_errors=True)
-        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
-            raise RuntimeError(
-                f"docskip cache publish failed and no healthy cache exists at {path}"
-            )
+    path = _docskip_table(spark, sf_dir)
     return pruned_parquet(spark, path, "doc_id", lower=100, upper=199).select(
         "doc_id", "lang", "n_chars"
     )
@@ -12058,6 +12028,278 @@ def l91(spark, sf_dir):
     return hashed_linear_score(_t(spark, sf_dir, "documents"))
 
 
+def _docskip_table(spark, sf_dir) -> str:
+    """Content-keyed cached build of the stats-indexed clustered
+    documents table (shared by s10/s15): 8 range-disjoint files +
+    footer manifest, atomic /tmp publish keyed on the fixture's
+    content identity."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sinks import write_clustered
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(f"{sf_dir}|{_fixture_ident(src)}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docskip_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_docskip_build_")
+        tbl = _os.path.join(build, "tbl")
+        write_clustered(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+            tbl,
+            ["doc_id"],
+            n_files=8,
+        )
+        write_stats_manifest(spark, tbl, ["doc_id"])
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"docskip cache publish failed and no healthy cache exists at {path}"
+            )
+    return path
+
+
+@q(
+    "s13_schemed_pruned_scan",
+    # The skipping tier over a SCHEME'D path (round 9: manifest I/O,
+    # listing, file identity, and footer reads routed through the JVM
+    # Hadoop FileSystem — the neardup_index pattern — so the tier runs
+    # where a 100 TB table actually lives).  file:// exercises every
+    # Hadoop-FS call an hdfs:///s3a:// table makes while staying
+    # locally provable: the manifest is BUILT through Hadoop FS
+    # (FileContext rename-OVERWRITE commit), the read planned through
+    # it, and the oracle pins the bit-identical superset contract
+    # against the plain WHERE.
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id BETWEEN 200 AND 299",
+)
+def s13(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sinks import write_clustered
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        pruned_parquet,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(
+        f"{sf_dir}|{_fixture_ident(src)}|scheme".encode()
+    ).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docfsfs_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_docfsfs_build_")
+        tbl = _os.path.join(build, "tbl")
+        write_clustered(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+            tbl,
+            ["doc_id"],
+            n_files=8,
+        )
+        # manifest built THROUGH the Hadoop FileSystem adapter
+        write_stats_manifest(spark, "file://" + tbl, ["doc_id"])
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"docfsfs cache publish failed and no healthy cache exists at {path}"
+            )
+    return pruned_parquet(
+        spark, "file://" + path, "doc_id", lower=200, upper=299
+    ).select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "s14_bloom_incremental_scan",
+    # Incremental Bloom maintenance (round 9: skipping.update_bloom_
+    # sidecar — the O(new files) half of the sidecar): the table is
+    # built scattered-by-language, bloom-indexed, then APPENDED to, and
+    # the append's bloom is built by the incremental path (only the new
+    # file is read; the reconcile preserves the old blobs through the
+    # explicit-union manifest rewrite that round 9's schema fix
+    # guarantees).  The point lookup spans both generations; the oracle
+    # pins the superset contract over the whole lifecycle.
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id IN (9, 123, 258, 409)",
+)
+def s14(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        add_bloom_sidecar,
+        bloom_pruned_parquet,
+        update_bloom_sidecar,
+        write_stats_manifest,
+    )
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(
+        f"{sf_dir}|{_fixture_ident(src)}|bloominc".encode()
+    ).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), f"pgstream_docblinc_{tag}")
+    if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+        build = _tempfile.mkdtemp(prefix="pgstream_docblinc_build_")
+        tbl = _os.path.join(build, "tbl")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        (
+            docs.filter(F.col("doc_id") % 10 < 8)
+            .repartition(8, "lang")  # ids scattered: min/max can't prune
+            .write.parquet(tbl)
+        )
+        write_stats_manifest(spark, tbl, ["doc_id"])
+        add_bloom_sidecar(spark, tbl, "doc_id")
+        # append a new generation, bloom it INCREMENTALLY (only the new
+        # files are read; existing blobs survive byte-for-byte)
+        (
+            docs.filter(F.col("doc_id") % 10 >= 8)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tbl)
+        )
+        update_bloom_sidecar(spark, tbl, "doc_id")
+        try:
+            _os.rename(tbl, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+        if not _os.path.exists(_os.path.join(path, MANIFEST_NAME)):
+            raise RuntimeError(
+                f"docblinc cache publish failed and no healthy cache exists at {path}"
+            )
+    return bloom_pruned_parquet(
+        spark, path, "doc_id", [9, 123, 258, 409]
+    ).select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "s15_metadata_agg",
+    # Metadata-only aggregates (skipping.metadata_aggregate): count/
+    # count(col)/min/max answered from the MANIFEST ALONE — zero data
+    # files opened, the table-format fast path for `SELECT count(*)`.
+    # The oracle computes the same aggregates by actually scanning —
+    # matching hashes prove footer stats ARE the scan truth.
+    'SELECT \'doc_id\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, '
+    "CAST(count(doc_id) AS BIGINT) AS n_nonnull, "
+    "CAST(min(doc_id) AS VARCHAR) AS min, "
+    "CAST(max(doc_id) AS VARCHAR) AS max FROM documents",
+)
+def s15(spark, sf_dir):
+    from pgstream_spark.sources.skipping import metadata_aggregate
+
+    return metadata_aggregate(spark, _docskip_table(spark, sf_dir))
+
+
+@q(
+    "l92_gopher_rules",
+    # Rule-based quality filtering (quality.gopher_rules — the Gopher/
+    # MassiveText §A1.1 rule battery, Rae et al. 2021): per-rule boolean
+    # verdicts (word count, mean word length, symbol ratio, bullet/
+    # ellipsis lines, alphabetic-word share, distinct-stopword count)
+    # + overall keep.  Every ratio test is an integer cross-
+    # multiplication — no float division crosses engines — and the
+    # whole battery is ONE map-only pass (no shuffle, no UDF): scan
+    # speed at 100 TB.
+    "WITH w AS (SELECT doc_id, text, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws, "
+    "string_split(text, chr(10)) AS ls FROM documents), "
+    "c AS (SELECT doc_id, len(ws) AS n_words, len(ls) AS n_lines, "
+    "CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS word_chars, "
+    "len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words, "
+    "len(list_filter(['the', 'a'], s -> list_contains(list_transform(ws, x -> lower(x)), s))) AS stop_distinct, "
+    "CAST(length(text) - length(replace(text, '#', '')) "
+    "+ length(text) - length(replace(text, '…', '')) AS BIGINT) AS symbols, "
+    "len(list_filter(ls, x -> regexp_matches(x, '^\\s*([-*•])'))) AS bullet_lines, "
+    "len(list_filter(ls, x -> regexp_matches(x, '(…|\\.\\.\\.)\\s*$'))) AS ellipsis_lines "
+    "FROM w) "
+    "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+    "CAST(n_lines AS INT) AS n_lines, "
+    "n_words BETWEEN 20 AND 100000 AS ok_word_count, "
+    "n_words > 0 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS ok_mean_word_len, "
+    "10 * symbols <= n_words AS ok_symbol_ratio, "
+    "10 * bullet_lines < 9 * n_lines AS ok_bullet_lines, "
+    "10 * ellipsis_lines <= 3 * n_lines AS ok_ellipsis_lines, "
+    "10 * alpha_words >= 8 * n_words AS ok_alpha_words, "
+    "stop_distinct >= 2 AS ok_stopwords, "
+    "(n_words BETWEEN 20 AND 100000) "
+    "AND (n_words > 0 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words) "
+    "AND (10 * symbols <= n_words) AND (10 * bullet_lines < 9 * n_lines) "
+    "AND (10 * ellipsis_lines <= 3 * n_lines) AND (10 * alpha_words >= 8 * n_words) "
+    "AND (stop_distinct >= 2) AS keep FROM c",
+)
+def l92(spark, sf_dir):
+    from pgstream_spark.operators.quality import gopher_rules
+
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=20,
+        stopwords=("the", "a"),
+        min_stopwords=2,
+    )
+
+
+@q(
+    "l93_prototype_outliers",
+    # Prototypicality pruning (linalg.group_centroid_outliers — the
+    # SemDeDup/D4 curation family, Sorscher et al. 2022): rank every
+    # vector by squared distance to its group centroid, flag the
+    # farthest 10 % per group.  Exact-integer end to end: components
+    # quantized AND SHIFTED non-negative (so Spark's truncating DIV and
+    # the oracle's floor // agree on the integer centroid mean), the
+    # distance an exact BIGINT fold, the percentile an integer
+    # cross-multiplication.  Scale shape: centroids via one map-side-
+    # combined (group, component) aggregate re-packed to a broadcast
+    # array; the distance pass is MAP-ONLY; the only corpus shuffle is
+    # the per-group rank window the semantics require.
+    "WITH q AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 8000) AS qv "
+    "FROM embeddings), "
+    "comp AS (SELECT vec_id, label, unnest(qv) AS x, "
+    "generate_subscripts(qv, 1) AS i FROM q), "
+    "cent AS (SELECT label, i, "
+    "CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS c "
+    "FROM comp GROUP BY label, i), "
+    "d AS (SELECT comp.vec_id, comp.label, "
+    "CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist_sq "
+    "FROM comp JOIN cent ON comp.label = cent.label AND comp.i = cent.i "
+    "GROUP BY comp.vec_id, comp.label), "
+    "r AS (SELECT vec_id, label, dist_sq, "
+    "row_number() OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id ASC) AS rnk, "
+    "count(*) OVER (PARTITION BY label) AS n_in_group FROM d) "
+    "SELECT vec_id, label, dist_sq, CAST(rnk AS INT) AS rank, "
+    "CAST(n_in_group AS BIGINT) AS n_in_group, "
+    "rnk * 100 <= n_in_group * 10 AS outlier FROM r",
+)
+def l93(spark, sf_dir):
+    from pgstream_spark.operators.linalg import group_centroid_outliers
+
+    return group_centroid_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -12390,6 +12632,10 @@ _GATE_ORDER_R8 = [
 # registration goes to the FRONT at its round, pushing re-proof slots
 # out the tail.
 _GATE_ORDER_R9 = [
+    # round-9 session additions — newest-first per the rotation contract
+    # (each pushes one tail re-proof slot out to the R10 window)
+    "s13_schemed_pruned_scan", "s14_bloom_incremental_scan",
+    "s15_metadata_agg", "l92_gopher_rules", "l93_prototype_outliers",
     # -- pushed out of the R8 window by the round-8 additions -----------
     "l6_hash_sample", "l7_stratified_sample", "g18_tpch_q7_nation_volume",
     "l4f_repetition_stats", "l4g_pii_scrub",
@@ -12412,7 +12658,39 @@ _GATE_ORDER_R9 = [
     "j8b_asof_salted", "a12_error_surface",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R8
+# Round-10 staging, PRE-BUILT at the round-9 close (activate only after
+# the round-9 driver gate has consumed the first 50 of the R9 order:
+# set `_GATE_ORDER = _GATE_ORDER_R10`).  Re-proof rotation, continued:
+# the 15 re-proof slots the round-9 additions pushed out of the R9
+# window first (in their R9 order — the tail-consistency invariant
+# `R9[50:] == R10[:len(R9)-50]` holds by construction), then the
+# queries whose most recent driver green is OLDEST (the round-4 block),
+# in registration order.  Any new oracle-backed registration goes to
+# the FRONT at its round, pushing re-proof slots out the tail.
+_GATE_ORDER_R10 = [
+    # -- pushed out of the R9 window by the round-9 additions -----------
+    "j11_broadcast_range", "t18_drawdown", "w11_bollinger",
+    "t19_ohlc_daily_rollup", "x6_cogrouped_map", "l29_canonical_docs",
+    "l30_shard_manifest", "t20_count_anomaly", "t21_growth_accounting",
+    "l31_distribution_drift", "l32_token_budget", "w12_ignore_nulls_carry",
+    "l27b_hybrid_rrf_ann", "j8b_asof_salted", "a12_error_surface",
+    # -- next-oldest driver rows (r4 block, registration order) ---------
+    "l12_sequence_pack", "t17_sessionize", "l33_lexical_diversity",
+    "j12_bloom_prefilter_join", "g40_salted_agg", "w13_window_median",
+    "l42_pagerank", "t22_scd2_history", "l43_expectations",
+    "l44_bpe_pair_counts", "p12_recursive_cte", "j13_null_safe_join",
+    "f23_array_hof", "x8_grouped_arrow", "l45_grid_quantiles",
+    "t23_sliding_distinct", "w14_distribution_functions",
+    "g41_null_aggregate_semantics", "u5_union_by_name_evolution",
+    "j14_scd2_pit", "j15_fuzzy_blocked", "o8_pareto_frontier",
+    "l46_embedding_gram", "l47_hll_setops", "l48_sparse_cosine",
+    "l49_triangle_count", "t24_interval_coverage", "t25_transition_matrix",
+    "t26_seasonal_decompose", "t27_cusum_changepoint", "g42_rfm_segments",
+    "g43_basket_pairs", "l52_prefix_filter_join", "w15_weighted_median",
+    "t28_sequence_pattern",
+]
+
+_GATE_ORDER = _GATE_ORDER_R9
 
 
 def _reorder_registry() -> None:
@@ -12421,6 +12699,7 @@ def _reorder_registry() -> None:
     unknown += [n for n in _GATE_ORDER_R7 if n not in QUERIES or n not in ORACLE]
     unknown += [n for n in _GATE_ORDER_R8 if n not in QUERIES or n not in ORACLE]
     unknown += [n for n in _GATE_ORDER_R9 if n not in QUERIES or n not in ORACLE]
+    unknown += [n for n in _GATE_ORDER_R10 if n not in QUERIES or n not in ORACLE]
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}

@@ -492,7 +492,7 @@ def ivf_adc_top_k(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
-    residual: bool = False,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-ADC: the full corpus-scale ANN pipeline in one operator —
     IVF probe pruning × PQ-code scanning × exact re-rank.
@@ -524,10 +524,11 @@ def ivf_adc_top_k(
     to resolve WITHIN-cluster geometry.  Measured on the 500k-vector
     decade probe (25 scattered regions): raw encoding recall@10 = 0.40,
     residual encoding = 1.00 at the same codebooks/params (SCALE.md
-    round-8).  Default stays ``False`` for compatibility with indexes
-    and oracles built on raw codes; new corpus-scale deployments should
-    pass ``True`` (and train codebooks on residuals —
-    ``pq.train_residual_codebooks``).
+    round-8) — and 2.2× faster at sf10.  Residual is therefore the
+    DEFAULT since round 9; pass ``False`` only to probe an index whose
+    codes were deliberately built raw (persisted indexes don't need
+    this — their ``meta/`` flag wins).  Pair with residual-trained
+    codebooks (``pq.train_residual_codebooks``) for best recall.
     """
     from pgstream_spark.operators.pq import pq_encode
 
@@ -610,7 +611,7 @@ def write_ivfpq_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
-    residual: bool = False,
+    residual: bool = True,
 ) -> None:
     """Persist the composed IVF-PQ index — the FAISS-style on-disk ANN
     layout, assembled from the pieces this module already proves:
@@ -627,9 +628,12 @@ def write_ivfpq_index(
 
     Both data trees share the bucket partitioning, so a probe prunes
     BOTH scans to ``n_probes/n_lists`` of their files.  ``residual=True``
-    stores codes of ``v - centroid(bucket)`` (canonical IVFPQ — see
-    ``ivf_adc_top_k``); the vectors tree always stays RAW (re-rank needs
-    the true vectors).
+    (the DEFAULT since round 9 — the production recipe the round-8
+    decade probe validated) stores codes of ``v - centroid(bucket)``
+    (canonical IVFPQ — see ``ivf_adc_top_k``); the vectors tree always
+    stays RAW (re-rank needs the true vectors).  Readers never need to
+    know: ``meta/`` records the flag and ``ivfpq_query_index`` probes
+    accordingly.
     """
     from pgstream_spark.operators.pq import pq_encode
 

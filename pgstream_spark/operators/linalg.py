@@ -38,6 +38,7 @@ __all__ = [
     "pca_project",
     "jl_sign_matrix",
     "random_projection",
+    "group_centroid_outliers",
 ]
 
 
@@ -219,3 +220,102 @@ def random_projection(
             ).alias(f"p{j}")
         )
     return df.withColumn(out_col, F.array(*outs))
+
+
+def group_centroid_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000,
+    top_fraction_pct: int = 10,
+    max_abs: int = 8,
+) -> DataFrame:
+    """Prototypicality pruning (the SemDeDup/D4 family — Sorscher et
+    al. 2022 "Beyond neural scaling laws", Abbas et al. 2023): rank
+    each vector by its distance to ITS GROUP'S centroid and flag the
+    farthest ``top_fraction_pct`` percent as outliers — the curation
+    step that drops least-prototypical examples per cluster/source
+    before training.
+
+    Exact-integer discipline end to end, so the verdict frame is
+    oracle-checkable bit-for-bit (no trained state — the "clusters"
+    are whatever grouping column the caller provides: a label, a
+    source, an LSH bucket, a trained assignment):
+
+    1. quantize components (``round(x·scale) + scale·max_abs`` →
+       BIGINT — the shift keeps every operand NON-NEGATIVE, where
+       Spark's ``DIV`` (truncate toward zero) and an oracle's ``//``
+       (floor) agree; the shift cancels in every difference, so
+       distances are unchanged.  Components must satisfy
+       ``|x| ≤ max_abs`` (default 8 — generous for unit-norm or
+       standardized embeddings);
+    2. per-group centroid component = ``sum DIV count`` (exact
+       integer mean over the shifted domain);
+    3. squared distance = Σ (qxᵢ − cᵢ)² — exact BIGINT;
+    4. rank by (distance DESC, id ASC) per group;
+       ``outlier = rank·100 ≤ n·top_fraction_pct`` (integer
+       cross-multiplication — no float percentile).
+
+    Scale shape: the centroid pass explodes to (group, component) and
+    map-side combines — the shuffle carries at most partitions ×
+    groups × d partial rows, and the result (groups × d, re-packed to
+    one ARRAY row per group) is broadcast-sized by construction.  The
+    distance pass is then MAP-ONLY: broadcast-join the centroid array
+    onto each row and fold ``zip_with`` — the corpus is never exploded
+    a second time and never shuffled for the distance.  The only
+    corpus-sized shuffle is the per-group window for the rank, which
+    the semantics require.  No crossJoin, no UDF.  Returns
+    ``(id, group, dist_sq, rank, n_in_group, outlier)``.
+    """
+    from pyspark.sql import Window
+
+    shift = scale * max_abs
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(scale)).cast("bigint")
+        + F.lit(shift).cast("bigint"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        q.alias("__q"),
+    )
+    cents = (
+        base.select("__g", F.posexplode("__q").alias("__i", "__x"))
+        .groupBy("__g", "__i")
+        .agg(F.expr("CAST(sum(__x) AS BIGINT) DIV count(1)").alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__i, __c))), s -> s.__c)"
+            ).alias("__cent")
+        )
+    )
+    d = base.join(F.broadcast(cents), "__g").select(
+        "__id",
+        "__g",
+        F.aggregate(
+            F.zip_with(
+                "__q", "__cent", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist_sq"),
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("dist_sq").desc(), F.col("__id").asc()
+    )
+    ranked = d.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n_in_group", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    )
+    return ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        "dist_sq",
+        "rank",
+        "n_in_group",
+        (
+            F.col("rank") * 100 <= F.col("n_in_group") * top_fraction_pct
+        ).alias("outlier"),
+    )

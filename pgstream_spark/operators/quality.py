@@ -45,6 +45,7 @@ __all__ = [
     "benford_audit",
     "profile_columns",
     "hashed_linear_score",
+    "gopher_rules",
 ]
 
 
@@ -379,15 +380,25 @@ def hashed_linear_score(
         F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
+    shift = 1
     if weights is not None:
         if len(weights) != n_buckets:
             raise ValueError(
                 f"weights must have n_buckets={n_buckets} entries, got {len(weights)}"
             )
-        # micro-unit literals, shifted non-negative for the DIV discipline
+        # micro-unit literals, shifted non-negative for the DIV
+        # discipline — shift derived from max(|w|), not a fixed 1.0:
+        # logistic coefficients below -1.0 are common, and a fixed
+        # shift would leave negative sums whose truncation direction
+        # differs across engines
+        import math as _math
+
+        shift = max(1, _math.ceil(max(abs(w) for w in weights)))
         lits = F.array(
             *[
-                F.lit(int(round(w * 1_000_000)) + 1_000_000).cast("bigint")
+                F.lit(int(round(w * 1_000_000)) + shift * 1_000_000).cast(
+                    "bigint"
+                )
                 for w in weights
             ]
         )
@@ -410,7 +421,9 @@ def hashed_linear_score(
         F.sum("__wq").cast("long").alias("__z"),
     )
     mean_micro = F.expr("__z DIV n_tokens")
-    x = mean_micro.cast("double") / 1_000_000.0 - 1.0
+    # un-shift by the same amount the literals were shifted (the
+    # md5-seed path's domain [0, 2e6) is centered at 1.0 → shift 1)
+    x = mean_micro.cast("double") / 1_000_000.0 - float(shift)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), round_digits)
     return agg.select(
         id_col,
@@ -419,3 +432,108 @@ def hashed_linear_score(
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    stopwords: tuple = _GOPHER_STOPWORDS,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher repetition-free quality RULES (Rae et al. 2021,
+    MassiveText §A1.1) as per-rule boolean flags — the rule-based
+    filtering stage every LLM data pipeline runs before model-based
+    scoring, kept as individual verdicts (not a collapsed score) so a
+    curation report can show WHICH rule removed a document:
+
+    * ``ok_word_count`` — word count in ``[min_words, max_words]``;
+    * ``ok_mean_word_len`` — mean word length in
+      ``[min_mean_word_len, max_mean_word_len]`` characters, tested by
+      exact cross-multiplication (``min·n ≤ Σlen ≤ max·n``) — no float
+      division crosses engines;
+    * ``ok_symbol_ratio`` — '#' + '…' occurrences ≤ 10 % of words
+      (``10·symbols ≤ n_words``);
+    * ``ok_bullet_lines`` — < 90 % of lines may start with a bullet
+      (``10·bullet_lines < 9·n_lines`` violates → flag is the
+      complement);
+    * ``ok_ellipsis_lines`` — ≤ 30 % of lines end with '…' or '...'
+      (``10·ellipsis_lines ≤ 3·n_lines``);
+    * ``ok_alpha_words`` — ≥ 80 % of words contain an alphabetic
+      character (``10·alpha_words ≥ 8·n_words``);
+    * ``ok_stopwords`` — at least ``min_stopwords`` DISTINCT members
+      of the stop list appear (the "is this prose" tripwire);
+    * ``keep`` — every rule passed.
+
+    One map-only pass: words split on whitespace, every count an exact
+    integer, every ratio test an integer cross-multiplication — the
+    whole verdict frame is oracle-checkable bit-for-bit and runs at
+    scan speed on 100 TB (no shuffle, no UDF).  Returns
+    ``(id, n_words, n_lines, <flags...>, keep)``.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    d = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(lines).alias("n_lines"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("__word_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("__alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.transform(words, F.lower),
+                F.array(*[F.lit(s) for s in stopwords]),
+            )
+        ).alias("__stop_distinct"),
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+            + F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
+        ).cast("bigint").alias("__symbols"),
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"^\s*([-*•])"))
+        ).alias("__bullet_lines"),
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"(…|\.\.\.)\s*$"))
+        ).alias("__ellipsis_lines"),
+    )
+    n_w = F.col("n_words").cast("bigint")
+    n_l = F.col("n_lines").cast("bigint")
+    flags = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (n_w > 0)
+        & (F.col("__word_chars") >= F.lit(min_mean_word_len) * n_w)
+        & (F.col("__word_chars") <= F.lit(max_mean_word_len) * n_w),
+        "ok_symbol_ratio": F.lit(10) * F.col("__symbols") <= n_w,
+        "ok_bullet_lines": F.lit(10) * F.col("__bullet_lines") < F.lit(9) * n_l,
+        "ok_ellipsis_lines": F.lit(10) * F.col("__ellipsis_lines")
+        <= F.lit(3) * n_l,
+        "ok_alpha_words": F.lit(10) * F.col("__alpha_words")
+        >= F.lit(8) * n_w,
+        "ok_stopwords": F.col("__stop_distinct") >= min_stopwords,
+    }
+    out = d.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = reduce(lambda a, b: a & b, [F.col(n) for n in flags])
+    return out.withColumn("keep", keep)

@@ -259,11 +259,14 @@ def ranking_metrics(
     decision MRR/P@k inform at eval time.
     """
     r = ranked.filter(F.col(rank_col) <= k)
-    j = r.join(
-        relevant.select(query_col, item_col).withColumn("__rel", F.lit(1)),
-        [query_col, item_col],
-        "left",
+    # relevance is a SET: duplicate (query, item) labels in the input
+    # would fan out the left join and inflate rel_at_k past k
+    rel = (
+        relevant.select(query_col, item_col)
+        .dropDuplicates([query_col, item_col])
+        .withColumn("__rel", F.lit(1))
     )
+    j = r.join(rel, [query_col, item_col], "left")
     agg = j.groupBy(query_col).agg(
         F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__fr"),
         F.sum(F.when(F.col("__rel") == 1, 1).otherwise(0))

@@ -228,15 +228,34 @@ def compact_dir(
         return f.endswith(".parquet") and not f.startswith(("_", "."))
 
     stat_cols: list | None = None
+    bloom_params: dict[str, tuple[int, int]] = {}
     old_manifest = os.path.join(path, MANIFEST_NAME)
     if os.path.exists(old_manifest):
         import pyarrow.parquet as pq
 
+        names = pq.read_schema(old_manifest).names
         stat_cols = sorted(
-            c[len("min_"):]
-            for c in pq.read_schema(old_manifest).names
-            if c.startswith("min_")
+            c[len("min_"):] for c in names if c.startswith("min_")
         )
+        # bloom sidecars are invalidated by compaction (every file is
+        # new) — recover each column's geometry from any existing blob
+        # (self-describing: k byte + bitmap) so they can be REBUILT
+        # after the swap rather than silently dropped
+        bloom_cols = [
+            c[len("bloom_"):] for c in names if c.startswith("bloom_")
+        ]
+        if bloom_cols:
+            rows = pq.read_table(
+                old_manifest, columns=[f"bloom_{c}" for c in bloom_cols]
+            ).to_pylist()
+            for c in bloom_cols:
+                blob = next(
+                    (r[f"bloom_{c}"] for r in rows if r.get(f"bloom_{c}")),
+                    None,
+                )
+                if blob is not None:
+                    # mask the format tag (skipping._BLOOM_KM) off k
+                    bloom_params[c] = ((len(blob) - 1) * 8, blob[0] & 0x7F)
     total = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, files in os.walk(path)
@@ -258,6 +277,11 @@ def compact_dir(
     shutil.rmtree(bak)
     if stat_cols is not None:
         write_stats_manifest(spark, path, stat_cols)
+        if bloom_params:
+            from pgstream_spark.sources.skipping import add_bloom_sidecar
+
+            for c, (m_bits, k) in sorted(bloom_params.items()):
+                add_bloom_sidecar(spark, path, c, m_bits=m_bits, k=k)
     return sum(
         1
         for _, _, files in os.walk(path)

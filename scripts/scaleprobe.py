@@ -290,7 +290,8 @@ def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
             (
                 "l36_ivf_adc",
                 lambda: ivf_adc_top_k(
-                    queries, emb, cents, books, k=k, n_probes=4, shortlist=64
+                    queries, emb, cents, books, k=k, n_probes=4,
+                    shortlist=64, residual=False,  # the raw baseline arm
                 ),
             ),
             (
@@ -322,6 +323,161 @@ def ann_recall(spark, levels, k: int = 10, n_queries: int = 100) -> dict:
         truth.unpersist()
         queries.unpersist()
         out[label] = level
+    return out
+
+
+def skipping_probe(spark) -> dict:
+    """VERDICT r8 item 6: the skipping tier's PRUNING LAW, measured —
+    files skipped vs files total and wall vs full scan on a replicated
+    lineitem corpus at two decades (6M rows / 64 files, 60M rows / 256
+    files), plus `metadata_aggregate` timed against the equivalent
+    full-scan aggregate and `delete_where`'s touched-file economics.
+    Tables are clustered on ``l_orderkey`` (disjoint per-file ranges —
+    the layout `write_clustered` exists for) and bloom-indexed on
+    ``l_rid``, a HIGH-CARDINALITY unique row id scattered across files
+    (each file holds only its own ~n/files ids — min/max spans the
+    domain and is useless, the bloom's exact use case; bits sized ~14×
+    per-file distincts for ~1 % FPR).  All walls are min-of-2."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pgstream_spark.sinks import write_clustered
+    from pgstream_spark.sources.parquet import load_table
+    from pgstream_spark.sources.skipping import (
+        MANIFEST_NAME,
+        add_bloom_sidecar,
+        bloom_pruned_parquet,
+        delete_where,
+        metadata_aggregate,
+        pruned_parquet,
+        write_stats_manifest,
+    )
+
+    out: dict = {}
+    base = load_table(spark, SRC, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    max_key = base.agg(F.max("l_orderkey")).collect()[0][0]
+    for label, reps, n_files, m_bits in (
+        ("sf1", 10, 64, 1 << 21),   # ~94k ids/file × 14 bits ≈ 1.3M
+        ("sf10", 100, 256, 1 << 22),  # ~234k ids/file × 14 bits ≈ 3.3M
+    ):
+        tbl = f"/tmp/pgstream_scale/skiptbl_{label}"
+        shutil.rmtree(tbl, ignore_errors=True)
+        # replicas get disjoint key ranges: corpus GROWS, per-key
+        # density stays — the production append regime
+        rep = spark.range(reps).selectExpr("id AS __r")
+        big = base.crossJoin(F.broadcast(rep)).select(
+            (F.col("l_orderkey") + F.col("__r") * (max_key + 1)).alias(
+                "l_orderkey"
+            ),
+            "l_suppkey",
+            "l_quantity",
+            "l_shipdate",
+        )
+        # unique-per-row id, UNCORRELATED with the clustered layout:
+        # every file gets its own ~n/files ids out of the full domain
+        big = big.withColumn(
+            "l_rid",
+            F.xxhash64("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate"),
+        )
+        write_clustered(big, tbl, ["l_orderkey"], n_files=n_files)
+        t0 = time.perf_counter()
+        write_stats_manifest(spark, tbl, ["l_orderkey", "l_rid"])
+        out[f"{label}_manifest_build_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        add_bloom_sidecar(spark, tbl, "l_rid", m_bits=m_bits, k=6)
+        out[f"{label}_bloom_build_s"] = round(time.perf_counter() - t0, 2)
+        # executor-side build (method="scan"): must emit the same blobs
+        # in 1/cores the wall — the 100 TB build path
+        t0 = time.perf_counter()
+        add_bloom_sidecar(
+            spark, tbl, "l_rid", m_bits=m_bits, k=6, method="scan"
+        )
+        out[f"{label}_bloom_build_scan_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+        lo, hi = 1000, 9999  # ~selective range inside replica 0
+        # three REAL scattered ids, drawn from distinct orderkey
+        # neighborhoods (so they live in different files)
+        probe = [
+            r[0]
+            for r in spark.read.parquet(tbl)
+            .filter(F.col("l_orderkey").isin([5, max_key // 2, max_key - 5]))
+            .select("l_rid")
+            .limit(3)
+            .collect()
+        ]
+
+        def _time(fn):
+            walls = []
+            for _ in range(2):  # min-of-2: strip JIT/IO warm-up noise
+                t0 = time.perf_counter()
+                r = fn()
+                walls.append(time.perf_counter() - t0)
+            return r, round(min(walls), 3)
+
+        full, t_full = _time(
+            lambda: spark.read.parquet(tbl)
+            .filter(F.col("l_orderkey").between(lo, hi))
+            .count()
+        )
+        pr = pruned_parquet(spark, tbl, "l_orderkey", lo, hi)
+        pruned, t_pruned = _time(pr.count)
+        assert full == pruned, (full, pruned)
+        n_total = len(spark.read.parquet(tbl).inputFiles())
+        out[f"{label}_range"] = {
+            "files_total": n_total,
+            "files_read": len(pr.inputFiles()),
+            "full_scan_s": t_full,
+            "pruned_s": t_pruned,
+            "rows": int(full),
+        }
+        full_in, t_full_in = _time(
+            lambda: spark.read.parquet(tbl)
+            .filter(F.col("l_rid").isin(probe))
+            .count()
+        )
+        bp = bloom_pruned_parquet(spark, tbl, "l_rid", probe)
+        bloom_rows, t_bloom = _time(bp.count)
+        assert full_in == bloom_rows, (full_in, bloom_rows)
+        out[f"{label}_bloom_point"] = {
+            "files_total": n_total,
+            "files_read": len(bp.inputFiles()),
+            "full_scan_s": t_full_in,
+            "bloom_s": t_bloom,
+            "rows": int(full_in),
+        }
+        _, t_meta = _time(lambda: metadata_aggregate(spark, tbl).collect())
+        _, t_scan_agg = _time(
+            lambda: spark.read.parquet(tbl)
+            .agg(
+                F.count(F.lit(1)),
+                F.count("l_orderkey"),
+                F.min("l_orderkey"),
+                F.max("l_orderkey"),
+                F.count("l_rid"),
+                F.min("l_rid"),
+                F.max("l_rid"),
+            )
+            .collect()
+        )
+        out[f"{label}_metadata_agg"] = {
+            "manifest_only_s": t_meta,
+            "full_scan_agg_s": t_scan_agg,
+        }
+        # targeted delete at the END (mutates the table): a one-replica
+        # key range — costed at the files containing it
+        t0 = time.perf_counter()
+        res = delete_where(spark, tbl, "l_orderkey", lower=lo, upper=hi)
+        out[f"{label}_delete"] = {
+            **res,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        shutil.rmtree(tbl, ignore_errors=True)  # consumed by the delete
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     return out
 
 
@@ -390,7 +546,7 @@ def main() -> None:
         names = (DECADE_QUERIES if decade else []) + (
             DECADE_ANN_QUERIES if decade_ann else []
         )
-        if not names and not ann_rec:
+        if not names and not ann_rec and "--skipping" not in sys.argv[1:]:
             names = DEFAULT_QUERIES
     levels = [("sf0.1", SRC), ("sf1", DST)]
     if decade:
@@ -434,6 +590,8 @@ def main() -> None:
         out["ann_recall"] = ann_recall(
             spark, [("sf0.1", SRC), ("sf1", DST), ("sf10", DST10)]
         )
+    if "--skipping" in sys.argv[1:]:
+        out["skipping"] = skipping_probe(spark)
     print(json.dumps(out))
     spark.stop()
 

@@ -4993,6 +4993,23 @@ class TestRankingMetrics:
         # the only relevant item sits at rank 3 — outside k=2
         assert out.first_rel_rank == 0 and out.rr_micro == 0 and out.rel_at_2 == 0
 
+    def test_duplicate_relevance_labels_not_inflated(self, spark):
+        """ADVICE r8: duplicated (query, item) labels must not fan out
+        the join and overstate rel_at_k."""
+        from pgstream_spark.operators.retrieval import ranking_metrics
+
+        ranked = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        rel = spark.createDataFrame(
+            [(1, 10), (1, 10), (1, 10)],  # same label three times
+            "query_id long, neighbor_id long",
+        )
+        out = ranking_metrics(ranked, rel, k=2).collect()[0]
+        assert out.rel_at_2 == 1  # a set, not a bag
+        assert out.first_rel_rank == 1 and out.rr_micro == 1000000
+
 
 class TestHashedLinearScore:
     """quality.hashed_linear_score — frozen hashed linear classifier."""
@@ -5023,6 +5040,45 @@ class TestHashedLinearScore:
         assert r.n_tokens == 3 and r.mean_w_micro == mean
         assert abs(r.score - score) < 1e-9
         assert r.keep == (score >= 0.5)
+
+    def test_large_negative_coefficients_exact(self, spark):
+        """ADVICE r8: coefficients beyond ±1.0 (common for logistic
+        models) — the non-negativity shift is derived from max(|w|),
+        so the integer DIV never sees a negative sum."""
+        import hashlib
+        import math
+
+        from pgstream_spark.operators.quality import hashed_linear_score
+
+        nb = 8
+        weights = [-3.7, 2.1, -0.5, 1.9, -2.8, 0.0, 3.3, -1.1]
+        shift = max(1, math.ceil(max(abs(w) for w in weights)))  # 4
+        df = spark.createDataFrame(
+            [(1, "alpha beta beta gamma"), (2, "delta")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in hashed_linear_score(
+            df, n_buckets=nb, weights=weights
+        ).collect()}
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+
+        def wq(t):
+            return int(round(weights[bucket(t)] * 1_000_000)) + shift * 1_000_000
+
+        for doc_id, toks in ((1, ["alpha", "beta", "beta", "gamma"]),
+                             (2, ["delta"])):
+            z = sum(wq(t) for t in toks)
+            assert z >= 0  # the shift discipline actually holds
+            mean = z // len(toks)
+            score = round(
+                1.0 / (1.0 + math.exp(-(mean / 1_000_000.0 - shift))), 6
+            )
+            r = out[doc_id]
+            assert r.mean_w_micro == mean
+            assert abs(r.score - score) < 1e-9
+            assert r.keep == (score >= 0.5)
 
     def test_weight_arity_guard(self, spark):
         import pytest as _pytest
@@ -5058,3 +5114,131 @@ class TestHashedLinearScore:
         )
         # one doc-keyed aggregate: exactly one exchange, no join anywhere
         assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+class TestGopherRules:
+    """quality.gopher_rules — the MassiveText rule battery."""
+
+    def test_hand_computed_flags(self, spark):
+        from pgstream_spark.operators.quality import gopher_rules
+
+        df = spark.createDataFrame(
+            [
+                # all alpha, both stopwords, mean word length exactly 3
+                # (21 chars / 7 words — the >= boundary)
+                (1, "the cat naps and a dog naps"),
+                # bullet + ellipsis lines dominate
+                (2, "- the a item\n- another one...\n- third..."),
+                # symbol-heavy: more '#' than a tenth of the words
+                (3, "the a ## ## ##"),
+                # numeric words: alpha share fails (2/6 alpha < 80%)
+                (4, "the a 12 34 56 78"),
+                # long tokens: mean word length (64/4 = 16) above 10
+                (5, "the a abcdefghijklmnopqrstuvwxyzabcd efghijklmnopqrstuvwxyzabcdefghij"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in gopher_rules(
+                df, min_words=3, stopwords=("the", "a"), min_stopwords=2
+            ).collect()
+        }
+        assert out[1].keep
+        r2 = out[2]
+        assert not r2.ok_bullet_lines and not r2.ok_ellipsis_lines
+        assert not out[3].ok_symbol_ratio
+        assert not out[4].ok_alpha_words
+        assert not out[5].ok_mean_word_len
+        # stopword rule: needs BOTH distinct stopwords
+        one_stop = gopher_rules(
+            spark.createDataFrame(
+                [(9, "the the the cat sat")], "doc_id long, text string"
+            ),
+            min_words=3,
+            stopwords=("the", "a"),
+            min_stopwords=2,
+        ).collect()[0]
+        assert not one_stop.ok_stopwords
+
+    def test_word_count_bounds(self, spark):
+        from pgstream_spark.operators.quality import gopher_rules
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, " ".join(["the", "a"] + ["w"] * 58))],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in gopher_rules(df, min_words=50).collect()}
+        assert not out[1].ok_word_count and out[2].ok_word_count
+        assert out[1].n_words == 2 and out[2].n_words == 60
+
+    def test_map_only_plan(self, spark, sf_dir):
+        from pgstream_spark.operators.quality import gopher_rules
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        plan = (
+            gopher_rules(d)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestGroupCentroidOutliers:
+    """linalg.group_centroid_outliers — prototypicality pruning."""
+
+    def test_hand_computed_tiny_groups(self, spark):
+        from pgstream_spark.operators.linalg import group_centroid_outliers
+
+        # group 'g': centroid of [0,0],[2,0],[10,0] (scaled 1000 +8000)
+        # = mean(8000,10000,18000)=12000 per dim0; dists: 16e6, 4e6, 36e6
+        df = spark.createDataFrame(
+            [
+                (1, "g", [0.0, 0.0]),
+                (2, "g", [2.0, 0.0]),
+                (3, "g", [10.0, 0.0]),
+            ],
+            "vec_id long, label string, embedding array<double>",
+        )
+        out = {
+            r.vec_id: r
+            for r in group_centroid_outliers(
+                df, group_col="label", top_fraction_pct=34
+            ).collect()
+        }
+        assert out[3].rank == 1 and out[3].dist_sq == 36_000_000
+        assert out[1].rank == 2 and out[1].dist_sq == 16_000_000
+        assert out[2].rank == 3 and out[2].dist_sq == 4_000_000
+        # 34% of 3 -> rank*100 <= 3*34=102: only rank 1 flags
+        assert out[3].outlier and not out[1].outlier and not out[2].outlier
+
+    def test_partition_invariant_and_total(self, spark, sf_dir):
+        from pgstream_spark.operators.linalg import group_centroid_outliers
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        a = {
+            r.vec_id: (r.dist_sq, r.rank, r.outlier)
+            for r in group_centroid_outliers(e).collect()
+        }
+        b = {
+            r.vec_id: (r.dist_sq, r.rank, r.outlier)
+            for r in group_centroid_outliers(e.repartition(13)).collect()
+        }
+        assert a == b and len(a) == e.count()
+
+    def test_distance_pass_is_broadcast_no_corpus_explode_join(
+        self, spark, sf_dir
+    ):
+        from pgstream_spark.operators.linalg import group_centroid_outliers
+        from pgstream_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        plan = (
+            group_centroid_outliers(e)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # centroids attach via broadcast; no sort-merge join anywhere
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
