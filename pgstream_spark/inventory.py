@@ -12142,6 +12142,21 @@ def s13(spark, sf_dir):
     "WHERE doc_id IN (9, 123, 258, 409)",
 )
 def s14(spark, sf_dir):
+    from pgstream_spark.sources.skipping import bloom_pruned_parquet
+
+    path = _docbloom_inc_table(spark, sf_dir)
+    return bloom_pruned_parquet(
+        spark, path, "doc_id", [9, 123, 258, 409]
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _docbloom_inc_table(spark, sf_dir) -> str:
+    """Content-keyed cached build of the scattered, bloom-indexed,
+    APPENDED-TO documents table (shared by s14/s16): first generation
+    sharded by language (ids scattered — min/max useless),
+    bloom-built, then a second generation appended and bloomed
+    INCREMENTALLY (only the new file read; old blobs survive the
+    union-schema rewrite byte-for-byte)."""
     import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
@@ -12150,7 +12165,6 @@ def s14(spark, sf_dir):
     from pgstream_spark.sources.skipping import (
         MANIFEST_NAME,
         add_bloom_sidecar,
-        bloom_pruned_parquet,
         update_bloom_sidecar,
         write_stats_manifest,
     )
@@ -12191,9 +12205,7 @@ def s14(spark, sf_dir):
             raise RuntimeError(
                 f"docblinc cache publish failed and no healthy cache exists at {path}"
             )
-    return bloom_pruned_parquet(
-        spark, path, "doc_id", [9, 123, 258, 409]
-    ).select("doc_id", "lang", "n_chars")
+    return path
 
 
 @q(
@@ -12298,6 +12310,71 @@ def l93(spark, sf_dir):
     from pgstream_spark.operators.linalg import group_centroid_outliers
 
     return group_centroid_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "l94_ccnet_buckets",
+    # CCNet head/middle/tail (textstats.lm_perplexity_buckets, Wenzek
+    # et al. 2020): per-language equal-frequency fluency buckets over
+    # the corpus-bigram-LM score — the slice selection stage of the
+    # CCNet pipeline.  Ordering is the INTEGER mean micro-probability
+    # (sum DIV n, non-negative — floor==truncate on both engines) desc
+    # with doc_id as total-order tiebreak, so ntile is engine-exact.
+    "WITH base AS (SELECT doc_id, lang, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, lang, t, len(t) AS n FROM base WHERE len(t) >= 2), "
+    "bi AS (SELECT doc_id, lang, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2 "
+    "FROM sized), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1), "
+    "lm AS (SELECT w1, w2, CAST(floor(1e6 * c2 / c1) AS BIGINT) AS micro "
+    "FROM c2 JOIN c1 USING (w1)), "
+    "scored AS (SELECT b.doc_id, b.lang, "
+    "CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(l.micro) AS BIGINT) AS s "
+    "FROM bi b JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2 "
+    "GROUP BY b.doc_id, b.lang), "
+    "r AS (SELECT doc_id, lang, n_bigrams, "
+    "CAST(s // n_bigrams AS BIGINT) AS mean_micro, "
+    "CAST(ntile(3) OVER (PARTITION BY lang "
+    "ORDER BY s // n_bigrams DESC, doc_id ASC) AS INT) AS bucket FROM scored) "
+    "SELECT doc_id, lang, n_bigrams, mean_micro, bucket, "
+    "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+    "AS tier FROM r",
+)
+def l94(spark, sf_dir):
+    from pgstream_spark.operators.textstats import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "s16_bloom_join_scan",
+    # FILE-level semi-join pushdown (skipping.bloom_pruned_join): the
+    # dimension's distinct keys bloom-prune the FACT FILES before the
+    # scan plans — the file-granularity analog of dynamic partition
+    # pruning ("join 100 TB of docs to this cohort" reads the files
+    # containing the cohort).  Table = s14's scattered bloom-indexed
+    # cache (both generations); cohort = a customer-derived key set.
+    # The oracle pins bit-identity with the plain IN-subquery semi
+    # join; pytest pins that files are actually skipped.
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN "
+    "(SELECT DISTINCT c_custkey % 500 FROM customer WHERE c_custkey % 97 = 0)",
+)
+def s16(spark, sf_dir):
+    from pgstream_spark.sources.skipping import bloom_pruned_join
+
+    path = _docbloom_inc_table(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 500).alias("k"))
+        .filter(F.col("c_custkey") % 97 == 0)
+        .distinct()
+    )
+    return bloom_pruned_join(
+        spark, path, "doc_id", dim, "k", how="left_semi"
+    ).select("doc_id", "lang", "n_chars")
 
 
 # =====================================================================
@@ -12634,8 +12711,9 @@ _GATE_ORDER_R8 = [
 _GATE_ORDER_R9 = [
     # round-9 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R10 window)
-    "s13_schemed_pruned_scan", "s14_bloom_incremental_scan",
-    "s15_metadata_agg", "l92_gopher_rules", "l93_prototype_outliers",
+    "s16_bloom_join_scan", "l94_ccnet_buckets", "s13_schemed_pruned_scan",
+    "s14_bloom_incremental_scan", "s15_metadata_agg",
+    "l92_gopher_rules", "l93_prototype_outliers",
     # -- pushed out of the R8 window by the round-8 additions -----------
     "l6_hash_sample", "l7_stratified_sample", "g18_tpch_q7_nation_volume",
     "l4f_repetition_stats", "l4g_pii_scrub",
@@ -12669,7 +12747,8 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # -- pushed out of the R9 window by the round-9 additions -----------
-    "j11_broadcast_range", "t18_drawdown", "w11_bollinger",
+    "w10_ratio_to_report", "l28_weighted_sample", "j11_broadcast_range",
+    "t18_drawdown", "w11_bollinger",
     "t19_ohlc_daily_rollup", "x6_cogrouped_map", "l29_canonical_docs",
     "l30_shard_manifest", "t20_count_anomaly", "t21_growth_accounting",
     "l31_distribution_drift", "l32_token_budget", "w12_ignore_nulls_carry",

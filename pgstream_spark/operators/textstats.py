@@ -25,6 +25,7 @@ __all__ = [
     "repetition_stats",
     "lexical_diversity",
     "bigram_lm_scores",
+    "lm_perplexity_buckets",
     "pii_scrub",
     "STOPWORDS",
     "EMAIL_RE",
@@ -307,6 +308,92 @@ def bigram_lm_scores(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
+    )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document against the corpus bigram LM (`bigram_lm_scores`' model,
+    recomputed here with the EXACT integer sum kept), then cut each
+    language's documents into ``n_buckets`` equal-frequency fluency
+    buckets — bucket 1 = "head" (most corpus-typical), the slice CCNet
+    keeps preferentially for LM training data.
+
+    Determinism discipline: documents order by the INTEGER mean
+    micro-probability (``sum_micro DIV n_bigrams`` — floor division of
+    non-negative operands, identical on every engine) descending with
+    ``id`` as the total-order tiebreak, so `ntile` assigns the same
+    bucket everywhere — no float enters the ordering.
+
+    Scale shape: the LM stays broadcast-sized (Zipf-truncated vocab²);
+    scoring is a broadcast join + per-doc aggregate; the only
+    corpus-sized shuffle is the per-language ntile window the split
+    semantics require.  Returns ``(id, lang, n_bigrams, mean_micro,
+    bucket, tier)`` with ``tier`` ∈ head/middle/tail for 3 buckets
+    (``b<k>`` otherwise).
+    """
+    n = F.col("__n")
+    base = (
+        df.select(id_col, lang_col, _tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(n >= 2)
+    )
+    bigram = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = base.select(
+        id_col, lang_col, F.explode(bigram).alias("__bg")
+    ).select(
+        id_col,
+        lang_col,
+        F.col("__bg.w1").alias("__w1"),
+        F.col("__bg.w2").alias("__w2"),
+    )
+    c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
+    c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    lm = c2.join(c1, "__w1").select(
+        "__w1",
+        "__w2",
+        F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
+    )
+    scored = (
+        bi.join(F.broadcast(lm), ["__w1", "__w2"])
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__micro").cast("bigint").alias("__sum"),
+        )
+        .withColumn("mean_micro", F.expr("__sum DIV n_bigrams"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_micro").desc(), F.col(id_col).asc()
+    )
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        F.col("mean_micro").cast("bigint").alias("mean_micro"),
+        "bucket",
+        tier.alias("tier"),
     )
 
 

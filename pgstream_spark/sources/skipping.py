@@ -60,6 +60,7 @@ __all__ = [
     "add_bloom_sidecar",
     "update_bloom_sidecar",
     "bloom_pruned_parquet",
+    "bloom_pruned_join",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -917,14 +918,26 @@ def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
     return [((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m_bits for i in range(k)]
 
 
-def _bloom_might_contain(blob: bytes, value, m_bits: int) -> bool:
-    """Membership probe dispatching on the blob's format tag."""
+def _bloom_might_contain(
+    blob: bytes, value, m_bits: int, _pos_cache: dict | None = None
+) -> bool:
+    """Membership probe dispatching on the blob's format tag.  Pass a
+    dict as ``_pos_cache`` when probing MANY blobs with the same
+    values: positions depend only on (value, tag, m_bits), so caching
+    them turns a files × values md5 bill into one per value per
+    geometry — the difference between a 10^5-file probe planning in
+    milliseconds and in minutes."""
     k = blob[0]
     bits = blob[1:]
-    if k & _BLOOM_KM:
-        poss = _bloom_positions(value, m_bits, k & ~_BLOOM_KM)
-    else:
-        poss = _bloom_hashes(value, m_bits, k)
+    key = (value, k, m_bits)
+    poss = _pos_cache.get(key) if _pos_cache is not None else None
+    if poss is None:
+        if k & _BLOOM_KM:
+            poss = _bloom_positions(value, m_bits, k & ~_BLOOM_KM)
+        else:
+            poss = _bloom_hashes(value, m_bits, k)
+        if _pos_cache is not None:
+            _pos_cache[key] = poss
     return all(bits[p // 8] & (1 << (p % 8)) for p in poss)
 
 
@@ -996,9 +1009,11 @@ def _scan_blooms(
     driver.  This is the 100 TB build path — the md5 work parallelizes
     across the cluster and the driver handles file-count-sized rows,
     where the driver build is serial in total distinct values
-    (measured at the sf10 probe: 130 s serial → ~17 s on 32 local
-    cores; the ratio IS the executor count).  The scan reads only the
-    bloom column (column pruning pushes to the parquet scan)."""
+    (measured at the 60M-id probe: 137 s serial → 19.8 s on 32 local
+    threads; the local ratio is capped by Arrow transfer + per-group
+    overhead — on a real cluster each executor blooms its own files).
+    The scan reads only the bloom column (column pruning pushes to
+    the parquet scan)."""
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
     df = spark.read.parquet(*paths).select(
@@ -1079,8 +1094,9 @@ def add_bloom_sidecar(
     reads — right up to ~10^7 total distinct values);
     ``method="scan"`` ships the build to the EXECUTORS (one
     `applyInPandas` group per file, same hash kernel, only KB-sized
-    blobs return) — the 100 TB path, linear speedup in cores
-    (measured: 130 s → ~17 s at the 60M-id probe on 32 cores).
+    blobs return) — the 100 TB path (measured: 137 s → 19.8 s at the
+    60M-id probe on 32 local threads; cluster-side it scales with
+    executors since each blooms its own files).
 
     Integer and string key columns only (see `_bloom_positions`).
     """
@@ -1218,13 +1234,16 @@ def bloom_pruned_parquet(
         fs, dest, columns=["file", f"bloom_{col}"]
     ).to_pylist()
     keep = []
+    pos_cache: dict = {}  # hash each probe value once per geometry
     for r in manifest:
         blob = r.get(f"bloom_{col}")
         if not blob:
             keep.append(os.path.join(table_path, r["file"]))
             continue  # no bloom: membership unknown, never prune
         m_bits = (len(blob) - 1) * 8
-        if any(_bloom_might_contain(blob, v, m_bits) for v in values):
+        if any(
+            _bloom_might_contain(blob, v, m_bits, pos_cache) for v in values
+        ):
             keep.append(os.path.join(table_path, r["file"]))
     if not keep:
         schema = spark.read.parquet(table_path).schema
@@ -1232,3 +1251,59 @@ def bloom_pruned_parquet(
     return spark.read.parquet(*sorted(keep)).filter(
         F.col(col).isin(list(values))
     )
+
+
+def bloom_pruned_join(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    dim: DataFrame,
+    dim_key: str,
+    how: str = "inner",
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """FILE-level semi-join pushdown through the Bloom sidecar — the
+    file-granularity analog of dynamic partition pruning: collect the
+    dimension's distinct keys (broadcast-sized by contract — the same
+    bound a broadcast join already imposes on `dim`), open only the
+    fact files whose bloom can contain at least one key, then run the
+    ordinary broadcast equi-join on the survivors.  "Join 100 TB of
+    events to this 10k-user cohort" becomes a read of the files that
+    contain the cohort, not the corpus — before the scan even plans.
+
+    Result is bit-identical to joining the full table (the bloom read
+    is a superset; the join applies the exact predicate).  ``how``
+    supports the key-filtering family (``inner``/``left_semi``);
+    outer joins need non-matching rows and would be wrong under file
+    pruning, so they are refused.  Raises if `dim` holds more than
+    ``max_keys`` distinct keys — past that the key list stops being
+    driver-sized and the honest plan is a shuffled join over the full
+    scan instead."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_pruned_join supports inner/left_semi, got {how!r} — "
+            "outer joins need non-matching rows, which file pruning drops"
+        )
+    keys = [
+        r[0]
+        for r in dim.select(dim_key).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"dim has more than max_keys={max_keys} distinct keys — "
+            "use a plain shuffled join; a driver-side key list this "
+            "large defeats the pruning economics"
+        )
+    keys = [k for k in keys if k is not None]  # NULL never equi-matches
+    if not keys:
+        schema = spark.read.parquet(table_path).schema
+        fact = spark.createDataFrame([], schema)
+    else:
+        fact = bloom_pruned_parquet(spark, table_path, col, keys)
+    if how == "left_semi":
+        return fact.join(
+            F.broadcast(dim.select(dim_key).distinct()),
+            fact[col] == dim[dim_key],
+            "left_semi",
+        )
+    return fact.join(F.broadcast(dim), fact[col] == dim[dim_key], "inner")

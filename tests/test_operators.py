@@ -5242,3 +5242,41 @@ class TestGroupCentroidOutliers:
         # centroids attach via broadcast; no sort-merge join anywhere
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestLmPerplexityBuckets:
+    """textstats.lm_perplexity_buckets — CCNet head/middle/tail."""
+
+    def test_buckets_balanced_and_ordered(self, spark, sf_dir):
+        from pgstream_spark.operators.textstats import lm_perplexity_buckets
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        out = lm_perplexity_buckets(d).collect()
+        assert out  # docs with >= 2 tokens exist
+        by_lang: dict = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rows in by_lang.items():
+            sizes = {}
+            for r in rows:
+                sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+            # equal-frequency: ntile sizes differ by at most 1
+            assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+            # head is at least as fluent as tail (integer means)
+            heads = [r.mean_micro for r in rows if r.tier == "head"]
+            tails = [r.mean_micro for r in rows if r.tier == "tail"]
+            if heads and tails:
+                assert min(heads) >= max(tails), lang
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from pgstream_spark.operators.textstats import lm_perplexity_buckets
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents").limit(120)
+        a = {r.doc_id: (r.bucket, r.mean_micro) for r in lm_perplexity_buckets(d).collect()}
+        b = {
+            r.doc_id: (r.bucket, r.mean_micro)
+            for r in lm_perplexity_buckets(d.repartition(17)).collect()
+        }
+        assert a == b and len(a) > 0

@@ -1271,3 +1271,54 @@ class TestDataSkippingHadoopFS:
         write_stats_manifest(spark, tbl, ["k"])
         with _pytest.raises(TypeError, match="float"):
             add_bloom_sidecar(spark, tbl, "v", method="scan")
+
+    def test_bloom_pruned_join_skips_files_and_matches_plain_join(
+        self, spark, tmp_path
+    ):
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_join,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        for i in range(4):
+            TestDataSkipping._one_file(
+                spark, tmp_path, f"f{i}.parquet", i * 100, (i + 1) * 100, tbl
+            )
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        dim = spark.createDataFrame(
+            [(50, "a"), (350, "b"), (50, "dup"), (None, "n")],
+            "key long, tag string",
+        )
+        semi = bloom_pruned_join(spark, tbl, "k", dim, "key", how="left_semi")
+        assert sorted(r.k for r in semi.collect()) == [50, 350]
+        assert len(semi.inputFiles()) == 2  # f0 and f3 only
+        inner = bloom_pruned_join(spark, tbl, "k", dim, "key", how="inner")
+        # inner keeps dim multiplicity (50 appears twice in dim)
+        assert sorted(r.k for r in inner.collect()) == [50, 50, 350]
+        # plain-join parity
+        full = spark.read.parquet(tbl)
+        plain = full.join(dim, full.k == dim.key, "inner")
+        assert inner.count() == plain.count()
+
+    def test_bloom_pruned_join_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import (
+            bloom_pruned_join,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f0.parquet", 0, 50, tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        dim = spark.range(10).selectExpr("id AS key")
+        with _pytest.raises(ValueError, match="outer"):
+            bloom_pruned_join(spark, tbl, "k", dim, "key", how="left")
+        with _pytest.raises(ValueError, match="max_keys"):
+            bloom_pruned_join(spark, tbl, "k", dim, "key", max_keys=5)
+        # all-NULL dim keys: typed empty result, no crash
+        nulls = spark.createDataFrame([(None,)], "key long")
+        assert bloom_pruned_join(spark, tbl, "k", nulls, "key").count() == 0
