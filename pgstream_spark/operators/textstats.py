@@ -283,9 +283,28 @@ def bigram_lm_scores(
 
     Returns ``(id_col, n_bigrams, mean_microprob)``.
     """
+    bi, lm = _bigram_lm(df, text_col, (id_col,))
+    scored = bi.join(F.broadcast(lm), ["__w1", "__w2"])
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
+    )
+
+
+def _bigram_lm(
+    df: DataFrame, text_col: str, carry_cols: tuple
+) -> tuple[DataFrame, DataFrame]:
+    """The shared bigram-LM construction behind `bigram_lm_scores` and
+    `lm_perplexity_buckets`: tokenize, zip adjacent tokens, count
+    ``P(w2|w1)`` and quantize to integer micro-probabilities
+    ``floor(1e6·c2/c1)``.  Returns ``(bi, lm)`` — the per-doc bigram
+    stream (``carry_cols`` + ``__w1``/``__w2``) and the broadcast-sized
+    LM table (``__w1``/``__w2``/``__micro``).  One definition so a
+    tokenization or quantization fix can never silently diverge the
+    two operators' pinned oracles."""
     n = F.col("__n")
     base = (
-        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        df.select(*carry_cols, _tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .filter(n >= 2)
     )
@@ -294,8 +313,10 @@ def bigram_lm_scores(
         F.slice("__t", 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bi = base.select(id_col, F.explode(bigram).alias("__bg")).select(
-        id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+    bi = base.select(*carry_cols, F.explode(bigram).alias("__bg")).select(
+        *carry_cols,
+        F.col("__bg.w1").alias("__w1"),
+        F.col("__bg.w2").alias("__w2"),
     )
     c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
     c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
@@ -304,11 +325,7 @@ def bigram_lm_scores(
         "__w2",
         F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
     )
-    scored = bi.join(F.broadcast(lm), ["__w1", "__w2"])
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
-    )
+    return bi, lm
 
 
 def lm_perplexity_buckets(
@@ -338,32 +355,7 @@ def lm_perplexity_buckets(
     bucket, tier)`` with ``tier`` ∈ head/middle/tail for 3 buckets
     (``b<k>`` otherwise).
     """
-    n = F.col("__n")
-    base = (
-        df.select(id_col, lang_col, _tokens(F.col(text_col)).alias("__t"))
-        .withColumn("__n", F.size("__t"))
-        .filter(n >= 2)
-    )
-    bigram = F.zip_with(
-        F.slice("__t", 1, n - 1),
-        F.slice("__t", 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bi = base.select(
-        id_col, lang_col, F.explode(bigram).alias("__bg")
-    ).select(
-        id_col,
-        lang_col,
-        F.col("__bg.w1").alias("__w1"),
-        F.col("__bg.w2").alias("__w2"),
-    )
-    c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
-    c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
-    lm = c2.join(c1, "__w1").select(
-        "__w1",
-        "__w2",
-        F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
-    )
+    bi, lm = _bigram_lm(df, text_col, (id_col, lang_col))
     scored = (
         bi.join(F.broadcast(lm), ["__w1", "__w2"])
         .groupBy(id_col, lang_col)

@@ -227,6 +227,8 @@ def compact_dir(
     def _is_data(f: str) -> bool:
         return f.endswith(".parquet") and not f.startswith(("_", "."))
 
+    from pgstream_spark.sources.skipping import _BLOOM_KM
+
     stat_cols: list | None = None
     bloom_params: dict[str, tuple[int, int]] = {}
     old_manifest = os.path.join(path, MANIFEST_NAME)
@@ -254,8 +256,10 @@ def compact_dir(
                     None,
                 )
                 if blob is not None:
-                    # mask the format tag (skipping._BLOOM_KM) off k
-                    bloom_params[c] = ((len(blob) - 1) * 8, blob[0] & 0x7F)
+                    bloom_params[c] = (
+                        (len(blob) - 1) * 8,
+                        blob[0] & ~_BLOOM_KM,  # mask the format tag off k
+                    )
     total = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, files in os.walk(path)

@@ -785,7 +785,9 @@ def foreach_batch_stats_appender(
         fs.rmtree(staging)
         update_stats_manifest(spark, table_path, cols)
         for bc in bloom_cols or []:
-            update_bloom_sidecar(spark, table_path, bc)
+            # the manifest was reconciled two lines up — don't pay a
+            # full listing + stat pass again per bloom column
+            update_bloom_sidecar(spark, table_path, bc, skip_reconcile=True)
 
     return _apply
 
@@ -869,7 +871,9 @@ def vacuum_staging(
             if fs.isdir(p) and now - fs.mtime_seconds(p) > grace_seconds:
                 fs.rmtree(p)
                 removed += 1
-        except OSError:
+        except Exception:  # noqa: BLE001 — the Hadoop route surfaces the
+            # same race as Py4JJavaError(FileNotFoundException), not
+            # OSError; either way the entry is simply gone — skip it
             continue
     return removed
 
@@ -1016,29 +1020,31 @@ def _scan_blooms(
     the parquet scan)."""
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
-    df = spark.read.parquet(*paths).select(
-        F.input_file_name().alias("__f"), F.col(col)
-    )
-    kind = df.schema[col].dataType.simpleString()
-    if kind in ("float", "double"):
+    raw = spark.read.parquet(*paths)
+    kind = raw.schema[col].dataType.simpleString()
+    if kind not in ("tinyint", "smallint", "int", "bigint", "string"):
         raise TypeError(
-            f"bloom sidecar on float column {col!r} unsupported: "
-            "repr drift would create false negatives"
+            f"bloom sidecar method='scan' supports integer and string "
+            f"key columns only, got {kind!r} for {col!r} — other types' "
+            "JVM-vs-Python string renderings can drift, and drift means "
+            "false negatives"
         )
-    is_int = kind in ("tinyint", "smallint", "int", "bigint")
+    # render to string JVM-SIDE: Arrow hands a nullable int column to
+    # pandas as float64, and the float64→int64 round trip silently
+    # corrupts ids above 2^53 (str(wrong int) → bloom false NEGATIVES,
+    # the one failure this module must never have).  Spark's
+    # bigint→string cast renders exactly like Python's str(int), so
+    # the kernel hashes identical bytes on both build paths.
+    df = raw.select(
+        F.input_file_name().alias("__f"), F.col(col).cast("string").alias(col)
+    )
 
     def _one(pdf):
         import os as _os
 
         import pandas as pd
 
-        vals = pdf[col].dropna()
-        if is_int:
-            # Arrow hands a nullable int column to pandas as float64 —
-            # str(5.0) != str(5) would silently false-negative every
-            # probe; pin the integral dtype before rendering
-            vals = vals.astype("int64")
-        blob = _bloom_bitmap(vals.unique(), col, m_bits, k)
+        blob = _bloom_bitmap(pdf[col].dropna().unique(), col, m_bits, k)
         return pd.DataFrame(
             {
                 "file": [_os.path.basename(pdf["__f"].iloc[0])],
@@ -1138,6 +1144,7 @@ def update_bloom_sidecar(
     m_bits: int | None = None,
     k: int | None = None,
     method: str = "footers",
+    skip_reconcile: bool = False,
 ) -> dict:
     """Incrementally extend the Bloom sidecar to files that lack one:
     reconcile the manifest (O(changed) footer reads — refreshed rows
@@ -1155,13 +1162,18 @@ def update_bloom_sidecar(
     sidecar — equivalent to `add_bloom_sidecar` at that point).
     ``method="scan"`` builds the missing files' bitmaps EXECUTOR-side
     (see `add_bloom_sidecar`) — same blobs, byte for byte.
+    ``skip_reconcile=True`` trusts the manifest as already reconciled
+    — for callers that just ran `update_stats_manifest` themselves
+    (the streaming appender: one reconcile per batch, not one per
+    bloom column plus one).
 
     Returns ``{"files_built", "files_total"}``."""
     fs = _fs_for(spark, table_path)
     dest = os.path.join(table_path, MANIFEST_NAME)
-    update_stats_manifest(
-        spark, table_path, _stat_cols_of(_read_manifest_schema(fs, dest))
-    )
+    if not skip_reconcile:
+        update_stats_manifest(
+            spark, table_path, _stat_cols_of(_read_manifest_schema(fs, dest))
+        )
     tbl = _read_manifest_table(fs, dest)
     prior_schema = tbl.schema
     rows = tbl.to_pylist()
@@ -1194,8 +1206,12 @@ def update_bloom_sidecar(
             m_bits,
             k,
         )
+        # a ZERO-ROW part file (an empty micro-batch still lands one)
+        # contributes no applyInPandas group — its bloom is the empty
+        # bitmap, same as the footers path would build
+        empty = _bloom_bitmap([], col, m_bits, k)
         for r in missing:
-            r[f"bloom_{col}"] = blobs[r["file"]]
+            r[f"bloom_{col}"] = blobs.get(r["file"], empty)
     else:
         for r in missing:
             r[f"bloom_{col}"] = _build_bloom(
@@ -1286,7 +1302,12 @@ def bloom_pruned_join(
         )
     keys = [
         r[0]
-        for r in dim.select(dim_key).distinct().limit(max_keys + 1).collect()
+        for r in dim.select(dim_key)
+        .filter(F.col(dim_key).isNotNull())  # NULL never equi-matches —
+        # and must not count toward the cap either
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
     ]
     if len(keys) > max_keys:
         raise ValueError(
@@ -1294,7 +1315,6 @@ def bloom_pruned_join(
             "use a plain shuffled join; a driver-side key list this "
             "large defeats the pruning economics"
         )
-    keys = [k for k in keys if k is not None]  # NULL never equi-matches
     if not keys:
         schema = spark.read.parquet(table_path).schema
         fact = spark.createDataFrame([], schema)

@@ -1256,7 +1256,9 @@ class TestDataSkippingHadoopFS:
         assert res["files_built"] == 1
         assert bloom_pruned_parquet(spark, tbl, "v", [500]).count() == 1
 
-    def test_scan_method_refuses_float_columns(self, spark, tmp_path):
+    def test_scan_method_refuses_non_int_string_columns(
+        self, spark, tmp_path
+    ):
         import pytest as _pytest
 
         from pgstream_spark.sources.skipping import (
@@ -1266,11 +1268,65 @@ class TestDataSkippingHadoopFS:
 
         tbl = str(tmp_path / "t")
         spark.createDataFrame(
-            [(1, 1.5)], "k long, v double"
+            [(1, 1.5, True)], "k long, v double, b boolean"
         ).coalesce(1).write.parquet(tbl)
         write_stats_manifest(spark, tbl, ["k"])
-        with _pytest.raises(TypeError, match="float"):
+        with _pytest.raises(TypeError, match="integer and string"):
             add_bloom_sidecar(spark, tbl, "v", method="scan")
+        # non-float but render-divergent types are refused too
+        with _pytest.raises(TypeError, match="integer and string"):
+            add_bloom_sidecar(spark, tbl, "b", method="scan")
+
+    def test_scan_method_exact_above_2_53_with_nulls(self, spark, tmp_path):
+        """ids above 2^53 in a NULL-carrying int column must survive the
+        Arrow pandas conversion exactly (float64 would corrupt them into
+        bloom false negatives)."""
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            write_stats_manifest,
+        )
+
+        big = (1 << 60) + 12345  # not representable in float64
+        tbl = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, big), (2, None), (3, 7)], "k long, v long"
+        ).coalesce(1).write.parquet(tbl)
+        spark.createDataFrame(
+            [(4, 99)], "k long, v long"
+        ).coalesce(1).write.mode("append").parquet(tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "v", method="scan")
+        out = bloom_pruned_parquet(spark, tbl, "v", [big])
+        assert [r.k for r in out.collect()] == [1]  # found, not corrupted
+        assert len(out.inputFiles()) == 1  # and the other file pruned
+
+    def test_scan_update_handles_zero_row_files(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            update_bloom_sidecar,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f0.parquet", 0, 50, tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        # an EMPTY part file appended (an empty micro-batch's artifact)
+        pq.write_table(
+            pa.table({"k": pa.array([], pa.int64())}),
+            os.path.join(tbl, "f1-empty.parquet"),
+        )
+        res = update_bloom_sidecar(spark, tbl, "k", method="scan")
+        assert res["files_built"] == 1  # the empty file got a blob
+        # empty bitmap prunes the empty file; data still found
+        out = bloom_pruned_parquet(spark, tbl, "k", [42])
+        assert [r.k for r in out.collect()] == [42]
+        assert len(out.inputFiles()) == 1
 
     def test_bloom_pruned_join_skips_files_and_matches_plain_join(
         self, spark, tmp_path
