@@ -638,6 +638,21 @@ def write_ivfpq_index(
     from pgstream_spark.operators.pq import pq_encode
 
     spark = corpus.sparkSession
+    if mode == "append":
+        # an appended generation must match the encoding already stored
+        # — and the check must run BEFORE any tree is written: a
+        # post-write raise would leave mixed raw+residual code rows
+        # already persisted, exactly the silent-wrong-distances state
+        # the guard exists to prevent (round-9 review finding; the
+        # residual default flip makes stock appends to old raw indexes
+        # hit this path)
+        existing = _read_ivfpq_meta(spark, path)
+        if existing != bool(residual):
+            raise ValueError(
+                f"index at {path} is {'residual' if existing else 'raw'}-"
+                f"encoded; append with residual={residual} would mix "
+                f"encodings — rebuild with mode='overwrite' instead"
+            )
     bucketed = assign_buckets(
         corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
@@ -681,17 +696,6 @@ def write_ivfpq_index(
     spark.createDataFrame(
         cb, "sub int, code int, center array<double>"
     ).coalesce(1).write.mode(mode).parquet(path + "/codebooks")
-    if mode == "append":
-        # an appended generation must match the encoding already stored
-        # — a mixed raw+residual code tree under one flag would return
-        # silently wrong ADC distances
-        existing = _read_ivfpq_meta(spark, path)
-        if existing != bool(residual):
-            raise ValueError(
-                f"index at {path} is {'residual' if existing else 'raw'}-"
-                f"encoded; append with residual={residual} would mix "
-                f"encodings — rebuild with mode='overwrite' instead"
-            )
     # meta is a single-row settings table: always overwritten, never
     # appended (an appended second row would make the flag ambiguous)
     spark.createDataFrame(

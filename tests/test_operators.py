@@ -3584,6 +3584,41 @@ class TestIvfPqPersistedIndex:
         assert len(pruned) >= 2, pf  # codes scan AND vectors scan
         assert "CartesianProduct" not in txt
 
+    def test_mismatched_append_refused_before_any_write(
+        self, spark, sf_dir, tmp_path
+    ):
+        """r9 review: the encoding guard must fire BEFORE the trees are
+        written — a refused append leaves the index byte-untouched."""
+        import glob
+
+        import pytest as _pytest
+
+        from pgstream_spark.operators.ivf import (
+            ivfpq_query_index,
+            train_centroids,
+            write_ivfpq_index,
+        )
+        from pgstream_spark.operators.pq import default_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(corpus, n_lists=4, sample_size=128)
+        dim = len(corpus.select("embedding").first()[0])
+        cbs = default_codebooks(dim=dim, m_subspaces=8, n_codes=16)
+        path = str(tmp_path / "idx")
+        write_ivfpq_index(corpus, cents, cbs, path, residual=False)  # raw
+        before = sorted(glob.glob(path + "/**/*.parquet", recursive=True))
+        # stock append (residual default True since r9) must refuse...
+        with _pytest.raises(ValueError, match="raw"):
+            write_ivfpq_index(corpus, cents, cbs, path, mode="append")
+        # ...and must not have written a single new file first
+        after = sorted(glob.glob(path + "/**/*.parquet", recursive=True))
+        assert after == before
+        # the index still answers queries (uncorrupted)
+        assert ivfpq_query_index(
+            spark, path, corpus.limit(2), k=3, n_probes=2
+        ).count() == 6
+
 
 def test_expect_check_rule_cross_column(spark):
     from pgstream_spark.operators.quality import expect, expect_split
