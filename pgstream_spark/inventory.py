@@ -12377,6 +12377,58 @@ def s16(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+@q(
+    "l95_patch_dedup",
+    # Image PATCH-level exact dedup (multimodal.patch_dup_stats) — the
+    # sub-asset dup detector (logo/watermark/boilerplate tiles) run
+    # through the REAL codec path: deterministic 16×16 P6 PPM images
+    # are synthesized JVM-side (pixels = 48 md5 blocks; the top half
+    # keyed on doc_id % 50 so every 50-group shares its upper tiles,
+    # the bottom half keyed on doc_id so its tiles are unique), decoded
+    # by the Python PPM codec in Arrow batches, tiled 8×8, and each
+    # tile's bytes hashed (md5 of lowercase hex).  The oracle never
+    # touches PPM: it rebuilds the same pixel hex from the same md5
+    # formula and slices patches with substring arithmetic — matching
+    # hashes prove encode → decode → tile → hash is byte-exact end to
+    # end.  Expected shape: 4 patches per image, the 2 top tiles
+    # duplicated across each doc_id%50 cohort → dup_bp 5000.
+    "WITH px AS (SELECT doc_id, array_to_string(list_transform(range(48), "
+    "b -> md5('img:' || CAST(CASE WHEN b < 24 THEN doc_id % 50 ELSE doc_id "
+    "END AS VARCHAR) || ':' || CAST(b AS VARCHAR))), '') AS hex "
+    "FROM documents), "
+    "patches AS (SELECT doc_id, g1.pr, g2.pc, "
+    "md5(array_to_string(list_transform(range(8), i -> "
+    "substr(hex, ((g1.pr * 8 + i) * 16 + g2.pc * 8) * 6 + 1, 48)), '')) AS phash "
+    "FROM px, (VALUES (0), (1)) g1(pr), (VALUES (0), (1)) g2(pc)), "
+    "counts AS (SELECT phash, count(DISTINCT doc_id) AS nd "
+    "FROM patches GROUP BY phash), "
+    "per AS (SELECT p.doc_id AS id, CAST(count(*) AS BIGINT) AS n_patches, "
+    "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+    "FROM patches p JOIN counts c USING (phash) GROUP BY p.doc_id) "
+    "SELECT id, n_patches, n_dup, "
+    "CAST(n_dup * 10000 // n_patches AS BIGINT) AS dup_bp FROM per",
+)
+def l95(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import patch_dup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    blocks = []
+    for b in range(48):
+        kcol = (F.col("doc_id") % 50) if b < 24 else F.col("doc_id")
+        blocks.append(
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.lit("img:"), kcol.cast("string"), F.lit(f":{b}")
+                    )
+                )
+            )
+        )
+    payload = F.concat(F.lit(bytearray(b"P6\n16 16\n255\n")), *blocks)
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return patch_dup_stats(imgs, "payload", "doc_id")
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -12711,7 +12763,7 @@ _GATE_ORDER_R8 = [
 _GATE_ORDER_R9 = [
     # round-9 session additions — newest-first per the rotation contract
     # (each pushes one tail re-proof slot out to the R10 window)
-    "s16_bloom_join_scan", "l94_ccnet_buckets", "s13_schemed_pruned_scan",
+    "l95_patch_dedup", "s16_bloom_join_scan", "l94_ccnet_buckets", "s13_schemed_pruned_scan",
     "s14_bloom_incremental_scan", "s15_metadata_agg",
     "l92_gopher_rules", "l93_prototype_outliers",
     # -- pushed out of the R8 window by the round-8 additions -----------
@@ -12747,7 +12799,8 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # -- pushed out of the R9 window by the round-9 additions -----------
-    "w10_ratio_to_report", "l28_weighted_sample", "j11_broadcast_range",
+    "f16_uuid3_deterministic", "w10_ratio_to_report", "l28_weighted_sample",
+    "j11_broadcast_range",
     "t18_drawdown", "w11_bollinger",
     "t19_ohlc_daily_rollup", "x6_cogrouped_map", "l29_canonical_docs",
     "l30_shard_manifest", "t20_count_anomaly", "t21_growth_accounting",

@@ -5315,3 +5315,63 @@ class TestLmPerplexityBuckets:
             for r in lm_perplexity_buckets(d.repartition(17)).collect()
         }
         assert a == b and len(a) > 0
+
+
+class TestPatchDupStats:
+    """multimodal.patch_dup_stats — image patch-level exact dedup."""
+
+    @staticmethod
+    def _ppm(pixels):
+        import numpy as np
+
+        from pgstream_spark.operators.codecs import encode_ppm
+
+        return encode_ppm(np.asarray(pixels, dtype="uint8"))
+
+    def test_hand_built_duplicate_tiles(self, spark):
+        import numpy as np
+
+        from pgstream_spark.operators.multimodal import patch_dup_stats
+
+        rng = np.random.default_rng(7)
+        shared = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint16)
+        uniq = [
+            rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint16)
+            for _ in range(6)
+        ]
+        # image A: [shared | u0 ; u1 | u2], image B: [shared | u3 ; u4 | u5]
+        def build(tl, tr, bl, br):
+            top = np.concatenate([tl, tr], axis=1)
+            bot = np.concatenate([bl, br], axis=1)
+            return np.concatenate([top, bot], axis=0)
+
+        a = build(shared, uniq[0], uniq[1], uniq[2])
+        b = build(shared, uniq[3], uniq[4], uniq[5])
+        df = spark.createDataFrame(
+            [(1, bytearray(self._ppm(a))), (2, bytearray(self._ppm(b)))],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r.id: r for r in patch_dup_stats(df, "payload", "doc_id").collect()
+        }
+        for i in (1, 2):
+            assert out[i].n_patches == 4
+            assert out[i].n_dup == 1  # exactly the shared top-left tile
+            assert out[i].dup_bp == 2500
+
+    def test_no_pairwise_join_in_plan(self, spark):
+        from pgstream_spark.operators.multimodal import patch_dup_stats
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._ppm([[[0, 0, 0]] * 8] * 8)))],
+            "doc_id long, payload binary",
+        )
+        plan = (
+            patch_dup_stats(df, "payload", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # hash-equality dedup: no cartesian/broadcast-nested-loop pairs
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
