@@ -1378,3 +1378,44 @@ class TestDataSkippingHadoopFS:
         # all-NULL dim keys: typed empty result, no crash
         nulls = spark.createDataFrame([(None,)], "key long")
         assert bloom_pruned_join(spark, tbl, "k", nulls, "key").count() == 0
+
+    def test_bloom_fpr_within_design_bound(self, spark, tmp_path):
+        """The sidecar's one approximation is its false-positive rate —
+        measure it against planted membership (deterministic md5 hashing:
+        this is a fixed number, not a flake).  8 files x 2000 distinct
+        ids at m=16384, k=6 gives a theoretical FPR ~2%
+        ((1 - e^(-kn/m))^k); assert the empirical rate stays under 5%
+        and false NEGATIVES are exactly zero (the failure a bloom must
+        never have)."""
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        per_file = 2000
+        for i in range(8):
+            TestDataSkipping._one_file(
+                spark, tmp_path, f"f{i}.parquet",
+                i * per_file, (i + 1) * per_file, tbl,
+            )
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k", m_bits=16384, k=6)
+        # present keys: every probe must open EXACTLY its owning file
+        # (zero false negatives by construction; extra files = FPs)
+        fp = total_checks = 0
+        for v in (3, 4001, 9500, 15999):
+            df = bloom_pruned_parquet(spark, tbl, "k", [v])
+            assert [r.k for r in df.collect()] == [v]  # never lost
+            fp += len(df.inputFiles()) - 1
+            total_checks += 8
+        # absent keys: every file kept is a false positive (inputFiles
+        # inspects the planned scan — no job needs to run)
+        absent = list(range(100_000, 100_250))
+        for v in absent:
+            df = bloom_pruned_parquet(spark, tbl, "k", [v])
+            fp += len(df.inputFiles())
+            total_checks += 8
+        rate = fp / total_checks
+        assert rate < 0.05, f"bloom FPR {rate:.4f} above the design bound"
