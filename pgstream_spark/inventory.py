@@ -12429,6 +12429,92 @@ def l95(spark, sf_dir):
     return patch_dup_stats(imgs, "payload", "doc_id")
 
 
+@q(
+    "l96_truncated_lm",
+    # Frequency-TRUNCATED bigram-LM fluency score — the actual
+    # CCNet/KenLM production regime (l21 is the exact twin): keep only
+    # the top-2 continuations per w1 (count desc, w2 asc) and the
+    # global top-5000 bigrams (count desc, w1, w2), score pruned
+    # bigrams at the unseen floor (50 micro).  The truncated LM is
+    # bounded by construction (min(|w1 vocab|·2, 5000) rows) so the
+    # scoring join broadcasts at ANY corpus size — the scale-safe form
+    # VERDICT r9 asked for.  Both row_number truncations are fully
+    # deterministic, so the result is hash-exact cross-engine.
+    "WITH base AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) >= 2), "
+    "bi AS (SELECT doc_id, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2 "
+    "FROM sized), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1), "
+    "lm AS (SELECT w1, w2, c2, CAST(floor(1e6 * c2 / c1) AS BIGINT) AS micro "
+    "FROM c2 JOIN c1 USING (w1)), "
+    "perw1 AS (SELECT w1, w2, c2, micro FROM (SELECT w1, w2, c2, micro, "
+    "row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2 ASC) AS rk "
+    "FROM lm) WHERE rk <= 2), "
+    "capped AS (SELECT w1, w2, micro FROM (SELECT w1, w2, micro, "
+    "row_number() OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS gk "
+    "FROM perw1) WHERE gk <= 5000) "
+    "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(CAST(sum(coalesce(l.micro, 50)) AS BIGINT) AS DOUBLE) / count(*) "
+    "AS mean_microprob "
+    "FROM bi b LEFT JOIN capped l ON l.w1 = b.w1 AND l.w2 = b.w2 "
+    "GROUP BY b.doc_id",
+)
+def l96(spark, sf_dir):
+    from pgstream_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _t(spark, sf_dir, "documents"),
+        top_k_per_w1=2,
+        max_bigrams=5000,
+        unseen_micro=50,
+    )
+
+
+@q(
+    "l96b_truncated_lm_buckets",
+    # CCNet head/middle/tail over the TRUNCATED LM (l94's scale twin):
+    # top-2 continuations per w1, unseen floor 0, then the same
+    # per-language equal-frequency cut.  The Spark side runs the
+    # windowless threshold-bucketing plan (histogram + closed-form
+    # ntile arithmetic + row_number only on boundary-straddling score
+    # ties); the oracle keeps plain ntile — two plans, one hash.
+    "WITH base AS (SELECT doc_id, lang, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, lang, t, len(t) AS n FROM base WHERE len(t) >= 2), "
+    "bi AS (SELECT doc_id, lang, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2 "
+    "FROM sized), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1), "
+    "lm AS (SELECT w1, w2, c2, CAST(floor(1e6 * c2 / c1) AS BIGINT) AS micro "
+    "FROM c2 JOIN c1 USING (w1)), "
+    "trunc AS (SELECT w1, w2, micro FROM (SELECT w1, w2, micro, "
+    "row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2 ASC) AS rk "
+    "FROM lm) WHERE rk <= 2), "
+    "scored AS (SELECT b.doc_id, b.lang, "
+    "CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(coalesce(l.micro, 0)) AS BIGINT) AS s "
+    "FROM bi b LEFT JOIN trunc l ON l.w1 = b.w1 AND l.w2 = b.w2 "
+    "GROUP BY b.doc_id, b.lang), "
+    "r AS (SELECT doc_id, lang, n_bigrams, "
+    "CAST(s // n_bigrams AS BIGINT) AS mean_micro, "
+    "CAST(ntile(3) OVER (PARTITION BY lang "
+    "ORDER BY s // n_bigrams DESC, doc_id ASC) AS INT) AS bucket FROM scored) "
+    "SELECT doc_id, lang, n_bigrams, mean_micro, bucket, "
+    "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+    "AS tier FROM r",
+)
+def l96b(spark, sf_dir):
+    from pgstream_spark.operators.textstats import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(
+        _t(spark, sf_dir, "documents"), top_k_per_w1=2, unseen_micro=0
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -12798,6 +12884,8 @@ _GATE_ORDER_R9 = [
 # in registration order.  Any new oracle-backed registration goes to
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
+    # round-10 session additions — newest-first per the rotation contract
+    "l96_truncated_lm", "l96b_truncated_lm_buckets",
     # -- pushed out of the R9 window by the round-9 additions -----------
     "f16_uuid3_deterministic", "w10_ratio_to_report", "l28_weighted_sample",
     "j11_broadcast_range",
@@ -12822,7 +12910,7 @@ _GATE_ORDER_R10 = [
     "t28_sequence_pattern",
 ]
 
-_GATE_ORDER = _GATE_ORDER_R9
+_GATE_ORDER = _GATE_ORDER_R10
 
 
 def _reorder_registry() -> None:

@@ -260,7 +260,12 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", out: str = "n_tokens_
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k_per_w1: int | None = None,
+    max_bigrams: int | None = None,
+    unseen_micro: int = 0,
 ) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document —
     the bounded-exact analog of the perplexity filter every LLM data
@@ -276,19 +281,71 @@ def bigram_lm_scores(
     divisions.  Score = mean micro-probability over the doc's bigrams:
     high = made of corpus-typical transitions, low = atypical/garbled.
 
-    Scale shape: the LM table is at most |vocab|² rows and in practice
-    Zipf-truncated far below it — broadcast-sized by construction, so
-    scoring is a broadcast join + one keyed aggregation per doc.  Two
-    shuffles total (LM group-bys), both with partial aggregation.
+    Two tiers (the l2b/l2d twin pattern):
+
+    * **exact** (``top_k_per_w1=max_bigrams=None``) — the full LM, joined
+      with a plain shuffled join (AQE broadcasts it when small; the LM's
+      cardinality grows with the corpus, so it is never force-broadcast);
+    * **truncated** — the actual CCNet/KenLM production regime: keep the
+      top ``top_k_per_w1`` continuations per ``w1`` (deterministic order:
+      count desc, ``w2`` asc) and/or the global top ``max_bigrams``
+      (count desc, ``w1`` asc, ``w2`` asc); bigrams pruned from the model
+      score the ``unseen_micro`` floor.  The truncated LM is
+      **broadcast-sized by construction at any corpus size**
+      (≤ min(|w1 vocab|·K, max_bigrams) rows), so scoring is an explicit
+      broadcast join — zero corpus-sized LM shuffle.
+
+    Scale shape of the truncation itself: the per-``w1`` top-K window
+    runs over the DISTINCT-BIGRAM table (bounded by vocab², not corpus
+    rows) with per-``w1`` partitions bounded by vocab; the global cap is
+    a distributed TakeOrdered (no full sort).
 
     Returns ``(id_col, n_bigrams, mean_microprob)``.
     """
     bi, lm = _bigram_lm(df, text_col, (id_col,))
-    scored = bi.join(F.broadcast(lm), ["__w1", "__w2"])
+    lm = _truncate_lm(lm, top_k_per_w1, max_bigrams)
+    if top_k_per_w1 is None and max_bigrams is None:
+        scored = bi.join(lm.select("__w1", "__w2", "__micro"), ["__w1", "__w2"])
+        micro = F.col("__micro")
+    else:
+        scored = bi.join(
+            F.broadcast(lm.select("__w1", "__w2", "__micro")),
+            ["__w1", "__w2"],
+            "left",
+        )
+        micro = F.coalesce(F.col("__micro"), F.lit(int(unseen_micro)))
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
-        (F.sum("__micro").cast("double") / F.count("*")).alias("mean_microprob"),
+        (F.sum(micro).cast("double") / F.count("*")).alias("mean_microprob"),
     )
+
+
+def _truncate_lm(
+    lm: DataFrame, top_k_per_w1: int | None, max_bigrams: int | None
+) -> DataFrame:
+    """Frequency-truncate the bigram LM so its size is bounded by
+    construction: top ``top_k_per_w1`` rows per ``w1`` (count desc, w2
+    asc — fully deterministic), then the global top ``max_bigrams``
+    (count desc, w1 asc, w2 asc) via ``orderBy().limit()`` which Spark
+    plans as a distributed TakeOrdered, not a full sort.  Both windows
+    run over the distinct-bigram table — per-``w1`` partition size is
+    bounded by |vocab|, never by corpus rows."""
+    if top_k_per_w1 is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__w1").orderBy(
+            F.col("__c2").desc(), F.col("__w2").asc()
+        )
+        lm = (
+            lm.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(top_k_per_w1))
+            .drop("__rk")
+        )
+    if max_bigrams is not None:
+        lm = lm.orderBy(
+            F.col("__c2").desc(), F.col("__w1").asc(), F.col("__w2").asc()
+        ).limit(int(max_bigrams))
+    return lm
 
 
 def _bigram_lm(
@@ -323,9 +380,27 @@ def _bigram_lm(
     lm = c2.join(c1, "__w1").select(
         "__w1",
         "__w2",
+        "__c2",
         F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
     )
     return bi, lm
+
+
+def _ntile_bucket_expr(rank_col: str, q_col: str, m_col: str) -> Column:
+    """Closed-form ntile: the bucket of 1-based ``rank`` among ``n``
+    rows cut into ``k`` buckets, given ``q = n DIV k`` and ``m = n % k``
+    (the first ``m`` buckets hold ``q+1`` rows, the rest ``q``) — pure
+    integer arithmetic, so it reproduces SQL ``ntile`` bit-for-bit
+    without any window.  ``ceil(a/b) = (a+b-1) DIV b`` on positive ints;
+    the ELSE branch only evaluates when ``q >= 1`` (if ``q = 0`` every
+    rank is inside the first ``m`` buckets)."""
+    r, qq, m = F.col(rank_col), F.col(q_col), F.col(m_col)
+    in_fat = (m > 0) & (r <= (qq + F.lit(1)) * m)
+    fat = F.expr(f"({rank_col} + {q_col}) DIV ({q_col} + 1)")
+    thin = m + F.expr(
+        f"({rank_col} - ({q_col} + 1) * {m_col} + {q_col} - 1) DIV {q_col}"
+    )
+    return F.when(in_fat, fat).otherwise(thin).cast("int")
 
 
 def lm_perplexity_buckets(
@@ -334,6 +409,9 @@ def lm_perplexity_buckets(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     n_buckets: int = 3,
+    top_k_per_w1: int | None = None,
+    max_bigrams: int | None = None,
+    unseen_micro: int = 0,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
     document against the corpus bigram LM (`bigram_lm_scores`' model,
@@ -345,32 +423,98 @@ def lm_perplexity_buckets(
     Determinism discipline: documents order by the INTEGER mean
     micro-probability (``sum_micro DIV n_bigrams`` — floor division of
     non-negative operands, identical on every engine) descending with
-    ``id`` as the total-order tiebreak, so `ntile` assigns the same
-    bucket everywhere — no float enters the ordering.
+    ``id`` as the total-order tiebreak; the assignment below reproduces
+    SQL ``ntile`` over that order bit-for-bit — no float enters it.
 
-    Scale shape: the LM stays broadcast-sized (Zipf-truncated vocab²);
-    scoring is a broadcast join + per-doc aggregate; the only
-    corpus-sized shuffle is the per-language ntile window the split
-    semantics require.  Returns ``(id, lang, n_bigrams, mean_micro,
-    bucket, tier)`` with ``tier`` ∈ head/middle/tail for 3 buckets
-    (``b<k>`` otherwise).
+    **Scale shape — no per-language global sort.**  A naive ntile
+    window partitioned by language puts a whole language (most of a web
+    corpus is one language) into ONE task.  Instead:
+
+    1. histogram: count docs per ``(lang, mean_micro)`` — keyed shuffle
+       with partial aggregation; the result has at most 1e6+1 rows per
+       language by integer-quantization (``mean_micro`` ∈ [0, 1e6]),
+       REGARDLESS of corpus size;
+    2. a running-total window partitioned by language runs over that
+       bounded histogram (≤ 1e6+1 rows/task), yielding for each score
+       value the count of strictly-better docs ``c_gt``;
+    3. closed-form ntile arithmetic on ``c_gt`` gives each score value
+       its bucket span map-side; score values whose span lies inside
+       one bucket assign directly (the overwhelming majority);
+    4. only the ≤ ``n_buckets``−1 boundary-straddling score values per
+       language pay a ``row_number`` over ``(lang, mean_micro)`` — the
+       tied rows at a cut, exactly the rows for which ntile semantics
+       inherently require the ``id`` tiebreak order.
+
+    The LM join follows `bigram_lm_scores`' twin tiers: exact (plain
+    shuffled join, AQE-broadcast when small) or frequency-truncated
+    (``top_k_per_w1``/``max_bigrams``/``unseen_micro`` — broadcast
+    bounded by construction).  Returns ``(id, lang, n_bigrams,
+    mean_micro, bucket, tier)`` with ``tier`` ∈ head/middle/tail for 3
+    buckets (``b<k>`` otherwise).
     """
+    from pyspark.sql import Window
+
     bi, lm = _bigram_lm(df, text_col, (id_col, lang_col))
+    lm = _truncate_lm(lm, top_k_per_w1, max_bigrams)
+    if top_k_per_w1 is None and max_bigrams is None:
+        joined = bi.join(lm.select("__w1", "__w2", "__micro"), ["__w1", "__w2"])
+        micro = F.col("__micro")
+    else:
+        joined = bi.join(
+            F.broadcast(lm.select("__w1", "__w2", "__micro")),
+            ["__w1", "__w2"],
+            "left",
+        )
+        micro = F.coalesce(F.col("__micro"), F.lit(int(unseen_micro)))
     scored = (
-        bi.join(F.broadcast(lm), ["__w1", "__w2"])
-        .groupBy(id_col, lang_col)
+        joined.groupBy(id_col, lang_col)
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("__micro").cast("bigint").alias("__sum"),
+            F.sum(micro).cast("bigint").alias("__sum"),
         )
         .withColumn("mean_micro", F.expr("__sum DIV n_bigrams"))
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("mean_micro").desc(), F.col(id_col).asc()
+    # -- pass 1: bounded per-(lang, score) histogram + running totals ----
+    hist = scored.groupBy(lang_col, "mean_micro").agg(
+        F.count("*").cast("bigint").alias("__cnt")
     )
-    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    run = Window.partitionBy(lang_col).orderBy(F.col("mean_micro").desc())
+    hist = hist.withColumn(
+        "__cle",
+        F.sum("__cnt").over(run.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("__cgt", F.col("__cle") - F.col("__cnt"))
+    totals = hist.groupBy(lang_col).agg(F.sum("__cnt").alias("__n"))
+    hist = (
+        hist.join(F.broadcast(totals), lang_col)
+        .withColumn("__q", F.expr(f"__n DIV {int(n_buckets)}"))
+        .withColumn("__m", F.col("__n") % F.lit(int(n_buckets)))
+        .withColumn("__rlo", F.col("__cgt") + F.lit(1))
+        .withColumn("__rhi", F.col("__cgt") + F.col("__cnt"))
+        .withColumn("__blo", _ntile_bucket_expr("__rlo", "__q", "__m"))
+        .withColumn("__bhi", _ntile_bucket_expr("__rhi", "__q", "__m"))
+        .select(
+            lang_col, "mean_micro", "__cgt", "__q", "__m", "__blo",
+            (F.col("__blo") != F.col("__bhi")).alias("__straddle"),
+        )
+    )
+
+    # -- pass 2: map-side assignment; row_number only on straddle ties --
+    assigned = scored.join(hist, [lang_col, "mean_micro"])
+    direct = assigned.filter(~F.col("__straddle")).withColumn(
+        "bucket", F.col("__blo")
+    )
+    tie = Window.partitionBy(lang_col, "mean_micro").orderBy(
+        F.col(id_col).asc()
+    )
+    strad = (
+        assigned.filter(F.col("__straddle"))
+        .withColumn("__r", F.col("__cgt") + F.row_number().over(tie))
+        .withColumn("bucket", _ntile_bucket_expr("__r", "__q", "__m"))
+    )
+    cols = [id_col, lang_col, "n_bigrams", "mean_micro", "bucket"]
+    out = direct.select(*cols).unionByName(strad.select(*cols))
+
     if n_buckets == 3:
         tier = (
             F.when(F.col("bucket") == 1, "head")

@@ -5316,6 +5316,112 @@ class TestLmPerplexityBuckets:
         }
         assert a == b and len(a) > 0
 
+    def test_matches_ntile_reference_under_heavy_ties(self, spark):
+        # the windowless threshold plan must reproduce ntile bit-for-bit
+        # even when massive score TIES straddle bucket boundaries — the
+        # case the closed-form arithmetic + row_number tiebreak handles.
+        # Build a corpus where many docs share identical text (identical
+        # mean_micro) across several tie groups, in two languages of
+        # very different sizes, and check against a literal ntile window
+        # over the operator's own output ordering.
+        from pyspark.sql import Window
+
+        from pgstream_spark.operators.textstats import lm_perplexity_buckets
+
+        rows = []
+        texts = ["the cat sat", "a dog ran far", "zz qq xx vv", "one two three four"]
+        for i in range(97):
+            rows.append((i, "en", texts[i % 4]))
+        for i in range(97, 110):
+            rows.append((i, "fr", texts[i % 3]))
+        d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        for k in (2, 3, 4, 7):
+            out = lm_perplexity_buckets(d, n_buckets=k)
+            w = Window.partitionBy("lang").orderBy(
+                F.col("mean_micro").desc(), F.col("doc_id").asc()
+            )
+            bad = (
+                out.withColumn("ref", F.ntile(k).over(w))
+                .filter(F.col("bucket") != F.col("ref"))
+                .count()
+            )
+            assert bad == 0, k
+            assert out.count() == 110
+
+    def test_more_buckets_than_docs(self, spark):
+        # n < k: every rank lands in a fat bucket (q = 0 branch guard)
+        from pgstream_spark.operators.textstats import lm_perplexity_buckets
+
+        d = spark.createDataFrame(
+            [(1, "en", "the cat sat"), (2, "en", "a dog ran")],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.doc_id: r.bucket for r in lm_perplexity_buckets(d, n_buckets=5).collect()}
+        assert sorted(got.values()) == [1, 2]
+
+
+class TestTruncatedBigramLm:
+    """bigram_lm_scores / lm_perplexity_buckets frequency-truncated tier."""
+
+    def test_top_k_floor_semantics(self, spark):
+        # corpus: 'a b' x3, 'a c' x2, 'a d' x1 → c1(a)=6;
+        # micro: b=500000, c=333333, d=166666.  top_k_per_w1=2 keeps
+        # (a,b) and (a,c); 'a d' scores the floor.
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        d = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "a c a c"), (3, "a d")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_microprob)
+            for r in bigram_lm_scores(
+                d, top_k_per_w1=2, unseen_micro=7
+            ).collect()
+        }
+        # doc 1 bigrams: ab, ba, ab, ba, ab — ba count 2 (c1(b)=2 → ba
+        # micro 1e6); all kept (b has one continuation)
+        assert got[3][0] == 1 and got[3][1] == 7.0  # 'a d' pruned → floor
+        assert got[1][0] == 5
+        assert got[2][0] == 3
+
+    def test_max_bigrams_global_cap(self, spark):
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        d = spark.createDataFrame(
+            [(1, "a b a b"), (2, "c d"), (3, "e f")],
+            "doc_id long, text string",
+        )
+        # global top-1 by count keeps only (a,b) [count 2]; everything
+        # else floors at 0
+        got = {
+            r.doc_id: r.mean_microprob
+            for r in bigram_lm_scores(d, max_bigrams=1, unseen_micro=0).collect()
+        }
+        assert got[2] == 0.0 and got[3] == 0.0 and got[1] > 0.0
+
+    def test_exact_tier_unchanged_by_default(self, spark):
+        # default args = the exact l21 semantics (inner join, no floor)
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        d = spark.createDataFrame(
+            [(1, "x y x y"), (2, "y x")], "doc_id long, text string"
+        )
+        exact = {r.doc_id: r.mean_microprob for r in bigram_lm_scores(d).collect()}
+        assert set(exact) == {1, 2}
+
+    def test_truncated_buckets_roundtrip(self, spark, sf_dir):
+        # the truncated buckets twin returns the same doc set as exact
+        # buckets (truncation changes scores, never membership)
+        from pgstream_spark.operators.textstats import lm_perplexity_buckets
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents").limit(80)
+        exact = lm_perplexity_buckets(d)
+        trunc = lm_perplexity_buckets(d, top_k_per_w1=1, unseen_micro=3)
+        assert exact.count() == trunc.count()
+        assert {r.bucket for r in trunc.select("bucket").distinct().collect()} <= {1, 2, 3}
+
 
 class TestPatchDupStats:
     """multimodal.patch_dup_stats — image patch-level exact dedup."""
