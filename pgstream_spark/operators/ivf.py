@@ -646,8 +646,13 @@ def write_ivfpq_index(
         # the guard exists to prevent (round-9 review finding; the
         # residual default flip makes stock appends to old raw indexes
         # hit this path)
-        existing = _read_ivfpq_meta(spark, path)
-        if existing != bool(residual):
+        existing = _ivfpq_encoding_state(spark, path)
+        # None = no index present at all — creating a fresh index via
+        # append mode (the idempotent-ingest idiom) is allowed; the
+        # guard only fires against an EXISTING tree of the other
+        # encoding (a missing meta/ over existing codes is the
+        # pre-round-8 layout, which is always raw)
+        if existing is not None and existing != bool(residual):
             raise ValueError(
                 f"index at {path} is {'residual' if existing else 'raw'}-"
                 f"encoded; append with residual={residual} would mix "
@@ -701,6 +706,22 @@ def write_ivfpq_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _ivfpq_encoding_state(spark: SparkSession, path: str) -> bool | None:
+    """Pre-append classification of ``path``: ``None`` = no index
+    present (no ``codes/`` tree — a fresh create, nothing to mismatch),
+    else the stored encoding flag (`_read_ivfpq_meta`: missing ``meta/``
+    over existing codes = the pre-round-8 raw layout)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path + "/codes").schema
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+    return _read_ivfpq_meta(spark, path)
 
 
 def _read_ivfpq_meta(spark: SparkSession, path: str) -> bool:

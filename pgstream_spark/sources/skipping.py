@@ -61,6 +61,7 @@ __all__ = [
     "update_bloom_sidecar",
     "bloom_pruned_parquet",
     "bloom_pruned_join",
+    "snapshot_table",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -176,9 +177,16 @@ class _HadoopFS:
     modificationTime ms × 10^6) — self-consistent within the adapter,
     which is all `update_stats_manifest`'s refresh check needs.
     Manifest publish is ``FileContext.rename(Rename.OVERWRITE)`` —
-    the atomic replace-commit (plain ``FileSystem.rename`` refuses to
-    clobber on HDFS, and delete-then-rename would leave a
-    manifest-less table if the process died between the two)."""
+    an atomic replace-commit on HDFS and local ``file://`` (plain
+    ``FileSystem.rename`` refuses to clobber on HDFS, and
+    delete-then-rename would leave a manifest-less table if the
+    process died between the two).  On object stores (``s3a://``)
+    rename is copy+delete — NOT atomic — and many stock configs lack
+    the ``fs.AbstractFileSystem.<scheme>.impl`` binding FileContext
+    needs; there the publish falls back to delete+rename with the
+    narrower guarantee (a crash between the two can leave the
+    manifest missing until the next reconcile rebuilds it — data
+    files are never touched by this path)."""
 
     def __init__(self, spark: SparkSession, any_path: str):
         self._jvm = spark._jvm
@@ -223,13 +231,24 @@ class _HadoopFS:
         self._rename_overwrite_j(tmp, self._jpath(dest))
 
     def _rename_overwrite_j(self, jsrc, jdst) -> None:
-        ren = self._jvm.org.apache.hadoop.fs.Options.Rename
-        opts = self._gw.new_array(ren, 1)
-        opts[0] = ren.OVERWRITE
-        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            jdst.toUri(), self._conf
-        )
-        fc.rename(jsrc, jdst, opts)
+        try:
+            ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gw.new_array(ren, 1)
+            opts[0] = ren.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jdst.toUri(), self._conf
+            )
+            fc.rename(jsrc, jdst, opts)
+        except Exception as e:  # noqa: BLE001 — py4j surfaces one type
+            # schemes without an AbstractFileSystem binding (common for
+            # s3a) can't go through FileContext at all; fall back to
+            # delete+rename — non-atomic, but on those stores rename is
+            # copy+delete anyway, so FileContext never bought atomicity
+            if "UnsupportedFileSystem" not in str(e):
+                raise
+            self._fs.delete(jdst, False)
+            if not self._fs.rename(jsrc, jdst):
+                raise IOError(f"rename {jsrc} -> {jdst} failed") from e
 
     def remove(self, path: str) -> None:
         self._fs.delete(self._jpath(path), False)
@@ -308,8 +327,17 @@ def _unified_table(rows: list[dict], prior_schema=None):
     appearance order — every row normalized with NULLs for its missing
     keys, and prior-known columns cast back to their prior types (an
     all-NULL column would otherwise infer as the useless ``null``
-    type, losing the binary bloom type across a rewrite)."""
+    type, losing the binary bloom type across a rewrite).
+
+    An EMPTY row list (a delete/compaction drained the table) returns
+    an empty table WITH the prior schema — ``pa.Table.from_pylist([])``
+    would yield a zero-column table, silently dropping ``file``/
+    ``n_rows``/stat columns and breaking every projected manifest read
+    afterwards."""
     import pyarrow as pa
+
+    if not rows and prior_schema is not None:
+        return prior_schema.empty_table()
 
     keys: list[str] = []
     seen: set[str] = set()
@@ -338,6 +366,19 @@ def _unified_table(rows: list[dict], prior_schema=None):
         if changed:
             tbl = tbl.cast(pa.schema(fields))
     return tbl
+
+
+def _unmanifested_files(table_path: str, fs, manifest_rows: list[dict]) -> list[str]:
+    """Data files present on disk but absent from the manifest (appended
+    without a reconcile).  Pruned reads must treat them as unprunable —
+    content unknown — or the superset contract silently breaks.  One
+    file-count-sized listing; no data file is opened."""
+    known = {r["file"] for r in manifest_rows}
+    return [
+        f
+        for f in _data_files(table_path, fs)
+        if os.path.basename(f) not in known
+    ]
 
 
 def _footer_stats(
@@ -603,6 +644,10 @@ def pruned_parquet(
                 break
         if ok:
             keep.append(os.path.join(table_path, r["file"]))
+    # data files with NO manifest row (appended without a reconcile)
+    # have unknown content — the superset contract means they are
+    # always read, never silently excluded from the scan
+    keep.extend(_unmanifested_files(table_path, fs, manifest))
     pred = F.lit(True)
     for c in cols:
         want_lo, want_hi = ranges[c]
@@ -623,6 +668,7 @@ def delete_where(
     lower=None,
     upper=None,
     values: list | None = None,
+    versioned: bool = False,
 ) -> dict:
     """Targeted row deletion with file-level pruning: consult the
     manifest for the files that CAN contain matches (range overlap, or
@@ -643,10 +689,17 @@ def delete_where(
     touched, so a crash never loses undeleted rows; a crash between
     swap-in and removal can leave BOTH the rewritten and original
     files visible (duplicates, repaired by re-running the same delete
-    — it is idempotent on the data predicate).  For full
-    copy-on-write atomicity compose with `operators/snapshot`'s
-    versioned writes instead; this is the in-place form for artifact
-    directories the engine owns.
+    — it is idempotent on the data predicate).
+
+    ``versioned=True`` removes that crash window entirely: ``table_path``
+    must then be an `operators/snapshot` version store (bootstrap a
+    plain table with `snapshot_table`), the delete lands as a NEW
+    version — untouched files hardlinked (metadata-only; copied where
+    the filesystem can't link), touched files rewritten — and the
+    commit is the snapshot manifest rename, so a reader sees the old
+    version or the new one, never both and never a duplicate.  The old
+    version stays time-travelable.  Returns the in-place dict plus
+    ``{"version"}`` in that mode.
 
     Returns ``{"files_touched", "files_total", "rows_deleted"}``.
     """
@@ -654,40 +707,31 @@ def delete_where(
 
     if (values is None) == (lower is None and upper is None):
         raise ValueError("pass exactly one of values or a lower/upper range")
+    if versioned:
+        return _delete_where_versioned(
+            spark, table_path, col, lower, upper, values
+        )
     fs = _fs_for(spark, table_path)
     dest = os.path.join(table_path, MANIFEST_NAME)
+    # reconcile FIRST: a file appended since the last manifest build has
+    # no row here, and a delete that silently skips it lets exactly the
+    # rows the caller asked to remove survive (O(changed) footer reads)
+    update_stats_manifest(
+        spark, table_path, _stat_cols_of(_read_manifest_schema(fs, dest))
+    )
     manifest = _read_manifest_table(
         fs,
         dest,
         columns=["file", "n_rows", f"min_{col}", f"max_{col}", f"nulls_{col}"],
     ).to_pylist()
-    touched = []
-    for r in manifest:
-        lo, hi = r[f"min_{col}"], r[f"max_{col}"]
-        if lo is None or hi is None:
-            if _all_null_proven(r, col):
-                continue  # proven all-NULL: no value/range can match
-            touched.append(r["file"])  # stats absent: must rewrite
-            continue
-        if values is not None:
-            if any(lo <= v <= hi for v in values):
-                touched.append(r["file"])
-        elif (upper is None or lo <= upper) and (lower is None or hi >= lower):
-            touched.append(r["file"])
+    touched = _delete_touched(manifest, col, lower, upper, values)
     if not touched:
         return {
             "files_touched": 0,
             "files_total": len(manifest),
             "rows_deleted": 0,
         }
-    if values is not None:
-        pred = F.col(col).isin(list(values))
-    else:
-        pred = F.lit(True)
-        if lower is not None:
-            pred = pred & (F.col(col) >= F.lit(lower))
-        if upper is not None:
-            pred = pred & (F.col(col) <= F.lit(upper))
+    pred = _delete_pred(col, lower, upper, values)
     paths = [os.path.join(table_path, f) for f in touched]
     # footer-exact baseline from the touched files THEMSELVES (metadata-
     # only): immune to a stale manifest row after an unreconciled
@@ -732,6 +776,173 @@ def delete_where(
         "files_touched": len(touched),
         "files_total": len(manifest),
         "rows_deleted": int(before - kept_rows),
+    }
+
+
+def _delete_touched(
+    stats_rows: list[dict], col: str, lower, upper, values
+) -> list[str]:
+    """File names that CAN contain delete matches — shared by the
+    in-place and versioned delete paths so the pruning decision can
+    never diverge.  Statless files are always touched unless proven
+    all-NULL (see `delete_where`'s data-safety note)."""
+    touched = []
+    for r in stats_rows:
+        lo, hi = r[f"min_{col}"], r[f"max_{col}"]
+        if lo is None or hi is None:
+            if _all_null_proven(r, col):
+                continue  # proven all-NULL: no value/range can match
+            touched.append(r["file"])  # stats absent: must rewrite
+            continue
+        if values is not None:
+            if any(lo <= v <= hi for v in values):
+                touched.append(r["file"])
+        elif (upper is None or lo <= upper) and (lower is None or hi >= lower):
+            touched.append(r["file"])
+    return touched
+
+
+def _delete_pred(col: str, lower, upper, values):
+    if values is not None:
+        return F.col(col).isin(list(values))
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (F.col(col) >= F.lit(lower))
+    if upper is not None:
+        pred = pred & (F.col(col) <= F.lit(upper))
+    return pred
+
+
+def snapshot_table(spark: SparkSession, table_path: str, store_dir: str) -> int:
+    """Bootstrap a version store from a plain parquet table directory:
+    hardlink (or copy, where linking is impossible) every data file as
+    ``v0001/data`` and commit it with the `operators/snapshot` manifest
+    — metadata-only on a POSIX filesystem, so 'make this 100 TB table
+    versioned' costs one inode per file, not a rewrite.  Local paths
+    only (the snapshot store is an `os`-level layout, like
+    `operators/snapshot` itself)."""
+    import json
+    import shutil
+
+    if "://" in table_path or "://" in store_dir:
+        raise ValueError("snapshot_table supports local paths only")
+    files = _data_files(table_path)
+    vdir = os.path.join(store_dir, "v0001")
+    data = os.path.join(vdir, "data")
+    os.makedirs(data, exist_ok=True)
+    for f in files:
+        dst = os.path.join(data, os.path.basename(f))
+        if not os.path.exists(dst):
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+    n = sum(r["n_rows"] for r in _footer_stats(data, []))
+    schema = spark.read.parquet(data).schema.simpleString() if files else ""
+    manifest = {"version": 1, "rows": n, "schema": schema, "note": "snapshot_table"}
+    tmp = os.path.join(vdir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(vdir, "manifest.json"))  # commit point
+    with open(os.path.join(store_dir, "latest.tmp"), "w") as f:
+        f.write("1")
+    os.rename(os.path.join(store_dir, "latest.tmp"), os.path.join(store_dir, "latest"))
+    return 1
+
+
+def _delete_where_versioned(
+    spark: SparkSession, store_dir: str, col: str, lower, upper, values
+) -> dict:
+    """Copy-on-write delete on an `operators/snapshot` version store —
+    the atomic form of `delete_where`:
+
+    1. plan against the CURRENT version's parquet footers (same
+       `_delete_touched` decision as the in-place path);
+    2. build ``v<N+1>/data``: untouched files HARDLINKED (metadata-only
+       — the 100 TB economics survive; copy where the fs can't link),
+       touched files rewritten without the matching rows;
+    3. commit = the snapshot ``manifest.json`` rename then the
+       ``latest`` pointer — a crash anywhere before the rename leaves
+       the old version the committed latest, a crash after it leaves
+       the new one.  No state ever shows BOTH (the in-place swap-in/
+       remove window does not exist here), and the old version remains
+       readable via `operators.snapshot.read_version` (time travel /
+       takedown audit)."""
+    import json
+    import shutil
+    import uuid
+
+    from pgstream_spark.operators.snapshot import list_versions
+
+    if "://" in store_dir:
+        raise ValueError("versioned delete supports local version stores only")
+    versions = list_versions(store_dir)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed versions under {store_dir} — bootstrap a plain "
+            "table with snapshot_table(spark, table_path, store_dir) first"
+        )
+    cur = versions[-1]
+    cur_data = os.path.join(store_dir, f"v{cur:04d}", "data")
+    files = _data_files(cur_data)
+    stats = _footer_stats(cur_data, [col], files=files)
+    touched = set(_delete_touched(stats, col, lower, upper, values))
+    n_before = sum(r["n_rows"] for r in stats)
+    if not touched:
+        return {
+            "files_touched": 0,
+            "files_total": len(files),
+            "rows_deleted": 0,
+            "version": cur,  # nothing to commit: latest is unchanged
+        }
+    new_v = cur + 1
+    vdir = os.path.join(store_dir, f"v{new_v:04d}")
+    data = os.path.join(vdir, "data")
+    # a previous crashed attempt may have left an uncommitted vdir
+    # (no manifest.json => readers already skip it): rebuild from scratch
+    if os.path.isdir(vdir) and not os.path.exists(
+        os.path.join(vdir, "manifest.json")
+    ):
+        shutil.rmtree(vdir)
+    os.makedirs(data, exist_ok=True)
+    for f in files:
+        if os.path.basename(f) in touched:
+            continue
+        dst = os.path.join(data, os.path.basename(f))
+        try:
+            os.link(f, dst)
+        except OSError:
+            shutil.copy2(f, dst)
+    pred = _delete_pred(col, lower, upper, values)
+    src = spark.read.parquet(*[os.path.join(cur_data, t) for t in sorted(touched)])
+    survivors = src.filter(~pred | F.col(col).isNull())
+    staging = os.path.join(vdir, "_stage")
+    survivors.write.mode("overwrite").parquet(staging)
+    token = uuid.uuid4().hex[:12]
+    for i, f in enumerate(_data_files(staging)):
+        os.replace(f, os.path.join(data, f"del-{token}-{i:05d}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    n_after = sum(r["n_rows"] for r in _footer_stats(data, []))
+    manifest = {
+        "version": new_v,
+        "rows": n_after,
+        "schema": spark.read.parquet(data).schema.simpleString(),
+        "note": f"delete_where({col})",
+    }
+    tmp = os.path.join(vdir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(vdir, "manifest.json"))  # THE commit point
+    with open(os.path.join(store_dir, "latest.tmp"), "w") as f:
+        f.write(str(new_v))
+    os.rename(
+        os.path.join(store_dir, "latest.tmp"), os.path.join(store_dir, "latest")
+    )
+    return {
+        "files_touched": len(touched),
+        "files_total": len(files),
+        "rows_deleted": int(n_before - n_after),
+        "version": new_v,
     }
 
 
@@ -1041,16 +1252,17 @@ def _scan_blooms(
 
     def _one(pdf):
         import os as _os
+        import urllib.parse as _up
 
         import pandas as pd
 
         blob = _bloom_bitmap(pdf[col].dropna().unique(), col, m_bits, k)
-        return pd.DataFrame(
-            {
-                "file": [_os.path.basename(pdf["__f"].iloc[0])],
-                "blob": [blob],
-            }
-        )
+        # input_file_name() is a URL-encoded URI — unquote so names with
+        # space/%/# match the raw fs.listdir / manifest spelling (a
+        # mismatch here would mis-key the blob and the caller would
+        # treat the file as missing from the scan)
+        name = _up.unquote(_os.path.basename(pdf["__f"].iloc[0]))
+        return pd.DataFrame({"file": [name], "blob": [blob]})
 
     out = (
         df.groupBy("__f")
@@ -1208,10 +1420,25 @@ def update_bloom_sidecar(
         )
         # a ZERO-ROW part file (an empty micro-batch still lands one)
         # contributes no applyInPandas group — its bloom is the empty
-        # bitmap, same as the footers path would build
+        # bitmap, same as the footers path would build.  The empty
+        # fallback is taken ONLY when the manifest PROVES n_rows == 0:
+        # any other missing blob is a file-name keying bug, and blooming
+        # a non-empty file as empty would be a false NEGATIVE (pruning
+        # a file that contains probe values — silent missing rows).
         empty = _bloom_bitmap([], col, m_bits, k)
         for r in missing:
-            r[f"bloom_{col}"] = blobs.get(r["file"], empty)
+            blob_r = blobs.get(r["file"])
+            if blob_r is None:
+                if r.get("n_rows") == 0:
+                    blob_r = empty
+                else:
+                    raise RuntimeError(
+                        f"executor bloom scan produced no group for "
+                        f"non-empty file {r['file']!r} "
+                        f"(n_rows={r.get('n_rows')}) — refusing to record "
+                        "an empty (prune-everything) bloom for it"
+                    )
+            r[f"bloom_{col}"] = blob_r
     else:
         for r in missing:
             r[f"bloom_{col}"] = _build_bloom(
@@ -1220,6 +1447,56 @@ def update_bloom_sidecar(
     if missing:
         _write_manifest_table(fs, dest, _unified_table(rows, prior_schema))
     return {"files_built": len(missing), "files_total": len(rows)}
+
+
+def _bloom_prune_names(
+    manifest_rows: list[dict], col: str, values: list
+) -> list[str]:
+    """File names whose bloom CAN contain at least one probe value —
+    plus every blob-less row (membership unknown, never pruned).
+
+    Vectorized planning: blobs sharing a geometry (length, tag byte)
+    stack into one ``(n_files, bytes)`` uint8 matrix; each probe value
+    hashes ONCE per geometry (k positions) and its bit test runs across
+    ALL files as a single numpy gather.  The planning bill at the
+    10^5-file × 10^3-key regime is a few numpy passes (~10^8 byte ops
+    vectorized), where the per-(file, value) Python loop was minutes —
+    the driver-side cost law SCALE.md records.  Early-exit once every
+    file in a geometry group is kept."""
+    import numpy as np
+
+    keep: list[str] = []
+    groups: dict[tuple[int, int], tuple[list[str], list[bytes]]] = {}
+    for r in manifest_rows:
+        blob = r.get(f"bloom_{col}")
+        if not blob:
+            keep.append(r["file"])  # no bloom: membership unknown
+            continue
+        g = groups.setdefault((len(blob), blob[0]), ([], []))
+        g[0].append(r["file"])
+        g[1].append(bytes(blob))
+    for (blen, tag), (names, blobs) in groups.items():
+        m_bits = (blen - 1) * 8
+        k = tag & ~_BLOOM_KM
+        mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(
+            len(blobs), blen
+        )[:, 1:]
+        kept = np.zeros(len(blobs), dtype=bool)
+        for v in values:
+            if tag & _BLOOM_KM:
+                pos = _bloom_positions(v, m_bits, k)
+            else:
+                pos = _bloom_hashes(v, m_bits, k)
+            pos = np.asarray(pos, dtype=np.int64)
+            masks = np.left_shift(
+                np.uint8(1), (pos % 8).astype(np.uint8)
+            )
+            hit = ((mat[:, pos // 8] & masks) != 0).all(axis=1)
+            kept |= hit
+            if kept.all():
+                break
+        keep.extend(n for n, kf in zip(names, kept) if kf)
+    return keep
 
 
 def bloom_pruned_parquet(
@@ -1249,18 +1526,13 @@ def bloom_pruned_parquet(
     manifest = _read_manifest_table(
         fs, dest, columns=["file", f"bloom_{col}"]
     ).to_pylist()
-    keep = []
-    pos_cache: dict = {}  # hash each probe value once per geometry
-    for r in manifest:
-        blob = r.get(f"bloom_{col}")
-        if not blob:
-            keep.append(os.path.join(table_path, r["file"]))
-            continue  # no bloom: membership unknown, never prune
-        m_bits = (len(blob) - 1) * 8
-        if any(
-            _bloom_might_contain(blob, v, m_bits, pos_cache) for v in values
-        ):
-            keep.append(os.path.join(table_path, r["file"]))
+    keep = [
+        os.path.join(table_path, n)
+        for n in _bloom_prune_names(manifest, col, values)
+    ]
+    # files with no manifest row at all (unreconciled append): content
+    # unknown — read them, same as a manifested row with no bloom
+    keep.extend(_unmanifested_files(table_path, fs, manifest))
     if not keep:
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)
@@ -1277,6 +1549,7 @@ def bloom_pruned_join(
     dim_key: str,
     how: str = "inner",
     max_keys: int = 100_000,
+    fallback: str | None = None,
 ) -> DataFrame:
     """FILE-level semi-join pushdown through the Bloom sidecar — the
     file-granularity analog of dynamic partition pruning: collect the
@@ -1294,7 +1567,11 @@ def bloom_pruned_join(
     pruning, so they are refused.  Raises if `dim` holds more than
     ``max_keys`` distinct keys — past that the key list stops being
     driver-sized and the honest plan is a shuffled join over the full
-    scan instead."""
+    scan instead; pass ``fallback="shuffle"`` to take that plan
+    automatically (same results, no pruning) so pipeline code survives
+    cohort-size drift without try/except."""
+    if fallback not in (None, "shuffle"):
+        raise ValueError(f"fallback must be None or 'shuffle', got {fallback!r}")
     if how not in ("inner", "left_semi"):
         raise ValueError(
             f"bloom_pruned_join supports inner/left_semi, got {how!r} — "
@@ -1310,10 +1587,21 @@ def bloom_pruned_join(
         .collect()
     ]
     if len(keys) > max_keys:
+        if fallback == "shuffle":
+            # cohort outgrew the driver-sized key list: same join, full
+            # scan, no broadcast hint — Catalyst/AQE plan the shuffle
+            fact = spark.read.parquet(table_path)
+            if how == "left_semi":
+                return fact.join(
+                    dim.select(dim_key).distinct(),
+                    fact[col] == dim[dim_key],
+                    "left_semi",
+                )
+            return fact.join(dim, fact[col] == dim[dim_key], "inner")
         raise ValueError(
             f"dim has more than max_keys={max_keys} distinct keys — "
-            "use a plain shuffled join; a driver-side key list this "
-            "large defeats the pruning economics"
+            "use a plain shuffled join (or pass fallback='shuffle'); a "
+            "driver-side key list this large defeats the pruning economics"
         )
     if not keys:
         schema = spark.read.parquet(table_path).schema

@@ -3619,6 +3619,34 @@ class TestIvfPqPersistedIndex:
             spark, path, corpus.limit(2), k=3, n_probes=2
         ).count() == 6
 
+    def test_append_to_empty_path_creates_fresh_index(
+        self, spark, sf_dir, tmp_path
+    ):
+        """ADVICE r9: mode='append' on a path with NO index (the
+        idempotent-ingest idiom) must create it, not misreport an empty
+        directory as a raw-encoded index."""
+        from pgstream_spark.operators.ivf import (
+            ivfpq_query_index,
+            train_centroids,
+            write_ivfpq_index,
+        )
+        from pgstream_spark.operators.pq import default_codebooks
+        from pgstream_spark.sources.parquet import load_table
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(corpus, n_lists=4, sample_size=128)
+        dim = len(corpus.select("embedding").first()[0])
+        cbs = default_codebooks(dim=dim, m_subspaces=8, n_codes=16)
+        path = str(tmp_path / "fresh")
+        write_ivfpq_index(corpus, cents, cbs, path, mode="append")
+        assert ivfpq_query_index(
+            spark, path, corpus.limit(2), k=3, n_probes=2
+        ).count() == 6
+        # and a second append of the SAME encoding still passes the guard
+        write_ivfpq_index(
+            corpus.limit(0), cents, cbs, path, mode="append"
+        )
+
 
 def test_expect_check_rule_cross_column(spark):
     from pgstream_spark.operators.quality import expect, expect_split

@@ -1419,3 +1419,211 @@ class TestDataSkippingHadoopFS:
             total_checks += 8
         rate = fp / total_checks
         assert rate < 0.05, f"bloom FPR {rate:.4f} above the design bound"
+
+
+class TestAdviceR9Regressions:
+    """Round-10 fixes for the ADVICE-r9 findings."""
+
+    def test_unified_table_empty_rows_keeps_prior_schema(self):
+        import pyarrow as pa
+
+        from pgstream_spark.sources.skipping import _unified_table
+
+        prior = pa.schema(
+            [("file", pa.string()), ("n_rows", pa.int64()), ("bloom_k", pa.binary())]
+        )
+        tbl = _unified_table([], prior)
+        assert tbl.num_rows == 0
+        assert tbl.schema.names == ["file", "n_rows", "bloom_k"]
+        assert tbl.schema.field("bloom_k").type == pa.binary()
+
+    def test_scan_bloom_spaced_filename_not_bloomed_empty(self, spark, tmp_path):
+        # input_file_name() URL-encodes the URI; a space in the file name
+        # used to miss the listdir-keyed dict and silently bloom the file
+        # EMPTY (prune-everything) — a false negative.  Now the basename
+        # is unquoted, so the blob keys match and the probe finds the row.
+        from pgstream_spark.sources.skipping import (
+            bloom_pruned_parquet,
+            update_bloom_sidecar,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f one.parquet", 0, 50, tbl)
+        TestDataSkipping._one_file(spark, tmp_path, "f%2Etwo.parquet", 50, 100, tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        update_bloom_sidecar(spark, tbl, "k", method="scan")
+        assert [r.k for r in bloom_pruned_parquet(spark, tbl, "k", [42]).collect()] == [42]
+        assert [r.k for r in bloom_pruned_parquet(spark, tbl, "k", [77]).collect()] == [77]
+
+    def test_scan_bloom_missing_group_raises_not_empty(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # a missing applyInPandas group for a NON-empty file must raise,
+        # never record the prune-everything bitmap
+        import pytest as _pytest
+
+        from pgstream_spark.sources import skipping
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f0.parquet", 0, 50, tbl)
+        skipping.write_stats_manifest(spark, tbl, ["k"])
+        monkeypatch.setattr(skipping, "_scan_blooms", lambda *a, **kw: {})
+        with _pytest.raises(RuntimeError, match="non-empty file"):
+            skipping.update_bloom_sidecar(spark, tbl, "k", method="scan")
+
+    def test_unmanifested_append_still_read_by_pruned_scans(self, spark, tmp_path):
+        # a data file appended WITHOUT a reconcile has no manifest row —
+        # both pruned readers must still read it (superset contract)
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_parquet,
+            pruned_parquet,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f0.parquet", 0, 100, tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        TestDataSkipping._one_file(spark, tmp_path, "f1-late.parquet", 100, 200, tbl)
+        got = pruned_parquet(spark, tbl, "k", 150, 160)
+        assert got.count() == 11
+        got2 = bloom_pruned_parquet(spark, tbl, "k", [150])
+        assert [r.k for r in got2.collect()] == [150]
+
+    def test_delete_where_reconciles_before_pruning(self, spark, tmp_path):
+        # rows in an unreconciled append must not dodge a delete
+        from pgstream_spark.sources.skipping import delete_where, write_stats_manifest
+
+        tbl = str(tmp_path / "t")
+        TestDataSkipping._one_file(spark, tmp_path, "f0.parquet", 0, 100, tbl)
+        write_stats_manifest(spark, tbl, ["k"])
+        TestDataSkipping._one_file(spark, tmp_path, "f1-late.parquet", 100, 200, tbl)
+        res = delete_where(spark, tbl, "k", values=[150, 151])
+        assert res["rows_deleted"] == 2
+        assert spark.read.parquet(tbl).filter("k IN (150, 151)").count() == 0
+        assert spark.read.parquet(tbl).count() == 198
+
+    def test_bloom_pruned_join_shuffle_fallback_matches(self, spark, tmp_path):
+        from pgstream_spark.sources.skipping import (
+            add_bloom_sidecar,
+            bloom_pruned_join,
+            write_stats_manifest,
+        )
+
+        tbl = str(tmp_path / "t")
+        for i in range(3):
+            TestDataSkipping._one_file(
+                spark, tmp_path, f"f{i}.parquet", i * 100, (i + 1) * 100, tbl
+            )
+        write_stats_manifest(spark, tbl, ["k"])
+        add_bloom_sidecar(spark, tbl, "k")
+        dim = spark.range(0, 40).selectExpr("id * 7 AS key")  # 40 keys
+        pruned = bloom_pruned_join(spark, tbl, "k", dim, "key", how="left_semi")
+        fb = bloom_pruned_join(
+            spark, tbl, "k", dim, "key", how="left_semi",
+            max_keys=10, fallback="shuffle",
+        )
+        assert sorted(r.k for r in fb.collect()) == sorted(
+            r.k for r in pruned.collect()
+        )
+        inner_fb = bloom_pruned_join(
+            spark, tbl, "k", dim, "key", max_keys=10, fallback="shuffle"
+        )
+        assert inner_fb.count() == pruned.count()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fallback"):
+            bloom_pruned_join(spark, tbl, "k", dim, "key", fallback="nope")
+
+
+class TestVersionedDelete:
+    """delete_where(versioned=True) — copy-on-write delete on a
+    snapshot store; the crash window of the in-place form is gone."""
+
+    @staticmethod
+    def _store(spark, tmp_path):
+        from pgstream_spark.sources.skipping import snapshot_table, write_stats_manifest
+
+        tbl = str(tmp_path / "t")
+        for i in range(3):
+            TestDataSkipping._one_file(
+                spark, tmp_path, f"f{i}.parquet", i * 100, (i + 1) * 100, tbl
+            )
+        write_stats_manifest(spark, tbl, ["k"])
+        store = str(tmp_path / "store")
+        assert snapshot_table(spark, tbl, store) == 1
+        return tbl, store
+
+    def test_versioned_delete_commits_new_version(self, spark, tmp_path):
+        from pgstream_spark.operators.snapshot import list_versions, read_version
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl, store = self._store(spark, tmp_path)
+        res = delete_where(spark, store, "k", values=[150, 151], versioned=True)
+        assert res["version"] == 2 and res["rows_deleted"] == 2
+        assert res["files_touched"] == 1 and res["files_total"] == 3
+        latest = read_version(spark, store)
+        assert latest.count() == 298
+        assert latest.filter("k IN (150, 151)").count() == 0
+        # old version time-travels untouched
+        assert read_version(spark, store, 1).count() == 300
+        assert list_versions(store) == [1, 2]
+        # untouched files are HARDLINKED, not copied (same inode)
+        f0_old = os.path.join(store, "v0001", "data", "f0.parquet")
+        f0_new = os.path.join(store, "v0002", "data", "f0.parquet")
+        assert os.stat(f0_old).st_ino == os.stat(f0_new).st_ino
+
+    def test_crash_before_commit_never_shows_both(self, spark, tmp_path, monkeypatch):
+        # kill at the exact commit point (manifest.json rename): the
+        # reader must see the OLD version in full — never a state with
+        # both the rewritten and original rows (the in-place window)
+        import pytest as _pytest
+
+        from pgstream_spark.operators.snapshot import list_versions, read_version
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl, store = self._store(spark, tmp_path)
+        real_rename = os.rename
+
+        def boom(src, dst):
+            if str(dst).endswith("manifest.json"):
+                raise OSError("injected crash at commit")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", boom)
+        with _pytest.raises(OSError, match="injected"):
+            delete_where(spark, store, "k", values=[150], versioned=True)
+        monkeypatch.undo()
+        # old version is still the committed latest and fully intact
+        assert list_versions(store) == [1]
+        latest = read_version(spark, store)
+        assert latest.count() == 300
+        assert latest.filter("k = 150").count() == 1  # exactly once, no dup
+        # re-running the same delete completes cleanly
+        res = delete_where(spark, store, "k", values=[150], versioned=True)
+        assert res["version"] == 2 and res["rows_deleted"] == 1
+        assert read_version(spark, store).count() == 299
+
+    def test_versioned_no_match_is_metadata_only(self, spark, tmp_path):
+        from pgstream_spark.operators.snapshot import list_versions
+        from pgstream_spark.sources.skipping import delete_where
+
+        tbl, store = self._store(spark, tmp_path)
+        res = delete_where(spark, store, "k", values=[99999], versioned=True)
+        assert res == {
+            "files_touched": 0, "files_total": 3,
+            "rows_deleted": 0, "version": 1,
+        }
+        assert list_versions(store) == [1]  # nothing committed
+
+    def test_versioned_requires_bootstrapped_store(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import delete_where
+
+        with _pytest.raises(FileNotFoundError, match="snapshot_table"):
+            delete_where(
+                spark, str(tmp_path / "nostore"), "k", values=[1], versioned=True
+            )
