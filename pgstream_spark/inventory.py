@@ -12515,6 +12515,65 @@ def l96b(spark, sf_dir):
     )
 
 
+@q(
+    "l97_temperature_mixture",
+    # Temperature-based source mixing (mixture.temperature_weights →
+    # mixture_sample): target share ∝ sqrt(n_source) — the GPT-3 /
+    # Pile / mT5 exponential-smoothing rule (α = 0.5), solved
+    # downsample-only for the largest output corpus.  The α=0.5 plan is
+    # ENGINE-EXACT integer arithmetic (isqrt(n·10^6) weights, floor
+    # solves), membership the deterministic md5 bucket — so the whole
+    # sampled corpus hash-matches across engines.
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY source), "
+    "w AS (SELECT source, n, CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w "
+    "FROM c), "
+    "t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w), "
+    "nt AS (SELECT min(n * tot // w) AS ntot FROM w, t WHERE w > 0), "
+    "bp AS (SELECT source, LEAST(10000, (w * ntot * 10000) // (tot * n)) "
+    "AS keep_bp FROM w, t, nt) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN bp USING (source) "
+    "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000 < keep_bp",
+)
+def l97(spark, sf_dir):
+    from pgstream_spark.operators.mixture import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weights = temperature_weights(d, alpha=0.5)
+    return mixture_sample(d, weights).select("doc_id", "source")
+
+
+@q(
+    "l98_ngram_novelty",
+    # Per-document n-gram novelty (dedup.ngram_novelty): share of a
+    # doc's distinct trigrams appearing in NO other document — the
+    # memorization-risk / boilerplate signal (low = template phrasing,
+    # high = genuinely new text).  Distinct-per-doc first bounds every
+    # shingle's global count by doc count; basis points by integer
+    # floor division, hash-exact cross-engine.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY s) "
+    "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+    "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+    "CAST((count(*) - sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)) * 10000 "
+    "// count(*) AS BIGINT) AS novelty_bp "
+    "FROM sh JOIN cnt c USING (s) GROUP BY sh.doc_id",
+)
+def l98(spark, sf_dir):
+    from pgstream_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -12885,6 +12944,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l98_ngram_novelty", "l97_temperature_mixture",
     "l96_truncated_lm", "l96b_truncated_lm_buckets",
     # -- pushed out of the R9 window by the round-9 additions -----------
     "f16_uuid3_deterministic", "w10_ratio_to_report", "l28_weighted_sample",

@@ -45,6 +45,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "duplicate_span_stats",
     "span_scrub",
+    "ngram_novelty",
     "dedup_clusters_twostar",
     "content_defined_chunks",
 ]
@@ -71,6 +72,49 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
     return F.array_distinct(joined)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the share of a doc's distinct
+    n-grams that appear in NO other document.  The memorization-risk /
+    boilerplate complement to pairwise near-dup: a doc scoring low is
+    assembled from corpus-common phrasing (template/boilerplate), a doc
+    scoring high contributes genuinely new n-grams — the signal
+    corpus-curation pipelines use to up-weight novel text and to audit
+    how much of a new batch is already covered.
+
+    Returns ``(id, n_ngrams, n_shared, novelty_bp)`` with ``novelty_bp``
+    the integer basis-point share of UNSHARED n-grams (floor division —
+    exact cross-engine).
+
+    Scale shape: per-doc DISTINCT shingles first (caps any shingle's
+    per-doc multiplicity at 1, so a shingle's global count is bounded by
+    doc count, not token count), then one shingle-keyed count, one
+    shingle-keyed join back, one doc-keyed aggregation — all partial-agg
+    shuffles; no pairwise anything, cost linear in corpus shingles.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s"),
+    )
+    cnt = sh.groupBy("__s").agg(F.count("*").alias("__nd"))
+    return (
+        sh.join(cnt, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("__nd") >= 2).cast("long")).cast("bigint").alias("n_shared"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("(n_ngrams - n_shared) * 10000 DIV n_ngrams").cast("bigint"),
+        )
+    )
 
 
 def exact_dedup(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "mixture_sample",
     "plan_mixture_weights",
+    "temperature_weights",
     "hash_bucket_bp",
     "weighted_sample_ares",
     "epoch_shuffle",
@@ -142,6 +143,57 @@ def plan_mixture_weights(
         keep = 0 if n_s == 0 else min(1.0, share * n_total / n_s)
         out[s] = int(round(keep * 10_000))
     return out
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> dict[str, int]:
+    """Per-source keep-weights (basis points) realizing TEMPERATURE
+    mixing: target share ∝ ``n_s^alpha`` — the standard multi-source
+    rebalancing rule (GPT-3 / The Pile / mT5's exponential smoothing:
+    α < 1 boosts small sources' share, so big sources get downsampled
+    harder).  Downsample-only, solved for the largest output corpus
+    like `plan_mixture_weights`.
+
+    ``alpha=0.5`` (the common choice) runs ENGINE-EXACT integer
+    arithmetic — ``isqrt(n·10^6)`` weights, integer floor solve — so a
+    DuckDB oracle reproduces the basis points bit-for-bit; other α use
+    Python floats (the plan is still deterministic: it is computed once,
+    driver-side, from one source-cardinality-sized aggregation — float
+    replication only matters for cross-engine oracle parity).
+
+    Feed the result straight to `mixture_sample` (map-only, md5-bucket
+    membership) for the one-pass materialization.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    if alpha == 0.5:
+        w = {s: math.isqrt(n * 1_000_000) for s, n in counts.items()}
+        tot = sum(w.values())
+        # largest (scaled) corpus N* with share_s·N* <= n_s for every s
+        n_tot = min((counts[s] * tot) // w[s] for s in w if w[s] > 0)
+        return {
+            s: min(10_000, (w[s] * n_tot * 10_000) // (tot * counts[s]))
+            for s in counts
+            if counts[s] > 0
+        }
+    pw = {s: float(n) ** alpha for s, n in sorted(counts.items())}
+    tot_f = sum(pw.values())
+    targets = {s: v / tot_f for s, v in pw.items()}
+    n_total = min(counts[s] / sh for s, sh in targets.items() if sh > 0)
+    return {
+        s: int(round(min(1.0, targets[s] * n_total / counts[s]) * 10_000))
+        for s in counts
+        if counts[s] > 0
+    }
 
 
 def epoch_shuffle(

@@ -5509,3 +5509,95 @@ class TestPatchDupStats:
         # hash-equality dedup: no cartesian/broadcast-nested-loop pairs
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTemperatureMixture:
+    """mixture.temperature_weights — Pile/GPT-3 α-smoothed source mixing."""
+
+    def test_alpha_half_hand_case(self, spark):
+        from pgstream_spark.operators.mixture import temperature_weights
+
+        # sources: a=400 docs, b=100 docs.  sqrt weights 20:10 → target
+        # shares 2/3:1/3.  Binding source is b (share 1/3 needs N<=300):
+        # N*=300 → keep a: 200/400=0.5, keep b: 100/100=1.0
+        rows = [(i, "a") for i in range(400)] + [(400 + i, "b") for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        w = temperature_weights(d, alpha=0.5)
+        assert w == {"a": 5000, "b": 10000}
+
+    def test_alpha_one_is_natural_mixture(self, spark):
+        from pgstream_spark.operators.mixture import temperature_weights
+
+        rows = [(i, "a") for i in range(30)] + [(30 + i, "b") for i in range(70)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        w = temperature_weights(d, alpha=1.0)
+        # α=1 keeps the natural mixture: nobody is downsampled
+        assert w == {"a": 10000, "b": 10000}
+
+    def test_alpha_zero_equalizes(self, spark):
+        from pgstream_spark.operators.mixture import temperature_weights
+
+        rows = [(i, "a") for i in range(300)] + [(300 + i, "b") for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        w = temperature_weights(d, alpha=0.0)
+        # equal target shares: the small source binds; big source keeps 1/3
+        assert w["b"] == 10000 and abs(w["a"] - 3333) <= 1
+
+    def test_sample_realizes_mixture(self, spark, sf_dir):
+        from pgstream_spark.operators.mixture import (
+            mixture_sample,
+            temperature_weights,
+        )
+        from pgstream_spark.sources.parquet import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        w = temperature_weights(d, alpha=0.5)
+        out = mixture_sample(d, w)
+        # deterministic: same call twice, identical membership
+        a = {r.doc_id for r in out.collect()}
+        b = {r.doc_id for r in mixture_sample(d, w).collect()}
+        assert a == b and len(a) > 0
+        # downsample-only: keep rates within [0, 1] by construction
+        assert all(0 <= bp <= 10_000 for bp in w.values())
+
+
+class TestNgramNovelty:
+    """dedup.ngram_novelty — unshared-n-gram share per document."""
+
+    def test_duplicate_doc_has_zero_novelty(self, spark):
+        from pgstream_spark.operators.dedup import ngram_novelty
+
+        d = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over"),
+                (2, "the quick brown fox jumps over"),  # exact dup of 1
+                (3, "completely different words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in ngram_novelty(d, n=3).collect()}
+        assert got[1].novelty_bp == 0 and got[2].novelty_bp == 0
+        assert got[3].novelty_bp == 10_000
+        assert got[1].n_ngrams == 4 and got[1].n_shared == 4
+
+    def test_partial_overlap_floor_division(self, spark):
+        from pgstream_spark.operators.dedup import ngram_novelty
+
+        # doc 1: trigrams {a b c, b c d, c d e}; doc 2 shares only 'a b c'
+        d = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c x y")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in ngram_novelty(d, n=3).collect()}
+        assert got[1].n_ngrams == 3 and got[1].n_shared == 1
+        assert got[1].novelty_bp == 6666  # floor(2*10000/3)
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        from pgstream_spark.operators.dedup import ngram_novelty
+
+        d = spark.createDataFrame(
+            [(1, "ab cd"), (2, "ab cd"), (3, "zz")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.novelty_bp for r in ngram_novelty(d, n=3).collect()}
+        assert got[1] == 0 and got[2] == 0 and got[3] == 10_000
