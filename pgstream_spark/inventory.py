@@ -12516,6 +12516,65 @@ def l96b(spark, sf_dir):
 
 
 @q(
+    "l99_video_frame_dedup",
+    # Video FRAME-level exact dedup (multimodal.frame_dup_stats) — the
+    # temporal twin of l95's image patches, through the REAL Y4M
+    # container path: deterministic 8-frame 4×4 C444 videos are
+    # synthesized JVM-side (each frame's Y/U/V planes = one md5 block;
+    # frames 0-3 keyed on doc_id % 25 so every 25-cohort shares its
+    # opening frames — the intro/slate shape — frames 4-7 keyed on
+    # doc_id), decoded by the Python Y4M parser in Arrow batches,
+    # every 2nd frame re-encoded as P6, decoded again, and hashed.
+    # The oracle never touches Y4M: it rebuilds the INTERLEAVED pixel
+    # hex from the same planar md5 blocks with substring arithmetic —
+    # matching hashes prove container decode → plane interleave → P6
+    # round trip byte-exact.  Sampled frames 0,2,4,6 → 2 shared + 2
+    # unique per video → dup_bp 5000.
+    "WITH fr AS (SELECT doc_id, fi FROM documents, "
+    "(VALUES (0), (2), (4), (6)) g(fi)), "
+    "hx AS (SELECT doc_id, fi, "
+    "md5('vid:' || CAST(CASE WHEN fi < 4 THEN doc_id % 25 ELSE doc_id END "
+    "AS VARCHAR) || ':' || CAST(fi AS VARCHAR) || ':0') AS yh, "
+    "md5('vid:' || CAST(CASE WHEN fi < 4 THEN doc_id % 25 ELSE doc_id END "
+    "AS VARCHAR) || ':' || CAST(fi AS VARCHAR) || ':1') AS uh, "
+    "md5('vid:' || CAST(CASE WHEN fi < 4 THEN doc_id % 25 ELSE doc_id END "
+    "AS VARCHAR) || ':' || CAST(fi AS VARCHAR) || ':2') AS vh FROM fr), "
+    "ih AS (SELECT doc_id, md5(array_to_string(list_transform(range(16), "
+    "p -> substr(yh, p*2+1, 2) || substr(uh, p*2+1, 2) || substr(vh, p*2+1, 2)"
+    "), '')) AS fhash FROM hx), "
+    "counts AS (SELECT fhash, count(DISTINCT doc_id) AS nd "
+    "FROM ih GROUP BY fhash), "
+    "per AS (SELECT i.doc_id AS id, CAST(count(*) AS BIGINT) AS n_frames, "
+    "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+    "FROM ih i JOIN counts c USING (fhash) GROUP BY i.doc_id) "
+    "SELECT id, n_frames, n_dup, "
+    "CAST(n_dup * 10000 // n_frames AS BIGINT) AS dup_bp FROM per",
+)
+def l99(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import frame_dup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pieces = [F.lit(bytearray(b"YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C444\n"))]
+    for fi in range(8):
+        kcol = (F.col("doc_id") % 25) if fi < 4 else F.col("doc_id")
+        pieces.append(F.lit(bytearray(b"FRAME\n")))
+        for plane in range(3):
+            pieces.append(
+                F.unhex(
+                    F.md5(
+                        F.concat(
+                            F.lit("vid:"),
+                            kcol.cast("string"),
+                            F.lit(f":{fi}:{plane}"),
+                        )
+                    )
+                )
+            )
+    vids = d.select("doc_id", F.concat(*pieces).alias("payload"))
+    return frame_dup_stats(vids, "payload", "doc_id", every_nth=2)
+
+
+@q(
     "l97_temperature_mixture",
     # Temperature-based source mixing (mixture.temperature_weights →
     # mixture_sample): target share ∝ sqrt(n_source) — the GPT-3 /
@@ -12944,6 +13003,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l99_video_frame_dedup",
     "l98_ngram_novelty", "l97_temperature_mixture",
     "l96_truncated_lm", "l96b_truncated_lm_buckets",
     # -- pushed out of the R9 window by the round-9 additions -----------

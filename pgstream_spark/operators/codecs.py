@@ -4,7 +4,12 @@ Real, dependency-free decoders for three classic uncompressed formats:
 
 * **PPM (P6)** — 'P6\\n<w> <h>\\n255\\n' + raw RGB triples;
 * **BMP** — 24-bit uncompressed BI_RGB, bottom-up rows, 4-byte padded;
-* **WAV** — PCM16 via the stdlib ``wave`` module.
+* **WAV** — PCM16 via the stdlib ``wave`` module;
+* **Y4M (YUV4MPEG2)** — the classic uncompressed VIDEO container
+  (mjpegtools): one ASCII stream header, then per frame ``FRAME\\n`` +
+  raw planar pixels.  C444 only (full-res Y/U/V planes — byte-exact
+  arithmetic; subsampled C420 would need resampling, an external
+  codec's job).
 
 These make ``decode_stub=False`` a REAL end-to-end path in
 ``multimodal.extract_features`` / ``resize_images`` / ``sample_frames``
@@ -32,9 +37,11 @@ __all__ = [
     "decode_ppm",
     "decode_bmp",
     "decode_wav",
+    "decode_y4m",
     "encode_ppm",
     "encode_bmp",
     "encode_wav",
+    "encode_y4m",
     "resize_nearest",
 ]
 
@@ -51,6 +58,8 @@ def sniff_format(raw: bytes) -> str | None:
         return "bmp"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -170,6 +179,75 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         f.setframerate(sample_rate)
         f.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------
+# Y4M (YUV4MPEG2, C444)
+# ---------------------------------------------------------------------
+
+def decode_y4m(raw: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 C444 → ((n_frames, h, w, 3) uint8 array, (fps_n, fps_d)).
+
+    Channels are the RAW Y/U/V plane values interleaved per pixel — no
+    colorspace conversion (that is a consumer decision; keeping bytes
+    raw keeps every downstream hash engine-reproducible).  Only C444
+    (full-resolution planes) decodes; subsampled modes raise
+    `UnsupportedMediaError` at the clearly-marked point where a real
+    resampler would plug in."""
+    if raw[:9] != b"YUV4MPEG2":
+        raise UnsupportedMediaError("not a YUV4MPEG2 payload")
+    eol = raw.find(b"\n")
+    if eol < 0:
+        raise UnsupportedMediaError("Y4M stream header unterminated")
+    w = h = 0
+    fps = (30, 1)
+    colorspace = "C420"  # the spec's default when no C tag is present
+    for tok in raw[9:eol].split():
+        t = tok.decode("ascii", "replace")
+        if t[:1] == "W":
+            w = int(t[1:])
+        elif t[:1] == "H":
+            h = int(t[1:])
+        elif t[:1] == "F":
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t[:1] == "C":
+            colorspace = t
+    if not w or not h:
+        raise UnsupportedMediaError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise UnsupportedMediaError(
+            f"only C444 Y4M supported (got {colorspace}): subsampled "
+            "planes need a chroma resampler (pyav/ffmpeg)"
+        )
+    plane = w * h
+    pos, frames = eol + 1, []
+    while pos < len(raw):
+        feol = raw.find(b"\n", pos)
+        if feol < 0 or raw[pos : pos + 5] != b"FRAME":
+            raise UnsupportedMediaError("Y4M frame header malformed")
+        pos = feol + 1
+        data = raw[pos : pos + plane * 3]
+        if len(data) < plane * 3:
+            raise UnsupportedMediaError("Y4M frame data truncated")
+        planes = np.frombuffer(data, dtype=np.uint8).reshape(3, h, w)
+        frames.append(np.stack([planes[0], planes[1], planes[2]], axis=-1))
+        pos += plane * 3
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """(n_frames, h, w, 3) uint8 array → YUV4MPEG2 C444 bytes
+    (channels written as full-res Y/U/V planes, values verbatim)."""
+    n, h, w, _ = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, fps[0], fps[1])]
+    for i in range(n):
+        f = frames[i].astype(np.uint8)
+        out.append(b"FRAME\n")
+        out.append(f[:, :, 0].tobytes())
+        out.append(f[:, :, 1].tobytes())
+        out.append(f[:, :, 2].tobytes())
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------

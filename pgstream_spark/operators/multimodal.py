@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "audio_frame_energy", "audio_spectral_features"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "frame_dup_stats", "audio_frame_energy", "audio_spectral_features"]
 
 # Typed metadata for an opaque media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -222,13 +222,17 @@ def sample_frames(
     """Frame-sampling stage: one row per sampled frame
     (id, frame_index, frame_payload).
 
-    With ``decode_stub=False``, PCM16 WAV payloads are REALLY sampled:
-    the audio is cut into 1024-sample windows, every ``every_nth`` window
-    is re-encoded as a standalone WAV (so each frame is independently
-    decodable downstream); video containers raise ``UnsupportedMediaError``
-    where pyav/ffmpeg would plug in.  The stub treats the payload as a
-    concatenation of fixed-size pseudo frames.  Row-expanding output keeps
-    frames independent rows, so per-frame featurization parallelizes.
+    With ``decode_stub=False``, payloads are REALLY sampled: PCM16 WAV
+    audio is cut into 1024-sample windows, every ``every_nth`` window
+    re-encoded as a standalone WAV; Y4M (YUV4MPEG2 C444) VIDEO decodes
+    through the real container parser and every ``every_nth`` frame is
+    re-encoded as a standalone P6 image of the raw plane values (each
+    frame independently decodable downstream — colorspace conversion
+    is the consumer's call).  Compressed containers (MP4/WebM) raise
+    ``UnsupportedMediaError`` where pyav/ffmpeg would plug in.  The
+    stub treats the payload as a concatenation of fixed-size pseudo
+    frames.  Row-expanding output keeps frames independent rows, so
+    per-frame featurization parallelizes.
     """
     out_schema = T.StructType(
         [
@@ -251,16 +255,23 @@ def sample_frames(
                     n_frames = max(len(b) // FRAME, 0)
                     cut = lambda fi: b[fi * FRAME : (fi + 1) * FRAME]  # noqa: E731
                 else:
-                    if codecs.sniff_format(b) != "wav":
-                        raise codecs.UnsupportedMediaError(
-                            "real frame sampling implemented for WAV audio; "
-                            "video needs a container decoder (pyav/ffmpeg)"
+                    fmt = codecs.sniff_format(b)
+                    if fmt == "wav":
+                        samples, rate = codecs.decode_wav(b)
+                        n_frames = max(len(samples) // WINDOW, 0)
+                        cut = lambda fi: codecs.encode_wav(  # noqa: E731
+                            samples[fi * WINDOW : (fi + 1) * WINDOW], rate
                         )
-                    samples, rate = codecs.decode_wav(b)
-                    n_frames = max(len(samples) // WINDOW, 0)
-                    cut = lambda fi: codecs.encode_wav(  # noqa: E731
-                        samples[fi * WINDOW : (fi + 1) * WINDOW], rate
-                    )
+                    elif fmt == "y4m":
+                        vid, _fps = codecs.decode_y4m(b)
+                        n_frames = vid.shape[0]
+                        cut = lambda fi: codecs.encode_ppm(vid[fi])  # noqa: E731
+                    else:
+                        raise codecs.UnsupportedMediaError(
+                            "real frame sampling implemented for WAV audio "
+                            "and Y4M video; compressed containers need "
+                            "pyav/ffmpeg"
+                        )
                 taken = 0
                 for fi in range(0, n_frames, every_nth):
                     if taken >= max_frames:
@@ -543,4 +554,76 @@ def patch_dup_stats(
         "n_patches",
         "n_dup",
         F.expr("n_dup * 10000 DIV n_patches").cast("bigint").alias("dup_bp"),
+    )
+
+
+def frame_dup_stats(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_nth: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video FRAME-level exact dedup — `patch_dup_stats`' temporal
+    twin: sample frames through the REAL container path
+    (`sample_frames(decode_stub=False)` — Y4M decode, per-frame P6
+    re-encode), decode each sampled frame back, hash its raw pixel
+    bytes (md5 of the lowercase hex rendering, oracle-reproducible),
+    and report per video how many of its sampled frames also occur in
+    at least one OTHER video.  The curation signal behind intro/outro/
+    slate/static-card detection in video corpora — a frame shared
+    across many assets is boilerplate, and matching hashes prove the
+    container decode → plane interleave → P6 round trip byte-exact
+    end to end.
+
+    Output ``(id, n_frames, n_dup, dup_bp)`` like the patch form.
+
+    Scale shape: the two Arrow-batched decode stages fan out one row
+    per SAMPLED frame (bounded by ``max_frames``, never corpus size);
+    then one hash-keyed count-distinct, a join back on the hash, and
+    one per-video aggregate — no pairwise anything."""
+    hash_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("fhash", T.StringType(), False),
+        ]
+    )
+    frames = sample_frames(
+        df,
+        payload_col,
+        id_col,
+        every_nth=every_nth,
+        max_frames=max_frames,
+        decode_stub=False,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pgstream_spark.operators import codecs
+
+        for pdf in it:
+            hs = []
+            for raw in pdf["frame_payload"]:
+                img = codecs.decode_image(bytes(raw))
+                hs.append(hashlib.md5(img.tobytes().hex().encode()).hexdigest())
+            yield pd.DataFrame({"id": pdf["id"], "fhash": hs})
+
+    hashed = frames.mapInPandas(batches, schema=hash_schema)
+    counts = hashed.groupBy("fhash").agg(F.count_distinct("id").alias("__nd"))
+    per = (
+        hashed.join(counts, "fhash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return per.select(
+        "id",
+        "n_frames",
+        "n_dup",
+        F.expr("n_dup * 10000 DIV n_frames").cast("bigint").alias("dup_bp"),
     )

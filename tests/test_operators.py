@@ -5601,3 +5601,101 @@ class TestNgramNovelty:
         )
         got = {r.doc_id: r.novelty_bp for r in ngram_novelty(d, n=3).collect()}
         assert got[1] == 0 and got[2] == 0 and got[3] == 10_000
+
+
+class TestY4mCodec:
+    """codecs.decode_y4m / encode_y4m — real YUV4MPEG2 C444 container."""
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from pgstream_spark.operators.codecs import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, size=(5, 6, 4, 3), dtype=np.uint8)
+        raw = encode_y4m(frames, fps=(25, 1))
+        back, fps = decode_y4m(raw)
+        assert fps == (25, 1)
+        assert back.shape == frames.shape
+        assert (back == frames).all()
+
+    def test_sniff_and_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from pgstream_spark.operators.codecs import (
+            UnsupportedMediaError,
+            decode_y4m,
+            encode_y4m,
+            sniff_format,
+        )
+
+        raw = encode_y4m(np.zeros((1, 2, 2, 3), np.uint8))
+        assert sniff_format(raw) == "y4m"
+        with _pytest.raises(UnsupportedMediaError, match="C444"):
+            decode_y4m(b"YUV4MPEG2 W2 H2 F30:1 C420jpeg\nFRAME\n" + b"\0" * 6)
+        with _pytest.raises(UnsupportedMediaError, match="truncated"):
+            decode_y4m(b"YUV4MPEG2 W2 H2 F30:1 C444\nFRAME\n" + b"\0" * 5)
+        with _pytest.raises(UnsupportedMediaError):
+            decode_y4m(b"nope")
+
+    def test_planar_layout_on_the_wire(self):
+        # the container stores PLANES (all Y, all U, all V), not
+        # interleaved pixels — pin the byte layout against the spec
+        import numpy as np
+
+        from pgstream_spark.operators.codecs import encode_y4m
+
+        f = np.zeros((1, 1, 2, 3), np.uint8)
+        f[0, 0, 0] = [1, 2, 3]
+        f[0, 0, 1] = [4, 5, 6]
+        raw = encode_y4m(f)
+        body = raw.split(b"FRAME\n", 1)[1]
+        assert body == bytes([1, 4, 2, 5, 3, 6])
+
+
+class TestFrameDupStats:
+    """multimodal.frame_dup_stats — video frame-level exact dedup."""
+
+    @staticmethod
+    def _y4m(frames):
+        import numpy as np
+
+        from pgstream_spark.operators.codecs import encode_y4m
+
+        return encode_y4m(np.asarray(frames, dtype="uint8"))
+
+    def test_shared_frames_counted(self, spark):
+        import numpy as np
+
+        shared = np.full((2, 2, 3), 9, np.uint8)
+        a_only = np.full((2, 2, 3), 1, np.uint8)
+        b_only = np.full((2, 2, 3), 2, np.uint8)
+        rows = [
+            (1, self._y4m([shared, a_only])),
+            (2, self._y4m([shared, b_only])),
+            (3, self._y4m([b_only + 50, a_only + 50])),
+        ]
+        from pgstream_spark.operators.multimodal import frame_dup_stats
+
+        d = spark.createDataFrame(rows, "vid long, payload binary")
+        got = {r.id: r for r in frame_dup_stats(d, "payload", "vid").collect()}
+        assert got[1].n_frames == 2 and got[1].n_dup == 1 and got[1].dup_bp == 5000
+        assert got[2].dup_bp == 5000
+        assert got[3].n_dup == 0 and got[3].dup_bp == 0
+
+    def test_every_nth_sampling(self, spark):
+        import numpy as np
+
+        from pgstream_spark.operators.multimodal import frame_dup_stats
+
+        frames = [np.full((2, 2, 3), i, np.uint8) for i in range(6)]
+        d = spark.createDataFrame(
+            [(1, self._y4m(frames)), (2, self._y4m(frames))],
+            "vid long, payload binary",
+        )
+        got = {r.id: r for r in frame_dup_stats(
+            d, "payload", "vid", every_nth=3
+        ).collect()}
+        # frames 0 and 3 sampled; both shared between the two videos
+        assert got[1].n_frames == 2 and got[1].n_dup == 2
