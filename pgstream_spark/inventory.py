@@ -12516,6 +12516,35 @@ def l96b(spark, sf_dir):
 
 
 @q(
+    "o11_equal_freq_buckets",
+    # Equal-frequency deciles per event type WITHOUT a per-group global
+    # sort (textstats.equal_frequency_buckets — the generalized CCNet
+    # cut): few huge groups is exactly the skewed-window shape that
+    # serializes a naive ntile at 100 TB.  The Spark side runs the
+    # histogram + closed-form-ntile + boundary-tie plan; the oracle is
+    # plain ntile — two plans, one hash.  Values are integer-scaled
+    # once (the dsum discipline) so ordering is exact cross-engine;
+    # event_id is the unique total-order tiebreak.
+    "SELECT event_id, event_type, v, CAST(ntile(10) OVER "
+    "(PARTITION BY event_type ORDER BY v DESC, event_id ASC) AS INT) "
+    "AS bucket FROM (SELECT event_id, event_type, "
+    "CAST(round(value * 10000) AS BIGINT) AS v FROM events)",
+)
+def o11(spark, sf_dir):
+    from pgstream_spark.operators.textstats import equal_frequency_buckets
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    return equal_frequency_buckets(
+        ev, value_col="v", part_col="event_type", id_col="event_id",
+        n_buckets=10, descending=True,
+    )
+
+
+@q(
     "l99_video_frame_dedup",
     # Video FRAME-level exact dedup (multimodal.frame_dup_stats) — the
     # temporal twin of l95's image patches, through the REAL Y4M
@@ -13003,7 +13032,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
-    "l99_video_frame_dedup",
+    "o11_equal_freq_buckets", "l99_video_frame_dedup",
     "l98_ngram_novelty", "l97_temperature_mixture",
     "l96_truncated_lm", "l96b_truncated_lm_buckets",
     # -- pushed out of the R9 window by the round-9 additions -----------

@@ -536,14 +536,23 @@ def patch_dup_stats(
     tiles = df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema=hash_schema
     )
-    counts = tiles.groupBy("phash").agg(
+    return _dup_stats_tail(tiles, "phash", "n_patches")
+
+
+def _dup_stats_tail(hashed: DataFrame, hash_col: str, n_name: str) -> DataFrame:
+    """Shared cross-asset dup aggregation behind `patch_dup_stats` and
+    `frame_dup_stats`: count distinct assets per hash, join back, and
+    report per asset the total / shared counts and the exact basis-point
+    share — one definition so the ≥2 threshold and the floor-division
+    rounding can never diverge between the spatial and temporal forms."""
+    counts = hashed.groupBy(hash_col).agg(
         F.count_distinct("id").alias("__nd")
     )
     per = (
-        tiles.join(counts, "phash")
+        hashed.join(counts, hash_col)
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_patches"),
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
             F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
             .cast("bigint")
             .alias("n_dup"),
@@ -551,9 +560,9 @@ def patch_dup_stats(
     )
     return per.select(
         "id",
-        "n_patches",
+        n_name,
         "n_dup",
-        F.expr("n_dup * 10000 DIV n_patches").cast("bigint").alias("dup_bp"),
+        F.expr(f"n_dup * 10000 DIV {n_name}").cast("bigint").alias("dup_bp"),
     )
 
 
@@ -610,20 +619,4 @@ def frame_dup_stats(
             yield pd.DataFrame({"id": pdf["id"], "fhash": hs})
 
     hashed = frames.mapInPandas(batches, schema=hash_schema)
-    counts = hashed.groupBy("fhash").agg(F.count_distinct("id").alias("__nd"))
-    per = (
-        hashed.join(counts, "fhash")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
-            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup"),
-        )
-    )
-    return per.select(
-        "id",
-        "n_frames",
-        "n_dup",
-        F.expr("n_dup * 10000 DIV n_frames").cast("bigint").alias("dup_bp"),
-    )
+    return _dup_stats_tail(hashed, "fhash", "n_frames")

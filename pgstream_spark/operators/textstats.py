@@ -26,6 +26,7 @@ __all__ = [
     "lexical_diversity",
     "bigram_lm_scores",
     "lm_perplexity_buckets",
+    "equal_frequency_buckets",
     "pii_scrub",
     "STOPWORDS",
     "EMAIL_RE",
@@ -290,10 +291,12 @@ def bigram_lm_scores(
       top ``top_k_per_w1`` continuations per ``w1`` (deterministic order:
       count desc, ``w2`` asc) and/or the global top ``max_bigrams``
       (count desc, ``w1`` asc, ``w2`` asc); bigrams pruned from the model
-      score the ``unseen_micro`` floor.  The truncated LM is
-      **broadcast-sized by construction at any corpus size**
-      (≤ min(|w1 vocab|·K, max_bigrams) rows), so scoring is an explicit
-      broadcast join — zero corpus-sized LM shuffle.
+      score the ``unseen_micro`` floor.  With ``max_bigrams`` set the LM
+      is **bounded by construction at any corpus size** and scoring is an
+      explicit broadcast join — zero corpus-sized LM shuffle;
+      ``top_k_per_w1`` alone bounds it at O(|w1 vocab|·K) (vocab grows
+      ~√corpus), so it takes a plain join and AQE decides — set both for
+      the constant-size broadcast at web scale.
 
     Scale shape of the truncation itself: the per-``w1`` top-K window
     runs over the DISTINCT-BIGRAM table (bounded by vocab², not corpus
@@ -303,21 +306,40 @@ def bigram_lm_scores(
     Returns ``(id_col, n_bigrams, mean_microprob)``.
     """
     bi, lm = _bigram_lm(df, text_col, (id_col,))
-    lm = _truncate_lm(lm, top_k_per_w1, max_bigrams)
-    if top_k_per_w1 is None and max_bigrams is None:
-        scored = bi.join(lm.select("__w1", "__w2", "__micro"), ["__w1", "__w2"])
-        micro = F.col("__micro")
-    else:
-        scored = bi.join(
-            F.broadcast(lm.select("__w1", "__w2", "__micro")),
-            ["__w1", "__w2"],
-            "left",
-        )
-        micro = F.coalesce(F.col("__micro"), F.lit(int(unseen_micro)))
+    scored, micro = _score_join(bi, lm, top_k_per_w1, max_bigrams, unseen_micro)
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         (F.sum(micro).cast("double") / F.count("*")).alias("mean_microprob"),
     )
+
+
+def _score_join(
+    bi: DataFrame,
+    lm: DataFrame,
+    top_k_per_w1: int | None,
+    max_bigrams: int | None,
+    unseen_micro: int,
+) -> tuple[DataFrame, Column]:
+    """The shared exact-vs-truncated scoring-join tier behind
+    `bigram_lm_scores` and `lm_perplexity_buckets` (one definition so
+    the broadcast decision and the unseen-floor semantics can never
+    silently diverge).  Returns ``(joined, micro_expr)``.
+
+    Broadcast policy: ONLY a ``max_bigrams``-capped LM is bounded by
+    construction and force-broadcast.  ``top_k_per_w1`` alone bounds
+    the LM at O(|w1 vocab|·K) — vocab grows ~√corpus (SCALE.md's
+    Heaps-law table), so it gets a plain join and AQE decides; set
+    ``max_bigrams`` too for the constant-size broadcast at web scale.
+    The exact tier always takes the plain join."""
+    lm = _truncate_lm(lm, top_k_per_w1, max_bigrams).select(
+        "__w1", "__w2", "__micro"
+    )
+    if top_k_per_w1 is None and max_bigrams is None:
+        return bi.join(lm, ["__w1", "__w2"]), F.col("__micro")
+    if max_bigrams is not None:
+        lm = F.broadcast(lm)
+    joined = bi.join(lm, ["__w1", "__w2"], "left")
+    return joined, F.coalesce(F.col("__micro"), F.lit(int(unseen_micro)))
 
 
 def _truncate_lm(
@@ -403,6 +425,92 @@ def _ntile_bucket_expr(rank_col: str, q_col: str, m_col: str) -> Column:
     return F.when(in_fat, fat).otherwise(thin).cast("int")
 
 
+def equal_frequency_buckets(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    id_col: str,
+    n_buckets: int,
+    descending: bool = True,
+) -> DataFrame:
+    """``ntile(n_buckets)`` over ``(PARTITION BY part_col ORDER BY
+    value_col [DESC], id_col ASC)`` — bit-for-bit — WITHOUT sorting a
+    whole partition in one task.  The general form of the CCNet cut:
+    any "equal-frequency buckets per group" where groups are few and
+    huge (language, tenant, day) is exactly the skewed-window shape
+    that serializes at 100 TB.
+
+    Plan: (1) per-``(part, value)`` histogram — keyed shuffle, partial
+    aggregation; its size is bounded by DISTINCT values per group, not
+    rows; (2) running totals over that histogram (a window over
+    histogram rows); (3) closed-form ntile arithmetic assigns every
+    non-boundary value's bucket map-side; (4) only the ≤ ``n_buckets``−1
+    boundary-straddling value-tie groups per partition pay a
+    ``row_number`` over ``(part, value)`` for the ``id_col`` tiebreak
+    ntile semantics inherently require there.  ``value_col`` must be
+    exactly orderable (integers/strings — the same cross-engine
+    discipline as everything else here).
+
+    NULLs follow SPARK's window ordering (asc → NULLS FIRST, desc →
+    NULLS LAST — a NULL value/partition is a tie group like any other;
+    every join below is null-safe so no row is dropped).  Cross-engine
+    oracles should keep NULLs out of ``value_col``: engines disagree
+    on default NULL ordering.
+
+    Returns the input columns + ``bucket`` (1-based int).
+    """
+    from pyspark.sql import Window
+
+    val_order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    hist = df.groupBy(part_col, value_col).agg(
+        F.count("*").cast("bigint").alias("__cnt")
+    )
+    run = Window.partitionBy(part_col).orderBy(val_order)
+    hist = hist.withColumn(
+        "__cle",
+        F.sum("__cnt").over(run.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("__cgt", F.col("__cle") - F.col("__cnt"))
+    totals = hist.groupBy(part_col).agg(F.sum("__cnt").alias("__n")).select(
+        F.col(part_col).alias("__tp"), "__n"
+    )
+    hist = (
+        hist.join(
+            F.broadcast(totals), F.col(part_col).eqNullSafe(F.col("__tp"))
+        )
+        .drop("__tp")
+        .withColumn("__q", F.expr(f"__n DIV {int(n_buckets)}"))
+        .withColumn("__m", F.col("__n") % F.lit(int(n_buckets)))
+        .withColumn("__rlo", F.col("__cgt") + F.lit(1))
+        .withColumn("__rhi", F.col("__cgt") + F.col("__cnt"))
+        .withColumn("__blo", _ntile_bucket_expr("__rlo", "__q", "__m"))
+        .withColumn("__bhi", _ntile_bucket_expr("__rhi", "__q", "__m"))
+        .select(
+            F.col(part_col).alias("__hp"),
+            F.col(value_col).alias("__hv"),
+            "__cgt", "__q", "__m", "__blo",
+            (F.col("__blo") != F.col("__bhi")).alias("__straddle"),
+        )
+    )
+    # null-safe equi-join back: a NULL value (or partition) is a tie
+    # group like any other — a plain join would silently drop its rows
+    assigned = df.join(
+        hist,
+        F.col(part_col).eqNullSafe(F.col("__hp"))
+        & F.col(value_col).eqNullSafe(F.col("__hv")),
+    ).drop("__hp", "__hv")
+    direct = assigned.filter(~F.col("__straddle")).withColumn(
+        "bucket", F.col("__blo")
+    )
+    tie = Window.partitionBy(part_col, value_col).orderBy(F.col(id_col).asc())
+    strad = (
+        assigned.filter(F.col("__straddle"))
+        .withColumn("__r", F.col("__cgt") + F.row_number().over(tie))
+        .withColumn("bucket", _ntile_bucket_expr("__r", "__q", "__m"))
+    )
+    cols = [*df.columns, "bucket"]
+    return direct.select(*cols).unionByName(strad.select(*cols))
+
+
 def lm_perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -445,27 +553,16 @@ def lm_perplexity_buckets(
        tied rows at a cut, exactly the rows for which ntile semantics
        inherently require the ``id`` tiebreak order.
 
-    The LM join follows `bigram_lm_scores`' twin tiers: exact (plain
-    shuffled join, AQE-broadcast when small) or frequency-truncated
-    (``top_k_per_w1``/``max_bigrams``/``unseen_micro`` — broadcast
-    bounded by construction).  Returns ``(id, lang, n_bigrams,
+    The LM join follows `bigram_lm_scores`' twin tiers (shared
+    `_score_join`): exact (plain shuffled join, AQE-broadcast when
+    small) or frequency-truncated (``top_k_per_w1``/``max_bigrams``/
+    ``unseen_micro`` — force-broadcast only under the ``max_bigrams``
+    constant bound).  Returns ``(id, lang, n_bigrams,
     mean_micro, bucket, tier)`` with ``tier`` ∈ head/middle/tail for 3
     buckets (``b<k>`` otherwise).
     """
-    from pyspark.sql import Window
-
     bi, lm = _bigram_lm(df, text_col, (id_col, lang_col))
-    lm = _truncate_lm(lm, top_k_per_w1, max_bigrams)
-    if top_k_per_w1 is None and max_bigrams is None:
-        joined = bi.join(lm.select("__w1", "__w2", "__micro"), ["__w1", "__w2"])
-        micro = F.col("__micro")
-    else:
-        joined = bi.join(
-            F.broadcast(lm.select("__w1", "__w2", "__micro")),
-            ["__w1", "__w2"],
-            "left",
-        )
-        micro = F.coalesce(F.col("__micro"), F.lit(int(unseen_micro)))
+    joined, micro = _score_join(bi, lm, top_k_per_w1, max_bigrams, unseen_micro)
     scored = (
         joined.groupBy(id_col, lang_col)
         .agg(
@@ -475,45 +572,14 @@ def lm_perplexity_buckets(
         .withColumn("mean_micro", F.expr("__sum DIV n_bigrams"))
     )
 
-    # -- pass 1: bounded per-(lang, score) histogram + running totals ----
-    hist = scored.groupBy(lang_col, "mean_micro").agg(
-        F.count("*").cast("bigint").alias("__cnt")
+    out = equal_frequency_buckets(
+        scored.select(id_col, lang_col, "n_bigrams", "mean_micro"),
+        value_col="mean_micro",
+        part_col=lang_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        descending=True,
     )
-    run = Window.partitionBy(lang_col).orderBy(F.col("mean_micro").desc())
-    hist = hist.withColumn(
-        "__cle",
-        F.sum("__cnt").over(run.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("__cgt", F.col("__cle") - F.col("__cnt"))
-    totals = hist.groupBy(lang_col).agg(F.sum("__cnt").alias("__n"))
-    hist = (
-        hist.join(F.broadcast(totals), lang_col)
-        .withColumn("__q", F.expr(f"__n DIV {int(n_buckets)}"))
-        .withColumn("__m", F.col("__n") % F.lit(int(n_buckets)))
-        .withColumn("__rlo", F.col("__cgt") + F.lit(1))
-        .withColumn("__rhi", F.col("__cgt") + F.col("__cnt"))
-        .withColumn("__blo", _ntile_bucket_expr("__rlo", "__q", "__m"))
-        .withColumn("__bhi", _ntile_bucket_expr("__rhi", "__q", "__m"))
-        .select(
-            lang_col, "mean_micro", "__cgt", "__q", "__m", "__blo",
-            (F.col("__blo") != F.col("__bhi")).alias("__straddle"),
-        )
-    )
-
-    # -- pass 2: map-side assignment; row_number only on straddle ties --
-    assigned = scored.join(hist, [lang_col, "mean_micro"])
-    direct = assigned.filter(~F.col("__straddle")).withColumn(
-        "bucket", F.col("__blo")
-    )
-    tie = Window.partitionBy(lang_col, "mean_micro").orderBy(
-        F.col(id_col).asc()
-    )
-    strad = (
-        assigned.filter(F.col("__straddle"))
-        .withColumn("__r", F.col("__cgt") + F.row_number().over(tie))
-        .withColumn("bucket", _ntile_bucket_expr("__r", "__q", "__m"))
-    )
-    cols = [id_col, lang_col, "n_bigrams", "mean_micro", "bucket"]
-    out = direct.select(*cols).unionByName(strad.select(*cols))
 
     if n_buckets == 3:
         tier = (

@@ -5699,3 +5699,75 @@ class TestFrameDupStats:
         ).collect()}
         # frames 0 and 3 sampled; both shared between the two videos
         assert got[1].n_frames == 2 and got[1].n_dup == 2
+
+
+class TestEqualFrequencyBuckets:
+    """textstats.equal_frequency_buckets — windowless exact ntile."""
+
+    def test_matches_ntile_both_directions(self, spark):
+        from pyspark.sql import Window
+
+        from pgstream_spark.operators.textstats import equal_frequency_buckets
+
+        rows = [
+            (i, "g%d" % (i % 2), (i * 7) % 23)  # ties galore
+            for i in range(257)
+        ]
+        d = spark.createDataFrame(rows, "rid long, grp string, v long")
+        for desc in (True, False):
+            for k in (3, 5, 16):
+                out = equal_frequency_buckets(d, "v", "grp", "rid", k, descending=desc)
+                order = F.col("v").desc() if desc else F.col("v").asc()
+                w = Window.partitionBy("grp").orderBy(order, F.col("rid").asc())
+                bad = (
+                    out.withColumn("ref", F.ntile(k).over(w))
+                    .filter(F.col("bucket") != F.col("ref"))
+                    .count()
+                )
+                assert bad == 0, (desc, k)
+                assert out.count() == 257
+
+    def test_keeps_input_columns(self, spark):
+        from pgstream_spark.operators.textstats import equal_frequency_buckets
+
+        d = spark.createDataFrame(
+            [(1, "a", 5, "x"), (2, "a", 3, "y")],
+            "rid long, grp string, v long, extra string",
+        )
+        out = equal_frequency_buckets(d, "v", "grp", "rid", 2)
+        assert out.columns == ["rid", "grp", "v", "extra", "bucket"]
+
+    def test_all_tied_single_value(self, spark):
+        # every row the same value: ONE straddle group spans all buckets;
+        # ntile still splits evenly by the id tiebreak
+        from pgstream_spark.operators.textstats import equal_frequency_buckets
+
+        d = spark.createDataFrame(
+            [(i, "g", 7) for i in range(10)], "rid long, grp string, v long"
+        )
+        out = equal_frequency_buckets(d, "v", "grp", "rid", 4)
+        got = {r.rid: r.bucket for r in out.collect()}
+        # ranks by rid asc: sizes 3,3,2,2
+        assert [got[i] for i in range(10)] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+    def test_null_values_kept_and_match_ntile(self, spark):
+        # review r10: NULL value/partition rows must not be dropped —
+        # they are tie groups under Spark's window NULL ordering
+        from pyspark.sql import Window
+
+        from pgstream_spark.operators.textstats import equal_frequency_buckets
+
+        rows = [(1, "g", None), (2, "g", 5), (3, "g", 7), (4, "g", None),
+                (5, None, 3), (6, None, 3)]
+        d = spark.createDataFrame(rows, "rid long, grp string, v long")
+        for desc in (True, False):
+            out = equal_frequency_buckets(d, "v", "grp", "rid", 2, descending=desc)
+            assert out.count() == 6  # nothing dropped
+            order = F.col("v").desc() if desc else F.col("v").asc()
+            w = Window.partitionBy("grp").orderBy(order, F.col("rid").asc())
+            bad = (
+                out.withColumn("ref", F.ntile(2).over(w))
+                .filter(F.col("bucket") != F.col("ref"))
+                .count()
+            )
+            assert bad == 0, desc

@@ -1627,3 +1627,17 @@ class TestVersionedDelete:
             delete_where(
                 spark, str(tmp_path / "nostore"), "k", values=[1], versioned=True
             )
+
+    def test_snapshot_table_refuses_rebootstrap(self, spark, tmp_path):
+        # review r10: re-running the bootstrap must not mutate committed
+        # immutable versions or reset the latest pointer
+        import pytest as _pytest
+
+        from pgstream_spark.sources.skipping import delete_where, snapshot_table
+
+        tbl, store = TestVersionedDelete._store(spark, tmp_path)
+        delete_where(spark, store, "k", values=[5], versioned=True)
+        with _pytest.raises(FileExistsError, match="committed versions"):
+            snapshot_table(spark, tbl, store)
+        with open(os.path.join(store, "latest")) as f:
+            assert f.read().strip() == "2"  # pointer untouched
