@@ -12516,6 +12516,36 @@ def l96b(spark, sf_dir):
 
 
 @q(
+    "l98b_novelty_vs_history",
+    # Ingest-time n-gram novelty (dedup.ngram_novelty_vs_history): the
+    # new batch (doc_id >= 250, the l22 split) scored against the
+    # accumulated corpus's distinct trigram set — "how much of this new
+    # source is text we already have?".  Batch-sized work against a
+    # corpus-derived set; basis points by integer floor division.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END)) AS s FROM toks), "
+    "hist AS (SELECT DISTINCT s FROM sh WHERE doc_id < 250), "
+    "newb AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250) "
+    "SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+    "CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen, "
+    "CAST((count(*) - sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END)) "
+    "* 10000 // count(*) AS BIGINT) AS novelty_bp "
+    "FROM newb n LEFT JOIN hist h USING (s) GROUP BY n.doc_id",
+)
+def l98b(spark, sf_dir):
+    from pgstream_spark.operators.dedup import ngram_novelty_vs_history
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty_vs_history(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250), n=3
+    )
+
+
+@q(
     "o11_equal_freq_buckets",
     # Equal-frequency deciles per event type WITHOUT a per-group global
     # sort (textstats.equal_frequency_buckets — the generalized CCNet
@@ -13032,6 +13062,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l98b_novelty_vs_history",
     "o11_equal_freq_buckets", "l99_video_frame_dedup",
     "l98_ngram_novelty", "l97_temperature_mixture",
     "l96_truncated_lm", "l96b_truncated_lm_buckets",

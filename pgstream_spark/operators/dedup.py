@@ -46,6 +46,7 @@ __all__ = [
     "duplicate_span_stats",
     "span_scrub",
     "ngram_novelty",
+    "ngram_novelty_vs_history",
     "dedup_clusters_twostar",
     "content_defined_chunks",
 ]
@@ -113,6 +114,53 @@ def ngram_novelty(
         .withColumn(
             "novelty_bp",
             F.expr("(n_ngrams - n_shared) * 10000 DIV n_ngrams").cast("bigint"),
+        )
+    )
+
+
+def ngram_novelty_vs_history(
+    new_docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty of an INCOMING BATCH against the
+    accumulated corpus — the ingest-time form of `ngram_novelty` (and
+    the coverage audit of an acquisition: "how much of this new source
+    is text we already have?").  A new doc's score is the share of its
+    distinct n-grams absent from the history's n-gram set.
+
+    Returns ``(id, n_ngrams, n_seen, novelty_bp)``.
+
+    Scale shape: history collapses to its DISTINCT shingle set once
+    (count bounded by corpus vocabulary of n-grams, not rows); the
+    batch's shingles left-join it keyed by shingle — batch-sized work
+    against a corpus-derived set, the `dedup_against_history` pattern.
+    """
+    sh_new = new_docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s"),
+    )
+    sh_hist = (
+        history.select(
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s")
+        )
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        sh_new.join(sh_hist, "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__seen"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("(n_ngrams - n_seen) * 10000 DIV n_ngrams").cast("bigint"),
         )
     )
 

@@ -62,6 +62,7 @@ __all__ = [
     "bloom_pruned_parquet",
     "bloom_pruned_join",
     "snapshot_table",
+    "vacuum_versions",
 ]
 
 MANIFEST_NAME = "_file_stats.parquet"
@@ -960,6 +961,41 @@ def _delete_where_versioned(
         "rows_deleted": int(n_before - n_after),
         "version": new_v,
     }
+
+
+def vacuum_versions(store_dir: str, keep_last: int = 2) -> dict:
+    """Retention for a snapshot store: drop all but the newest
+    ``keep_last`` COMMITTED versions (plus any uncommitted leftover
+    directories below the newest kept version — crashed attempts whose
+    missing ``manifest.json`` already hides them from readers).
+    Hardlink-shared data files are only unlinked, never destroyed,
+    while a newer version still references them.  ``latest`` always
+    survives (``keep_last`` floors at 1).
+
+    Returns ``{"dropped": [...], "kept": [...]}``."""
+    import shutil
+
+    from pgstream_spark.operators.snapshot import list_versions
+
+    if "://" in store_dir:
+        raise ValueError("vacuum_versions supports local version stores only")
+    keep_last = max(1, int(keep_last))
+    versions = list_versions(store_dir)
+    kept = versions[-keep_last:]
+    dropped = [v for v in versions if v not in kept]
+    for v in dropped:
+        shutil.rmtree(os.path.join(store_dir, f"v{v:04d}"), ignore_errors=True)
+    if kept:
+        for name in os.listdir(store_dir):
+            if not name.startswith("v") or not name[1:].isdigit():
+                continue
+            v = int(name[1:])
+            committed = os.path.exists(
+                os.path.join(store_dir, name, "manifest.json")
+            )
+            if not committed and v < kept[-1]:
+                shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+    return {"dropped": dropped, "kept": kept}
 
 
 def foreach_batch_stats_appender(

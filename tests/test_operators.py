@@ -5771,3 +5771,20 @@ class TestEqualFrequencyBuckets:
                 .count()
             )
             assert bad == 0, desc
+
+
+class TestNgramNoveltyVsHistory:
+    def test_hand_case(self, spark):
+        from pgstream_spark.operators.dedup import ngram_novelty_vs_history
+
+        hist = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, "a b c x y"), (11, "p q r s")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in ngram_novelty_vs_history(new, hist).collect()}
+        # doc 10 trigrams {a b c, b c x, c x y}: only 'a b c' seen
+        assert got[10].n_ngrams == 3 and got[10].n_seen == 1
+        assert got[10].novelty_bp == 6666
+        assert got[11].n_seen == 0 and got[11].novelty_bp == 10_000

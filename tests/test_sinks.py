@@ -1641,3 +1641,20 @@ class TestVersionedDelete:
             snapshot_table(spark, tbl, store)
         with open(os.path.join(store, "latest")) as f:
             assert f.read().strip() == "2"  # pointer untouched
+
+    def test_vacuum_versions_retention(self, spark, tmp_path):
+        from pgstream_spark.operators.snapshot import list_versions, read_version
+        from pgstream_spark.sources.skipping import delete_where, vacuum_versions
+
+        tbl, store = TestVersionedDelete._store(spark, tmp_path)
+        delete_where(spark, store, "k", values=[5], versioned=True)
+        delete_where(spark, store, "k", values=[6], versioned=True)
+        res = vacuum_versions(store, keep_last=2)
+        assert res == {"dropped": [1], "kept": [2, 3]}
+        assert list_versions(store) == [2, 3]
+        # hardlink-shared files survive for the kept versions
+        assert read_version(spark, store).count() == 298
+        assert read_version(spark, store, 2).count() == 299
+        # keep_last floors at 1 — latest always survives
+        res2 = vacuum_versions(store, keep_last=0)
+        assert res2["kept"] == [3] and list_versions(store) == [3]
