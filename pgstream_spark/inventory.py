@@ -13090,6 +13090,43 @@ _GATE_ORDER_R10 = [
     "t28_sequence_pattern",
 ]
 
+# Round-11 staging, PRE-BUILT at the round-10 close (activate only after
+# the round-10 driver gate has consumed the first 50 of the R10 order:
+# set `_GATE_ORDER = _GATE_ORDER_R11`).  Re-proof rotation, continued:
+# the 10 re-proof slots the round-10 additions pushed out of the R10
+# window first (in their R10 order — the tail-consistency invariant
+# `R10[50:] == R11[:len(R10)-50]` holds by construction), then the
+# queries whose most recent driver green is OLDEST (the r4 block, then
+# the r5 block), in registration order.  Any new oracle-backed
+# registration goes to the FRONT at its round, pushing re-proof slots
+# out the tail.
+_GATE_ORDER_R11 = [
+    # -- pushed out of the R10 window by the round-10 additions ---------
+    "l49_triangle_count", "t24_interval_coverage", "t25_transition_matrix",
+    "t26_seasonal_decompose", "t27_cusum_changepoint", "g42_rfm_segments",
+    "g43_basket_pairs", "l52_prefix_filter_join", "w15_weighted_median",
+    "t28_sequence_pattern",
+    # -- next-oldest driver rows (r4 block, registration order) ---------
+    "t29_attribution", "g45_correlation_matrix", "l54_column_profile",
+    "g46_topk_with_others", "t30_twap", "l55_canonical_prefix",
+    "t31_time_to_convert", "g47_grouped_mode", "g48_wilson_ci",
+    "w16_weighted_quantiles", "l51_benford_audit", "g44_chi2_independence",
+    "l50_kmv_setops", "s6_pgwire_stream",
+    # -- r5 block, registration order ------------------------------------
+    "u3_except", "g23_tpch_q12_priority_class",
+    "g24_tpch_q13_order_distribution", "g25_tpch_q15_top_supplier",
+    "g26_tpch_q21_sole_late", "g27_tpch_q8_market_share",
+    "g28_cube_grouping", "g31_winsorized_agg", "g32_robust_zscore",
+    "f15_edit_distance", "g33_grouping_sets", "g35_standardize",
+    "g36_equidepth_bins", "f17_string_extended", "f18_date_extended",
+    "g37_regression_slope", "o5_null_ordering", "p10_scalar_subquery",
+    "p11_lateral_topn", "f20_array_set_ops", "o6_topk_with_ties",
+    "g38_argminmax", "f21_try_cast", "l37_duplicate_spans",
+    "l38_dedup_clusters_twostar", "l39_source_quota_cap",
+    "f22_url_parsing", "g39_welch_ttest", "l41_hll_distinct",
+    "l35_pq_codes",
+]
+
 _GATE_ORDER = _GATE_ORDER_R10
 
 
@@ -13100,6 +13137,9 @@ def _reorder_registry() -> None:
     unknown += [n for n in _GATE_ORDER_R8 if n not in QUERIES or n not in ORACLE]
     unknown += [n for n in _GATE_ORDER_R9 if n not in QUERIES or n not in ORACLE]
     unknown += [n for n in _GATE_ORDER_R10 if n not in QUERIES or n not in ORACLE]
+    unknown += [n for n in _GATE_ORDER_R11 if n not in QUERIES or n not in ORACLE]
+    if _GATE_ORDER_R11[: len(_GATE_ORDER_R10) - 50] != _GATE_ORDER_R10[50:]:
+        raise RuntimeError("R10/R11 tail-consistency invariant broken")
     if unknown:  # typo guard — fail loudly at import, not in the driver
         raise RuntimeError(f"_GATE_ORDER names unknown queries: {unknown}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}
