@@ -98,11 +98,16 @@ def ngram_novelty(
     doc count, not token count), then one shingle-keyed count, one
     shingle-keyed join back, one doc-keyed aggregation — all partial-agg
     shuffles; no pairwise anything, cost linear in corpus shingles.
+    The shingle table feeds TWO consumers (the count and the join-back
+    side), so it is spread across all cores before the tokenize-heavy
+    explode (a single-row-group input otherwise pins it to one task —
+    the `minhash_signatures` lesson) and persisted so it computes once.
     """
-    sh = df.select(
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col),
         F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s"),
-    )
+    ).persist()
     cnt = sh.groupBy("__s").agg(F.count("*").alias("__nd"))
     return (
         sh.join(cnt, "__s")
@@ -138,12 +143,14 @@ def ngram_novelty_vs_history(
     batch's shingles left-join it keyed by shingle — batch-sized work
     against a corpus-derived set, the `dedup_against_history` pattern.
     """
-    sh_new = new_docs.select(
+    nparts = new_docs.sparkSession.sparkContext.defaultParallelism
+    sh_new = new_docs.repartition(nparts, F.col(id_col)).select(
         F.col(id_col),
         F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s"),
     )
     sh_hist = (
-        history.select(
+        history.repartition(nparts)
+        .select(
             F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__s")
         )
         .distinct()
