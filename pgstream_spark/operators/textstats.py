@@ -380,10 +380,19 @@ def _bigram_lm(
     stream (``carry_cols`` + ``__w1``/``__w2``) and the broadcast-sized
     LM table (``__w1``/``__w2``/``__micro``).  One definition so a
     tokenization or quantization fix can never silently diverge the
-    two operators' pinned oracles."""
+    two operators' pinned oracles.
+
+    The bigram stream feeds THREE consumers (both LM count aggregates
+    and the scoring join), so it is spread across all cores before the
+    tokenize-heavy explode (a single-row-group input otherwise pins it
+    to one task) and persisted so the explode computes once — the
+    `minhash_signatures` lesson, measured again here (l96b 4.5 s →
+    ~1 s at sf0.1)."""
     n = F.col("__n")
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.select(*carry_cols, _tokens(F.col(text_col)).alias("__t"))
+        df.repartition(nparts, *[F.col(c) for c in carry_cols])
+        .select(*carry_cols, _tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .filter(n >= 2)
     )
@@ -396,7 +405,7 @@ def _bigram_lm(
         *carry_cols,
         F.col("__bg.w1").alias("__w1"),
         F.col("__bg.w2").alias("__w2"),
-    )
+    ).persist()
     c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
     c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
     lm = c2.join(c1, "__w1").select(
@@ -492,12 +501,19 @@ def equal_frequency_buckets(
         )
     )
     # null-safe equi-join back: a NULL value (or partition) is a tie
-    # group like any other — a plain join would silently drop its rows
-    assigned = df.join(
-        hist,
-        F.col(part_col).eqNullSafe(F.col("__hp"))
-        & F.col(value_col).eqNullSafe(F.col("__hv")),
-    ).drop("__hp", "__hv")
+    # group like any other — a plain join would silently drop its rows.
+    # Persisted: the direct and straddle branches below both consume it,
+    # and without the persist the join (and everything upstream of it,
+    # including the caller's scoring aggregation) executes twice.
+    assigned = (
+        df.join(
+            hist,
+            F.col(part_col).eqNullSafe(F.col("__hp"))
+            & F.col(value_col).eqNullSafe(F.col("__hv")),
+        )
+        .drop("__hp", "__hv")
+        .persist()
+    )
     direct = assigned.filter(~F.col("__straddle")).withColumn(
         "bucket", F.col("__blo")
     )
