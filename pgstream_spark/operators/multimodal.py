@@ -573,24 +573,26 @@ def frame_dup_stats(
     every_nth: int = 1,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Video FRAME-level exact dedup — `patch_dup_stats`' temporal
-    twin: sample frames through the REAL container path
-    (`sample_frames(decode_stub=False)` — Y4M decode, per-frame P6
-    re-encode), decode each sampled frame back, hash its raw pixel
-    bytes (md5 of the lowercase hex rendering, oracle-reproducible),
-    and report per video how many of its sampled frames also occur in
-    at least one OTHER video.  The curation signal behind intro/outro/
-    slate/static-card detection in video corpora — a frame shared
-    across many assets is boilerplate, and matching hashes prove the
-    container decode → plane interleave → P6 round trip byte-exact
-    end to end.
+    """FRAME-level exact dedup for temporal media — `patch_dup_stats`'
+    temporal twin: sample frames through the REAL container path
+    (`sample_frames(decode_stub=False)` — Y4M video decoded and each
+    sampled frame re-encoded as P6; PCM16 WAV audio cut into windows
+    re-encoded as standalone WAVs), decode each sampled frame back,
+    hash its raw content bytes (md5 of the lowercase hex rendering of
+    the pixel array / sample buffer, oracle-reproducible), and report
+    per asset how many of its sampled frames also occur in at least
+    one OTHER asset.  The curation signal behind intro/outro/slate/
+    static-card detection in video corpora and jingle/silence-window
+    detection in audio — a frame shared across many assets is
+    boilerplate, and matching hashes prove the container round trips
+    byte-exact end to end.
 
     Output ``(id, n_frames, n_dup, dup_bp)`` like the patch form.
 
     Scale shape: the two Arrow-batched decode stages fan out one row
     per SAMPLED frame (bounded by ``max_frames``, never corpus size);
     then one hash-keyed count-distinct, a join back on the hash, and
-    one per-video aggregate — no pairwise anything."""
+    one per-asset aggregate — no pairwise anything."""
     hash_schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -614,8 +616,13 @@ def frame_dup_stats(
         for pdf in it:
             hs = []
             for raw in pdf["frame_payload"]:
-                img = codecs.decode_image(bytes(raw))
-                hs.append(hashlib.md5(img.tobytes().hex().encode()).hexdigest())
+                b = bytes(raw)
+                if codecs.sniff_format(b) == "wav":
+                    samples, _rate = codecs.decode_wav(b)
+                    content = samples.tobytes()
+                else:
+                    content = codecs.decode_image(b).tobytes()
+                hs.append(hashlib.md5(content.hex().encode()).hexdigest())
             yield pd.DataFrame({"id": pdf["id"], "fhash": hs})
 
     hashed = frames.mapInPandas(batches, schema=hash_schema)

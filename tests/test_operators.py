@@ -5700,6 +5700,26 @@ class TestFrameDupStats:
         # frames 0 and 3 sampled; both shared between the two videos
         assert got[1].n_frames == 2 and got[1].n_dup == 2
 
+    def test_audio_frames_jingle_detection(self, spark):
+        # the same operator runs on PCM16 WAV: 1024-sample windows,
+        # shared jingle window detected across assets
+        import numpy as np
+
+        from pgstream_spark.operators.codecs import encode_wav
+        from pgstream_spark.operators.multimodal import frame_dup_stats
+
+        jingle = (np.arange(1024, dtype="<i2") % 997).astype("<i2")
+        a_tail = np.full(1024, 7, "<i2")
+        b_tail = np.full(1024, -3, "<i2")
+        rows = [
+            (1, encode_wav(np.concatenate([jingle, a_tail]), 8000)),
+            (2, encode_wav(np.concatenate([jingle, b_tail]), 8000)),
+        ]
+        d = spark.createDataFrame(rows, "vid long, payload binary")
+        got = {r.id: r for r in frame_dup_stats(d, "payload", "vid").collect()}
+        assert got[1].n_frames == 2 and got[1].n_dup == 1
+        assert got[2].dup_bp == 5000
+
 
 class TestEqualFrequencyBuckets:
     """textstats.equal_frequency_buckets — windowless exact ntile."""
