@@ -44,8 +44,17 @@ def contamination_pairs(
         F.col(id_col).alias(alias),
         shingles_col(tokens_col(F.col(text_col)), n).alias("sh"),
     )
-    tr = sh(train, "train_id").select("train_id", F.explode("sh").alias("s"))
-    ev_sh = sh(evalset, "eval_id")
+    # spread the corpus side across all cores before the tokenize-heavy
+    # explode: the eval side broadcasts, so this map stage IS the whole
+    # wall, and a single-row-group train file pinned it to one task
+    # (measured 13.5 s -> ~1 s at sf0.1 — the minhash_signatures lesson)
+    nparts = train.sparkSession.sparkContext.defaultParallelism
+    tr = sh(train.repartition(nparts, F.col(id_col)), "train_id").select(
+        "train_id", F.explode("sh").alias("s")
+    )
+    # the eval side is consumed twice (sizes + the broadcast join build):
+    # spread its tokenize too and persist so it computes once
+    ev_sh = sh(evalset.repartition(nparts, F.col(id_col)), "eval_id").persist()
     ev_sizes = ev_sh.select("eval_id", F.size("sh").alias("eval_ngrams"))
     ev = ev_sh.select("eval_id", F.explode("sh").alias("s"))
     pairs = (
