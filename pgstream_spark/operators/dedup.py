@@ -1402,7 +1402,7 @@ def prefix_filter_pairs(
     a missed pair; verification restores exactness regardless.
     """
     tm = round(threshold * 1_000_000)
-    sh = docs.select(
+    sh = _spread(docs, id_col).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("__sh"),
     )

@@ -373,7 +373,9 @@ def hashed_linear_score(
     """
     from pgstream_spark.operators.textstats import _tokens
 
-    toks = df.select(
+    from pgstream_spark.operators.dedup import _spread
+
+    toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
     )
     bucket = (

@@ -33,6 +33,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from pgstream_spark.operators.dedup import _spread
 from pgstream_spark.operators.textstats import _tokens
 
 __all__ = ["term_frequencies", "tficf_top_terms", "posting_lists", "encode_token_ids", "apply_bpe_merges"]
@@ -43,7 +44,9 @@ def term_frequencies(
 ) -> DataFrame:
     """One row per (document, term) with its in-document count ``tf``."""
     return (
-        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        _spread(df, id_col).select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+        )
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -105,7 +108,9 @@ def posting_lists(
     from pyspark.sql.window import Window
 
     pairs = (
-        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        _spread(df, id_col).select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+        )
         .distinct()
     )
     dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
@@ -151,7 +156,7 @@ def encode_token_ids(
 
     from pgstream_spark.operators.dedup import tokens_col
 
-    tok = docs.select(
+    tok = _spread(docs, id_col).select(
         F.col(id_col),
         F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__term"),
     )
