@@ -150,9 +150,11 @@ def repetition_stats(
     ``id_col`` — partial aggregation applies and all shuffles are keyed
     by document, so the plan is embarrassingly parallel over docs.
     """
+    from pgstream_spark.operators.dedup import _spread
+
     n = F.col("__n")
     base = (
-        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        _spread(df, id_col).select(id_col, _tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .filter(n >= 2)
         .withColumn("__nd", F.size(F.array_distinct("__t")))
@@ -195,8 +197,10 @@ def lexical_diversity(
     aggregation, so cost is linear in corpus tokens and embarrassingly
     parallel over documents.
     """
+    from pgstream_spark.operators.dedup import _spread
+
     base = (
-        df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+        _spread(df, id_col).select(id_col, _tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .filter(F.col("__n") >= 1)
     )
