@@ -12692,6 +12692,42 @@ def l98(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+@q(
+    "l100_roc_auc",
+    # Exact tie-aware ROC-AUC per language (quality.roc_auc): the
+    # classifier-calibration eval — does a score separate a labelled
+    # class?  Computed from the SCORE HISTOGRAM (never row ranks):
+    # 2U = Σ_s pos(s)·(2·neg_below(s) + neg(s)) keeps the tie
+    # half-credit an exact integer; auc_bp by integer floor division;
+    # the double AUC is ONE division of two exact ints, rounded 6.
+    # Fixture: score = n_chars % 37 (forces ties), label = doc_id%3=0.
+    "WITH h AS (SELECT lang, n_chars % 37 AS s, "
+    "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p, "
+    "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n "
+    "FROM documents GROUP BY lang, n_chars % 37), "
+    "c AS (SELECT lang, s, p, n, CAST(COALESCE(sum(n) OVER ("
+    "PARTITION BY lang ORDER BY s ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb "
+    "FROM h), "
+    "a AS (SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos, "
+    "CAST(sum(n) AS BIGINT) AS n_neg, "
+    "CAST(sum(p * (2 * nb + n)) AS BIGINT) AS u2 FROM c GROUP BY lang) "
+    "SELECT lang, n_pos, n_neg, u2, "
+    "CAST(u2 * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp, "
+    "round(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc "
+    "FROM a WHERE n_pos > 0 AND n_neg > 0",
+)
+def l100(spark, sf_dir):
+    from pgstream_spark.operators.quality import roc_auc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") % 37).alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    return roc_auc(d, "score", "label", group_cols=("lang",))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

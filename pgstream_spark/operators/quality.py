@@ -46,6 +46,7 @@ __all__ = [
     "profile_columns",
     "hashed_linear_score",
     "gopher_rules",
+    "roc_auc",
 ]
 
 
@@ -539,3 +540,76 @@ def gopher_rules(
     )
     keep = reduce(lambda a, b: a & b, [F.col(n) for n in flags])
     return out.withColumn("keep", keep)
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann–Whitney U) per group — the
+    classifier-calibration member of the eval-harness tier: after
+    `hashed_linear_score` (or any model-based filter) assigns scores,
+    this measures how well the score separates a labelled positive
+    class, the number a curation pipeline trends per source/language
+    before trusting a quality threshold.
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed exactly
+    from the SCORE HISTOGRAM, never from row-level ranks:
+
+    1. one grouped aggregate to ``(group, score) → (n_pos, n_neg)`` —
+       map-side combinable, output bounded by |group| × |distinct
+       scores| (house quantization discipline: scores are integers or
+       integer micros, so the histogram is bounded by the score RANGE,
+       not the corpus — the l94 lesson applied from the start);
+    2. a running sum of negatives over the histogram (window over
+       histogram rows, partition = group — thousands of rows at most,
+       nothing corpus-sized; contrast the per-language ntile VERDICT
+       r9 flagged, whose window ran over raw documents);
+    3. ``2U = Σ_s n_pos(s)·(2·neg_below(s) + n_neg(s))`` — doubling
+       makes the tie half-credit an exact integer.
+
+    Output per group: ``(group_cols…, n_pos, n_neg, u2, auc_bp,
+    auc)`` — ``u2`` = 2U (BIGINT, exact), ``auc_bp`` = exact
+    basis points ``u2·10000 DIV (2·n_pos·n_neg)``, ``auc`` the
+    conventional double rounded to 6 (one division of two exact
+    integers — both below 2^53 up to ~67M pos·neg pairs per group;
+    past that trust ``u2``/``auc_bp`` whose BIGINT headroom reaches
+    ~4.6·10¹⁴ pairs).  Groups with no positives or no negatives have
+    undefined AUC and are dropped (document the filter, don't NaN).
+    """
+    g = list(group_cols)
+    lab = F.col(label_col).cast("boolean")
+    hist = df.groupBy(*g, F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__p"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__n"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "__nb", F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.groupBy(*g).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__p") * (F.lit(2) * F.col("__nb") + F.col("__n"))
+        ).cast("long").alias("u2"),
+    )
+    pairs2 = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        *g,
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("u2 * 10000 DIV (2 * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_bp"),
+        F.round(F.col("u2").cast("double") / pairs2.cast("double"), 6).alias(
+            "auc"
+        ),
+    )

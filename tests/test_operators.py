@@ -5808,3 +5808,84 @@ class TestNgramNoveltyVsHistory:
         assert got[10].n_ngrams == 3 and got[10].n_seen == 1
         assert got[10].novelty_bp == 6666
         assert got[11].n_seen == 0 and got[11].novelty_bp == 10_000
+
+
+class TestRocAuc:
+    def _brute(self, rows):
+        # pairwise reference: P(s+ > s-) + 0.5 P(equal), per group
+        from collections import defaultdict
+
+        by = defaultdict(lambda: ([], []))
+        for _, grp, s, lab in rows:
+            by[grp][0 if lab else 1].append(s)
+        out = {}
+        for grp, (pos, neg) in by.items():
+            if not pos or not neg:
+                continue
+            u2 = sum(
+                2 if p > n else (1 if p == n else 0)
+                for p in pos
+                for n in neg
+            )
+            out[grp] = (len(pos), len(neg), u2)
+        return out
+
+    def test_matches_pairwise_reference_with_ties(self, spark):
+        from pgstream_spark.operators.quality import roc_auc
+
+        rows = [
+            (i, g, (i * 7 + ord(g)) % 5, (i % 3) == 0)
+            for i in range(60)
+            for g in ("a", "b")
+        ]
+        d = spark.createDataFrame(
+            rows, "rid long, grp string, score long, label boolean"
+        )
+        got = {
+            r.grp: r
+            for r in roc_auc(d, "score", "label", ("grp",)).collect()
+        }
+        ref = self._brute(rows)
+        assert set(got) == set(ref)
+        for grp, (np_, nn, u2) in ref.items():
+            r = got[grp]
+            assert (r.n_pos, r.n_neg, r.u2) == (np_, nn, u2)
+            assert r.auc_bp == u2 * 10000 // (2 * np_ * nn)
+            assert abs(r.auc - u2 / (2 * np_ * nn)) < 1e-6
+
+    def test_degenerate_groups_dropped_and_perfect_separation(self, spark):
+        from pgstream_spark.operators.quality import roc_auc
+
+        rows = [
+            # group 'all_pos' has no negatives -> dropped
+            (1, "all_pos", 5, True),
+            (2, "all_pos", 6, True),
+            # group 'perfect': every positive above every negative
+            (3, "perfect", 10, True),
+            (4, "perfect", 11, True),
+            (5, "perfect", 1, False),
+            (6, "perfect", 2, False),
+            # group 'inverted': every positive below every negative
+            (7, "inverted", 1, True),
+            (8, "inverted", 9, False),
+        ]
+        d = spark.createDataFrame(
+            rows, "rid long, grp string, score long, label boolean"
+        )
+        got = {
+            r.grp: r for r in roc_auc(d, "score", "label", ("grp",)).collect()
+        }
+        assert set(got) == {"perfect", "inverted"}
+        assert got["perfect"].auc == 1.0 and got["perfect"].auc_bp == 10000
+        assert got["inverted"].auc == 0.0 and got["inverted"].auc_bp == 0
+
+    def test_global_no_groups(self, spark):
+        from pgstream_spark.operators.quality import roc_auc
+
+        d = spark.createDataFrame(
+            [(1, 3, True), (2, 1, False), (3, 3, False)],
+            "rid long, score long, label boolean",
+        )
+        r = roc_auc(d, "score", "label").collect()[0]
+        # pairs: (3 vs 1)=win, (3 vs 3)=tie -> 2U = 2 + 1 = 3
+        assert (r.n_pos, r.n_neg, r.u2, r.auc_bp) == (1, 2, 3, 7500)
