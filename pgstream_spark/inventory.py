@@ -12728,6 +12728,51 @@ def l100(spark, sf_dir):
     return roc_auc(d, "score", "label", group_cols=("lang",))
 
 
+@q(
+    "l101_dsir_weights",
+    # DSIR importance weights (textstats.dsir_weights; Xie et al.
+    # 2023): hashed unigram+bigram bucket histograms of a target set
+    # (lang='en') vs the raw corpus; per-bucket importance ratio
+    # quantized by PURE integer floor division, the paper's log-space
+    # weight floor-quantized per BUCKET (one libm call per bucket) so
+    # document sums stay exact integers.  The weight table is bounded
+    # at n_buckets rows — broadcast by construction at any corpus
+    # size.  B = 10000.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+    "AS t, lang FROM documents), "
+    "f AS (SELECT doc_id, lang, unnest(list_concat(t, "
+    "CASE WHEN len(t) >= 2 THEN "
+    "[t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)] "
+    "ELSE [] END)) AS f FROM toks), "
+    "b AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 10000 AS bk FROM f), "
+    "rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS rcnt FROM b GROUP BY bk), "
+    "tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS tcnt FROM b "
+    "WHERE lang = 'en' GROUP BY bk), "
+    "tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS rtot, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM b WHERE lang = 'en') AS ttot), "
+    "w AS (SELECT rc.bk, "
+    "(COALESCE(tc.tcnt, 0) + 1) * (rtot + 10000) * 1000000 "
+    "// ((rc.rcnt + 1) * (ttot + 10000)) AS wm, "
+    "CAST(floor(1000000 * (ln((COALESCE(tc.tcnt, 0) + 1) * (rtot + 10000)) "
+    "- ln((rc.rcnt + 1) * (ttot + 10000)))) AS BIGINT) AS lwm "
+    "FROM rc LEFT JOIN tc USING (bk), tot) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+    "CAST(sum(wm) AS BIGINT) AS w_sum_micro, "
+    "CAST(sum(wm) // count(*) AS BIGINT) AS w_mean_micro, "
+    "CAST(sum(lwm) AS BIGINT) AS logw_sum_micro, "
+    "CAST((sum(lwm) + count(*) * 10000000000000) // count(*) "
+    "- 10000000000000 AS BIGINT) AS logw_mean_micro "
+    "FROM b JOIN w USING (bk) GROUP BY doc_id",
+)
+def l101(spark, sf_dir):
+    from pgstream_spark.operators.textstats import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, d.filter(F.col("lang") == "en"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

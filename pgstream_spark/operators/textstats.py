@@ -32,6 +32,7 @@ __all__ = [
     "EMAIL_RE",
     "PHONE_RE",
     "compression_ratio",
+    "dsir_weights",
 ]
 
 # Tiny public-knowledge stopword lexicons (top function words per language).
@@ -649,3 +650,135 @@ def compression_ratio(
         return pd.Series(out_vals)
 
     return df.withColumn(out, ratio(F.col(text_col)))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023)
+    weights for every document of ``df`` against a small high-quality
+    ``target`` set — the data-SELECTION stage of a curation pipeline
+    (pick raw web documents whose hashed n-gram profile looks like
+    Wikipedia/books), distinct from dedup (which removes) and quality
+    rules (which gate).
+
+    The paper's recipe, in the inventory's exactness discipline:
+
+    * features = unigrams + adjacent bigrams, hashed into ``n_buckets``
+      md5 buckets (the same engine-agnostic first-8-hex-digits hash as
+      the SimHash/classifier tiers);
+    * two bucket histograms (add-one smoothed): target counts ``t`` and
+      raw counts ``r`` — each ONE grouped aggregate whose output is
+      bounded by ``n_buckets``, a constant, never corpus size;
+    * per-bucket importance ratio ``(t+1)/(T+B) ÷ (r+1)/(R+B)``
+      quantized to integer micros by PURE INTEGER floor division
+      ``(t+1)·(R+B)·10⁶ DIV ((r+1)·(T+B))`` — no float touches the
+      gated columns (exact up to ``(t+1)·(R+B) ≤ 9.2·10¹²``, i.e.
+      corpora of ~10¹² features against busy buckets — past that,
+      use the log columns);
+    * the paper's log-space weight carried alongside: per-bucket
+      ``floor(10⁶·(ln((t+1)(R+B)) − ln((r+1)(T+B))))`` — quantized at
+      the BUCKET so document sums stay exact integers (order-free),
+      with the one libm call per bucket, not per document.
+
+    The weight table is ≤ ``n_buckets`` rows — broadcast by
+    construction at any corpus size (the bounded-broadcast contract
+    VERDICT r9 demanded of the LM tier).  Scoring is tokenize →
+    bucket → broadcast-join → one per-doc aggregate: scan speed at
+    100 TB, one doc-keyed combine.  Docs with zero tokens produce no
+    row.
+
+    Returns ``(id, n_feats, w_sum_micro, w_mean_micro, logw_sum_micro,
+    logw_mean_micro)``; resample by ``w_mean_micro`` (or softmax the
+    log means).
+    """
+    B = int(n_buckets)
+
+    def feats(frame: DataFrame) -> DataFrame:
+        from pgstream_spark.operators.dedup import _spread
+
+        t = _tokens(F.col(text_col))
+        if use_bigrams:
+            n = F.size(t)
+            bi = F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            arr = F.concat(t, F.when(n >= 2, bi).otherwise(F.array()))
+        else:
+            arr = t
+        ex = _spread(frame, id_col).select(
+            F.col(id_col), F.explode(arr).alias("__f")
+        )
+        return ex.select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5(F.col("__f")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % B
+            ).alias("__bk"),
+        )
+
+    raw_f = feats(df).persist()
+    tgt_f = feats(target)
+    rc = raw_f.groupBy("__bk").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    tc = tgt_f.groupBy("__bk").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    # totals get distinct names: Spark resolution is case-insensitive,
+    # so __R/__T would collide with the per-bucket __r/__t
+    totals = (
+        rc.agg(F.sum("__r").cast("long").alias("__rtot"))
+        .crossJoin(tc.agg(F.sum("__t").cast("long").alias("__ttot")))
+    )
+    w = (
+        rc.join(tc, "__bk", "left")
+        .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__bk",
+            F.expr(
+                f"(__t + 1) * (__rtot + {B}) * 1000000 DIV ((__r + 1) * (__ttot + {B}))"
+            ).cast("long").alias("__wm"),
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log((F.col("__t") + 1) * (F.col("__rtot") + F.lit(B)))
+                    - F.log((F.col("__r") + 1) * (F.col("__ttot") + F.lit(B)))
+                )
+            ).cast("long").alias("__lwm"),
+        )
+    )
+    out = (
+        raw_f.join(F.broadcast(w), "__bk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("__wm").cast("long").alias("w_sum_micro"),
+            F.sum("__lwm").cast("long").alias("logw_sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "w_sum_micro",
+            F.expr("w_sum_micro DIV n_feats").cast("long").alias("w_mean_micro"),
+            "logw_sum_micro",
+            # logw sums can be negative: floor-divide (toward -inf) on
+            # both engines would need care; keep the mean double-free by
+            # flooring in log space too — Spark DIV truncates toward
+            # zero, so divide the SHIFTED non-negative sum (shift by
+            # n·10^13 ≫ any |logw|·10^6) and unshift, exact on both.
+            (
+                F.expr(
+                    "(logw_sum_micro + n_feats * 10000000000000) DIV n_feats"
+                )
+                - F.lit(10_000_000_000_000)
+            ).cast("long").alias("logw_mean_micro"),
+        )
+    )
+    return out

@@ -5889,3 +5889,95 @@ class TestRocAuc:
         r = roc_auc(d, "score", "label").collect()[0]
         # pairs: (3 vs 1)=win, (3 vs 3)=tie -> 2U = 2 + 1 = 3
         assert (r.n_pos, r.n_neg, r.u2, r.auc_bp) == (1, 2, 3, 7500)
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _ref(raw_docs, target_docs, B=64):
+        """Pure-Python mirror of the bucket arithmetic."""
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def feats(text):
+            t = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+            return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+        def bk(f):
+            return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+        rc = Counter(bk(f) for _, tx in raw_docs for f in feats(tx))
+        tc = Counter(bk(f) for _, tx in target_docs for f in feats(tx))
+        R, T = sum(rc.values()), sum(tc.values())
+        out = {}
+        for did, tx in raw_docs:
+            fs = [bk(f) for f in feats(tx)]
+            if not fs:
+                continue
+            wm = [
+                (tc[b] + 1) * (R + B) * 1_000_000 // ((rc[b] + 1) * (T + B))
+                for b in fs
+            ]
+            lw = [
+                math.floor(
+                    1e6
+                    * (
+                        math.log((tc[b] + 1) * (R + B))
+                        - math.log((rc[b] + 1) * (T + B))
+                    )
+                )
+                for b in fs
+            ]
+            out[did] = (len(fs), sum(wm), sum(wm) // len(fs), sum(lw))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from pgstream_spark.operators.textstats import dsir_weights
+
+        raw = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "stock prices fell sharply in early trading"),
+            (3, "the fox and the dog are friends"),
+            (4, ""),
+        ]
+        tgt = [(10, "the quick fox likes the quick dog")]
+        rdf = spark.createDataFrame(raw, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in dsir_weights(rdf, tdf, n_buckets=64).collect()
+        }
+        ref = self._ref(raw, tgt, B=64)
+        assert set(got) == set(ref)  # empty doc 4 emits no row
+        for did, (nf, ws, wm, lws) in ref.items():
+            r = got[did]
+            assert (r.n_feats, r.w_sum_micro, r.w_mean_micro) == (nf, ws, wm)
+            # libm floor boundaries: java vs C may differ by 1 micro/term
+            assert abs(r.logw_sum_micro - lws) <= nf
+            shift = 10_000_000_000_000
+            assert r.logw_mean_micro == (r.logw_sum_micro + nf * shift) // nf - shift
+
+    def test_target_like_docs_weigh_higher(self, spark):
+        from pgstream_spark.operators.textstats import dsir_weights
+
+        raw = [(1, "alpha beta gamma alpha beta"), (2, "zeta eta theta iota kappa")]
+        tgt = [(9, "alpha beta gamma alpha beta gamma")]
+        rdf = spark.createDataFrame(raw, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+        got = {r.doc_id: r for r in dsir_weights(rdf, tdf, n_buckets=256).collect()}
+        assert got[1].w_mean_micro > got[2].w_mean_micro
+        assert got[1].logw_mean_micro > got[2].logw_mean_micro
+
+    def test_partitioning_invariant(self, spark):
+        from pgstream_spark.operators.textstats import dsir_weights
+
+        raw = [(i, f"tok{i % 7} tok{(i * 3) % 7} common words here") for i in range(40)]
+        tgt = [(100, "common words here and there")]
+        rdf = spark.createDataFrame(raw, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+        a = {r.doc_id: (r.w_sum_micro, r.logw_sum_micro)
+             for r in dsir_weights(rdf, tdf, n_buckets=128).collect()}
+        b = {r.doc_id: (r.w_sum_micro, r.logw_sum_micro)
+             for r in dsir_weights(rdf.repartition(13), tdf, n_buckets=128).collect()}
+        assert a == b
