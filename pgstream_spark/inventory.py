@@ -12773,6 +12773,113 @@ def l101(spark, sf_dir):
     return dsir_weights(d, d.filter(F.col("lang") == "en"))
 
 
+def _dhash_imgs(spark, sf_dir, cap: int | None = None):
+    """Synthesized 16×16 P6 images for the dHash gates (the l95
+    recipe): 48 md5 pixel blocks keyed on the doc's 25-group so group
+    members are perceptual duplicates; ODD docs perturb only the last
+    block (bottom-right corner) — a small-hamming near-dup, not an
+    exact one.  The oracle rebuilds the same hex arithmetically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    if cap is not None:
+        d = d.filter(F.col("doc_id") < cap)
+    blocks = []
+    for b in range(48):
+        if b < 47:
+            kcol = (F.col("doc_id") % 25).cast("string")
+        else:
+            kcol = F.when(
+                F.col("doc_id") % 2 == 0, (F.col("doc_id") % 25).cast("string")
+            ).otherwise(F.col("doc_id").cast("string"))
+        blocks.append(
+            F.unhex(F.md5(F.concat(F.lit("dh:"), kcol, F.lit(f":{b}"))))
+        )
+    payload = F.concat(F.lit(bytearray(b"P6\n16 16\n255\n")), *blocks)
+    return d.select("doc_id", payload.alias("payload"))
+
+
+# DuckDB CTEs rebuilding the dHash arithmetic from the md5 hex: luma
+# per pixel, 8×9 floor-boundary box sums, cross-multiplied adjacent
+# compare, 16-bit band packing — shared by l102 and l102b.
+_DHASH_ORACLE_CTES = (
+    "px AS (SELECT doc_id, array_to_string(list_transform(range(48), "
+    "b -> md5('dh:' || CAST(CASE WHEN b < 47 OR doc_id % 2 = 0 "
+    "THEN doc_id % 25 ELSE doc_id END AS VARCHAR) "
+    "|| ':' || CAST(b AS VARCHAR))), '') AS hex FROM {src}), "
+    "lum AS (SELECT doc_id, list_transform(range(256), p -> "
+    "299 * CAST(('0x' || substr(hex, p*6+1, 2)) AS BIGINT) + "
+    "587 * CAST(('0x' || substr(hex, p*6+3, 2)) AS BIGINT) + "
+    "114 * CAST(('0x' || substr(hex, p*6+5, 2)) AS BIGINT)) AS l "
+    "FROM px), "
+    "cells AS (SELECT doc_id, gr.r AS r, gc.c AS c, "
+    "list_sum(list_transform(range(2), i -> list_sum(list_transform("
+    "range([1,2,2,2,1,2,2,2,2][gc.c+1]), j -> "
+    "l[(2*gr.r + i) * 16 + [0,1,3,5,7,8,10,12,14][gc.c+1] + j + 1])))) AS s, "
+    "[1,2,2,2,1,2,2,2,2][gc.c+1] AS wd "
+    "FROM lum, range(8) gr(r), range(9) gc(c)), "
+    "bits AS (SELECT a.doc_id, a.r, a.c, "
+    "CASE WHEN a.s * b.wd > b.s * a.wd THEN 1 ELSE 0 END AS bit "
+    "FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r "
+    "AND b.c = a.c + 1), "
+    "bands AS (SELECT doc_id, r // 2 AS band, "
+    "CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS key "
+    "FROM bits GROUP BY doc_id, r // 2), "
+    "sig AS (SELECT doc_id, "
+    "CAST(max(CASE WHEN band = 0 THEN key END) AS BIGINT) AS b0, "
+    "CAST(max(CASE WHEN band = 1 THEN key END) AS BIGINT) AS b1, "
+    "CAST(max(CASE WHEN band = 2 THEN key END) AS BIGINT) AS b2, "
+    "CAST(max(CASE WHEN band = 3 THEN key END) AS BIGINT) AS b3 "
+    "FROM bands GROUP BY doc_id)"
+)
+
+
+@q(
+    "l102_image_dhash",
+    # Perceptual dHash per image (multimodal.dhash_signatures) through
+    # the REAL PPM codec path: decode → integer luma → 8×9 floor-
+    # boundary box downsample → adjacent-cell compare by sum×area
+    # cross-multiplication → four 16-bit band keys.  The oracle never
+    # touches PPM — it rebuilds the pixels from the md5 formula and
+    # reruns the arithmetic, proving codec + kernel byte-exact.
+    "WITH " + _DHASH_ORACLE_CTES.format(src="documents") + " "
+    "SELECT doc_id AS id, b0, b1, b2, b3 FROM sig",
+)
+def l102(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import dhash_signatures
+
+    return dhash_signatures(_dhash_imgs(spark, sf_dir), "payload", "doc_id")
+
+
+@q(
+    "l102b_dhash_pairs",
+    # Banded perceptual near-dup pairs (multimodal.dhash_candidate_
+    # pairs): (band, key) buckets find every pair within hamming 3
+    # (pigeonhole over 4 bands — exact recall, no pairwise scan); the
+    # oracle checks against the full quadratic join, so the banding's
+    # completeness is what's being proven.  Capped at doc_id < 2000 on
+    # BOTH sides to keep the quadratic oracle bounded at sf1.
+    "WITH " + _DHASH_ORACLE_CTES.format(
+        src="documents WHERE doc_id < 2000"
+    ) + " "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) "
+    "AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3",
+)
+def l102b(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+        dhash_signatures,
+    )
+
+    sigs = dhash_signatures(
+        _dhash_imgs(spark, sf_dir, cap=2000), "payload", "doc_id"
+    )
+    return dhash_candidate_pairs(sigs, max_hamming=3)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

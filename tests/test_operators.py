@@ -5981,3 +5981,98 @@ class TestDsirWeights:
         b = {r.doc_id: (r.w_sum_micro, r.logw_sum_micro)
              for r in dsir_weights(rdf.repartition(13), tdf, n_buckets=128).collect()}
         assert a == b
+
+
+class TestDhash:
+    @staticmethod
+    def _img_bytes(seed, h=16, w=16):
+        import hashlib
+
+        body = b"".join(
+            hashlib.md5(f"{seed}:{b}".encode()).digest()
+            for b in range((h * w * 3 + 15) // 16)
+        )[: h * w * 3]
+        return b"P6\n%d %d\n255\n" % (w, h) + body
+
+    @staticmethod
+    def _ref_sig(raw):
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+
+        img = codecs.decode_image(raw).astype("int64")
+        h, w, _ = img.shape
+        lum = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+        rb = [r * h // 8 for r in range(9)]
+        cb = [c * w // 9 for c in range(10)]
+        bands = [0, 0, 0, 0]
+        for r in range(8):
+            for c in range(8):
+                s1 = lum[rb[r]:rb[r + 1], cb[c]:cb[c + 1]].sum()
+                s2 = lum[rb[r]:rb[r + 1], cb[c + 1]:cb[c + 2]].sum()
+                w1, w2 = cb[c + 1] - cb[c], cb[c + 2] - cb[c + 1]
+                if s1 * w2 > s2 * w1:
+                    bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+        return tuple(bands)
+
+    def test_signature_matches_reference(self, spark):
+        from pgstream_spark.operators.multimodal import dhash_signatures
+
+        rows = [(i, self._img_bytes(f"s{i % 4}")) for i in range(12)]
+        # a couple of odd geometries too (still >= 8x9)
+        rows += [(100, self._img_bytes("g", h=10, w=9)),
+                 (101, self._img_bytes("g2", h=32, w=24))]
+        d = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.id: (r.b0, r.b1, r.b2, r.b3)
+               for r in dhash_signatures(d, "payload", "doc_id").collect()}
+        for did, raw in rows:
+            assert got[did] == self._ref_sig(raw), did
+        # identical seeds -> identical signatures
+        assert got[0] == got[4] == got[8]
+
+    def test_banded_pairs_complete_vs_bruteforce(self, spark):
+        from pgstream_spark.operators.multimodal import (
+            dhash_candidate_pairs,
+            dhash_signatures,
+        )
+
+        # signatures close in hamming: flip controlled low bits
+        base = (0x1234, 0xABCD, 0x0F0F, 0x5555)
+        sigs = []
+        flips = [(), (0,), (1, 17), (2, 18, 34), (3, 19, 35, 51), (60,), (5, 21)]
+        for i, fl in enumerate(flips):
+            b = list(base)
+            for bit in fl:
+                b[bit // 16] ^= 1 << (bit % 16)
+            sigs.append((i, *b))
+        d = spark.createDataFrame(sigs, "id long, b0 long, b1 long, b2 long, b3 long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in dhash_candidate_pairs(d, max_hamming=3).collect()}
+        ref = {}
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = sum(bin(sigs[i][1 + k] ^ sigs[j][1 + k]).count("1")
+                        for k in range(4))
+                if h <= 3:
+                    ref[(i, j)] = h
+        assert got == ref and any(h > 0 for h in ref.values())
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from pgstream_spark.operators.multimodal import (
+            dhash_candidate_pairs,
+            dhash_signatures,
+        )
+
+        d = spark.createDataFrame([(1, 0, 0, 0, 0)],
+                                  "id long, b0 long, b1 long, b2 long, b3 long")
+        with _pytest.raises(ValueError, match="allow_approx"):
+            dhash_candidate_pairs(d, max_hamming=4)
+        # approx mode accepted explicitly
+        assert dhash_candidate_pairs(d, max_hamming=4, allow_approx=True).count() == 0
+        tiny = spark.createDataFrame(
+            [(1, self._img_bytes("t", h=4, w=4))], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception, match="dhash needs"):
+            dhash_signatures(tiny, "payload", "doc_id").collect()
