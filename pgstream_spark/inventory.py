@@ -13250,6 +13250,8 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l102b_dhash_pairs", "l102_image_dhash",
+    "l101_dsir_weights", "l100_roc_auc",
     "l98b_novelty_vs_history",
     "o11_equal_freq_buckets", "l99_video_frame_dedup",
     "l98_ngram_novelty", "l97_temperature_mixture",
@@ -13290,6 +13292,8 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "o8_pareto_frontier", "l46_embedding_gram", "l47_hll_setops",
+    "l48_sparse_cosine",
     "l49_triangle_count", "t24_interval_coverage", "t25_transition_matrix",
     "t26_seasonal_decompose", "t27_cusum_changepoint", "g42_rfm_segments",
     "g43_basket_pairs", "l52_prefix_filter_join", "w15_weighted_median",

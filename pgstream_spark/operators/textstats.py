@@ -695,7 +695,10 @@ def dsir_weights(
 
     Returns ``(id, n_feats, w_sum_micro, w_mean_micro, logw_sum_micro,
     logw_mean_micro)``; resample by ``w_mean_micro`` (or softmax the
-    log means).
+    log means).  ``l56_dsir_importance`` is the unigram ppm-ratio fast
+    form of the same idea (target = a column predicate, no smoothing,
+    no log); this is the paper's full recipe against a separate target
+    frame.
     """
     B = int(n_buckets)
 
@@ -726,9 +729,19 @@ def dsir_weights(
             ).alias("__bk"),
         )
 
-    raw_f = feats(df).persist()
+    # l56's plan lesson: combine the feature stream map-side into
+    # (doc, bucket, cnt) ONCE — both the global bucket histogram and
+    # the per-doc scoring derive from that compact table (the doc sum
+    # distributes over per-bucket counts), so the tokenize explode is
+    # scanned and hashed exactly once.
+    raw_f = (
+        feats(df)
+        .groupBy(id_col, "__bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .persist()
+    )
     tgt_f = feats(target)
-    rc = raw_f.groupBy("__bk").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    rc = raw_f.groupBy("__bk").agg(F.sum("__cnt").cast("long").alias("__r"))
     tc = tgt_f.groupBy("__bk").agg(F.count(F.lit(1)).cast("long").alias("__t"))
     # totals get distinct names: Spark resolution is case-insensitive,
     # so __R/__T would collide with the per-bucket __r/__t
@@ -758,9 +771,9 @@ def dsir_weights(
         raw_f.join(F.broadcast(w), "__bk")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("__wm").cast("long").alias("w_sum_micro"),
-            F.sum("__lwm").cast("long").alias("logw_sum_micro"),
+            F.sum("__cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("__cnt") * F.col("__wm")).cast("long").alias("w_sum_micro"),
+            F.sum(F.col("__cnt") * F.col("__lwm")).cast("long").alias("logw_sum_micro"),
         )
         .select(
             id_col,
