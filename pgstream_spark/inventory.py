@@ -12880,6 +12880,119 @@ def l102b(spark, sf_dir):
     return dhash_candidate_pairs(sigs, max_hamming=3)
 
 
+def _afp_imgs(spark, sf_dir, cap: int | None = None):
+    """Synthesized mono PCM16 WAV clips for the audio-fingerprint
+    gates: 44-byte literal header (the exact bytes Python's wave
+    module writes for 1ch/16-bit/8kHz/384 frames) + 48 md5 sample
+    blocks keyed on the doc's 20-group; ODD docs perturb only the
+    LAST block — a tail edit that moves a couple of envelope bits,
+    the audio near-dup case."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    if cap is not None:
+        d = d.filter(F.col("doc_id") < cap)
+    header = bytes.fromhex(
+        "524946462403000057415645666d7420100000000100"
+        "0100401f0000803e0000020010006461746100030000"
+    )
+    blocks = []
+    for b in range(48):
+        if b < 47:
+            kcol = (F.col("doc_id") % 20).cast("string")
+        else:
+            kcol = F.when(
+                F.col("doc_id") % 2 == 0, (F.col("doc_id") % 20).cast("string")
+            ).otherwise(F.col("doc_id").cast("string"))
+        blocks.append(
+            F.unhex(F.md5(F.concat(F.lit("af:"), kcol, F.lit(f":{b}"))))
+        )
+    payload = F.concat(F.lit(bytearray(header)), *blocks)
+    return d.select("doc_id", payload.alias("payload"))
+
+
+# DuckDB CTEs rebuilding the audio-fingerprint arithmetic: little-
+# endian int16 samples from the md5 hex, 65 floor-boundary bucket
+# energies, cross-multiplied adjacent compare, linear 16-bit packing.
+_AFP_ORACLE_CTES = (
+    "px AS (SELECT doc_id, array_to_string(list_transform(range(48), "
+    "b -> md5('af:' || CAST(CASE WHEN b < 47 OR doc_id % 2 = 0 "
+    "THEN doc_id % 20 ELSE doc_id END AS VARCHAR) "
+    "|| ':' || CAST(b AS VARCHAR))), '') AS hex FROM {src}), "
+    "smp AS (SELECT doc_id, list_transform(range(384), i -> "
+    "CASE WHEN CAST(('0x' || substr(hex, i*4+3, 2)) AS BIGINT) >= 128 "
+    "THEN CAST(('0x' || substr(hex, i*4+3, 2)) AS BIGINT) * 256 "
+    "+ CAST(('0x' || substr(hex, i*4+1, 2)) AS BIGINT) - 65536 "
+    "ELSE CAST(('0x' || substr(hex, i*4+3, 2)) AS BIGINT) * 256 "
+    "+ CAST(('0x' || substr(hex, i*4+1, 2)) AS BIGINT) END) AS s "
+    "FROM px), "
+    "eb AS (SELECT doc_id, gk.k AS k, "
+    "list_sum(list_transform(range((gk.k+1)*384//65 - gk.k*384//65), "
+    "j -> s[gk.k*384//65 + j + 1] * s[gk.k*384//65 + j + 1])) AS e, "
+    "(gk.k+1)*384//65 - gk.k*384//65 AS cnt "
+    "FROM smp, range(65) gk(k)), "
+    "bits AS (SELECT a.doc_id, a.k, "
+    "CASE WHEN a.e * b.cnt > b.e * a.cnt THEN 1 ELSE 0 END AS bit "
+    "FROM eb a JOIN eb b ON a.doc_id = b.doc_id AND b.k = a.k + 1), "
+    "bands AS (SELECT doc_id, k // 16 AS band, "
+    "CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS key "
+    "FROM bits GROUP BY doc_id, k // 16), "
+    "sig AS (SELECT doc_id, "
+    "CAST(max(CASE WHEN band = 0 THEN key END) AS BIGINT) AS b0, "
+    "CAST(max(CASE WHEN band = 1 THEN key END) AS BIGINT) AS b1, "
+    "CAST(max(CASE WHEN band = 2 THEN key END) AS BIGINT) AS b2, "
+    "CAST(max(CASE WHEN band = 3 THEN key END) AS BIGINT) AS b3 "
+    "FROM bands GROUP BY doc_id)"
+)
+
+
+@q(
+    "l103_audio_fingerprint",
+    # Perceptual audio fingerprint (multimodal.audio_fingerprint)
+    # through the REAL WAV codec path: PCM16 decode -> 65 floor-
+    # boundary bucket energies (exact int64 sums of squares) ->
+    # adjacent-bucket compare by energy*count cross-multiplication ->
+    # four 16-bit band keys.  The oracle rebuilds the little-endian
+    # samples from the md5 formula and reruns the arithmetic, proving
+    # wave-module decode + kernel byte-exact.
+    "WITH " + _AFP_ORACLE_CTES.format(src="documents") + " "
+    "SELECT doc_id AS id, b0, b1, b2, b3 FROM sig",
+)
+def l103(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import audio_fingerprint
+
+    return audio_fingerprint(_afp_imgs(spark, sf_dir), "payload", "doc_id")
+
+
+@q(
+    "l103b_audio_neardup_pairs",
+    # The banded near-dup join REUSED across modalities: audio
+    # fingerprints share dhash's (id, b0..b3) signature schema, so
+    # dhash_candidate_pairs provides audio near-dedup unchanged.
+    # Oracle = the full quadratic join at hamming <= 3 (pigeonhole
+    # completeness again the thing proven); capped at doc_id < 2000
+    # on BOTH sides for the sf1 standing gate.
+    "WITH " + _AFP_ORACLE_CTES.format(
+        src="documents WHERE doc_id < 2000"
+    ) + " "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) "
+    "AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3",
+)
+def l103b(spark, sf_dir):
+    from pgstream_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_candidate_pairs,
+    )
+
+    sigs = audio_fingerprint(
+        _afp_imgs(spark, sf_dir, cap=2000), "payload", "doc_id"
+    )
+    return dhash_candidate_pairs(sigs, max_hamming=3)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13250,6 +13363,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l103b_audio_neardup_pairs", "l103_audio_fingerprint",
     "l102b_dhash_pairs", "l102_image_dhash",
     "l101_dsir_weights", "l100_roc_auc",
     "l98b_novelty_vs_history",
@@ -13292,6 +13406,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "j14_scd2_pit", "j15_fuzzy_blocked",
     "o8_pareto_frontier", "l46_embedding_gram", "l47_hll_setops",
     "l48_sparse_cosine",
     "l49_triangle_count", "t24_interval_coverage", "t25_transition_matrix",

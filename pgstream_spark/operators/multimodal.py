@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "frame_dup_stats", "audio_frame_energy", "audio_spectral_features", "dhash_signatures", "dhash_candidate_pairs"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "frame_dup_stats", "audio_frame_energy", "audio_spectral_features", "dhash_signatures", "dhash_candidate_pairs", "audio_fingerprint"]
 
 # Typed metadata for an opaque media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -784,4 +784,82 @@ def dhash_candidate_pairs(
             "id_a", "id_b", ham.cast("bigint").alias("hamming")
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    buckets: int = 65,
+) -> DataFrame:
+    """Perceptual audio fingerprint through the REAL WAV codec path —
+    the temporal analog of `dhash_signatures` (same idea as the
+    energy-envelope stage of public audio fingerprinters: re-encodes,
+    gain-neutral edits, and tail trims leave most envelope transitions
+    intact, so near-dup detection becomes hamming distance).
+
+    Integer-exact recipe: decode PCM16 → channel SUM (not mean — no
+    division) → ``buckets`` floor-boundary time buckets → bucket
+    energy ``Σ s²`` (exact int64) → bit k = mean energy of bucket k >
+    bucket k+1, tested by cross-multiplication of energy sums and
+    bucket sizes → 64 bits packed as FOUR 16-bit band keys ``b0..b3``
+    (bit k lands in band ``k DIV 16``).  The output schema matches
+    `dhash_signatures`, so `dhash_candidate_pairs` provides the banded
+    near-dup join for audio unchanged (pigeonhole recall at hamming
+    ≤ 3).
+
+    Scale shape: one Arrow-batched mapInPandas pass, numpy kernel,
+    5 ints per asset out.  Requires at least ``buckets`` mono frames;
+    raises inside the kernel otherwise.
+
+    Returns ``(id, b0, b1, b2, b3)``.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType(), False)]
+        + [T.StructField(f"b{k}", T.LongType(), False) for k in range(4)]
+    )
+    if buckets != 65:
+        # 64 transitions = 4 × 16-bit bands; other counts would need a
+        # different packing — keep the signature format fixed.
+        raise ValueError("audio_fingerprint packs 64 transitions; buckets must be 65")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pgstream_spark.operators import codecs
+
+        for pdf in it:
+            recs = {"id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for asset_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = codecs.decode_wav(bytes(raw or b""))
+                mono = samples.astype("int64").sum(axis=1)
+                n = len(mono)
+                if n < buckets:
+                    raise ValueError(
+                        f"audio_fingerprint needs >= {buckets} frames, got {n}"
+                    )
+                bd = [k * n // buckets for k in range(buckets + 1)]
+                e = np.array(
+                    [
+                        int((mono[bd[k]:bd[k + 1]] ** 2).sum())
+                        for k in range(buckets)
+                    ],
+                    dtype="int64",
+                )
+                cnt = np.array(
+                    [bd[k + 1] - bd[k] for k in range(buckets)], dtype="int64"
+                )
+                bits = e[:-1] * cnt[1:] > e[1:] * cnt[:-1]
+                recs["id"].append(int(asset_id))
+                for b in range(4):
+                    key = 0
+                    for j in range(16):
+                        if bits[b * 16 + j]:
+                            key |= 1 << j
+                    recs[f"b{b}"].append(key)
+            yield pd.DataFrame(recs)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=out_schema
     )

@@ -6076,3 +6076,55 @@ class TestDhash:
         )
         with _pytest.raises(Exception, match="dhash needs"):
             dhash_signatures(tiny, "payload", "doc_id").collect()
+
+
+class TestAudioFingerprint:
+    @staticmethod
+    def _ref_sig(samples):
+        import numpy as np
+
+        mono = np.asarray(samples, dtype="int64")
+        if mono.ndim == 2:
+            mono = mono.sum(axis=1)
+        n = len(mono)
+        bd = [k * n // 65 for k in range(66)]
+        e = [int((mono[bd[k]:bd[k + 1]] ** 2).sum()) for k in range(65)]
+        cnt = [bd[k + 1] - bd[k] for k in range(65)]
+        bands = [0, 0, 0, 0]
+        for k in range(64):
+            if e[k] * cnt[k + 1] > e[k + 1] * cnt[k]:
+                bands[k // 16] |= 1 << (k % 16)
+        return tuple(bands)
+
+    def test_matches_reference_mono_and_stereo(self, spark):
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import audio_fingerprint
+
+        rng = np.random.RandomState(7)
+        rows, refs = [], {}
+        for i in range(6):
+            ch = 2 if i % 2 else 1
+            n = 130 + 37 * i  # non-divisible bucket boundaries
+            s = rng.randint(-30000, 30000, size=(n, ch)).astype("int16")
+            rows.append((i, codecs.encode_wav(s, 8000)))
+            refs[i] = self._ref_sig(s)
+        d = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.id: (r.b0, r.b1, r.b2, r.b3)
+               for r in audio_fingerprint(d, "payload", "doc_id").collect()}
+        assert got == refs
+
+    def test_guards(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import audio_fingerprint
+
+        short = codecs.encode_wav(np.zeros((10, 1), dtype="int16"), 8000)
+        d = spark.createDataFrame([(1, short)], "doc_id long, payload binary")
+        with _pytest.raises(Exception, match="needs >= 65"):
+            audio_fingerprint(d, "payload", "doc_id").collect()
+        with _pytest.raises(ValueError, match="buckets must be 65"):
+            audio_fingerprint(d, "payload", "doc_id", buckets=33)
