@@ -8587,15 +8587,19 @@ def l68(spark, sf_dir):
     "FROM sh JOIN first USING (s) GROUP BY source",
 )
 def l69(spark, sf_dir):
-    from pgstream_spark.operators.dedup import shingles_col, tokens_col
+    from pgstream_spark.operators.dedup import _spread, shingles_col, tokens_col
 
+    # the shingle stream feeds TWO consumers (min-doc agg + join), so
+    # spread the tokenize-heavy explode across cores and persist it —
+    # the minhash_signatures lesson (13.5 s → ~2 s at sf0.1)
     sh = (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             "source",
             F.explode(shingles_col(tokens_col(F.col("text")), n=3)).alias("s"),
         )
+        .persist()
     )
     first = sh.groupBy("s").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
     return (
