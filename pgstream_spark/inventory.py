@@ -12997,6 +12997,45 @@ def l103b(spark, sf_dir):
     return dhash_candidate_pairs(sigs, max_hamming=3)
 
 
+@q(
+    "l102c_perceptual_families",
+    # The image-dedup pipeline END TO END: dHash signatures (real
+    # codec) -> banded near-dup pairs at hamming <= 3 -> connected
+    # components (dedup.dedup_clusters) -> near-dup FAMILIES with the
+    # min id canonical — the perceptual analog of l8's text families,
+    # composing three oracle-proven stages.  The oracle rebuilds the
+    # pixels arithmetically, takes the full quadratic pair join, and
+    # closes it with a recursive CTE.  Capped at doc_id < 2000 on both
+    # sides (the l102b discipline) so the quadratic oracle stays
+    # bounded at sf1.
+    "WITH RECURSIVE " + _DHASH_ORACLE_CTES.format(
+        src="documents WHERE doc_id < 2000"
+    ) + ", "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT a AS node, b AS reached FROM edges "
+    "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a) "
+    "SELECT node, least(node, min(reached)) AS cluster "
+    "FROM reach GROUP BY node",
+)
+def l102c(spark, sf_dir):
+    from pgstream_spark.operators.dedup import dedup_clusters
+    from pgstream_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+        dhash_signatures,
+    )
+
+    sigs = dhash_signatures(
+        _dhash_imgs(spark, sf_dir, cap=2000), "payload", "doc_id"
+    )
+    pairs = dhash_candidate_pairs(sigs, max_hamming=3)
+    return dedup_clusters(pairs)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13367,6 +13406,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l102c_perceptual_families",
     "l103b_audio_neardup_pairs", "l103_audio_fingerprint",
     "l102b_dhash_pairs", "l102_image_dhash",
     "l101_dsir_weights", "l100_roc_auc",
@@ -13410,6 +13450,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "u5_union_by_name_evolution",
     "j14_scd2_pit", "j15_fuzzy_blocked",
     "o8_pareto_frontier", "l46_embedding_gram", "l47_hll_setops",
     "l48_sparse_cosine",
