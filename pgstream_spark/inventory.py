@@ -13036,6 +13036,66 @@ def l102c(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+@q(
+    "l104_incremental_perceptual",
+    # Incremental PERCEPTUAL ingest (operators/perceptual_index.py):
+    # history images (doc_id < 25) are dHash-signed ONCE into a
+    # persisted banded index; the new batch (25 <= doc_id < 2000) is
+    # signed through the codec, probed by broadcast (band, key)
+    # equality, and hamming-verified — O(batch) per ingest, never
+    # O(corpus), exact recall at hamming <= 3 by pigeonhole.  The
+    # oracle rebuilds the pixels arithmetically and takes the full
+    # quadratic cross join between the two slices.
+    "WITH " + _DHASH_ORACLE_CTES.format(
+        src="documents WHERE doc_id < 2000"
+    ) + " "
+    "SELECT b.doc_id AS id_new, a.doc_id AS id_indexed, "
+    "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) "
+    "AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < 25 AND b.doc_id >= 25 "
+    "WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+    "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3",
+)
+def l104(spark, sf_dir):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from pgstream_spark.operators.multimodal import dhash_signatures
+    from pgstream_spark.operators.perceptual_index import (
+        probe_perceptual_index,
+        write_perceptual_index,
+    )
+
+    sigs = dhash_signatures(
+        _dhash_imgs(spark, sf_dir, cap=2000), "payload", "doc_id"
+    )
+    hist = sigs.filter(F.col("id") < 25)
+    batch = sigs.filter(F.col("id") >= 25)
+    # l84's content-keyed cache: the index is a pure function of the
+    # fixture's doc_id set, so key the path on the fixture identity and
+    # publish atomically; concurrent runs race safely.
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(
+        f"{sf_dir}|{_fixture_ident(src)}".encode()
+    ).hexdigest()[:12]
+    path = _os.path.join(
+        tempfile.gettempdir(), f"pgstream_perceptual_idx_{tag}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_manifest.json")):
+        build = tempfile.mkdtemp(prefix="pgstream_perceptual_build_")
+        idx = _os.path.join(build, "idx")
+        write_perceptual_index(hist, idx, batch_id="hist")
+        try:
+            _os.rename(idx, path)  # atomic publish
+        except OSError:
+            pass  # a concurrent run published first — use theirs
+        _shutil.rmtree(build, ignore_errors=True)
+    return probe_perceptual_index(spark, path, batch, max_hamming=3)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13406,6 +13466,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l104_incremental_perceptual",
     "l102c_perceptual_families",
     "l103b_audio_neardup_pairs", "l103_audio_fingerprint",
     "l102b_dhash_pairs", "l102_image_dhash",
@@ -13450,6 +13511,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "g41_null_aggregate_semantics",
     "u5_union_by_name_evolution",
     "j14_scd2_pit", "j15_fuzzy_blocked",
     "o8_pareto_frontier", "l46_embedding_gram", "l47_hll_setops",

@@ -6128,3 +6128,117 @@ class TestAudioFingerprint:
             audio_fingerprint(d, "payload", "doc_id").collect()
         with _pytest.raises(ValueError, match="buckets must be 65"):
             audio_fingerprint(d, "payload", "doc_id", buckets=33)
+
+
+class TestPerceptualIndex:
+    @staticmethod
+    def _sigs(spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, b0 long, b1 long, b2 long, b3 long"
+        )
+
+    def test_roundtrip_probe_and_idempotent_append(self, spark, tmp_path):
+        from pgstream_spark.operators.perceptual_index import (
+            append_perceptual_index,
+            probe_perceptual_index,
+            write_perceptual_index,
+        )
+
+        path = str(tmp_path / "pidx")
+        base = [(1, 10, 20, 30, 40), (2, 10, 21, 31, 41), (3, 99, 98, 97, 96)]
+        m = write_perceptual_index(self._sigs(spark, base), path, batch_id="b0")
+        assert m["ledger"] == ["b0"] and m["n_sigs"] == 3
+
+        # new batch: id 11 within hamming 3 of id 1 (flip 2 low bits of
+        # b1), id 12 unrelated
+        new = [(11, 10, 23, 30, 40), (12, 500, 501, 502, 503)]
+        got = {
+            (r.id_new, r.id_indexed): r.hamming
+            for r in probe_perceptual_index(
+                spark, path, self._sigs(spark, new)
+            ).collect()
+        }
+        # id 2 shares band 0 with the probe and sits at hamming 3
+        assert got == {(11, 1): 2, (11, 2): 3}
+
+        # append twice with the same batch id — second is a no-op
+        m1 = append_perceptual_index(self._sigs(spark, new), path, "b1")
+        m2 = append_perceptual_index(self._sigs(spark, new), path, "b1")
+        assert m1["ledger"] == ["b0", "b1"] and m2 == m1
+        assert m1["n_sigs"] == 5
+        rows = spark.read.parquet(path)
+        assert rows.count() == 5 * 4  # 4 band rows per signature
+
+        # the appended batch is now probe-able
+        got2 = {
+            (r.id_new, r.id_indexed): r.hamming
+            for r in probe_perceptual_index(
+                spark, path, self._sigs(spark, [(21, 500, 501, 502, 502)])
+            ).collect()
+        }
+        assert got2 == {(21, 12): 1}
+
+    def test_probe_matches_bruteforce_cross_batch(self, spark, tmp_path):
+        import random
+
+        from pgstream_spark.operators.perceptual_index import (
+            probe_perceptual_index,
+            write_perceptual_index,
+        )
+
+        rnd = random.Random(3)
+        idx = [
+            (i, rnd.getrandbits(16), rnd.getrandbits(16),
+             rnd.getrandbits(16), rnd.getrandbits(16))
+            for i in range(40)
+        ]
+        # derive probes near some indexed sigs by flipping <=3 bits
+        probes = []
+        for j in range(12):
+            src = idx[j * 3]
+            b = list(src[1:])
+            for bit in rnd.sample(range(64), j % 4):
+                b[bit // 16] ^= 1 << (bit % 16)
+            probes.append((100 + j, *b))
+        path = str(tmp_path / "pidx2")
+        write_perceptual_index(self._sigs(spark, idx), path)
+        got = {
+            (r.id_new, r.id_indexed): r.hamming
+            for r in probe_perceptual_index(
+                spark, path, self._sigs(spark, probes)
+            ).collect()
+        }
+        ref = {}
+        for pid, *pb in probes:
+            for iid, *ib in idx:
+                h = sum(bin(pb[k] ^ ib[k]).count("1") for k in range(4))
+                if h <= 3:
+                    ref[(pid, iid)] = h
+        assert got == ref and ref  # non-vacuous
+
+    def test_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgstream_spark.operators.perceptual_index import (
+            probe_perceptual_index,
+            write_perceptual_index,
+        )
+
+        path = str(tmp_path / "pidx3")
+        write_perceptual_index(self._sigs(spark, [(1, 1, 2, 3, 4)]), path)
+        with _pytest.raises(ValueError, match="already exists"):
+            write_perceptual_index(self._sigs(spark, [(2, 1, 2, 3, 4)]), path)
+        with _pytest.raises(ValueError, match="allow_approx"):
+            probe_perceptual_index(
+                spark, path, self._sigs(spark, [(9, 1, 2, 3, 4)]), max_hamming=9
+            )
+        # self-pairs excluded: probing the indexed signature itself
+        # under a DIFFERENT id still reports it, same id does not
+        same = probe_perceptual_index(
+            spark, path, self._sigs(spark, [(1, 1, 2, 3, 4)])
+        ).collect()
+        assert same == []
+        other = probe_perceptual_index(
+            spark, path, self._sigs(spark, [(7, 1, 2, 3, 4)])
+        ).collect()
+        assert len(other) == 1 and other[0].hamming == 0
