@@ -48,6 +48,7 @@ __all__ = [
     "write_perceptual_index",
     "append_perceptual_index",
     "probe_perceptual_index",
+    "foreach_batch_perceptual_appender",
 ]
 
 _FORMAT = "banded-sig64-v1"
@@ -214,3 +215,39 @@ def probe_perceptual_index(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def foreach_batch_perceptual_appender(path: str, sign):
+    """``writeStream.foreachBatch`` sink that signs each micro-batch of
+    media assets and appends the signatures to the index EXACTLY ONCE —
+    the media twin of ``neardup_index.foreach_batch_appender``.
+    ``sign`` maps the micro-batch DataFrame to a signature frame
+    ``(id, b0..b3)`` (e.g. ``lambda df: dhash_signatures(df, "payload",
+    "asset_id")``); the batch id is Spark's ``batchId``, stable across
+    restarts from the same checkpoint, so a replayed micro-batch lands
+    as a ledger no-op / partition overwrite instead of duplicate
+    signature rows::
+
+        (assets_stream.writeStream
+            .foreachBatch(foreach_batch_perceptual_appender(
+                "/idx/path",
+                lambda df: dhash_signatures(df, "payload", "asset_id")))
+            .option("checkpointLocation", ck)
+            .start())
+
+    The first batch bootstraps the index if none exists.
+    """
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = sign(batch_df)
+        try:
+            _read_manifest(batch_df.sparkSession, path)
+            bootstrapped = True
+        except Exception:  # noqa: BLE001 — unreadable manifest = absent
+            bootstrapped = False
+        if bootstrapped:
+            append_perceptual_index(sigs, path, f"stream-{batch_id}")
+        else:
+            write_perceptual_index(sigs, path, batch_id=f"stream-{batch_id}")
+
+    return _append

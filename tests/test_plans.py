@@ -1407,3 +1407,58 @@ def test_top_percent_exact_count(spark, sf_dir):
     got = QUERIES["o10_top_percent"](spark, sf_dir).count()
     n = load_table(spark, sf_dir, "orders").count()
     assert got == math.ceil(n / 100)
+
+
+def test_roc_auc_windows_run_over_histogram_not_rows(spark, sf_dir):
+    # l100: the only Window in the plan must consume the grouped score
+    # HISTOGRAM (an Aggregate below it), never raw document rows — the
+    # l94 windowless-discipline pin for the AUC operator.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l100_roc_auc"](spark, sf_dir)
+    txt = explain_string(df, "extended")
+    assert "Window" in txt
+    # optimized plan: the window's child chain contains the partial/
+    # final aggregate pair that builds the histogram
+    opt = txt.split("== Optimized Logical Plan ==")[1]
+    win_pos = opt.index("Window")
+    assert "Aggregate" in opt[win_pos:], "window must sit above the histogram aggregate"
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_dir):
+    # l101: the bucket-weight table is bounded at n_buckets rows — the
+    # scoring join must be a BroadcastHashJoin (never a corpus-sized
+    # SortMergeJoin) and nothing may cartesian.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l101_dsir_weights"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_dhash_pairs_join_on_band_buckets_no_cartesian(spark, sf_dir):
+    # l102b: candidates come from the (band, key) equi-join — any
+    # cartesian/nested-loop shape would be the quadratic scan the
+    # banding exists to avoid.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l102b_dhash_pairs"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_perceptual_probe_broadcasts_batch_not_index(spark, sf_dir):
+    # l104: the index scan is the big side and must stream; the probe
+    # batch must be the broadcast side.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l104_incremental_perceptual"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt

@@ -1501,3 +1501,77 @@ class TestStreamStaticPointInTime:
         }
         assert got == {100: 10.0, 101: 20.0, 102: None, 103: 40.0,
                        104: None, 105: 99.0}
+
+
+class TestStreamingPerceptualIngest:
+    def test_stream_appends_exactly_once_and_probe_sees_all(
+        self, spark, tmp_path
+    ):
+        # T-* extension: media assets arrive as a file stream; each
+        # micro-batch is dHash-signed through the real codec and
+        # appended to the perceptual index exactly once (batchId
+        # ledger); a post-stream probe finds the cross-batch near-dup.
+        import hashlib
+
+        from pgstream_spark.operators.perceptual_index import (
+            foreach_batch_perceptual_appender,
+            probe_perceptual_index,
+        )
+        from pgstream_spark.operators.multimodal import dhash_signatures
+
+        def img(seed):
+            body = b"".join(
+                hashlib.md5(f"{seed}:{b}".encode()).digest() for b in range(48)
+            )
+            return b"P6\n16 16\n255\n" + body
+
+        src = tmp_path / "assets"
+        src.mkdir()
+        idx = str(tmp_path / "pidx")
+        ck = str(tmp_path / "ck")
+        # two files -> maxFilesPerTrigger=1 gives two micro-batches
+        spark.createDataFrame(
+            [(1, img("g0")), (2, img("g1"))], "asset_id long, payload binary"
+        ).write.parquet(str(src / "f1"))
+        spark.createDataFrame(
+            [(3, img("g0")), (4, img("g2"))], "asset_id long, payload binary"
+        ).write.parquet(str(src / "f2"))
+        stream = (
+            spark.readStream.schema("asset_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_perceptual_appender(
+                    idx,
+                    lambda df: dhash_signatures(df, "payload", "asset_id"),
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # 4 assets x 4 band rows, across >= 2 ledger batches
+        rows = spark.read.parquet(idx)
+        assert rows.count() == 16
+        import json as _json
+
+        with open(f"{idx}/_manifest.json") as fh:
+            m = _json.load(fh)
+        assert m["n_sigs"] == 4 and len(m["ledger"]) >= 2
+        # probe: a new asset identical to the g0 family finds BOTH
+        # indexed g0 members (they arrived in different micro-batches)
+        probe = dhash_signatures(
+            spark.createDataFrame(
+                [(99, img("g0"))], "asset_id long, payload binary"
+            ),
+            "payload",
+            "asset_id",
+        )
+        got = {
+            (r.id_new, r.id_indexed): r.hamming
+            for r in probe_perceptual_index(spark, idx, probe).collect()
+        }
+        assert got == {(99, 1): 0, (99, 3): 0}
