@@ -12732,17 +12732,12 @@ def l100(spark, sf_dir):
     return roc_auc(d, "score", "label", group_cols=("lang",))
 
 
-@q(
-    "l101_dsir_weights",
-    # DSIR importance weights (textstats.dsir_weights; Xie et al.
-    # 2023): hashed unigram+bigram bucket histograms of a target set
-    # (lang='en') vs the raw corpus; per-bucket importance ratio
-    # quantized by PURE integer floor division, the paper's log-space
-    # weight floor-quantized per BUCKET (one libm call per bucket) so
-    # document sums stay exact integers.  The weight table is bounded
-    # at n_buckets rows — broadcast by construction at any corpus
-    # size.  B = 10000.
-    "WITH toks AS (SELECT doc_id, "
+# DuckDB CTEs rebuilding the DSIR bucket arithmetic (shared by l101
+# and the l101b resample composition): hashed unigram+bigram features,
+# add-one-smoothed integer-floor importance ratios, per-bucket
+# floor-quantized log weights, per-doc sums from the bucket join.
+_DSIR_ORACLE_CTES = (
+    "toks AS (SELECT doc_id, "
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
     "AS t, lang FROM documents), "
     "f AS (SELECT doc_id, lang, unnest(list_concat(t, "
@@ -12761,20 +12756,69 @@ def l100(spark, sf_dir):
     "// ((rc.rcnt + 1) * (ttot + 10000)) AS wm, "
     "CAST(floor(1000000 * (ln((COALESCE(tc.tcnt, 0) + 1) * (rtot + 10000)) "
     "- ln((rc.rcnt + 1) * (ttot + 10000)))) AS BIGINT) AS lwm "
-    "FROM rc LEFT JOIN tc USING (bk), tot) "
-    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+    "FROM rc LEFT JOIN tc USING (bk), tot), "
+    "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
     "CAST(sum(wm) AS BIGINT) AS w_sum_micro, "
     "CAST(sum(wm) // count(*) AS BIGINT) AS w_mean_micro, "
     "CAST(sum(lwm) AS BIGINT) AS logw_sum_micro, "
     "CAST((sum(lwm) + count(*) * 10000000000000) // count(*) "
     "- 10000000000000 AS BIGINT) AS logw_mean_micro "
-    "FROM b JOIN w USING (bk) GROUP BY doc_id",
+    "FROM b JOIN w USING (bk) GROUP BY doc_id)"
+)
+
+
+@q(
+    "l101_dsir_weights",
+    # DSIR importance weights (textstats.dsir_weights; Xie et al.
+    # 2023): hashed unigram+bigram bucket histograms of a target set
+    # (lang='en') vs the raw corpus; per-bucket importance ratio
+    # quantized by PURE integer floor division, the paper's log-space
+    # weight floor-quantized per BUCKET (one libm call per bucket) so
+    # document sums stay exact integers.  The weight table is bounded
+    # at n_buckets rows — broadcast by construction at any corpus
+    # size.  B = 10000.
+    "WITH " + _DSIR_ORACLE_CTES + " "
+    "SELECT doc_id, n_feats, w_sum_micro, w_mean_micro, "
+    "logw_sum_micro, logw_mean_micro FROM dw",
 )
 def l101(spark, sf_dir):
     from pgstream_spark.operators.textstats import dsir_weights
 
     d = _t(spark, sf_dir, "documents")
     return dsir_weights(d, d.filter(F.col("lang") == "en"))
+
+
+@q(
+    "l101b_dsir_resample",
+    # DSIR END TO END: the importance weights feed the deterministic
+    # A-Res sampler (mixture.weighted_sample_ares) — "sample K docs
+    # ∝ how target-like they are", the paper's actual resampling step,
+    # composing two oracle-proven stages.  Weight = w_mean_micro + 1
+    # (strictly positive so the log-domain priority never divides by
+    # zero); content-derived uniforms make the draw engine-exact.
+    "WITH " + _DSIR_ORACLE_CTES + ", "
+    "p AS (SELECT doc_id, w_mean_micro, "
+    "round(ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) AS DOUBLE) / 281474976710656.0) "
+    "/ (w_mean_micro + 1), 9) AS priority FROM dw) "
+    "SELECT doc_id, w_mean_micro, priority, sample_rank FROM ("
+    "SELECT doc_id, w_mean_micro, priority, CAST(row_number() OVER "
+    "(ORDER BY priority DESC, doc_id) AS INT) AS sample_rank FROM p) "
+    "WHERE sample_rank <= 100",
+)
+def l101b(spark, sf_dir):
+    from pgstream_spark.operators.mixture import weighted_sample_ares
+    from pgstream_spark.operators.textstats import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    dw = dsir_weights(d, d.filter(F.col("lang") == "en")).select(
+        "doc_id",
+        "w_mean_micro",
+        (F.col("w_mean_micro") + 1).alias("__w"),
+    )
+    return weighted_sample_ares(dw, weight_col="__w", k=100).select(
+        "doc_id", "w_mean_micro", "priority", "sample_rank"
+    )
 
 
 def _dhash_imgs(spark, sf_dir, cap: int | None = None):
@@ -13466,6 +13510,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l101b_dsir_resample",
     "l104_incremental_perceptual",
     "l102c_perceptual_families",
     "l103b_audio_neardup_pairs", "l103_audio_fingerprint",
@@ -13511,6 +13556,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "w14_distribution_functions",
     "g41_null_aggregate_semantics",
     "u5_union_by_name_evolution",
     "j14_scd2_pit", "j15_fuzzy_blocked",
