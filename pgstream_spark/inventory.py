@@ -13140,6 +13140,39 @@ def l104(spark, sf_dir):
     return probe_perceptual_index(spark, path, batch, max_hamming=3)
 
 
+@q(
+    "l105_winnowing",
+    # Winnowing fingerprints (dedup.winnow_fingerprints; Schleimer,
+    # Wilkerson & Aiken 2003 — the MOSS algorithm): every w=4 window
+    # of k=3-gram hashes contributes its minimum (rightmost on ties),
+    # guaranteeing any shared >= k+w-1 token substring shares a
+    # fingerprint.  (hash, position) packs into ONE BIGINT key
+    # h*2^20 + (2^20-1-pos) so min(key) IS the paper's tie rule —
+    # pure integer arithmetic, the full fingerprint SET hash-gated.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+    "AS t FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END AS gs FROM toks), "
+    "h AS (SELECT doc_id, unnest(generate_series(1, len(gs))) - 1 AS pos, "
+    "CAST(('0x' || substr(md5(unnest(gs)), 1, 8)) AS BIGINT) AS hv FROM g), "
+    "keyed AS (SELECT doc_id, pos, hv * 1048576 + (1048575 - pos) AS key "
+    "FROM h), "
+    "mins AS (SELECT doc_id, pos, "
+    "min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk, "
+    "max(pos) OVER (PARTITION BY doc_id) AS n FROM keyed) "
+    "SELECT DISTINCT doc_id, CAST(mk // 1048576 AS BIGINT) AS fp_hash, "
+    "CAST(1048575 - mk % 1048576 AS BIGINT) AS fp_pos FROM mins "
+    "WHERE pos <= n - 3 OR (n < 3 AND pos = 0)",
+)
+def l105(spark, sf_dir):
+    from pgstream_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13510,6 +13543,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l105_winnowing",
     "l101b_dsir_resample",
     "l104_incremental_perceptual",
     "l102c_perceptual_families",
@@ -13556,6 +13590,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "t23_sliding_distinct",
     "w14_distribution_functions",
     "g41_null_aggregate_semantics",
     "u5_union_by_name_evolution",

@@ -1471,3 +1471,90 @@ def prefix_filter_pairs(
         cand, docs, id_col, text_col, n=n, threshold=threshold,
         transport=transport,
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): the guaranteed-detection robust
+    fingerprint the plagiarism/duplication literature standardized on.
+    Every window of ``w`` consecutive k-gram hashes contributes its
+    MINIMUM hash (rightmost position on ties — the paper's rule), so
+    any shared substring of at least ``k + w - 1`` tokens between two
+    documents is guaranteed to share a fingerprint, while only
+    ~``2/(w+1)`` of positions are kept — the position-robust middle
+    ground between l4b's single rolling hash (any edit changes it) and
+    l37's fixed 8-token windows (alignment-sensitive).
+
+    Determinism discipline: the k-gram hash is the md5 first-8-hex
+    32-bit integer; window selection packs (hash, position) into ONE
+    BIGINT key ``h·2²⁰ + (2²⁰−1−pos)`` so ``min(key)`` is exactly
+    "smallest hash, rightmost position" — pure integer arithmetic an
+    oracle reproduces bit-for-bit (positions must stay below 2²⁰ ≈ 1M
+    k-grams per document; longer docs should be chunked first, l25).
+
+    Scale shape: posexplode (map-only, spread across cores) → one
+    per-document window over positions (bounded by DOCUMENT length,
+    never corpus size) → distinct.  Output is the fingerprint SET
+    ``(id, fp_hash, fp_pos)`` — join it on ``fp_hash`` for cross-doc
+    overlap, the same hash-equality economics as the exact-dedup tier.
+    Documents with fewer than ``k + w - 1`` tokens keep the minimum
+    over their single short window (every position, one window) so
+    short docs still fingerprint.
+    """
+    from pyspark.sql import Window
+
+    if w < 1 or k < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashed = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(grams).alias("__pos", "__g"),
+    ).select(
+        id_col,
+        "__pos",
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    key = F.col("__h") * F.lit(1 << 20) + (
+        F.lit((1 << 20) - 1) - F.col("__pos")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__pos").asc())
+        .rowsBetween(0, w - 1)
+    )
+    n_win = Window.partitionBy(id_col)
+    sel = (
+        hashed.withColumn("__key", key)
+        .withColumn("__min", F.min("__key").over(win))
+        .withColumn("__n", F.max("__pos").over(n_win))
+        # full windows only — except short docs (n+1 <= w), which keep
+        # their single all-positions window anchored at 0
+        .filter(
+            (F.col("__pos") <= F.col("__n") - (w - 1))
+            | ((F.col("__n") < w - 1) & (F.col("__pos") == 0))
+        )
+        .select(
+            id_col,
+            F.expr(f"__min DIV {1 << 20}").cast("long").alias("fp_hash"),
+            (
+                F.lit((1 << 20) - 1) - F.col("__min") % F.lit(1 << 20)
+            ).cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel

@@ -6242,3 +6242,61 @@ class TestPerceptualIndex:
             spark, path, self._sigs(spark, [(7, 1, 2, 3, 4)])
         ).collect()
         assert len(other) == 1 and other[0].hamming == 0
+
+
+class TestWinnowing:
+    @staticmethod
+    def _ref(text, k=3, w=4):
+        import hashlib
+        import re
+
+        t = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        grams = (
+            [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else [" ".join(t)]
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        n = len(hs)
+        out = set()
+        windows = [range(n)] if n < w else [range(i, i + w) for i in range(n - w + 1)]
+        for win in windows:
+            key = min(hs[j] * (1 << 20) + ((1 << 20) - 1 - j) for j in win)
+            out.add((key >> 20, (1 << 20) - 1 - key % (1 << 20)))
+        return out
+
+    def test_matches_paper_rule_and_guarantee(self, spark):
+        from pgstream_spark.operators.dedup import winnow_fingerprints
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "the quick brown fox naps"),
+            (2, "tiny doc"),          # fewer k-grams than w
+            (3, "a b c d e f g h i j k l m"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "completely different content about stock markets today"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(d).collect():
+            got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+        for did, tx in rows:
+            assert got[did] == self._ref(tx), did
+        # guaranteed detection: 1 and 4 share >= k+w-1 tokens
+        h1 = {h for h, _ in got[1]}
+        assert h1 & {h for h, _ in got[4]}
+        assert not (h1 & {h for h, _ in got[5]})
+
+    def test_density_bound_and_guards(self, spark):
+        import pytest as _pytest
+
+        from pgstream_spark.operators.dedup import winnow_fingerprints
+
+        text = " ".join(f"tok{i % 13}x{(i * 7) % 11}" for i in range(300))
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        n_fp = winnow_fingerprints(d, k=3, w=4).count()
+        n_grams = 300 - 3 + 1
+        # expected density 2/(w+1) = 0.4; allow generous slack both ways
+        assert n_grams * 0.15 <= n_fp <= n_grams * 0.7
+        with _pytest.raises(ValueError, match=">= 1"):
+            winnow_fingerprints(d, w=0)
