@@ -13173,6 +13173,39 @@ def l105(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
 
 
+@q(
+    "l106_k_anonymity",
+    # k-anonymity release gate (quality.k_anonymity_audit +
+    # k_anonymize; Sweeney 2002): after PII scrubbing, suppress rows
+    # whose quasi-identifier class — here (lang, source, n_chars DIV
+    # 100) — has fewer than k=3 members.  The gate returns the
+    # ANONYMIZED rows with their class sizes, so both the audit count
+    # and the suppression decision are hash-pinned.
+    "WITH q AS (SELECT doc_id, lang, source, n_chars // 100 AS size_bin "
+    "FROM documents), "
+    "c AS (SELECT lang, source, size_bin, "
+    "CAST(count(*) AS BIGINT) AS class_size FROM q "
+    "GROUP BY lang, source, size_bin) "
+    "SELECT q.doc_id, q.lang, q.source, q.size_bin, c.class_size "
+    "FROM q JOIN c ON q.lang IS NOT DISTINCT FROM c.lang "
+    "AND q.source IS NOT DISTINCT FROM c.source "
+    "AND q.size_bin IS NOT DISTINCT FROM c.size_bin "
+    "WHERE c.class_size >= 3",
+)
+def l106(spark, sf_dir):
+    from pgstream_spark.operators.quality import k_anonymize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars DIV 100").alias("size_bin"),
+    )
+    return k_anonymize(d, ["lang", "source", "size_bin"], k=3).select(
+        "doc_id", "lang", "source", "size_bin", "class_size"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13543,6 +13576,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l106_k_anonymity",
     "l105_winnowing",
     "l101b_dsir_resample",
     "l104_incremental_perceptual",
@@ -13590,6 +13624,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "l45_grid_quantiles",
     "t23_sliding_distinct",
     "w14_distribution_functions",
     "g41_null_aggregate_semantics",

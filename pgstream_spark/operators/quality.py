@@ -47,6 +47,8 @@ __all__ = [
     "hashed_linear_score",
     "gopher_rules",
     "roc_auc",
+    "k_anonymity_audit",
+    "k_anonymize",
 ]
 
 
@@ -613,3 +615,60 @@ def roc_auc(
             "auc"
         ),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    privacy-governance gate a training-data release runs after PII
+    scrubbing (`pii_scrub` removes direct identifiers; this measures
+    re-identification risk from the INDIRECT ones): every equivalence
+    class (distinct quasi-identifier combination) smaller than ``k``
+    marks its rows re-identifiable (Sweeney 2002).
+
+    One grouped count — map-side combinable, output bounded by the
+    class count — per class: ``(quasi_cols…, class_size, at_risk)``.
+    All integers; NULL quasi-values form their own class (groupBy's
+    NULL-key semantics, same in the oracle's GROUP BY).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    g = list(quasi_cols)
+    return df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    ).withColumn("at_risk", F.col("class_size") < int(k))
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Suppression-based k-anonymization: keep only rows whose
+    quasi-identifier class has at least ``k`` members — the baseline
+    release transform (suppress rare combinations rather than
+    generalize them).  Implemented as the audit's class counts joined
+    back on the quasi columns (shuffle join on the class key; AQE
+    broadcasts when the class table is small), so the decision and the
+    audit can never disagree.  Returns the input rows + ``class_size``.
+    """
+    g = list(quasi_cols)
+    counts = (
+        k_anonymity_audit(df, g, k)
+        .filter(~F.col("at_risk"))
+        .drop("at_risk")
+        .select(
+            *[F.col(c).alias(f"__q_{c}") for c in g], "class_size"
+        )
+    )
+    # NULL-SAFE join back: groupBy treats NULL quasi-values as one
+    # class, so the join must too — a plain equi-join would silently
+    # suppress every row of a NULL-valued class even when it is safe
+    cond = None
+    for c in g:
+        eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(counts, cond).drop(*[f"__q_{c}" for c in g])

@@ -467,20 +467,43 @@ def main() -> None:
             file=sys.stderr,
         )
     else:
+        # Named runs PERSIST into the standing-gate state exactly like a
+        # rotation row (status + secs + definition digest) — a freshly
+        # added query needs one named run, not a full --rotate, to be
+        # sf1-covered.  (Round-10 lesson: named runs that only printed
+        # left 9 green proofs unrecorded.)  Read-modify-write of the
+        # state file assumes one sf1diff at a time, same as --rotate.
+        state = _load_state()
         for name in only or DEFAULT:
             if name in SF1_ORACLE_SKIP:
                 out[name] = f"skipped: {SF1_ORACLE_SKIP[name]}"
+                state["results"][name] = {
+                    "status": f"skipped: {SF1_ORACLE_SKIP[name]}",
+                    "secs": 0.0,
+                }
                 print(f"  - {name} (skipped)", file=sys.stderr)
                 continue
+            q0 = time.monotonic()
+            df = digest = None
             try:
-                problems = compare(
-                    name, QUERIES[name](spark, DST), con, ORACLE[name]
-                )
+                df = QUERIES[name](spark, DST)
+                digest = _definition_digest(name, df, ORACLE[name])
+                problems = compare(name, df, con, ORACLE[name])
             except Exception as e:  # noqa: BLE001 — report, keep sweeping
                 problems = [f"ERROR {type(e).__name__}: {str(e)[:200]}"]
             out[name] = "ok" if not problems else problems
+            entry: dict[str, object] = {
+                "status": out[name],
+                "secs": round(time.monotonic() - q0, 1),
+            }
+            if digest is not None and not problems:
+                entry["digest"] = digest
+            state["results"][name] = entry
             fails += bool(problems)
             print(f"  {'✓' if not problems else '✗'} {name}", file=sys.stderr)
+        state["registry_size"] = len([n for n in QUERIES if n in ORACLE])
+        with open(STATE, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()
     sys.exit(1 if fails else 0)

@@ -6300,3 +6300,38 @@ class TestWinnowing:
         assert n_grams * 0.15 <= n_fp <= n_grams * 0.7
         with _pytest.raises(ValueError, match=">= 1"):
             winnow_fingerprints(d, w=0)
+
+
+class TestKAnonymity:
+    def test_audit_and_suppression(self, spark):
+        from pgstream_spark.operators.quality import (
+            k_anonymity_audit,
+            k_anonymize,
+        )
+
+        rows = [
+            (1, "en", "a"), (2, "en", "a"), (3, "en", "a"),
+            (4, "de", "a"), (5, "de", "a"),
+            (6, "fr", "b"),          # singleton class
+            (7, None, "b"), (8, None, "b"), (9, None, "b"),  # NULL class
+        ]
+        d = spark.createDataFrame(rows, "rid long, lang string, src string")
+        audit = {
+            (r.lang, r.src): (r.class_size, r.at_risk)
+            for r in k_anonymity_audit(d, ["lang", "src"], k=3).collect()
+        }
+        assert audit[("en", "a")] == (3, False)
+        assert audit[("de", "a")] == (2, True)
+        assert audit[("fr", "b")] == (1, True)
+        assert audit[(None, "b")] == (3, False)  # NULLs form one class
+        kept = {r.rid for r in k_anonymize(d, ["lang", "src"], k=3).collect()}
+        assert kept == {1, 2, 3, 7, 8, 9}
+
+    def test_empty_quasi_rejected(self, spark):
+        import pytest as _pytest
+
+        from pgstream_spark.operators.quality import k_anonymity_audit
+
+        d = spark.createDataFrame([(1,)], "rid long")
+        with _pytest.raises(ValueError, match="at least one"):
+            k_anonymity_audit(d, [], k=2)
