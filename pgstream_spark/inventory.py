@@ -13118,12 +13118,25 @@ def l104(spark, sf_dir):
     )
     hist = sigs.filter(F.col("id") < 25)
     batch = sigs.filter(F.col("id") >= 25)
-    # l84's content-keyed cache: the index is a pure function of the
-    # fixture's doc_id set, so key the path on the fixture identity and
-    # publish atomically; concurrent runs race safely.
+    # l84's content-keyed cache, plus a CODE-version component: the
+    # index is a pure function of (fixture doc_id set, signing code,
+    # index format) — keying on all three makes the cache
+    # self-invalidating when dhash/_dhash_imgs/the layout change, so a
+    # stale /tmp index can never outlive the code that wrote it.
+    import inspect as _inspect
+
+    from pgstream_spark.operators import perceptual_index as _pidx
+
     src = _os.path.join(sf_dir, "documents.parquet")
+    code_ver = _hashlib.md5(
+        (
+            _inspect.getsource(dhash_signatures)
+            + _inspect.getsource(_dhash_imgs)
+            + _pidx._FORMAT
+        ).encode()
+    ).hexdigest()[:8]
     tag = _hashlib.md5(
-        f"{sf_dir}|{_fixture_ident(src)}".encode()
+        f"{sf_dir}|{_fixture_ident(src)}|{code_ver}".encode()
     ).hexdigest()[:12]
     path = _os.path.join(
         tempfile.gettempdir(), f"pgstream_perceptual_idx_{tag}"
@@ -13154,7 +13167,7 @@ def l104(spark, sf_dir):
     "AS t FROM documents), "
     "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
     "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
-    "ELSE [array_to_string(t, ' ')] END AS gs FROM toks), "
+    "ELSE [array_to_string(t, ' ')] END AS gs FROM toks WHERE len(t) > 0), "
     "h AS (SELECT doc_id, unnest(generate_series(1, len(gs))) - 1 AS pos, "
     "CAST(('0x' || substr(md5(unnest(gs)), 1, 8)) AS BIGINT) AS hv FROM g), "
     "keyed AS (SELECT doc_id, pos, hv * 1048576 + (1048575 - pos) AS key "

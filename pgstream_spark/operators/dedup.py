@@ -1505,7 +1505,12 @@ def winnow_fingerprints(
     overlap, the same hash-equality economics as the exact-dedup tier.
     Documents with fewer than ``k + w - 1`` tokens keep the minimum
     over their single short window (every position, one window) so
-    short docs still fingerprint.
+    short docs still fingerprint; ZERO-token documents emit no row
+    (nothing to fingerprint — an md5("") row would give every
+    contentless doc the same hash and a quadratic hot bucket on the
+    overlap join).  A position at or beyond 2²⁰ RAISES at execution
+    (the key packing would corrupt silently); chunk longer docs first
+    (l25).
     """
     from pyspark.sql import Window
 
@@ -1519,7 +1524,7 @@ def winnow_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    hashed = _spread(docs, id_col).select(
+    hashed = _spread(docs, id_col).filter(F.size(toks) > 0).select(
         F.col(id_col),
         F.posexplode(grams).alias("__pos", "__g"),
     ).select(
@@ -1529,8 +1534,17 @@ def winnow_fingerprints(
         .cast("long")
         .alias("__h"),
     )
-    key = F.col("__h") * F.lit(1 << 20) + (
-        F.lit((1 << 20) - 1) - F.col("__pos")
+    key = F.when(
+        F.col("__pos") < (1 << 20),
+        F.col("__h") * F.lit(1 << 20)
+        + (F.lit((1 << 20) - 1) - F.col("__pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: k-gram position >= 2^20 — chunk "
+                "long documents first (chunk_windows, l25)"
+            )
+        ).cast("long")
     )
     win = (
         Window.partitionBy(id_col)

@@ -111,10 +111,16 @@ def write_perceptual_index(
             f"perceptual index already exists at {path}; use "
             "append_perceptual_index"
         )
-    n, fp = _sig_fingerprint(sigs)
-    _banded_rows(sigs).withColumn("batch", F.lit(str(batch_id))).write.mode(
-        "overwrite"
-    ).partitionBy("batch").parquet(path)
+    # one evaluation of the (possibly codec-decoding) signature
+    # lineage for BOTH the fingerprint collect and the parquet write
+    sigs = sigs.persist()
+    try:
+        n, fp = _sig_fingerprint(sigs)
+        _banded_rows(sigs).withColumn(
+            "batch", F.lit(str(batch_id))
+        ).write.mode("overwrite").partitionBy("batch").parquet(path)
+    finally:
+        sigs.unpersist()
     manifest = {
         "format": _FORMAT,
         "bands": _BANDS,
@@ -145,15 +151,19 @@ def append_perceptual_index(
         )
     if str(batch_id) in manifest["ledger"]:
         return manifest
-    n, fp = _sig_fingerprint(sigs)
-    (
-        _banded_rows(sigs)
-        .withColumn("batch", F.lit(str(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(path)
-    )
+    sigs = sigs.persist()  # decode once for fingerprint + write
+    try:
+        n, fp = _sig_fingerprint(sigs)
+        (
+            _banded_rows(sigs)
+            .withColumn("batch", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(path)
+        )
+    finally:
+        sigs.unpersist()
     manifest["ledger"].append(str(batch_id))
     manifest["n_sigs"] = int(manifest["n_sigs"]) + n
     manifest["fingerprint"] = int(manifest["fingerprint"]) ^ fp

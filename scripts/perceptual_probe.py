@@ -99,6 +99,16 @@ def main() -> None:
         # millions of pairs and the demonstration needs no more rows
         "saturated": run(spark, min(n, 5000), max(min(n, 5000) // 10, 2)),
     }
+    # the law the probe exists to verify, machine-checked: with family
+    # size fixed, banded fan-out is linear in corpus size — exactly 10x
+    # pairs for 10x assets (the synth is deterministic, so exact)
+    assert out["bounded_10x"]["pairs"] == 10 * out["bounded_1x"]["pairs"], out
+    # and the saturated arm IS the quadratic failure mode: far more
+    # pairs per asset than the bounded regime
+    assert (
+        out["saturated"]["pairs"] * out["bounded_1x"]["n"]
+        > 5 * out["bounded_1x"]["pairs"] * out["saturated"]["n"]
+    ), out
     print(json.dumps(out))
     spark.stop()
 

@@ -475,6 +475,13 @@ def main() -> None:
         # state file assumes one sf1diff at a time, same as --rotate.
         state = _load_state()
         for name in only or DEFAULT:
+            if name not in QUERIES or name not in ORACLE:
+                # never persist a typo'd name into the committed state
+                print(f"  ! unknown query {name!r} — not recorded",
+                      file=sys.stderr)
+                out[name] = "unknown query name"
+                fails += 1
+                continue
             if name in SF1_ORACLE_SKIP:
                 out[name] = f"skipped: {SF1_ORACLE_SKIP[name]}"
                 state["results"][name] = {

@@ -6293,8 +6293,16 @@ class TestWinnowing:
         from pgstream_spark.operators.dedup import winnow_fingerprints
 
         text = " ".join(f"tok{i % 13}x{(i * 7) % 11}" for i in range(300))
-        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
-        n_fp = winnow_fingerprints(d, k=3, w=4).count()
+        # zero-token docs (empty / punctuation-only) emit NO row — no
+        # shared md5("") hot bucket
+        d = spark.createDataFrame(
+            [(1, text), (2, ""), (3, "?!... --- !!!")],
+            "doc_id long, text string",
+        )
+        assert {
+            r.doc_id for r in winnow_fingerprints(d, k=3, w=4).collect()
+        } == {1}
+        n_fp = winnow_fingerprints(d, k=3, w=4).filter("doc_id = 1").count()
         n_grams = 300 - 3 + 1
         # expected density 2/(w+1) = 0.4; allow generous slack both ways
         assert n_grams * 0.15 <= n_fp <= n_grams * 0.7

@@ -1421,7 +1421,7 @@ def test_roc_auc_windows_run_over_histogram_not_rows(spark, sf_dir):
     assert "Window" in txt
     # optimized plan: the window's child chain contains the partial/
     # final aggregate pair that builds the histogram
-    opt = txt.split("== Optimized Logical Plan ==")[1]
+    opt = txt.split("== Optimized Logical Plan ==")[1].split("== Physical Plan ==")[0]
     win_pos = opt.index("Window")
     assert "Aggregate" in opt[win_pos:], "window must sit above the histogram aggregate"
 
