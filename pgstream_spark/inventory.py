@@ -13219,6 +13219,47 @@ def l106(spark, sf_dir):
     )
 
 
+@q(
+    "l105b_winnow_overlap",
+    # The MOSS ranking step (dedup.winnow_overlap_pairs): document
+    # pairs sharing >= 2 winnowing fingerprints, scored by the shared
+    # count — edit-robust near-dup candidates from l105's guaranteed-
+    # detection set, one fp_hash self-join + one pair-keyed count.
+    # Distinct (doc, fp_hash) first: a hash winnowed at several
+    # positions in the same doc must count ONCE per pair.
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+    "AS t FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] "
+    "ELSE [array_to_string(t, ' ')] END AS gs FROM toks WHERE len(t) > 0), "
+    "h AS (SELECT doc_id, unnest(generate_series(1, len(gs))) - 1 AS pos, "
+    "CAST(('0x' || substr(md5(unnest(gs)), 1, 8)) AS BIGINT) AS hv FROM g), "
+    "keyed AS (SELECT doc_id, pos, hv * 1048576 + (1048575 - pos) AS key "
+    "FROM h), "
+    "mins AS (SELECT doc_id, pos, "
+    "min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk, "
+    "max(pos) OVER (PARTITION BY doc_id) AS n FROM keyed), "
+    "fp AS (SELECT DISTINCT doc_id, CAST(mk // 1048576 AS BIGINT) AS fp_hash "
+    "FROM mins WHERE pos <= n - 3 OR (n < 3 AND pos = 0)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING count(*) >= 2",
+)
+def l105b(spark, sf_dir):
+    from pgstream_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    fps = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4
+    ).select("doc_id", "fp_hash").distinct()
+    return winnow_overlap_pairs(fps, min_shared=2)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13589,6 +13630,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l105b_winnow_overlap",
     "l106_k_anonymity",
     "l105_winnowing",
     "l101b_dsir_resample",
@@ -13637,6 +13679,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "x8_grouped_arrow",
     "l45_grid_quantiles",
     "t23_sliding_distinct",
     "w14_distribution_functions",

@@ -1572,3 +1572,32 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document near-dup candidates from `winnow_fingerprints` output —
+    the MOSS ranking step: pairs sharing at least ``min_shared``
+    selected fingerprints, scored by the shared count.  Robust to
+    edits/reordering in a way exact hashing is not, and guaranteed to
+    surface any pair sharing a ``k+w-1``-token run per fingerprint.
+
+    Hash-equality economics: one self-join on ``fp_hash`` (shuffle on
+    the hash, fan-out bounded by docs-per-fingerprint — boilerplate
+    fingerprints shared by thousands of docs saturate their buckets;
+    thin them first with `drop_saturated_buckets` over (fp_hash) or
+    raise ``min_shared``), one pair-keyed count.  Returns
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+    """
+    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -6343,3 +6343,35 @@ class TestKAnonymity:
         d = spark.createDataFrame([(1,)], "rid long")
         with _pytest.raises(ValueError, match="at least one"):
             k_anonymity_audit(d, [], k=2)
+
+
+class TestWinnowOverlap:
+    def test_pair_counts_vs_reference(self, spark):
+        from pgstream_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "one two three four five six seven eight nine ten"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints(d).select("doc_id", "fp_hash").distinct()
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in winnow_overlap_pairs(fps, min_shared=2).collect()
+        }
+        ref = {}
+        ids = sorted(by_doc)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                n = len(by_doc[a] & by_doc[b])
+                if n >= 2:
+                    ref[(a, b)] = n
+        assert got == ref
+        assert (1, 2) in got and (1, 3) not in got
