@@ -568,3 +568,113 @@ def test_signed_half_up_needs_abs_decomposition(num, den):
     floor_q, rem = divmod(q.numerator, q.denominator)
     mag = floor_q + (1 if Fraction(rem, q.denominator) >= Fraction(1, 2) else 0)
     assert got == sign * mag
+
+
+# ---------------------------------------------------------------------
+# Round-10 integer kernels: pure-Python mirrors of the packing /
+# selection arithmetic the new operators rely on, checked against
+# first-principles models.  These run WITHOUT Spark (the Spark-side
+# equivalence is pinned by the operator tests + oracle gates; here we
+# prove the arithmetic itself has no edge cases).
+# ---------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(min_value=0, max_value=2**32 - 1),
+    pos=st.integers(min_value=0, max_value=2**20 - 1),
+)
+@settings(**SETTINGS)
+def test_winnow_key_pack_roundtrip(h, pos):
+    """The winnowing key h·2^20 + (2^20−1−pos) must round-trip and
+    order exactly as (h asc, pos desc) — the paper's smallest-hash /
+    rightmost-position rule — for every in-contract (h, pos)."""
+    key = h * (1 << 20) + ((1 << 20) - 1 - pos)
+    assert key // (1 << 20) == h
+    assert (1 << 20) - 1 - key % (1 << 20) == pos
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**20 - 1),
+        ),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_winnow_min_key_is_paper_tie_rule(pairs):
+    """min(key) over a window == the (smallest hash, rightmost
+    position) selection, for any window contents."""
+    keys = {h * (1 << 20) + ((1 << 20) - 1 - p): (h, p) for h, p in pairs}
+    want = min(h for h, _ in pairs)
+    want_pos = max(p for h, p in pairs if h == want)
+    assert keys[min(keys)] == (want, want_pos)
+
+
+@given(
+    sig_a=st.tuples(*[st.integers(min_value=0, max_value=2**16 - 1)] * 4),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=3, unique=True),
+)
+@settings(**SETTINGS)
+def test_banded_pigeonhole_recall(sig_a, flips):
+    """Any signature within hamming <= 3 of another shares at least one
+    of the four 16-bit bands — the exact-recall guarantee
+    dhash_candidate_pairs / the perceptual index probe rely on."""
+    b = list(sig_a)
+    for bit in flips:
+        b[bit // 16] ^= 1 << (bit % 16)
+    assert any(sig_a[k] == b[k] for k in range(4))
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_roc_auc_histogram_identity(data):
+    """The histogram 2U formula Σ_s pos(s)·(2·neg_below(s) + neg(s))
+    equals the pairwise Mann–Whitney definition for any labelled
+    multiset (ties included)."""
+    pos = [s for s, lab in data if lab]
+    neg = [s for s, lab in data if not lab]
+    if not pos or not neg:
+        return
+    brute = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    from collections import Counter
+
+    cp, cn = Counter(pos), Counter(neg)
+    u2 = 0
+    for s in sorted(set(pos) | set(neg)):
+        below = sum(v for t, v in cn.items() if t < s)
+        u2 += cp.get(s, 0) * (2 * below + cn.get(s, 0))
+    assert u2 == brute
+
+
+@given(
+    t=st.integers(min_value=0, max_value=10**6),
+    r=st.integers(min_value=0, max_value=10**6),
+    big_r=st.integers(min_value=1, max_value=10**6),
+    big_t=st.integers(min_value=1, max_value=10**9),
+)
+@settings(**SETTINGS)
+def test_dsir_micro_ratio_exact_and_monotone(t, r, big_r, big_t):
+    """The DSIR integer micro-ratio (t+1)(R+B)·10⁶ DIV (r+1)(T+B) stays
+    inside BIGINT across the DOCUMENTED envelope — the docstring's
+    bound is (t+1)·(R+B) ≤ 9.2·10¹² (hypothesis found that a wider
+    claim overflows: t=7·10⁵, R=1.3·10⁷ already exceeds 2⁶³ — past
+    that callers use the log columns) — and is monotone in t."""
+    B = 10_000
+    num = (t + 1) * (big_r + B) * 1_000_000
+    assert (t + 1) * (big_r + B) <= 9_200_000_000_000
+    assert num < 2**63
+    w1 = num // ((r + 1) * (big_t + B))
+    w2 = (t + 2) * (big_r + B) * 1_000_000 // ((r + 1) * (big_t + B))
+    assert w2 >= w1 >= 0
