@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "frame_dup_stats", "audio_frame_energy", "audio_spectral_features", "dhash_signatures", "dhash_candidate_pairs", "audio_fingerprint"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media_meta", "extract_features", "resize_images", "sample_frames", "extract_patches", "patch_dup_stats", "frame_dup_stats", "audio_frame_energy", "audio_spectral_features", "dhash_signatures", "dhash_candidate_pairs", "audio_fingerprint", "validate_media", "split_decodable"]
 
 # Typed metadata for an opaque media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -863,3 +863,77 @@ def audio_fingerprint(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema=out_schema
     )
+
+
+def validate_media(
+    df: DataFrame,
+    payload_col: str,
+    out: str = "media_check",
+) -> DataFrame:
+    """Attach a decode-validation verdict to every media payload — the
+    binary-column analog of the text sources' corrupt-row quarantine:
+    a 100 TB media ingest cannot let one truncated file kill a job
+    hours in, so corruption is detected ONCE at the gate and routed,
+    not thrown.
+
+    Adds ``out`` = struct(``format`` string|null, ``ok`` boolean,
+    ``error`` string|null): ``format`` from the magic-byte sniff,
+    ``ok`` = the REAL codec decoded it, ``error`` the exception text
+    for quarantine triage (unknown format → ``format`` null).  One
+    Arrow-batched pass; payloads never leave the row.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<format: string, ok: boolean, error: string>"
+    )
+    def check(payloads):
+        from pgstream_spark.operators import codecs
+
+        fmts, oks, errs = [], [], []
+        for raw in payloads:
+            b = bytes(raw or b"")
+            fmt = codecs.sniff_format(b)
+            fmts.append(fmt)
+            if fmt is None:
+                oks.append(False)
+                errs.append("unknown format (no magic match)")
+                continue
+            try:
+                if fmt in ("ppm", "bmp"):
+                    codecs.decode_image(b)
+                elif fmt == "wav":
+                    codecs.decode_wav(b)
+                elif fmt == "y4m":
+                    codecs.decode_y4m(b)
+                oks.append(True)
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — the POINT is to
+                # capture any decode failure as data, not a job kill
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pd.DataFrame({"format": fmts, "ok": oks, "error": errs})
+
+    return df.withColumn(out, check(F.col(payload_col)))
+
+
+def split_decodable(
+    df: DataFrame,
+    payload_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(decodable, quarantine) split of a media frame: run
+    `validate_media` once, return the clean rows (verdict dropped) and
+    the quarantined rows with ``media_format`` / ``media_error``
+    columns for triage.  Callers should persist the validated frame if
+    they consume both sides (two actions otherwise validate twice)."""
+    checked = validate_media(df, payload_col, out="__mc")
+    good = checked.filter(F.col("__mc.ok")).drop("__mc")
+    bad = (
+        checked.filter(~F.col("__mc.ok"))
+        .withColumn("media_format", F.col("__mc.format"))
+        .withColumn("media_error", F.col("__mc.error"))
+        .drop("__mc")
+    )
+    return good, bad

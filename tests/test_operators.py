@@ -6375,3 +6375,36 @@ class TestWinnowOverlap:
                     ref[(a, b)] = n
         assert got == ref
         assert (1, 2) in got and (1, 3) not in got
+
+
+class TestMediaQuarantine:
+    def test_split_decodable_routes_corruption(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from pgstream_spark.operators import codecs
+        from pgstream_spark.operators.multimodal import split_decodable
+
+        ok_img = b"P6\n4 4\n255\n" + bytes(range(48))
+        ok_wav = codecs.encode_wav(
+            np.arange(100, dtype="int16").reshape(-1, 1), 8000
+        )
+        truncated_img = ok_img[:20]          # header fine, pixels short
+        garbage = hashlib.md5(b"x").digest() * 4   # no magic match
+        bad_wav = b"RIFF" + b"\x00" * 40     # RIFF but not a WAV body
+        rows = [
+            (1, ok_img), (2, ok_wav),
+            (3, truncated_img), (4, garbage), (5, bad_wav),
+        ]
+        d = spark.createDataFrame(rows, "asset_id long, payload binary")
+        good, bad = split_decodable(d, "payload")
+        assert {r.asset_id for r in good.collect()} == {1, 2}
+        got_bad = {r.asset_id: (r.media_format, r.media_error)
+                   for r in bad.collect()}
+        assert set(got_bad) == {3, 4, 5}
+        assert got_bad[3][0] == "ppm" and got_bad[3][1]
+        assert got_bad[4][0] is None and "unknown format" in got_bad[4][1]
+        assert got_bad[5][1]  # captured, not thrown
+        # schema preserved on the good side
+        assert good.columns == ["asset_id", "payload"]
