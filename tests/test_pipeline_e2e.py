@@ -129,3 +129,78 @@ def test_full_curation_pipeline(spark, sf_dir, tmp_path_factory):
     assert by.get("removed", 0) == n_raw - n_survivors
     assert by.get("unchanged", 0) == n_survivors
     assert "added" not in by and "modified" not in by
+
+
+def test_media_curation_pipeline(spark, tmp_path_factory):
+    """The MEDIA half of the curation path, end to end on the public
+    surface: ingest-validate (quarantine corrupt payloads) → perceptual
+    dHash signatures through the real codec → banded near-dup pairs →
+    connected-component families → one canonical survivor per family →
+    persisted perceptual index an incremental batch probes against.
+    Cross-stage invariants: quarantine + clean partition the input;
+    every family keeps exactly one survivor; the index probe finds the
+    new batch's near-dup against the SURVIVORS, not the removed dups.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pgstream_spark.operators.dedup import dedup_clusters
+    from pgstream_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+        dhash_signatures,
+        split_decodable,
+    )
+    from pgstream_spark.operators.perceptual_index import (
+        probe_perceptual_index,
+        write_perceptual_index,
+    )
+
+    def img(seed):
+        body = b"".join(
+            hashlib.md5(f"{seed}:{b}".encode()).digest() for b in range(48)
+        )
+        return b"P6\n16 16\n255\n" + body
+
+    # 3 perceptual families of 3 + one corrupt + one unknown payload
+    rows = [(fam * 10 + i, img(f"fam{fam}")) for fam in range(3) for i in range(3)]
+    rows += [(90, img("famX")[:30]), (91, b"\x00\x01\x02\x03" * 10)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    clean, quarantined = split_decodable(assets, "payload")
+    clean = clean.persist()
+    assert clean.count() == 9 and quarantined.count() == 2
+    assert {r.asset_id for r in quarantined.collect()} == {90, 91}
+
+    sigs = dhash_signatures(clean, "payload", "asset_id").persist()
+    pairs = dhash_candidate_pairs(sigs, max_hamming=3)
+    fams = dedup_clusters(pairs)
+    # 3 families of 3 -> 9 member rows, 3 distinct canonicals (min id)
+    members = fams.collect()
+    assert len(members) == 9
+    canon = {r.cluster for r in members}
+    assert canon == {0, 10, 20}
+    survivors = sigs.join(
+        fams.filter(F.col("node") == F.col("cluster")).select(
+            F.col("node").alias("id")
+        ),
+        "id",
+    )
+    assert {r.id for r in survivors.collect()} == {0, 10, 20}
+
+    # persist the survivors' signatures; a new batch with a fam1
+    # near-dup (one block perturbed) must hit survivor 10 only
+    idx = str(tmp_path_factory.mktemp("pidx") / "idx")
+    write_perceptual_index(survivors, idx, batch_id="release-1")
+    newb = spark.createDataFrame(
+        [(100, img("fam1")), (101, img("famZ"))],
+        "asset_id long, payload binary",
+    )
+    new_sigs = dhash_signatures(newb, "payload", "asset_id")
+    hits = {
+        (r.id_new, r.id_indexed): r.hamming
+        for r in probe_perceptual_index(spark, idx, new_sigs).collect()
+    }
+    assert hits == {(100, 10): 0}
+    clean.unpersist()
+    sigs.unpersist()
