@@ -13260,6 +13260,40 @@ def l105b(spark, sf_dir):
     return winnow_overlap_pairs(fps, min_shared=2)
 
 
+@q(
+    "l107_zipf_fit",
+    # Zipf rank-frequency fit per language (textstats.zipf_fit): the
+    # corpus-health SHAPE diagnostic — slope of floor-quantized
+    # ln(count) on ln(rank) over the deterministic top-1000 terms, the
+    # g37 exact-sum regression recipe; one double expression at the
+    # end, rounded 6.  Group window runs over DISTINCT terms
+    # (vocab-bounded), never corpus rows.
+    "WITH toks AS (SELECT lang, "
+    "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS t FROM documents), "
+    "tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c "
+    "FROM toks GROUP BY lang, t), "
+    "rk AS (SELECT lang, c, CAST(row_number() OVER (PARTITION BY lang "
+    "ORDER BY c DESC, t ASC) AS BIGINT) AS r FROM tc), "
+    "q AS (SELECT lang, CAST(floor(1000000 * ln(r)) AS BIGINT) AS x, "
+    "CAST(floor(1000000 * ln(c)) AS BIGINT) AS y FROM rk WHERE r <= 1000), "
+    "a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms_used, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx "
+    "FROM q GROUP BY lang) "
+    "SELECT lang, n_terms_used, "
+    "round(CAST(n_terms_used * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n_terms_used * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope, "
+    "round(-(CAST(n_terms_used * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n_terms_used * sxx - sx * sx AS DOUBLE)), 6) AS zipf_alpha "
+    "FROM a WHERE n_terms_used >= 2 AND n_terms_used * sxx <> sx * sx",
+)
+def l107(spark, sf_dir):
+    from pgstream_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -13630,6 +13664,7 @@ _GATE_ORDER_R9 = [
 # the FRONT at its round, pushing re-proof slots out the tail.
 _GATE_ORDER_R10 = [
     # round-10 session additions — newest-first per the rotation contract
+    "l107_zipf_fit",
     "l105b_winnow_overlap",
     "l106_k_anonymity",
     "l105_winnowing",
@@ -13679,6 +13714,7 @@ _GATE_ORDER_R10 = [
 # out the tail.
 _GATE_ORDER_R11 = [
     # -- pushed out of the R10 window by the round-10 additions ---------
+    "f23_array_hof",
     "x8_grouped_arrow",
     "l45_grid_quantiles",
     "t23_sliding_distinct",

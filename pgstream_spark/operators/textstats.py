@@ -33,6 +33,7 @@ __all__ = [
     "PHONE_RE",
     "compression_ratio",
     "dsir_weights",
+    "zipf_fit",
 ]
 
 # Tiny public-knowledge stopword lexicons (top function words per language).
@@ -795,3 +796,76 @@ def dsir_weights(
         )
     )
     return out
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple = ("lang",),
+    top_terms: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group — the corpus-health diagnostic
+    behind boilerplate/spam detection at corpus level: natural language
+    follows ``freq ∝ rank^(−α)`` with α ≈ 1; template-stuffed or
+    machine-generated slices bend the log-log line (α drifts, fit
+    degrades).  Complements `lexical_diversity` (per-document) and
+    `vocab_growth` (corpus size law) with the distribution SHAPE.
+
+    Exactness discipline: the top ``top_terms`` terms per group (count
+    desc, term asc — deterministic) get ``x = floor(10⁶·ln(rank))``,
+    ``y = floor(10⁶·ln(count))`` — one libm call per (rank|count)
+    value, floor-quantized so every regression sum is an exact BIGINT
+    (the g37 recipe); the least-squares slope is then a single double
+    expression over those exact sums, rounded 6.  ``zipf_alpha = −slope``.
+
+    Scale shape: one term-count aggregate (map-side combinable,
+    bounded by vocab), a per-group rank window over DISTINCT terms
+    (vocab-bounded, never corpus rows), a ``top_terms`` cap, one
+    grouped regression aggregate.  Groups with < 2 ranked terms have
+    no fittable line and are dropped.
+
+    Returns ``(group_cols…, n_terms_used, zipf_slope, zipf_alpha)``.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    terms = (
+        df.select(*g, F.explode(_tokens(F.col(text_col))).alias("__t"))
+        .groupBy(*g, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(*g).orderBy(
+        F.col("__c").desc(), F.col("__t").asc()
+    )
+    ranked = (
+        terms.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(top_terms))
+        .select(
+            *g,
+            F.floor(F.lit(1e6) * F.log(F.col("__r"))).cast("long").alias("__x"),
+            F.floor(F.lit(1e6) * F.log(F.col("__c"))).cast("long").alias("__y"),
+        )
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_used"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    )
+    n = F.col("n_terms_used")
+    slope = (
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        / (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    )
+    return (
+        agg.filter(
+            (n >= 2) & (n * F.col("__sxx") != F.col("__sx") * F.col("__sx"))
+        )
+        .select(
+            *g,
+            "n_terms_used",
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(-slope, 6).alias("zipf_alpha"),
+        )
+    )

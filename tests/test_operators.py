@@ -6408,3 +6408,36 @@ class TestMediaQuarantine:
         assert got_bad[5][1]  # captured, not thrown
         # schema preserved on the good side
         assert good.columns == ["asset_id", "payload"]
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovers_alpha(self, spark):
+        from pgstream_spark.operators.textstats import zipf_fit
+
+        # synthesize an exact Zipf corpus: term_r appears round(C/r)
+        # times -> fitted alpha should be ~1
+        words = []
+        for r in range(1, 40):
+            words += [f"term{r:03d}"] * max(round(200 / r), 1)
+        rows = [(1, "xx", " ".join(words))]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = zipf_fit(d, top_terms=39).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.lang == "xx" and r.n_terms_used == 39
+        assert 0.9 <= r.zipf_alpha <= 1.1
+        assert abs(r.zipf_alpha + r.zipf_slope) < 1e-9
+
+    def test_uniform_corpus_flat_slope_and_degenerate_dropped(self, spark):
+        from pgstream_spark.operators.textstats import zipf_fit
+
+        rows = [
+            # uniform frequencies -> slope ~ 0
+            (1, "uni", " ".join(f"w{i} " * 5 for i in range(30))),
+            # single distinct term -> no fittable line, dropped
+            (2, "one", "same same same same"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r.lang: r for r in zipf_fit(d).collect()}
+        assert set(got) == {"uni"}
+        assert abs(got["uni"].zipf_alpha) < 0.05
