@@ -13254,9 +13254,7 @@ def l105b(spark, sf_dir):
         winnow_overlap_pairs,
     )
 
-    fps = winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), k=3, w=4
-    ).select("doc_id", "fp_hash").distinct()
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
     return winnow_overlap_pairs(fps, min_shared=2)
 
 

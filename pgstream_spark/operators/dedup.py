@@ -1591,9 +1591,17 @@ def winnow_overlap_pairs(
     thin them first with `drop_saturated_buckets` over (fp_hash) or
     raise ``min_shared``), one pair-keyed count.  Returns
     ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    `winnow_fingerprints` emits one row per (id, fp_hash, fp_pos) — the
+    same hash selected at several positions of one document is several
+    rows.  ``n_shared`` counts *distinct shared fingerprints*, so the
+    join sides are deduped to (id, fp_hash) here; without that, the
+    self-join would count position-multiplicity products
+    (cnt_a·cnt_b per shared hash) and inflate the ``min_shared`` gate.
     """
-    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
+    docs = fps.select(F.col(id_col).alias("__id"), "fp_hash").distinct()
+    a = docs.select(F.col("__id").alias("id_a"), "fp_hash")
+    b = docs.select(F.col("__id").alias("id_b"), "fp_hash")
     return (
         a.join(b, "fp_hash")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -840,17 +840,31 @@ def audio_fingerprint(
                         f"audio_fingerprint needs >= {buckets} frames, got {n}"
                     )
                 bd = [k * n // buckets for k in range(buckets + 1)]
-                e = np.array(
-                    [
-                        int((mono[bd[k]:bd[k + 1]] ** 2).sum())
-                        for k in range(buckets)
-                    ],
-                    dtype="int64",
-                )
-                cnt = np.array(
-                    [bd[k + 1] - bd[k] for k in range(buckets)], dtype="int64"
-                )
-                bits = e[:-1] * cnt[1:] > e[1:] * cnt[:-1]
+                # integer envelope guard: the numpy int64 square-sum of a
+                # bucket wraps silently once max|s|² · bucket_len ≥ 2^63
+                # (≈ 2^31 stereo PCM16 frames per bucket — hours of audio,
+                # but raise rather than emit wrong bits past it)
+                mx = int(np.abs(mono).max()) if n else 0
+                max_len = max(bd[k + 1] - bd[k] for k in range(buckets))
+                if mx * mx * max_len >= 1 << 63:
+                    raise ValueError(
+                        "audio_fingerprint: bucket energy would overflow "
+                        f"int64 (max|sample|={mx}, bucket_len={max_len}); "
+                        "chunk the clip first"
+                    )
+                e = [
+                    int((mono[bd[k]:bd[k + 1]] ** 2).sum())
+                    for k in range(buckets)
+                ]
+                cnt = [bd[k + 1] - bd[k] for k in range(buckets)]
+                # transition comparisons in Python ints (arbitrary
+                # precision): energy·count cross-products exceed 2^63 for
+                # realistic ~minute-long clips, where an int64 product
+                # would wrap and flip fingerprint bits with no error
+                bits = [
+                    e[k] * cnt[k + 1] > e[k + 1] * cnt[k]
+                    for k in range(buckets - 1)
+                ]
                 recs["id"].append(int(asset_id))
                 for b in range(4):
                     key = 0

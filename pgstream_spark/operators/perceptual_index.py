@@ -116,9 +116,16 @@ def write_perceptual_index(
     sigs = sigs.persist()
     try:
         n, fp = _sig_fingerprint(sigs)
+        # pin static overwrite: under a session-wide
+        # spark.sql.sources.partitionOverwriteMode=dynamic, a plain
+        # overwrite+partitionBy would replace only the incoming batch
+        # partition and leave stale batch=<id> dirs under a
+        # freshly-stamped manifest (ghost probe hits)
         _banded_rows(sigs).withColumn(
             "batch", F.lit(str(batch_id))
-        ).write.mode("overwrite").partitionBy("batch").parquet(path)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("batch").parquet(path)
     finally:
         sigs.unpersist()
     manifest = {

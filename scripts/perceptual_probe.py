@@ -100,9 +100,14 @@ def main() -> None:
         "saturated": run(spark, min(n, 5000), max(min(n, 5000) // 10, 2)),
     }
     # the law the probe exists to verify, machine-checked: with family
-    # size fixed, banded fan-out is linear in corpus size — exactly 10x
-    # pairs for 10x assets (the synth is deterministic, so exact)
-    assert out["bounded_10x"]["pairs"] == 10 * out["bounded_1x"]["pairs"], out
+    # size fixed, banded fan-out is linear in corpus size — ~10x pairs
+    # for 10x assets.  NOT exactly 10x: per-family pair counts differ
+    # (each odd member's hamming distance depends on the md5 of its own
+    # doc_id block, so some odd members fall outside hamming ≤ 3), and
+    # the 10N run adds NEW families whose counts need not average the
+    # same as the first N/F families' — so assert linearity within 5%.
+    ratio = out["bounded_10x"]["pairs"] / max(out["bounded_1x"]["pairs"], 1)
+    assert 9.5 <= ratio <= 10.5, (ratio, out)
     # and the saturated arm IS the quadratic failure mode: far more
     # pairs per asset than the bounded regime
     assert (

@@ -6358,7 +6358,7 @@ class TestWinnowOverlap:
             (3, "one two three four five six seven eight nine ten"),
         ]
         d = spark.createDataFrame(rows, "doc_id long, text string")
-        fps = winnow_fingerprints(d).select("doc_id", "fp_hash").distinct()
+        fps = winnow_fingerprints(d)
         by_doc = {}
         for r in fps.collect():
             by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
