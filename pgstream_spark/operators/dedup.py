@@ -615,7 +615,13 @@ def verify_candidate_pairs(
     ``"containment"`` = |∩|/min(|A|,|B|) (truncated/extended copies —
     this IS the at-scale containment path; the all-pairs
     :func:`ngram_containment_pairs` is the oracle tier).  Returns pairs
-    with ``<measure> >= threshold``.
+    with ``<measure> >= threshold``.  A third measure, ``"stats"``,
+    skips the ratio and the threshold filter entirely and returns the
+    raw counts ``(id_a, id_b, c, u)`` — common and union
+    distinct-shingle counts as bigints — for consumers that score at
+    SEVERAL thresholds from one verify pass
+    (:func:`dedup_threshold_sweep`); both transports produce identical
+    counts (the dict mapping is bijective).
 
     ``transport`` picks how shingle arrays travel through the candidate
     join — the pipeline's dominant shuffle at corpus scale (VERDICT r6):
@@ -652,7 +658,7 @@ def verify_candidate_pairs(
       (the two-plans-one-hash pattern): scores are identical because
       the id mapping is bijective.
     """
-    if measure not in ("jaccard", "containment"):
+    if measure not in ("jaccard", "containment", "stats"):
         raise ValueError(f"unknown measure: {measure!r}")
     if transport not in ("auto", "strings", "dict"):
         raise ValueError(f"unknown transport: {transport!r}")
@@ -743,18 +749,29 @@ def _score_pairs(
 ) -> DataFrame:
     """Attach ``__vsh`` arrays to both pair sides and score — shared by
     both verify transports so they cannot drift semantically."""
+    joined = (
+        candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
+        .withColumnRenamed("__vsh", "__sha")
+        .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
+        .withColumnRenamed("__vsh", "__shb")
+    )
     inter = F.size(F.array_intersect("__sha", "__shb"))
+    if measure == "stats":
+        # raw integer counts, no threshold: one verify pass feeds many
+        # cut points (threshold sweeps) without re-shipping the arrays
+        return joined.select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("c"),
+            F.size(F.array_union("__sha", "__shb")).cast("bigint").alias("u"),
+        )
     score = (
         inter / F.size(F.array_union("__sha", "__shb"))
         if measure == "jaccard"
         else inter / F.least(F.size("__sha"), F.size("__shb"))
     )
     out = (
-        candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
-        .withColumnRenamed("__vsh", "__sha")
-        .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
-        .withColumnRenamed("__vsh", "__shb")
-        .withColumn(measure, score)
+        joined.withColumn(measure, score)
         .filter(F.col(measure) >= threshold)
         .select("id_a", "id_b", measure)
     )
@@ -1401,6 +1418,33 @@ def prefix_filter_pairs(
     ⌈·⌉ requirement — at most one extra prefix token per document, never
     a missed pair; verification restores exactness regardless.
     """
+    return verify_candidate_pairs(
+        prefix_filter_candidates(docs, id_col, text_col, n, threshold),
+        docs, id_col, text_col, n=n, threshold=threshold,
+        transport=transport,
+    )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate-pair generation stage of :func:`prefix_filter_pairs`
+    (the PPJoin prefix + length + positional filters), exposed so other
+    consumers — :func:`dedup_threshold_sweep`, cluster splitting — can
+    run their own exact scoring over the bounded candidate set instead
+    of an all-pairs shingle self-join.
+
+    Returns a SUPERSET ``(id_a, id_b)`` (``id_a < id_b``, distinct) of
+    all pairs with n-gram Jaccard ≥ ``threshold``: the filters only
+    ever prune pairs that provably fall below the threshold, never a
+    qualifying one (floor prefix bound, integer-millionths length and
+    positional bounds — see the inline comments).  Pairs BELOW the
+    threshold may appear; every consumer must verify exactly.
+    """
     tm = round(threshold * 1_000_000)
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("__id"),
@@ -1467,9 +1511,70 @@ def prefix_filter_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    return verify_candidate_pairs(
-        cand, docs, id_col, text_col, n=n, threshold=threshold,
-        transport=transport,
+    return cand
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    cuts: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+    transport: str = "auto",
+) -> DataFrame:
+    """Dedup-threshold TUNING table — pair counts at each Jaccard cut
+    point from ONE exact similarity pass, plus the would-be-removed doc
+    count (distinct higher-id member) at each cut.  The knob-choosing
+    evidence a fixed-threshold dedup run consumes.
+
+    Scale shape: candidate generation via PPJoin prefix filtering at
+    ``min(cuts)`` (:func:`prefix_filter_candidates` — complete for
+    every pair at or above the lowest cut, so no sweep row can miss a
+    pair), then ONE ``"stats"`` verify pass
+    (:func:`verify_candidate_pairs` economics, transport-selected)
+    yields exact ``(c, u)`` per candidate, and the sweep is a bounded
+    broadcast cross join over the cut list + one aggregation.  No
+    shingle-key self-join over full documents anywhere — the quadratic
+    term is cut to the rare-prefix buckets, which is what lets the
+    sweep run on the full corpus rather than a sample.
+
+    Exactness: each cut is compared in integer millionths
+    (``c·10⁶ ≥ tm·u`` — no float threshold); candidates BELOW every cut
+    contribute nothing (the conditional sum ignores them), so the
+    result is identical to the all-pairs sweep, bit for bit.  Output:
+    ``(threshold_bps, n_pairs, n_docs_removed)`` per cut.
+    """
+    if not cuts:
+        raise ValueError("dedup_threshold_sweep needs at least one cut")
+    tms = [round(float(c) * 1_000_000) for c in cuts]
+    if len(set(tms)) != len(tms):
+        raise ValueError(f"duplicate cut points (in millionths): {cuts}")
+    if min(tms) <= 0:
+        raise ValueError(
+            "cuts must be > 0: prefix filtering at threshold 0 degenerates "
+            "to the all-pairs join this operator exists to avoid"
+        )
+    cand = prefix_filter_candidates(
+        docs, id_col, text_col, n, threshold=min(tms) / 1_000_000
+    )
+    stats = verify_candidate_pairs(
+        cand, docs, id_col, text_col, n=n, threshold=0.0,
+        measure="stats", transport=transport,
+    )
+    spark = docs.sparkSession
+    cut_rows = F.broadcast(
+        spark.createDataFrame([(tm,) for tm in sorted(tms)], "tm bigint")
+    )
+    hit = F.col("c") * F.lit(1_000_000).cast("bigint") >= F.col("tm") * F.col("u")
+    return (
+        stats.crossJoin(cut_rows)
+        .groupBy(F.expr("tm DIV 100").cast("bigint").alias("threshold_bps"))
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("id_b")))
+            .cast("bigint")
+            .alias("n_docs_removed"),
+        )
     )
 
 

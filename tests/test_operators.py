@@ -4395,6 +4395,96 @@ class TestPrefixFilterPairs:
         assert prefix_total < 0.5 * total
 
 
+class TestDedupThresholdSweep:
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different sentence about distributed systems"),
+            (4, "a completely different sentence about distributed query engines"),
+            (5, "unrelated text with no overlap whatsoever in any shingle"),
+            (6, "the quick brown fox jumps over the lazy dog tonight"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _brute(self, spark, d, cuts):
+        # all-pairs reference: distinct 3-shingle sets in Python
+        def sh(text):
+            import re as _re
+
+            t = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+            if len(t) < 3:
+                return {" ".join(t)}
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        docs = {r.doc_id: sh(r.text) for r in d.collect()}
+        ids = sorted(docs)
+        ref = {}
+        for c in cuts:
+            tm = round(c * 1_000_000)
+            n_pairs, removed = 0, set()
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    inter = len(docs[a] & docs[b])
+                    union = len(docs[a] | docs[b])
+                    if inter * 1_000_000 >= tm * union:
+                        n_pairs += 1
+                        removed.add(b)
+            ref[tm // 100] = (n_pairs, len(removed))
+        return ref
+
+    def test_matches_all_pairs_reference(self, spark):
+        from pgstream_spark.operators.dedup import dedup_threshold_sweep
+
+        d = self._docs(spark)
+        cuts = (0.5, 0.6, 0.7, 0.8, 0.9)
+        got = {
+            r.threshold_bps: (r.n_pairs, r.n_docs_removed)
+            for r in dedup_threshold_sweep(d, cuts=cuts).collect()
+        }
+        assert got == self._brute(spark, d, cuts)
+
+    def test_nonstandard_cuts(self, spark):
+        from pgstream_spark.operators.dedup import dedup_threshold_sweep
+
+        d = self._docs(spark)
+        cuts = (0.35, 0.95)
+        got = {
+            r.threshold_bps: (r.n_pairs, r.n_docs_removed)
+            for r in dedup_threshold_sweep(d, cuts=cuts).collect()
+        }
+        assert got == self._brute(spark, d, cuts)
+
+    def test_rejects_degenerate_cuts(self, spark):
+        import pytest as _pytest
+        from pgstream_spark.operators.dedup import dedup_threshold_sweep
+
+        d = self._docs(spark)
+        with _pytest.raises(ValueError, match="at least one"):
+            dedup_threshold_sweep(d, cuts=())
+        with _pytest.raises(ValueError, match="duplicate"):
+            dedup_threshold_sweep(d, cuts=(0.5, 0.5))
+        with _pytest.raises(ValueError, match="all-pairs"):
+            dedup_threshold_sweep(d, cuts=(0.0, 0.5))
+
+    def test_candidates_superset_of_threshold_pairs(self, spark):
+        from pgstream_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_candidates,
+        )
+
+        d = self._docs(spark)
+        cand = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_candidates(d, threshold=0.5).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()
+        }
+        assert truth <= cand
+
+
 class TestApplyBpeMerges:
     def _ref_encode(self, text, merges, max_chars=20):
         import re as _re

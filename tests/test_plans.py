@@ -619,6 +619,41 @@ def test_prefix_filter_join_has_no_global_window(spark, sf_dir):
     assert " div 1600000" in optimized
 
 
+def test_threshold_sweep_prefix_no_full_shingle_self_join(spark, sf_dir):
+    # l72b: the shipped sweep plan must be the PPJoin prefix-filtered
+    # form — l72's exact all-pairs twin self-joins FULL exploded shingle
+    # sets (hot-shingle quadratic blowup on a shared-vocabulary corpus);
+    # the at-scale plan self-joins only SLICED rarity prefixes with the
+    # positional overlap bound intact.  Same oracle SQL, different plan
+    # (the l55/l87b two-plans-one-hash discipline).
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.explain import explain_string
+
+    df = QUERIES["l72b_dedup_threshold_sweep_prefix"](spark, sf_dir)
+    txt = explain_string(df, "simple")
+    assert "CartesianProduct" not in txt
+    # one BroadcastNestedLoopJoin IS expected: the bounded cut-list
+    # cross join (5 broadcast rows against the stats frame) — but never
+    # more than that one
+    assert txt.count("BroadcastNestedLoop") <= 1
+    optimized = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    # the PPJoin positional filter at the lowest cut (t=0.5 → integer
+    # ceiling DIV by 1e6+tm = 1500000) survived optimization — it only
+    # exists on the prefix-candidate path, never in the all-pairs twin
+    # (a raw "slice(" marker would NOT distinguish the plans:
+    # shingles_col builds its n-gram windows with slice in both)
+    assert " div 1500000" in optimized
+    # and the rarity order is per-document sort_array — no global window
+    assert "windowspecdefinition()" not in optimized.replace(" ", "")
+    # differential pin: the exact twin's plan lacks the positional
+    # filter, so the assertion genuinely distinguishes the two plans
+    exact = (
+        QUERIES["l72_dedup_threshold_sweep"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert " div 1500000" not in exact
+
+
 def test_fuzzy_join_probe_side_parallelized(spark, sf_dir):
     # j15: the CPU-bound Levenshtein probe must not inherit a single-file
     # scan's one-partition layout — the operator repartitions round-robin
