@@ -259,6 +259,45 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
+    # Plan-digest regression rail (VERDICT r10 task 2): record a
+    # canonical pre-execution plan digest per headline query and diff
+    # it against the previous run's record, so a wall-time drift is
+    # attributable — digest changed ⇒ a re-plan explains it; digest
+    # unchanged ⇒ same physical recipe, the host (or the data) moved.
+    # Building the DataFrame costs only analysis/optimization (plus the
+    # bounded build-time jobs a few operators run, e.g. as-of hot-key
+    # sampling), never an execution.
+    if not only:
+        from pgstream_spark.plans.digest import plan_digest
+
+        digests: dict[str, str] = {}
+        for name in HEADLINE:
+            try:
+                digests[name] = plan_digest(QUERIES[name](spark, SF_DIR))
+            except Exception as e:  # noqa: BLE001 — a digest failure is
+                # diagnostic data, not a bench failure
+                digests[name] = f"error:{type(e).__name__}"
+        record["plan_digests"] = digests
+        prev_digests = prev_rec.get("plan_digests") or {}
+        changes = {
+            k: {"prev": prev_digests[k], "now": v}
+            for k, v in digests.items()
+            if k in prev_digests and prev_digests[k] != v
+        }
+        record["plan_digest_changes"] = changes
+        if changes:
+            print(
+                f"  [plan-digest] {len(changes)} headline plan(s) changed "
+                f"since the last full run: {sorted(changes)}",
+                file=sys.stderr,
+            )
+        elif prev_digests:
+            print(
+                "  [plan-digest] all headline plans unchanged since the "
+                "last full run",
+                file=sys.stderr,
+            )
+
     # VERDICT r6 item 4: MERGE this run's sweep into the persisted
     # cross-run record instead of replacing it.  One budgeted run used
     # to overwrite BENCH_LOCAL.json's full-registry union with its own

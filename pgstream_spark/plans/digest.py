@@ -1,0 +1,55 @@
+"""Canonical plan digests — the regression rail that separates "the
+plan changed" from "the host was noisy" when a benchmark round drifts
+(VERDICT r10: the r9→r10 clean-median headline drift needed a bisect
+because nothing recorded whether any headline PLAN changed).
+
+``plan_digest`` hashes the pre-execution plan pair (optimized logical +
+initial physical) with run-varying tokens normalized away, so:
+
+* identical code + identical data layout  → identical digest across
+  sessions, processes, and rounds (the property the sf1 standing gate's
+  ``_definition_digest`` already relies on for its analyzed-plan part);
+* any re-plan — operator edit, join-strategy flip, new pushdown, a
+  changed shuffle-partition constant — flips the digest.
+
+Unlike sf1diff's definition digest this is PLAN-ONLY (no oracle SQL, no
+Python source closure): the bench rail asks "would the executors run
+the same physical recipe", not "is the query's semantic definition
+unchanged" — a docstring edit must not read as a perf-relevant change,
+and a UDF body edit shows up in the timing row it actually affects.
+
+Normalized away: exprIds ``#123``, object addresses ``0x...``,
+session-global HOF lambda counters (``lambda x_6#``), exchange/subquery
+``[plan_id=42]`` tags, and ``[id=#42]`` codegen ids — all probed as
+varying between sessions on an unchanged tree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame
+
+
+def normalized_plan(df: DataFrame) -> str:
+    """The digest's preimage, exposed for diffing two trees by eye."""
+    qe = df._jdf.queryExecution()
+    txt = (
+        qe.optimizedPlan().toString()
+        + "\n== physical ==\n"
+        + qe.executedPlan().toString()
+    )
+    txt = re.sub(r"#\d+", "#", txt)
+    txt = re.sub(r"0x[0-9a-fA-F]+", "0x", txt)
+    txt = re.sub(r"\blambda (\w+?)_\d+#", r"lambda \1_#", txt)
+    txt = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", txt)
+    txt = re.sub(r"\[id=#?\d+\]", "[id=]", txt)
+    return txt
+
+
+def plan_digest(df: DataFrame) -> str:
+    """16-hex-char sha256 of :func:`normalized_plan` — build the
+    DataFrame, never execute it; digesting a headline query costs only
+    its analysis/optimization pass."""
+    return hashlib.sha256(normalized_plan(df).encode()).hexdigest()[:16]

@@ -53,6 +53,7 @@ import os
 import re
 import socket
 import struct
+import threading
 import uuid
 from dataclasses import dataclass
 from decimal import Context, Decimal
@@ -66,6 +67,9 @@ __all__ = [
     "PreparedStatement",
     "read_table",
     "read_partitioned",
+    "pooled_connection",
+    "close_pool",
+    "pool_stats",
     "write_partitioned",
     "copy_escape",
     "copy_unescape",
@@ -759,6 +763,7 @@ class PgWireClient:
 
     def __init__(self, settings: ConnSettings, timeout: float = 30.0):
         self.settings = settings
+        self.txn_status = b"I"  # last ReadyForQuery backend status
         self._sock = socket.create_connection(
             (settings.host, settings.port), timeout=timeout
         )
@@ -820,7 +825,15 @@ class PgWireClient:
     def _read_message(self) -> tuple[bytes, bytes]:
         tag = self._recv_exact(1)
         (length,) = struct.unpack("!i", self._recv_exact(4))
-        return tag, self._recv_exact(length - 4)
+        payload = self._recv_exact(length - 4)
+        if tag == b"Z" and payload:
+            # ReadyForQuery carries the backend transaction status:
+            # b"I" idle / b"T" in-transaction / b"E" failed-transaction.
+            # Tracked so the connection pool can refuse to cache a
+            # connection abandoned mid-transaction (the next borrower
+            # would silently inherit its BEGIN).
+            self.txn_status = payload[:1]
+        return tag, payload
 
     # -- session ----------------------------------------------------------
 
@@ -1375,6 +1388,127 @@ class PgWireClient:
         self.close()
 
 
+# ---------------------------------------------------------------------
+# Per-process connection pool (reference parity: the striped pool with
+# keepalive in `/root/reference/src/Database/PostgreSQL/Stream/Connection.hs:29-47`
+# — PoolSettings{stripes, keepalive, affinity}).  Spark shape: the pool
+# is PER PYTHON WORKER PROCESS (module state), and Spark reuses worker
+# processes across tasks (`spark.python.worker.reuse`, default on), so
+# repeated micro-batch sinks and many-small-slice partitioned reads stop
+# paying full startup+auth per slice — SCRAM is 2 extra round-trips and
+# a PBKDF2 on every connect, the dominant cost of a small fetch.
+#
+# Semantics:
+# * checkout pops a cached idle connection for identical ConnSettings;
+#   entries idle past ``keepalive`` seconds are closed at checkout/
+#   return time (lazy reaping — no timer thread in executor workers);
+# * return caches the connection ONLY if the protocol ended clean: no
+#   exception in the ``with`` body and the last ReadyForQuery reported
+#   idle (``txn_status == b"I"``) — a connection abandoned inside BEGIN
+#   or mid-COPY is closed, never recycled;
+# * at most ``stripes`` idle connections are retained per settings key
+#   (the reference's stripe count bounds resident sockets the same way);
+# * no liveness ping on reuse: a server that dropped the socket during
+#   the idle window surfaces as the same mid-query error a fresh
+#   connection's mid-query drop would — callers' retry story is
+#   unchanged, and reads stay one round-trip.
+# ---------------------------------------------------------------------
+
+_POOL_LOCK = threading.Lock()
+_POOL: dict[tuple, list[tuple[PgWireClient, float]]] = {}
+POOL_STRIPES = int(os.environ.get("SPARK_GRAFT_PGWIRE_STRIPES", "2"))
+POOL_KEEPALIVE = float(os.environ.get("SPARK_GRAFT_PGWIRE_KEEPALIVE", "60"))
+
+
+def _pool_key(settings: ConnSettings) -> tuple:
+    return (
+        settings.host, settings.port, settings.dbname, settings.user,
+        settings.password, settings.sslmode, settings.sslrootcert,
+    )
+
+
+def _close_quietly(client: PgWireClient) -> None:
+    try:
+        client.close()
+    except Exception:  # noqa: BLE001 — already-dead socket on Terminate
+        pass
+
+
+def pooled_connection(settings: ConnSettings, timeout: float = 30.0):
+    """Context manager lending a :class:`PgWireClient` from the
+    per-process pool (opening one on miss) and recycling it on clean
+    exit.  Set ``SPARK_GRAFT_PGWIRE_STRIPES=0`` to disable pooling
+    (every checkout opens, every return closes — the pre-pool shape)."""
+    import contextlib
+    import time as _time
+
+    @contextlib.contextmanager
+    def _ctx():
+        key = _pool_key(settings)
+        client: PgWireClient | None = None
+        if POOL_STRIPES > 0:
+            with _POOL_LOCK:
+                bucket = _POOL.get(key, [])
+                now = _time.monotonic()
+                while bucket:
+                    cand, last = bucket.pop()
+                    if now - last <= POOL_KEEPALIVE:
+                        client = cand
+                        break
+                    _close_quietly(cand)
+                if not bucket and key in _POOL:
+                    del _POOL[key]
+                elif bucket:
+                    _POOL[key] = bucket
+        if client is None:
+            client = PgWireClient(settings, timeout=timeout)
+        try:
+            yield client
+        except BaseException:
+            _close_quietly(client)
+            raise
+        if POOL_STRIPES <= 0 or client.txn_status != b"I":
+            _close_quietly(client)
+            return
+        stale: list[PgWireClient] = []
+        with _POOL_LOCK:
+            bucket = _POOL.setdefault(key, [])
+            now = _time.monotonic()
+            keep: list[tuple[PgWireClient, float]] = []
+            for c, t in bucket:
+                if now - t <= POOL_KEEPALIVE:
+                    keep.append((c, t))
+                else:
+                    stale.append(c)
+            if len(keep) < POOL_STRIPES:
+                keep.append((client, now))
+            else:
+                stale.append(client)
+            _POOL[key] = keep
+        for c in stale:
+            _close_quietly(c)
+
+    return _ctx()
+
+
+def close_pool() -> None:
+    """Close and forget every pooled connection (tests; worker exit is
+    fine without it — the OS reaps sockets with the process)."""
+    with _POOL_LOCK:
+        for bucket in _POOL.values():
+            for client, _t in bucket:
+                _close_quietly(client)
+        _POOL.clear()
+
+
+def pool_stats() -> dict[str, int]:
+    with _POOL_LOCK:
+        return {
+            "keys": len(_POOL),
+            "idle": sum(len(b) for b in _POOL.values()),
+        }
+
+
 def _param_text(v: Any) -> bytes | None:
     """Render one parameter in text format for Bind (the server casts)."""
     import datetime
@@ -1488,7 +1622,7 @@ def read_table(spark, settings: ConnSettings, sql: str):
     Bounded by driver memory — use for dimension-table-sized reads; bulk
     extraction belongs to ``read_partitioned``.
     """
-    with PgWireClient(settings) as c:
+    with pooled_connection(settings) as c:
         fields, rows = c.simple_query(sql)
     return spark.createDataFrame(rows, _spark_schema(fields))
 
@@ -1520,7 +1654,7 @@ def read_partitioned(
     """
     import pandas as pd
 
-    with PgWireClient(settings) as c:
+    with pooled_connection(settings) as c:
         fields, _ = c.simple_query(f"SELECT {columns} FROM {table} LIMIT 0")
     schema = _spark_schema(fields)
     names = [n for n, _ in fields]
@@ -1555,7 +1689,7 @@ def read_partitioned(
                     preds.append(f"{partition_column} < {int(brow.hi)}")
                 where = f" WHERE {' AND '.join(preds)}" if preds else ""
                 sql = f"SELECT {columns} FROM {table}{where}"
-                with PgWireClient(ConnSettings(*s_args)) as c:
+                with pooled_connection(ConnSettings(*s_args)) as c:
                     if via_copy:
                         decs = [
                             _OID_DECODE.get(oid, (str, "string"))[0]
@@ -1706,7 +1840,7 @@ def write_partitioned(
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         buf: list[str] = []
-        with PgWireClient(ConnSettings(*s_args)) as c:
+        with pooled_connection(ConnSettings(*s_args)) as c:
             if via_copy:
                 n = c.copy_in(
                     table,

@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
 from pgstream_spark.sources.pgwire import (
     ConnSettings,
     PgWireClient,
+    pooled_connection,
     _OID_DECODE,
     _pg_literal,
 )
@@ -137,7 +138,7 @@ class _PgWireReader(DataSourceReader):
         where = f" WHERE {' AND '.join(preds)}" if preds else ""
         cols = o.get("columns", "*")
         sql = f"SELECT {cols} FROM {o['table']}{where}"
-        with PgWireClient(settings) as c:
+        with pooled_connection(settings) as c:
             _, rows = c.simple_query(sql)
         return iter(rows)
 
@@ -154,7 +155,7 @@ class PgWireDataSource(DataSource):
         o = self.options
         settings = _conn_settings(o)
         cols = o.get("columns", "*")
-        with PgWireClient(settings) as c:
+        with pooled_connection(settings) as c:
             fields, _ = c.simple_query(f"SELECT {cols} FROM {o['table']} LIMIT 0")
         self._fields = fields
         return ", ".join(

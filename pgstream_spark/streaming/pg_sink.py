@@ -36,14 +36,18 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from pgstream_spark.errors import QueryError
-from pgstream_spark.sources.pgwire import ConnSettings, PgWireClient, _pg_literal
+from pgstream_spark.sources.pgwire import (
+    ConnSettings,
+    _pg_literal,
+    pooled_connection,
+)
 
 __all__ = ["ensure_ledger", "postgres_exactly_once_sink"]
 
 
 def ensure_ledger(settings: ConnSettings, ledger_table: str) -> None:
     """Create the batch ledger if absent: (sink_id, batch_id) unique."""
-    with PgWireClient(settings) as c:
+    with pooled_connection(settings) as c:
         c.simple_query(
             f"CREATE TABLE IF NOT EXISTS {ledger_table} "
             "(sink_id VARCHAR, batch_id BIGINT, UNIQUE (sink_id, batch_id))"
@@ -66,7 +70,7 @@ def postgres_exactly_once_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cols = list(batch_df.columns)
         collist = ", ".join(cols)
-        with PgWireClient(settings) as c:
+        with pooled_connection(settings) as c:
             seen = c.simple_query(
                 f"SELECT count(*) FROM {ledger_table} "
                 f"WHERE sink_id = {_pg_literal(sink_id)} AND batch_id = {int(batch_id)}"

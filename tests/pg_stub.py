@@ -478,6 +478,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ConnectionError
         self._msg(b"R", struct.pack("!i", 0))  # AuthenticationOk
         self._msg(b"S", b"server_version\x0016.0 (duckdb stub)\x00")
+        with self.server.counter_lock:
+            self.server.startup_count += 1
         self._ready()
 
     def _read_password_message(self) -> bytes:
@@ -1170,6 +1172,10 @@ class PgStubServer(socketserver.ThreadingTCPServer):
         self.db = db
         self.password = password
         self.auth = auth
+        # completed startups (post-auth ReadyForQuery) — lets contract
+        # tests assert connection REUSE: N queries ≪ N startups
+        self.startup_count = 0
+        self.counter_lock = threading.Lock()
         self.scram_corrupt_signature = scram_corrupt_signature
         self.ssl_ctx = None
         self.cb_data: bytes | None = None
