@@ -34,7 +34,10 @@ driver jar:
 
 Protocol scope: simple-query + extended (Parse/Bind/Execute, per-column
 binary results), COPY text+binary framing, TLS (SSLRequest negotiation
-with libpq's ``sslmode`` ladder: require / verify-full), and the full
+with libpq's COMPLETE ``sslmode`` ladder: disable / allow / prefer /
+require / verify-ca / verify-full, including the opportunistic modes'
+fallback-retry negotiation and libpq's require→verify-ca promotion when
+``sslrootcert`` is pinned), and the full
 auth ladder a modern server actually offers — trust, cleartext, MD5,
 SCRAM-SHA-256 (RFC 5802/7677: PBKDF2-salted MUTUAL proof — the server's
 signature is verified, so a spoofed server that merely accepts the
@@ -42,6 +45,22 @@ password is rejected), and SCRAM-SHA-256-PLUS with RFC 5929
 ``tls-server-end-point`` channel binding (the auth transcript is bound
 to the server certificate, with the RFC's y-flag downgrade defense when
 a middlebox strips the -PLUS advertisement).
+
+GSSAPI/Kerberos auth — EXPLICIT NON-GOAL for this build.  The reference
+inherits GSS from libpq wholesale (`Connection.hs:56-71` delegates the
+whole connect to ``PQ.connectdb``, so every libpq auth method rides
+along); a faithful pure-Python reimplementation needs a GSS mechanism
+library (MIT krb5 / python-gssapi — neither installable in this
+environment) plus a KDC to test against, and hand-rolling Kerberos
+crypto without a conformance target is how auth bugs ship.  The ladder
+therefore stops, deliberately, at SCRAM-SHA-256-PLUS — the strongest
+method that is fully specified by public RFCs (5802/7677/5929) and
+verifiable against an in-repo stub.  A server that demands GSS fails
+with the typed "unsupported auth method 7/8" QueryError from
+``_startup``, not a hang.  If python-gssapi becomes available, the hook
+point is the auth loop in ``_startup`` (AuthenticationGSS=7 /
+GSSContinue=8: feed tokens to ``gssapi.SecurityContext.step`` and ship
+each with a 'p' message until the context is established).
 """
 
 from __future__ import annotations
@@ -85,9 +104,13 @@ class ConnSettings:
     user: str
     password: str | None = None
     port: int = 5432
-    # libpq's sslmode ladder, the three rungs that change client
-    # behavior: "disable" (plaintext), "require" (TLS, no cert check),
-    # "verify-full" (TLS + CA + hostname check via sslrootcert).
+    # libpq's complete sslmode ladder: "disable" (plaintext), "allow"
+    # (plaintext first, retry TLS if the server rejects the startup),
+    # "prefer" (TLS first, plaintext if the server lacks TLS or the
+    # handshake fails), "require" (TLS, cert unchecked — unless
+    # sslrootcert is pinned, which promotes it to verify-ca per libpq),
+    # "verify-ca" (TLS + chain check), "verify-full" (TLS + chain +
+    # hostname check).
     sslmode: str = "disable"
     sslrootcert: str | None = None
 
@@ -761,17 +784,51 @@ class _ScramClient:
 class PgWireClient:
     """Minimal v3-protocol client: startup → auth → simple queries."""
 
+    _SSLMODES = ("disable", "allow", "prefer", "require", "verify-ca",
+                 "verify-full")
+
     def __init__(self, settings: ConnSettings, timeout: float = 30.0):
         self.settings = settings
         self.txn_status = b"I"  # last ReadyForQuery backend status
-        self._sock = socket.create_connection(
-            (settings.host, settings.port), timeout=timeout
-        )
-        self._buf = b""
-        self._cb_data: bytes | None = None
-        if settings.sslmode != "disable":
-            self._tls_upgrade()
-        self._startup()
+        if settings.sslmode not in self._SSLMODES:
+            raise QueryError(
+                f"unknown sslmode {settings.sslmode!r} "
+                f"(expected one of {', '.join(self._SSLMODES)})",
+                "<startup>",
+            )
+        # libpq's negotiation ladder: each entry is one CONNECTION
+        # attempt (TLS yes/no); a failed attempt falls through to the
+        # next rung on a fresh socket.
+        #   allow  — plaintext first; if the server rejects the startup
+        #            (pg_hba "SSL off" entry), retry encrypted;
+        #   prefer — encrypted first; a server without TLS answers the
+        #            SSLRequest with 'N' and the SAME connection
+        #            continues plaintext (no reconnect — see
+        #            _tls_upgrade); only a failed TLS handshake falls
+        #            back to a fresh plaintext attempt.
+        attempts = {
+            "disable": (False,),
+            "allow": (False, True),
+            "prefer": (True, False),
+        }.get(settings.sslmode, (True,))
+        for i, use_tls in enumerate(attempts):
+            self._sock = socket.create_connection(
+                (settings.host, settings.port), timeout=timeout
+            )
+            self._buf = b""
+            self._cb_data = None
+            try:
+                if use_tls:
+                    self._tls_upgrade()
+                self._startup()
+                return
+            except QueryError:
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                if i == len(attempts) - 1:
+                    raise
 
     def _tls_upgrade(self) -> None:
         """SSLRequest dance: 8-byte magic, one-byte answer, then the TLS
@@ -784,20 +841,39 @@ class PgWireClient:
         self._send(struct.pack("!ii", 8, 80877103))  # SSLRequest
         answer = self._recv_exact(1)
         if answer != b"S":
+            if self.settings.sslmode in ("prefer", "allow"):
+                # libpq: an 'N' answer leaves the stream clean (the
+                # server is waiting for a startup message), so the
+                # opportunistic modes continue PLAINTEXT on the same
+                # connection — no reconnect
+                return
             raise QueryError(
                 f"server refused TLS (sslmode={self.settings.sslmode})",
                 "<startup>",
             )
+        mode = self.settings.sslmode
+        rootcert = self.settings.sslrootcert
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-        if self.settings.sslmode == "require":
-            ctx.check_hostname = False
-            ctx.verify_mode = ssl.CERT_NONE
-        else:  # verify-full
-            if not self.settings.sslrootcert:
+        if mode == "verify-full":
+            if not rootcert:
                 raise QueryError(
                     "sslmode=verify-full requires sslrootcert", "<startup>"
                 )
-            ctx.load_verify_locations(self.settings.sslrootcert)
+            ctx.load_verify_locations(rootcert)  # chain + hostname check
+        elif mode == "verify-ca" or (mode == "require" and rootcert):
+            # chain check, NO hostname check.  require+sslrootcert is
+            # promoted to verify-ca exactly as libpq documents (a root
+            # cert you bothered to pin should be checked).
+            if not rootcert:
+                raise QueryError(
+                    "sslmode=verify-ca requires sslrootcert", "<startup>"
+                )
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            ctx.load_verify_locations(rootcert)
+        else:  # require without rootcert / prefer / allow: encrypt only
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
         try:
             self._sock = ctx.wrap_socket(
                 self._sock, server_hostname=self.settings.host

@@ -438,6 +438,7 @@ class _Handler(socketserver.BaseRequestHandler):
         (length,) = struct.unpack("!i", self._recv_exact(4))
         body = self._recv_exact(length - 4)
         (proto,) = struct.unpack_from("!i", body)
+        tls_on = False
         if proto == 80877103:  # SSLRequest
             if self.server.ssl_ctx is None:
                 self.request.sendall(b"N")  # TLS not configured
@@ -447,11 +448,18 @@ class _Handler(socketserver.BaseRequestHandler):
                     self.request, server_side=True
                 )
                 self._rbuf = b""
+                tls_on = True
             (length,) = struct.unpack("!i", self._recv_exact(4))
             body = self._recv_exact(length - 4)
             (proto,) = struct.unpack_from("!i", body)
         if proto != 196608:
             self._error(f"unsupported protocol {proto}")
+            raise ConnectionError
+        if self.server.require_tls and not tls_on:
+            # the pg_hba "hostssl"-only posture: plaintext startups are
+            # rejected AFTER the startup packet, which is the error the
+            # sslmode=allow ladder upgrades on
+            self._error("no pg_hba.conf entry for host (SSL off)")
             raise ConnectionError
         kv = body[4:].split(b"\x00")
         params = dict(zip(kv[0::2], kv[1::2]))
@@ -1167,6 +1175,7 @@ class PgStubServer(socketserver.ThreadingTCPServer):
         sasl_mechanisms: tuple[str, ...] | None = None,
         scram_corrupt_signature: bool = False,
         tls: bool = False,
+        require_tls: bool = False,
         advertise_mechanisms: tuple[str, ...] | None = None,
     ):
         self.db = db
@@ -1177,6 +1186,7 @@ class PgStubServer(socketserver.ThreadingTCPServer):
         self.startup_count = 0
         self.counter_lock = threading.Lock()
         self.scram_corrupt_signature = scram_corrupt_signature
+        self.require_tls = require_tls
         self.ssl_ctx = None
         self.cb_data: bytes | None = None
         self.cert_path: str | None = None

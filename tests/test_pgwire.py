@@ -1594,3 +1594,130 @@ class TestConnectionPool:
             # SCRAM costs 2 extra round-trips + PBKDF2 per startup —
             # exactly what the pool amortizes
             assert srv.startup_count == 1
+
+
+class TestSslModeLadder:
+    """libpq's complete sslmode negotiation: the opportunistic rungs
+    (allow / prefer) with their fallback-retry behavior, verify-ca, and
+    the documented require→verify-ca promotion when sslrootcert is
+    pinned — all over real sockets against the TLS-capable stub."""
+
+    def _settings(self, srv, **kw):
+        from pgstream_spark.sources.pgwire import ConnSettings
+
+        return ConnSettings(
+            host="127.0.0.1", dbname="stub", user="tester",
+            port=srv.port, **kw,
+        )
+
+    def test_unknown_sslmode_is_typed_error(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:
+            with pytest.raises(QueryError, match="unknown sslmode"):
+                PgWireClient(self._settings(srv, sslmode="sometimes"))
+
+    def test_prefer_encrypts_when_server_has_tls(self, stub_db):
+        import ssl
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with PgWireClient(self._settings(srv, sslmode="prefer")) as c:
+                assert isinstance(c._sock, ssl.SSLSocket)
+                assert c.simple_query("SELECT 1 AS one")[1] == [(1,)]
+
+    def test_prefer_falls_back_to_plaintext_same_connection(self, stub_db):
+        import ssl
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db) as srv:  # no TLS configured
+            with PgWireClient(self._settings(srv, sslmode="prefer")) as c:
+                # the 'N' answer leaves the stream clean; plaintext
+                # continues on the SAME socket — one startup, no retry
+                assert not isinstance(c._sock, ssl.SSLSocket)
+                assert c.simple_query("SELECT 2 AS two")[1] == [(2,)]
+            assert srv.startup_count == 1
+
+    def test_allow_stays_plaintext_when_server_permits(self, stub_db):
+        import ssl
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with PgWireClient(self._settings(srv, sslmode="allow")) as c:
+                # allow NEVER pays TLS unless forced — plaintext worked,
+                # so plaintext it stays, even though the server has TLS
+                assert not isinstance(c._sock, ssl.SSLSocket)
+                assert c.simple_query("SELECT 3 AS three")[1] == [(3,)]
+
+    def test_allow_upgrades_when_server_requires_tls(self, stub_db):
+        import ssl
+
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, tls=True, require_tls=True) as srv:
+            with PgWireClient(self._settings(srv, sslmode="allow")) as c:
+                # first (plaintext) attempt is rejected after the
+                # startup packet — the hostssl pg_hba posture — and the
+                # ladder retries encrypted on a fresh socket
+                assert isinstance(c._sock, ssl.SSLSocket)
+                assert c.simple_query("SELECT 4 AS four")[1] == [(4,)]
+
+    def test_verify_ca_accepts_pinned_ca_and_rejects_other(
+        self, stub_db, tmp_path
+    ):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+        from tests.pg_stub import _make_self_signed_cert
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with PgWireClient(
+                self._settings(
+                    srv, sslmode="verify-ca", sslrootcert=srv.cert_path
+                )
+            ) as c:
+                assert c.simple_query("SELECT 5 AS five")[1] == [(5,)]
+            other_cert, _, _ = _make_self_signed_cert(str(tmp_path))
+            with pytest.raises(QueryError, match="TLS handshake failed"):
+                PgWireClient(
+                    self._settings(
+                        srv, sslmode="verify-ca", sslrootcert=other_cert
+                    )
+                )
+
+    def test_verify_ca_without_rootcert_is_typed_error(self, stub_db):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            with pytest.raises(QueryError, match="requires sslrootcert"):
+                PgWireClient(self._settings(srv, sslmode="verify-ca"))
+
+    def test_require_with_rootcert_promotes_to_verify_ca(
+        self, stub_db, tmp_path
+    ):
+        from pgstream_spark.errors import QueryError
+        from pgstream_spark.sources.pgwire import PgWireClient
+        from tests.pg_stub import _make_self_signed_cert
+
+        with PgStubServer(stub_db, tls=True) as srv:
+            # pinned correct CA: require now CHECKS the chain (libpq's
+            # documented promotion) and still connects
+            with PgWireClient(
+                self._settings(
+                    srv, sslmode="require", sslrootcert=srv.cert_path
+                )
+            ) as c:
+                assert c.simple_query("SELECT 6 AS six")[1] == [(6,)]
+            # pinned WRONG CA: plain require would have connected
+            # blindly; the promotion makes it fail closed
+            other_cert, _, _ = _make_self_signed_cert(str(tmp_path))
+            with pytest.raises(QueryError, match="TLS handshake failed"):
+                PgWireClient(
+                    self._settings(
+                        srv, sslmode="require", sslrootcert=other_cert
+                    )
+                )
