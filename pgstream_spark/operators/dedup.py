@@ -668,7 +668,12 @@ def verify_candidate_pairs(
             "dict" if est >= dict_transport_min_bytes else "strings"
         )
     if transport == "strings":
-        sh = docs.select(
+        # _spread BEFORE the tokenize-heavy shingle build: a single-row-
+        # group input otherwise pins the (interpreted-HOF) shingling to
+        # one task — measured r11 at sf0.1: 5.8 s → 0.6 s for one build,
+        # and the build runs once per join branch.  The dict branch
+        # already spreads; this was the one missing site.
+        sh = _spread(docs, id_col).select(
             F.col(id_col).alias("__vid"),
             F.coalesce(
                 shingles_col(tokens_col(F.col(text_col)), n),
@@ -748,14 +753,33 @@ def _score_pairs(
     candidates: DataFrame, sh: DataFrame, measure: str, threshold: float
 ) -> DataFrame:
     """Attach ``__vsh`` arrays to both pair sides and score — shared by
-    both verify transports so they cannot drift semantically."""
+    both verify transports so they cannot drift semantically.
+
+    The union size is DERIVED, not computed: ``__vsh`` arrays are
+    distinct by construction (``shingles_col`` ends in array_distinct;
+    the dict transport maps those same arrays bijectively), so
+    ``|A∪B| = |A| + |B| − |A∩B|`` exactly — array_union was a second
+    full per-candidate hash-set build costing as much as the intersect
+    (measured r11: ~20 % of verify wall).  Sizes ride as one int per
+    side computed once per doc row, before the candidate fan-out.
+    """
+    # ``sh`` feeds BOTH join branches; the rename makes the two exchanges
+    # non-identical so Spark cannot reuse one — without a persist the
+    # whole array build (strings: tokenize+shingle; dict: explode +
+    # vocabulary join + collect_list) executes twice.  MEMORY_AND_DISK
+    # (persist default) so a 100 TB shard spills instead of recomputing —
+    # the ngram_jaccard_pairs discipline; LRU eviction reclaims it.
+    sh = sh.withColumn("__vn", F.size("__vsh")).persist()
     joined = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
         .withColumnRenamed("__vsh", "__sha")
+        .withColumnRenamed("__vn", "__na")
         .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
         .withColumnRenamed("__vsh", "__shb")
+        .withColumnRenamed("__vn", "__nb")
     )
     inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.col("__na") + F.col("__nb") - inter
     if measure == "stats":
         # raw integer counts, no threshold: one verify pass feeds many
         # cut points (threshold sweeps) without re-shipping the arrays
@@ -763,12 +787,12 @@ def _score_pairs(
             "id_a",
             "id_b",
             inter.cast("bigint").alias("c"),
-            F.size(F.array_union("__sha", "__shb")).cast("bigint").alias("u"),
+            union.cast("bigint").alias("u"),
         )
     score = (
-        inter / F.size(F.array_union("__sha", "__shb"))
+        inter / union
         if measure == "jaccard"
-        else inter / F.least(F.size("__sha"), F.size("__shb"))
+        else inter / F.least(F.col("__na"), F.col("__nb"))
     )
     out = (
         joined.withColumn(measure, score)
@@ -798,14 +822,32 @@ def dedup_clusters(
     the loop scaffold and convergence check stay identical.
     """
     # symmetrize once; self-loops make every node its own neighbor so
-    # labels(node) is always defined
+    # labels(node) is always defined.  ONE explode pass instead of a
+    # 4-way union: each union branch re-referenced (and so re-EXECUTED)
+    # the whole upstream pair generator — for prefix-filter/LSH callers
+    # that meant four candidate+verify runs inside the single edges
+    # materialization (measured r11 on l55: ~4× the pair pipeline).
+    _s, _d = F.col("e.src"), F.col("e.dst")
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b"), F.col("id_a")))
-        .union(
-            pairs.select(F.col("id_a"), F.col("id_a"))
-            .union(pairs.select(F.col("id_b"), F.col("id_b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select(_s.alias("src"), _d.alias("dst"))
         .distinct()
     )
     # Materialize edges ONCE: every propagation round joins against them,
@@ -819,7 +861,27 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
     )
     labels.persist()
-    labels.count()  # materialize before the loop
+    # Convergence check: for INTEGRAL node ids (the common case — doc
+    # ids), ONE aggregate per round instead of a join.  The self-loop
+    # edge makes every new label = min(old label, …) ≤ old label — the
+    # propagation is monotone non-increasing — so the label multiset
+    # changed iff its SUM changed.  The sum rides as decimal(38,0)
+    # (exact up to 10³⁸ ≫ any node-count × id bound, no silent bigint
+    # wrap) on the SAME action that materializes the round's persist.
+    # This replaces the old new⋈old join + limit(1) count — measured
+    # r11: two exchange pairs per round → zero (the check is a partial
+    # agg over the fresh cache).  Non-numeric ids (string phrase keys,
+    # l68) keep the join-based check: a hash-sum would not be provably
+    # collision-free, and monotone-sum needs arithmetic.
+    label_type = dict(labels.dtypes)["label"]
+    sum_check = label_type in ("tinyint", "smallint", "int", "bigint")
+
+    def _sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _sum(labels) if sum_check else labels.count()  # materialize
     for _ in range(max_iterations):
         new_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -827,16 +889,21 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
         )
         new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if sum_check:
+            new_sum = _sum(new_labels)  # materializes new_labels' persist
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            ) != 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     # labels is persisted AND materialized (the changed-count), so edges
     # can release its cache without re-triggering the pair generator
