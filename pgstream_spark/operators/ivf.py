@@ -100,22 +100,41 @@ def train_centroids(
     return centroids
 
 
-def _nearest_centroid_col(vec: Column, centroids: np.ndarray) -> Column:
+def _dlit(x: float) -> str:
+    """A Spark SQL double literal with the exact bits of ``x`` (Python
+    repr round-trips; Double.parseDouble of that string is the same
+    nearest-double)."""
+    r = repr(float(x))
+    if r in ("inf", "-inf", "nan"):
+        raise ValueError(f"non-finite centroid/codeword value {r}")
+    return r + "D"
+
+
+def _darr(values) -> str:
+    return "array(" + ",".join(_dlit(x) for x in values) + ")"
+
+
+def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     """Index of the max-dot-product centroid, as a JVM-side expression.
 
     One dot product per centroid (higher-order fold over a literal array),
     argmax via a struct-max over (score, index) — no Python in the path.
+
+    Built as ONE generated-SQL ``F.expr`` instead of per-literal Column
+    calls: the n_lists × dim literal cells otherwise cost one py4j
+    round-trip each, which made DataFrame CONSTRUCTION (driver Python)
+    the dominant cost of the IVF queries (guide §1.1 first-principles:
+    the plan is identical after parsing — same zip_with/aggregate/
+    struct/array_max tree, same fold order, bit-identical buckets).
     """
-    scored = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_c, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        scored.append(F.struct(dot.alias("score"), F.lit(i).alias("idx")))
-    return F.array_max(F.array(*scored))["idx"]
+    structs = ",".join(
+        "named_struct('score',"
+        f"aggregate(zip_with(`{vec_col}`,{_darr(c)},"
+        "(a,b)->cast(a as double)*b),0.0D,(acc,v)->acc+v),"
+        f"'idx',{i})"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"array_max(array({structs})).idx")
 
 
 def assign_buckets(
@@ -141,7 +160,7 @@ def assign_buckets(
     indistinguishable for trained float centroids."""
     if centroids.size <= max_literal_cells:
         return corpus.withColumn(
-            bucket_col, _nearest_centroid_col(F.col(vec_col), centroids)
+            bucket_col, _nearest_centroid_col(vec_col, centroids)
         )
     from pyspark.sql.functions import pandas_udf
 
@@ -153,6 +172,20 @@ def assign_buckets(
         return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
 
     return corpus.withColumn(bucket_col, _assign(F.col(vec_col)))
+
+
+def _spread_corpus(df: DataFrame, id_col: str = "neighbor_id") -> DataFrame:
+    """Spread corpus vectors across all cores BEFORE the assign/encode
+    map stage: those are interpreted higher-order-function folds
+    (n_lists dot products, m × n_codes codeword distances per row), and
+    a single-row-group input file otherwise pins the whole stage to one
+    task (the dedup `_spread` lesson; AQE would coalesce a size-based
+    repartition of small input right back, so the count is explicit).
+    On a many-file 100 TB corpus the scan is already split and this is
+    one exchange of (id, vector) rows — small next to the per-row
+    expression work it parallelizes."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(nparts, F.col(id_col))
 
 
 def ivf_top_k(
@@ -174,25 +207,28 @@ def ivf_top_k(
     cosine ranks them.  Returns (query_id, neighbor_id, cosine, rank).
     """
     bucketed = assign_buckets(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        _spread_corpus(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv"),
+            )
         ),
         centroids,
         vec_col="__cv",
     )
 
-    # per-query ranking of ALL centroids, keep the n_probes best
-    scored = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(F.col("__qv"), lit_c, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        scored.append(F.struct(dot.alias("score"), F.lit(i).alias("idx")))
-    probes = F.slice(
-        F.reverse(F.array_sort(F.array(*scored))), 1, n_probes
+    # per-query ranking of ALL centroids, keep the n_probes best — one
+    # generated-SQL expr for the same reason as _nearest_centroid_col
+    # (py4j-per-literal construction cost; identical tree after parse)
+    scored_sql = ",".join(
+        "named_struct('score',"
+        f"aggregate(zip_with(`__qv`,{_darr(c)},"
+        "(a,b)->cast(a as double)*b),0.0D,(acc,v)->acc+v),"
+        f"'idx',{i})"
+        for i, c in enumerate(centroids)
+    )
+    probes = F.expr(
+        f"slice(reverse(array_sort(array({scored_sql}))),1,{int(n_probes)})"
     )
 
     q = (
@@ -536,9 +572,11 @@ def ivf_adc_top_k(
     spark = queries.sparkSession
 
     bucketed = assign_buckets(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(corpus_vec).alias("__cv"),
+        _spread_corpus(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv"),
+            )
         ),
         centroids,
         vec_col="__cv",

@@ -165,26 +165,39 @@ def _codebooks_from_sample(
     return np.stack(books)
 
 
-def _sub_argmin(vec, codebook: np.ndarray, offset: int):
+def _dlit(x: float) -> str:
+    """Spark SQL double literal with the exact bits of ``x`` (repr
+    round-trips; Double.parseDouble gives the same nearest-double)."""
+    r = repr(float(x))
+    if r in ("inf", "-inf", "nan"):
+        raise ValueError(f"non-finite codeword value {r}")
+    return r + "D"
+
+
+def _sub_argmin_sql(vec_col: str, codebook: np.ndarray, offset: int) -> str:
     """Index of the L2-nearest codeword for one subspace, JVM-side.
 
     One squared-distance fold per codeword over the sliced vector;
     argmin via ``array_min`` on (distance, index) structs — lexicographic
-    min, so ties break to the LOWER index on every engine."""
-    scored = []
+    min, so ties break to the LOWER index on every engine.
+
+    Emitted as generated SQL (parsed once by ``pq_encode``'s single
+    ``F.expr``) rather than per-literal Column calls: m × n_codes × sub
+    literal cells at one py4j round-trip each made DataFrame
+    CONSTRUCTION the dominant cost of the PQ queries.  The parsed tree —
+    slice/zip_with/aggregate fold order, (d, i) struct min — is
+    identical, so codes are bit-identical (l35's oracle gate pins it)."""
+    structs = []
     for i, c in enumerate(codebook):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice(vec, offset + 1, len(c)),
-                lit_c,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(_dlit(x) for x in c) + ")"
+        structs.append(
+            "named_struct('d',"
+            f"aggregate(zip_with(slice(`{vec_col}`,{offset + 1},{len(c)}),{arr},"
+            "(a,b)->(cast(a as double)-b)*(cast(a as double)-b)),"
+            "0.0D,(acc,v)->acc+v),"
+            f"'i',{i})"
         )
-        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*scored))["i"]
+    return f"array_min(array({','.join(structs)})).i"
 
 
 def pq_encode(
@@ -197,8 +210,10 @@ def pq_encode(
 ) -> DataFrame:
     """Map-only PQ encode: ``(id, *keep_cols, codes array<int>)``."""
     m, _, sub = codebooks.shape
-    codes = F.array(
-        *[_sub_argmin(F.col(vec_col), codebooks[s], s * sub) for s in range(m)]
+    codes = F.expr(
+        "array("
+        + ",".join(_sub_argmin_sql(vec_col, codebooks[s], s * sub) for s in range(m))
+        + ")"
     )
     return df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias(out_col)
