@@ -9003,15 +9003,21 @@ def l71(spark, sf_dir):
     "FROM cuts, pairs GROUP BY k",
 )
 def l72(spark, sf_dir):
-    from pgstream_spark.operators.dedup import shingles_col, tokens_col
+    from pgstream_spark.operators.dedup import _spread, shingles_col, tokens_col
 
+    # The exploded shingle set feeds THREE plan branches (sizes + both
+    # self-join sides): spread the tokenize-heavy explode off the
+    # single-row-group scan task, then persist eagerly so it computes
+    # once instead of once per branch (the triangle_count discipline).
     sh = (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             F.explode(shingles_col(tokens_col(F.col("text")), n=3)).alias("s"),
         )
     )
+    sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )

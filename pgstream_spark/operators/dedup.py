@@ -1052,23 +1052,22 @@ def embedding_neardup_lsh(
     Returns ``(id_a, id_b, cosine)`` with cosine rounded to 6 decimals.
     """
     from pgstream_spark.operators.similarity import (
-        _bucket_col,
+        _bucket_sql,
         _hyperplanes,
         cosine_expr,
     )
 
     planes = _hyperplanes(dim, m_bits, tables, seed)
-    flat_buckets = F.array(
-        *[
-            (F.lit(t * (1 << m_bits)).cast("long")
-             + _bucket_col(F.col(vec_col), planes[t]))
+    # One generated-SQL expr for the whole tables × m_bits × dim literal
+    # family (the _bucket_sql rationale: py4j-per-literal construction
+    # cost; identical tree after parse, so buckets stay bit-identical).
+    flat_buckets = F.expr(
+        "array("
+        + ",".join(
+            f"CAST({t * (1 << m_bits)} AS BIGINT)+{_bucket_sql('v', planes[t])}"
             for t in range(tables)
-        ]
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(flat_buckets).alias("bucket"),
+        )
+        + ")"
     )
     # Candidate generation and dedup carry IDS ONLY: a pair colliding in
     # several tables must count once, and running the distinct over
@@ -1076,6 +1075,19 @@ def embedding_neardup_lsh(
     # every duplicate (measured 3× the whole operator's budget at sf0.1).
     # Vectors re-attach afterwards — exactly once per distinct pair —
     # via two key joins against the (id, vector) projection.
+    #
+    # The (id, bucket) signature set feeds BOTH self-join sides: spread
+    # the 36-dot bucket compute off the single-row-group scan task and
+    # persist eagerly so it runs once, not per branch (triangle_count
+    # discipline; the persisted rows are two ints per signature — the
+    # banded-index shape that scales).
+    b = (
+        _spread(embeddings.select(F.col(id_col).alias("id"),
+                                  F.col(vec_col).alias("v")), "id")
+        .select("id", F.explode(flat_buckets).alias("bucket"))
+    )
+    b = b.persist()
+    b.count()
     left = b.select(F.col("id").alias("id_a"), "bucket")
     right = b.select(F.col("id").alias("id_b"), "bucket")
     cand = (

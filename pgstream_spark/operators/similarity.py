@@ -88,17 +88,41 @@ def _hyperplanes(dim: int, m_bits: int, tables: int, seed: int = 42) -> np.ndarr
     return rng.standard_normal((tables, m_bits, dim))
 
 
-def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id of ``vec`` for one table's hyperplanes."""
+def _dlit(x: float) -> str:
+    """Spark SQL double literal with the exact bits of ``x`` (repr
+    round-trips; Double.parseDouble gives the same nearest-double)."""
+    r = repr(float(x))
+    if r in ("inf", "-inf", "nan"):
+        raise ValueError(f"non-finite hyperplane value {r}")
+    return r + "D"
+
+
+def _bucket_sql(vec_col: str, planes: np.ndarray) -> str:
+    """Sign-bit bucket id of ``vec_col`` for one table's hyperplanes,
+    as generated SQL.
+
+    Emitted as one SQL fragment (parsed by a single ``F.expr`` at the
+    call site) instead of per-literal Column calls: m_bits × dim plane
+    cells per table at one py4j round-trip each made DataFrame
+    CONSTRUCTION a visible cost of the LSH queries.  The parsed tree —
+    zip_with double-product fold per plane, CASE sign bits, left-assoc
+    sum, BIGINT cast — is identical to the old Column build, so buckets
+    are bit-identical (the l3b/l3c oracle gates pin it)."""
     bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
-        sign = F.when(dot_expr(vec, lit_plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits.append(sign)
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out.cast("long")
+        arr = "array(" + ",".join(_dlit(w) for w in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`,{arr},"
+            "(x,y)->cast(x as double)*cast(y as double)),"
+            "0.0D,(acc,v)->acc+v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return f"CAST({'+'.join(bits)} AS BIGINT)"
+
+
+def _bucket_col(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of ``vec_col`` for one table's hyperplanes."""
+    return F.expr(_bucket_sql(vec_col, planes))
 
 
 def lsh_bucketed_top_k(
@@ -126,8 +150,10 @@ def lsh_bucketed_top_k(
     planes = _hyperplanes(dim, m_bits, tables, seed)
 
     def bucketed(df: DataFrame, idc: str, vecc: str, id_out: str) -> DataFrame:
-        table_buckets = F.array(
-            *[_bucket_col(F.col(vecc), planes[t]) for t in range(tables)]
+        table_buckets = F.expr(
+            "array("
+            + ",".join(_bucket_sql(vecc, planes[t]) for t in range(tables))
+            + ")"
         )
         return df.select(
             F.col(idc).alias(id_out),
