@@ -33,30 +33,36 @@ __all__ = ["nearest_l2_centroid_col", "kmeans_refine", "cluster_sizes"]
 _SCALE = 1_000_000  # 1e-6 centroid resolution; |coord|·rows ≤ ~9e12 safe
 
 
-def nearest_l2_centroid_col(vec: Column, centroids: np.ndarray) -> Column:
+def nearest_l2_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     """Index of the L2-nearest centroid as a JVM-side expression.
 
     ``|v-c|²`` is minimized where ``v·c − |c|²/2`` is maximized, so each
     centroid costs one dot fold and a literal bias; argmax via struct-max
     over (score, index). No Python in the path.
+
+    Built as ONE generated-SQL ``F.expr`` (the ivf._nearest_centroid_col
+    rationale: k × dim literal cells at one py4j round-trip each made
+    DataFrame construction the dominant driver cost; the parsed tree —
+    same fold order, same (score, idx) struct max — is identical, so
+    assignments are bit-identical).
     """
-    scored = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        bias = float(0.5 * (c * c).sum())
-        dot = F.aggregate(
-            F.zip_with(vec, lit_c, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        scored.append(F.struct((dot - bias).alias("score"), F.lit(i).alias("idx")))
-    return F.array_max(F.array(*scored))["idx"]
+    from pgstream_spark.operators.ivf import _darr, _dlit
+
+    structs = ",".join(
+        "named_struct('score',"
+        f"aggregate(zip_with(`{vec_col}`,{_darr(c)},"
+        "(a,b)->cast(a as double)*b),0.0D,(acc,v)->acc+v)"
+        f"-{_dlit(0.5 * (c * c).sum())},"
+        f"'idx',{i})"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"array_max(array({structs})).idx")
 
 
 def _assigned(corpus: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
     return corpus.select(
         F.col(vec_col).alias("__v"),
-        nearest_l2_centroid_col(F.col(vec_col), centroids).alias("cluster"),
+        nearest_l2_centroid_col(vec_col, centroids).alias("cluster"),
     )
 
 

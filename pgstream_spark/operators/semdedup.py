@@ -82,7 +82,7 @@ def semdedup(
     of every epsilon-ball survives — deterministic, order-free).
 
     ``cluster_expr`` swaps the assignment stage: pass e.g.
-    ``kmeans.nearest_l2_centroid_col(F.col(vec_col), centroids)`` for a
+    ``kmeans.nearest_l2_centroid_col(vec_col, centroids)`` for a
     learned partition (the published SemDeDup design) — the prune stage
     is IDENTICAL under any assignment (pytest-pinned), and at corpus
     scale a k-means assignment is the lever when sign-bit buckets skew

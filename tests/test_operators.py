@@ -959,7 +959,7 @@ class TestKMeansRefine:
         df, X, centers = clustered
         got = (
             df.select(
-                "vec_id", nearest_l2_centroid_col(F.col("embedding"), centers).alias("c")
+                "vec_id", nearest_l2_centroid_col("embedding", centers).alias("c")
             )
             .orderBy("vec_id")
             .collect()
@@ -2714,9 +2714,7 @@ class TestSemDedup:
         lsh = semdedup(df, sign_bits=2)
         km = semdedup(
             df,
-            cluster_expr=nearest_l2_centroid_col(
-                F.col("embedding"), centers
-            ),
+            cluster_expr=nearest_l2_centroid_col("embedding", centers),
         )
         rows_lsh, rows_km = lsh.collect(), km.collect()
         verdicts = lambda rows: {  # noqa: E731
