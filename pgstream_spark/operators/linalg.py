@@ -57,23 +57,68 @@ def gram_upper(
     """Exact upper-triangle Gram sums: ``(i, j, sxy)`` for j >= i, where
     ``sxy = Σ_rows round(x_i·scale)·round(x_j·scale)`` (BIGINT).
     First moments (for centering) come from `component_sums`.
+
+    Quantization stays a JVM expression (``F.round`` — Spark's HALF_UP
+    decimal rounding, which numpy's half-to-even cannot reproduce on
+    ties), so the integers entering the reduction are bit-identical to
+    the oracle's.  The reduction itself is one int64 ``Xᵀ·X`` matmul
+    per Arrow batch (guide §4.2: whole-batch native kernel) — the old
+    nested-HOF explode built d(d+1)/2 structs PER ROW in interpreted
+    expression code, and was ~10× slower at d=64.  Integer matmul and
+    the partial-sum accumulation are associative, so the per-(i,j)
+    totals are bit-identical on any partitioning (verified exactly
+    equal at sf0.1).  Each task emits one d(d+1)/2-row partial — the
+    same shuffle contract as the explode+partial-agg plan.
+
+    The input is repartitioned across cores first: gate-scale tables
+    arrive as one row group, which would pin the matmul stage to a
+    single task (dedup ``_spread`` lesson; at 100 TB the scan is
+    already split and the exchange is one pass of quantized rows).
     """
-    q = _q(vec_col, scale)
-    pairs = F.flatten(
-        F.transform(
-            q,
-            lambda xi, i: F.transform(
-                F.slice(q, i + 1, F.size(q) - i),
-                lambda xj, jo: F.struct(
-                    i.alias("i"), (i + jo).alias("j"), (xi * xj).alias("p")
-                ),
-            ),
-        )
+    import numpy as np
+    import pyarrow as pa
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    qdf = (
+        df.select(F.col(vec_col))
+        .repartition(nparts)
+        .select(_q(vec_col, scale).alias("__q"))
     )
+
+    def _partial(batches):
+        acc = None
+        d = None
+        for b in batches:
+            col = b.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if n * (len(flat) // n) != len(flat):
+                raise ValueError("gram_upper: ragged embedding lengths")
+            X = flat.reshape(n, -1).astype(np.int64, copy=False)
+            if d is None:
+                d = X.shape[1]
+            elif X.shape[1] != d:
+                raise ValueError("gram_upper: inconsistent embedding dims")
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(iu[0].astype("int32")),
+                pa.array(iu[1].astype("int32")),
+                pa.array(acc[iu].astype("int64")),
+            ],
+            names=["i", "j", "p"],
+        )
+
     return (
-        df.select(F.explode(pairs).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("sxy"))
+        qdf.mapInArrow(_partial, "i int, j int, p bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
     )
 
 
