@@ -32,6 +32,56 @@ import re
 from pyspark.sql import DataFrame
 
 
+def _canon_gid_lines(txt: str) -> str:
+    """Canonicalize the ``RewriteDistinctAggregates`` instability.
+
+    The rule assigns each distinct-aggregate column a group id (``gid``)
+    and orders the Expand projections / grouping keys by attribute
+    exprId — which depends on the SESSION-GLOBAL expression counter, so
+    building any unrelated DataFrame first flips the ordering of a
+    multi-``count(DISTINCT)`` plan (probed: g3's digest is bistable
+    across construction order with a byte-identical executed recipe;
+    every differing line contains ``gid#``).  On those lines ONLY,
+    neutralize the gid literals and sort bracketed member lists so both
+    orderings digest identically; all other lines pass through
+    untouched, so a real re-plan still flips the digest.
+    """
+
+    def sort_brackets(line: str) -> str:
+        # innermost-first so nested Expand [[..], [..]] lists sort at
+        # every level; sorted groups are fenced with \x00/\x01 so an
+        # outer pass sees them as atoms, then the fences are restored.
+        pat = re.compile(r"\[([^][]*)\]")
+        while True:
+            new = pat.sub(
+                lambda m: "\x00"
+                + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
+                + "\x01",
+                line,
+            )
+            if new == line:
+                break
+            line = new
+        return line.replace("\x00", "[").replace("\x01", "]")
+
+    out = []
+    for line in txt.split("\n"):
+        if "gid#" in line:
+            line = re.sub(r"gid# = \d+", "gid# = _", line)
+            line = sort_brackets(line)
+            # the shuffle key list prints in parens, not brackets; the
+            # numPartitions literal sorts along deterministically
+            line = re.sub(
+                r"hashpartitioning\(([^()]*)\)",
+                lambda m: "hashpartitioning("
+                + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
+                + ")",
+                line,
+            )
+        out.append(line)
+    return "\n".join(out)
+
+
 def normalized_plan(df: DataFrame) -> str:
     """The digest's preimage, exposed for diffing two trees by eye."""
     qe = df._jdf.queryExecution()
@@ -45,7 +95,7 @@ def normalized_plan(df: DataFrame) -> str:
     txt = re.sub(r"\blambda (\w+?)_\d+#", r"lambda \1_#", txt)
     txt = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", txt)
     txt = re.sub(r"\[id=#?\d+\]", "[id=]", txt)
-    return txt
+    return _canon_gid_lines(txt)
 
 
 def plan_digest(df: DataFrame) -> str:

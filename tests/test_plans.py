@@ -1497,3 +1497,27 @@ def test_perceptual_probe_broadcasts_batch_not_index(spark, sf_dir):
     txt = explain_string(df, "simple")
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_plan_digest_stable_across_construction_order(spark, sf_dir):
+    # The bench's plan-digest rail must not flip when an UNRELATED
+    # DataFrame is built first: RewriteDistinctAggregates orders its
+    # Expand projections / gid assignment by attribute exprId, which
+    # depends on the session-global expression counter (probed: g3's
+    # digest was bistable across rounds purely by construction order).
+    # digest.py canonicalizes gid-bearing lines; a multi-count(DISTINCT)
+    # plan must digest identically before and after the counter moves.
+    from pgstream_spark.inventory import QUERIES
+    from pgstream_spark.plans.digest import plan_digest
+
+    d0 = plan_digest(QUERIES["g3_count_distinct"](spark, sf_dir))
+    # burn a few hundred exprIds so the distinct-rewrite ordering flips
+    QUERIES["x1_pandas_kernel"](spark, sf_dir)
+    spark.range(10).selectExpr(*[f"id + {i} AS c{i}" for i in range(40)])
+    d1 = plan_digest(QUERIES["g3_count_distinct"](spark, sf_dir))
+    assert d0 == d1
+
+    # and a real plan change must still flip it (limit() would be
+    # optimized away on a 1-row aggregate; project a new column instead)
+    li = QUERIES["g3_count_distinct"](spark, sf_dir)
+    assert plan_digest(li.selectExpr("*", "n_parts + 1 AS np1")) != d0
