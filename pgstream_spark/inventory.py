@@ -11961,6 +11961,10 @@ def l89(spark, sf_dir):
     from pgstream_spark.operators.linalg import random_projection
 
     e = _t(spark, sf_dir, "embeddings")
+    # spread the single-row-group gate input across cores before the
+    # per-row folds (dedup _spread lesson); the operator itself stays
+    # map-only, so at 100 TB the already-split scan pays no exchange
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     # serialized for the gate: the driver's compare sorts scalar columns
     return random_projection(e, d=64, out_dim=16, scale=1_000).select(
         "vec_id",

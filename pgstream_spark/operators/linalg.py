@@ -250,21 +250,36 @@ def random_projection(
     mismatch); callers with ragged vectors should filter first.
     """
     signs = jl_sign_matrix(d, out_dim, seed)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * float(scale)).cast("bigint"),
+    # One generated-SQL F.expr instead of per-literal Column calls:
+    # d × out_dim sign cells at one py4j round-trip each made DataFrame
+    # CONSTRUCTION a visible cost (the ivf/pq/kmeans lesson).  The
+    # quantized array is computed ONCE per row in its own projection —
+    # the old build inlined the transform into every component, so each
+    # row quantized d values out_dim times; integer sums are exact, so
+    # factoring it out is bit-identical (l89's oracle gate pins it).
+    # CollapseProject will not re-inline: __jlq is non-cheap and
+    # referenced out_dim times.
+    q_sql = (
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {float(scale)!r}D) AS BIGINT))"
     )
-    outs = []
+    comps = []
     for j in range(out_dim):
-        sj = F.array(*[F.lit(signs[i][j]).cast("bigint") for i in range(d)])
-        outs.append(
-            F.aggregate(
-                F.zip_with(q, sj, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias(f"p{j}")
+        arr = "array(" + ",".join(f"{signs[i][j]}L" for i in range(d)) + ")"
+        comps.append(
+            f"aggregate(zip_with(`__jlq`,{arr},(a,b)->a*b),"
+            "CAST(0 AS BIGINT),(acc,x)->acc+x)"
         )
-    return df.withColumn(out_col, F.array(*outs))
+    # deliberately NO repartition here: the operator's contract is
+    # scan-speed map-only (test_map_only_plan pins zero Exchanges) and
+    # streaming-safe — a single-row-group LOCAL input pins the folds to
+    # one task, but that is the call site's layout problem (l89 spreads
+    # there); at 100 TB the scan is already split.
+    return (
+        df.withColumn("__jlq", F.expr(q_sql))
+        .withColumn(out_col, F.expr("array(" + ",".join(comps) + ")"))
+        .drop("__jlq")
+    )
 
 
 def group_centroid_outliers(
