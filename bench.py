@@ -70,6 +70,13 @@ def main() -> None:
         # layout a real 100 TB table would have.
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # engine.connect parity: InferFiltersFromGenerate duplicates
+        # expensive generator children (tokenize+shingle) into scan-
+        # stage filters — redundant for explode, measured 4x on l11
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()

@@ -254,6 +254,20 @@ def connect(
         # reference decodes Postgres time/timetz (FromRow.hs:244-278),
         # so the engine turns it on.
         .config("spark.sql.timeType.enabled", "true")
+        # InferFiltersFromGenerate adds size(x)>0/isnotnull(x) above
+        # every explode; predicate pushdown then substitutes the alias,
+        # re-evaluating an EXPENSIVE generator child (tokenize+shingle
+        # pipelines here) 2 extra times per row, below the repartition
+        # that was spreading it.  The filters are redundant for explode
+        # (it already emits nothing for null/empty arrays), so results
+        # are identical with the rule off — and the win grows with
+        # corpus size (measured: l11 9.7 s -> 2.2 s at sf0.1).
+        # Scale-independent, so not parameterised; override via
+        # extra_conf if a stored-array explode ever wants the pushdown.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # ANSI stays at Spark's default (true in 4.x): closest to the
         # Postgres semantics the reference delegated to — overflow and bad
         # casts error instead of silently wrapping/nulling.

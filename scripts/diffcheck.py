@@ -208,6 +208,11 @@ def main():
         .appName("diffcheck")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", tz)
+        # engine.connect parity: verify the plans the engine ships
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
