@@ -9223,6 +9223,7 @@ def l75(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     sig = minhash_signatures(d, num_perm=8, seed=42, hash_fn="md5").cache()
+    sig.count()  # eager: sig feeds cand + both signature join sides
     cand = minhash_lsh_candidates(sig, bands=2, rows_per_band=4, bucket_cap=None)
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
     b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
@@ -9238,23 +9239,43 @@ def l75(spark, sf_dir):
         )
         .select("id_a", "id_b", k_equal.alias("k_equal"))
     )
-    shd = d.select(
-        "doc_id", shingles_col(tokens_col(F.col("text")), 3).alias("sh")
+    # spread the single-row-group scan before the shingle build, size
+    # each doc ONCE, and persist: shd feeds both join sides, and
+    # |A∪B| = |A|+|B|−|A∩B| holds exactly (arrays are distinct by
+    # construction) so the per-pair array_union hash-set build is
+    # replaced by integer arithmetic (the batch-1 union-free scoring)
+    shd = (
+        d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id", shingles_col(tokens_col(F.col("text")), 3).alias("sh")
+        )
+        .withColumn("__n", F.size("sh").cast("bigint"))
+        .persist()
     )
+    shd.count()
     p = (
         pairs.join(
-            shd.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__ha")),
+            shd.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sh").alias("__ha"),
+                F.col("__n").alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            shd.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__hb")),
+            shd.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sh").alias("__hb"),
+                F.col("__n").alias("__nb"),
+            ),
             "id_b",
         )
         .select(
             "k_equal",
             F.size(F.array_intersect("__ha", "__hb")).cast("bigint").alias("c"),
-            F.size(F.array_union("__ha", "__hb")).cast("bigint").alias("u"),
+            (F.col("__na") + F.col("__nb")).alias("__s"),
         )
+        .select("k_equal", "c", (F.col("__s") - F.col("c")).alias("u"))
     )
     e = p.select(
         "k_equal",
@@ -9580,6 +9601,12 @@ def l77(spark, sf_dir):
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
         "id_a", "id_b"
     )
+    # cand and exact each feed their count AND the hit join — persist
+    # eagerly so the LSH and jaccard pipelines compute once, not twice
+    cand = cand.persist()
+    cand.count()
+    exact = exact.persist()
+    exact.count()
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_hit = (
@@ -10301,6 +10328,14 @@ def l85(spark, sf_dir):
     truth = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
         "id_a", "id_b"
     )
+    # both pair sets feed TWO consumers (their count + the hit join);
+    # without a persist the simhash and jaccard pipelines execute twice
+    # each (the batch-1 re-execute-per-branch pathology) — persist
+    # eagerly so each computes once; the persisted rows are id pairs
+    pred = pred.persist()
+    pred.count()
+    truth = truth.persist()
+    truth.count()
     n_pred = F.broadcast(pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred")))
     n_true = F.broadcast(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
     n_hit = F.broadcast(
