@@ -1415,6 +1415,29 @@ def dedup_clusters_twostar(
         .localCheckpoint()
     )
 
+    # Convergence bookkeeping: the old check ran TWO shuffling anti-
+    # joins (with limit(1) counts) every round — 2 extra jobs per round
+    # that dominated wall time on small graphs.  Instead fingerprint
+    # each round's edge set with one cheap aggregate over the fresh
+    # checkpoint (count + exact decimal(38,0) endpoint sums for
+    # integral ids; count alone otherwise).  The fingerprint is a
+    # NEGATIVE filter only — different stats prove the set changed; when
+    # stats match, ONE left-anti proves equality outright (both sides
+    # are distinct sets, so |A| = |B| and A∖B = ∅ ⟹ A = B).  No early
+    # stop can be wrong: a fingerprint coincidence just runs the anti.
+    int_ids = dict(e.dtypes)["u"] in ("tinyint", "smallint", "int", "bigint")
+
+    def _stats(df):
+        if int_ids:
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            ).collect()[0]
+            return (r["n"], r["su"], r["sv"])
+        return (df.count(),)
+
+    prev = _stats(e)
     for _ in range(max_iterations):
         # ---- large-star: connect strictly-larger neighbors to the min
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1445,10 +1468,12 @@ def dedup_clusters_twostar(
             .distinct()
         )
         small = small.localCheckpoint()
-        changed = (
-            small.join(e, ["u", "v"], "left_anti").limit(1).count()
-            + e.join(small, ["u", "v"], "left_anti").limit(1).count()
-        )
+        cur = _stats(small)
+        if cur == prev:
+            changed = small.join(e, ["u", "v"], "left_anti").limit(1).count()
+        else:
+            changed = 1
+        prev = cur
         e = small
         if changed == 0:
             break
