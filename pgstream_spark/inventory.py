@@ -10727,16 +10727,27 @@ def u6(spark, sf_dir):
 )
 def l83(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    # substr via transform over positions; keep only pure [a-z ] grams
-    tg = d.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 2), "
-                "i -> substring(lower(text), i, 3))"
-            )
-        ).alias("g"),
-    ).filter(~F.col("g").rlike("[^a-z ]"))
+    # substr via transform over positions; keep only pure [a-z ] grams.
+    # lower(text) is hoisted into its own projection so it runs ONCE per
+    # document — inlined in the lambda it re-lowered the whole text at
+    # every trigram position (O(len²)); CollapseProject keeps the hoist
+    # (non-cheap alias referenced twice).  Input spread across cores
+    # first: the explode+count otherwise runs on the 1-2 scan tasks of
+    # a single-row-group file (dedup _spread lesson).
+    tg = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("lang", F.lower("text").alias("__lt"))
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(__lt) - 2), "
+                    "i -> substring(__lt, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .filter(~F.col("g").rlike("[^a-z ]"))
+    )
     tc = tg.groupBy("lang", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -396,15 +396,22 @@ def _bigram_lm(
     ~1 s at sf0.1)."""
     n = F.col("__n")
     nparts = df.sparkSession.sparkContext.defaultParallelism
+    # NO ``filter(n >= 2)``: predicate pushdown substitutes the alias
+    # through the repartition, so the whole tokenizer re-ran inside the
+    # single-task scan stage just to evaluate the filter (probed: the
+    # pushed Filter carries the full split() tree below the Exchange —
+    # the same duplication InferFiltersFromGenerate caused).  Clamping
+    # the slice length to >= 0 makes sub-2-token docs yield an empty
+    # bigram array that the explode drops — row-for-row identical
+    # output, tokenize evaluated once, post-exchange.
     base = (
         df.repartition(nparts, *[F.col(c) for c in carry_cols])
         .select(*carry_cols, _tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
-        .filter(n >= 2)
     )
     bigram = F.zip_with(
-        F.slice("__t", 1, n - 1),
-        F.slice("__t", 2, n - 1),
+        F.slice("__t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__t", 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bi = base.select(*carry_cols, F.explode(bigram).alias("__bg")).select(
