@@ -223,6 +223,12 @@ def sessionize_chunked(
     local = spread.withColumn("__new", is_new).withColumn(
         "__local", F.sum("__new").over(w_run)
     )
+    # `local` feeds BOTH the per-chunk totals and the final join — the
+    # chunk-assignment join + halo explode + per-chunk window would
+    # otherwise execute once per branch (the dedup-tier persist rule).
+    # Lazy persist: the totals branch populates the cache inside the
+    # same job; an eager count() here measured slower (extra pass).
+    local = local.persist()
     totals = local.groupBy(*keys, "__chunk").agg(
         F.sum("__new").alias("__chunk_new")
     )

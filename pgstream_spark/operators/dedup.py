@@ -1254,7 +1254,13 @@ def duplicate_span_stats(
     exactness (arbitrary-length spans) trades to fixed-window exactness,
     which parallelizes; run at two window sizes to bracket span lengths.
     """
-    toks = docs.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__t"))
+    # _spread before the tokenize+window explode (single-row-group scan
+    # otherwise pins it to 1-2 tasks); `wins` feeds BOTH the hash-count
+    # aggregate and the join-back, so persist eagerly — one window
+    # build, not one per plan branch (the l2b/simhash discipline).
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__t")
+    )
     n = F.size("__t")
     wins = (
         toks.filter(n >= window)
@@ -1270,6 +1276,8 @@ def duplicate_span_stats(
         .withColumn("__h", F.md5(F.col("__w")))
         .select("id", "__h")
     )
+    wins = wins.persist()
+    wins.count()
     docs_per_hash = wins.groupBy("__h").agg(
         F.count_distinct("id").alias("__docs")
     )
@@ -1321,7 +1329,10 @@ def span_scrub(
     relative to the corpus (it shrinks as dedup improves) and joined on
     hash, broadcastable when it fits.
     """
-    toks = docs.select(
+    # Same two measures as duplicate_span_stats: spread the tokenize,
+    # persist the (id, s, h) window set — it feeds dup_hashes AND the
+    # coverage join, so without the persist the window build runs twice.
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("__t")
     )
     n = F.size("__t")
@@ -1343,6 +1354,8 @@ def span_scrub(
         )
         .select("id", F.col("__w.s").alias("__s"), F.col("__w.h").alias("__h"))
     )
+    wins = wins.persist()
+    wins.count()
     dup_hashes = (
         wins.groupBy("__h")
         .agg(F.count_distinct("id").alias("__d"))

