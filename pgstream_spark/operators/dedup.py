@@ -1821,7 +1821,13 @@ def winnow_overlap_pairs(
     self-join would count position-multiplicity products
     (cnt_a·cnt_b per shared hash) and inflate the ``min_shared`` gate.
     """
+    # Eager persist: the distinct (id, fp_hash) set feeds BOTH self-join
+    # sides, and the renamed exchanges are non-identical — without the
+    # persist the whole winnow pipeline (posexplode + per-doc window +
+    # distinct) executes once per branch (the LSH-bucket discipline).
     docs = fps.select(F.col(id_col).alias("__id"), "fp_hash").distinct()
+    docs = docs.persist()
+    docs.count()
     a = docs.select(F.col("__id").alias("id_a"), "fp_hash")
     b = docs.select(F.col("__id").alias("id_b"), "fp_hash")
     return (

@@ -741,6 +741,13 @@ def dhash_candidate_pairs(
             "banded recall is exact only for max_hamming <= 3; pass "
             "allow_approx=True to accept missed pairs"
         )
+    # Eager persist: `sigs` is usually a decode-heavy lineage (dHash /
+    # audio fingerprint over raw media) and feeds the band explode plus
+    # BOTH verify join-backs — without the persist the full decode
+    # executes once per plan branch.  The persisted rows are one id +
+    # four 16-bit band ints per item.
+    sigs = sigs.persist()
+    sigs.count()
     bands = sigs.select(
         F.col("id"),
         F.explode(

@@ -126,6 +126,12 @@ def gapfill_locf(
             (F.sum("__sv").cast("double") / scale).alias("__sum"),
         )
     )
+    # `agg` feeds the spine bounds AND the join-back, and the two
+    # branches do NOT share an exchange (plan-verified) — without a
+    # persist the raw-event aggregation scans the input twice.  The
+    # persisted tier is one row per (key, bucket): tiny at any scale.
+    agg = agg.persist()
+    agg.count()
     spine = (
         agg.groupBy(*keys)
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))

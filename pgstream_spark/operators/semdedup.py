@@ -94,7 +94,12 @@ def semdedup(
         if cluster_expr is not None
         else _sign_cluster(vec_col, sign_bits)
     )
-    base = df.select(
+    # Spread the quantize off the single-row-group scan task, then
+    # persist eagerly: `base` feeds BOTH self-join sides and the final
+    # kept-join — three executions of the quantized-vector build
+    # otherwise (the dedup-tier discipline).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         _quantized(vec_col, scale).alias("__q"),
         assignment.cast("int").alias("cluster"),
@@ -104,6 +109,8 @@ def semdedup(
             "__q", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
         ),
     )
+    base = base.persist()
+    base.count()
     a = base.select(
         F.col("id").alias("__ida"),
         F.col("cluster").alias("__cl"),
