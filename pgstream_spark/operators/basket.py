@@ -51,6 +51,11 @@ def frequent_pairs(
     b = df.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
     ).distinct()
+    # Persist: `b` feeds item counts, the basket total AND both
+    # self-join sides, and the four branches do not share an exchange
+    # (plan-verified: 0 ReusedExchange, 4 scans).  Lazy: the broadcast
+    # branches run first and populate the cache — no extra count job.
+    b = b.persist()
     item_counts = b.groupBy(F.col("__item").alias("item")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -65,12 +65,18 @@ def bm25_scores(
     dl = df.select(
         F.col(id_col), F.size(_tokens(F.col(text_col))).cast("bigint").alias("dl")
     )
+    # `dl` feeds the corpus scalars AND the score join; `qt` feeds the
+    # df table AND the score join — each branch pair re-ran its full
+    # corpus tokenize without a persist (the dedup-tier discipline).
+    # qt is query-bounded; dl persists two compact columns per doc.
+    dl = dl.persist()
     # corpus scalars: N and avgdl (exact integer sum / exact count)
     scalars = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qt = tf.filter(F.col("term").isin(query_terms))
+    qt = qt.persist()
     dfreq = qt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         qt.join(F.broadcast(dfreq), "term")

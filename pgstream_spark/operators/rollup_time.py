@@ -129,9 +129,9 @@ def gapfill_locf(
     # `agg` feeds the spine bounds AND the join-back, and the two
     # branches do NOT share an exchange (plan-verified) — without a
     # persist the raw-event aggregation scans the input twice.  The
-    # persisted tier is one row per (key, bucket): tiny at any scale.
+    # persisted tier is one row per (key, bucket): tiny at any scale;
+    # lazy, so the first consumer populates it inside its own job.
     agg = agg.persist()
-    agg.count()
     spine = (
         agg.groupBy(*keys)
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))

@@ -4690,15 +4690,27 @@ class TestProfileColumns:
         assert got["v"].n_null == 1 and got["v"].n_distinct == 2
         assert got["v"].min_value == "10.0"
 
-    def test_single_aggregate_plan(self, spark):
+    def test_split_aggregate_plan(self, spark):
+        # r11: the profile is deliberately SPLIT into two aggregates —
+        # string min/max buffers are hash-agg-ineligible and would
+        # demote the whole multi-distinct Expand to a multi-key
+        # SortAggregate if combined (measured 2.2x at sf0.1).  Pin:
+        # no window, the join only broadcasts single-row sides, and
+        # the Expand branch stays HASH-aggregated.
         from pgstream_spark.operators.quality import profile_columns
         from pgstream_spark.plans.explain import explain_string
 
         df = spark.range(100).selectExpr("id", "id % 3 AS m")
         txt = explain_string(profile_columns(df, ["id", "m"]), "simple")
-        # one scan feeding the aggregate — no join, no window
-        assert "Join" not in txt
         assert "Window" not in txt
+        assert "BroadcastNestedLoopJoin" in txt  # two one-row sides
+        lines = txt.splitlines()
+        expand = [i for i, ln in enumerate(lines) if "Expand" in ln]
+        assert expand, txt
+        for i in expand:
+            above = "\n".join(lines[max(0, i - 3) : i])
+            assert "SortAggregate" not in above, txt
+            assert "HashAggregate" in above, txt
 
 
 class TestWeightedQuantiles:
