@@ -1183,8 +1183,14 @@ def content_defined_chunks(
     the share counts, and one equi-join back — the same linear plan
     family as ``duplicate_span_stats``."""
     t = tokens_col(F.col(text_col))
-    d = docs.select(F.col(id_col).alias("id"), t.alias("__t")).filter(
-        F.size("__t") >= 1
+    # _spread before the tokenize+boundary HOF pass (single-row-group
+    # scan pins it otherwise).  NO pre-explode size filter: predicate
+    # pushdown substitutes the token alias through the repartition and
+    # re-runs the tokenizer inside the scan stage (the _bigram_lm
+    # lesson); a zero-token doc instead yields exactly one empty range
+    # (s=1, e=0) that the equivalent n_tok >= 1 filter below drops.
+    d = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"), t.alias("__t")
     )
     n = F.size("__t")
     mod = 1 << mask_bits
@@ -1219,6 +1225,13 @@ def content_defined_chunks(
             F.concat_ws(" ", F.slice("__t", F.col("__r.s"), length))
         ).alias("chunk_hash"),
     )
+    # only a zero-token doc produces an empty range; non-empty docs'
+    # chunks all hold >= 1 token, so this reproduces the old
+    # size(__t) >= 1 pre-filter without a pushdown surface
+    rows = rows.filter(F.col("n_tok") >= 1)
+    # `rows` (tokenize + boundary HOF + explode + chunk md5) feeds the
+    # share counts AND the join-back — persist so it builds once.
+    rows = rows.persist()
     shared = rows.groupBy("chunk_hash").agg(
         F.count_distinct("id").alias("n_docs")
     )

@@ -420,12 +420,21 @@ def _bigram_lm(
         F.col("__bg.w2").alias("__w2"),
     ).persist()
     c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
-    c1 = bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
-    lm = c2.join(c1, "__w1").select(
+    # c1 (the w1 marginal) is the exact per-__w1 SUM of c2 — derive it
+    # with a window over the DISTINCT-bigram table instead of a second
+    # full pass over the corpus bigram stream plus a join: one shuffle
+    # of c2 on __w1 replaces (bi re-aggregate + c2⋈c1 join).  Identical
+    # integers — count per w1 = Σ_w2 count(w1, w2).
+    from pyspark.sql import Window
+
+    w1sum = Window.partitionBy("__w1")
+    lm = c2.select(
         "__w1",
         "__w2",
         "__c2",
-        F.floor(F.lit(1e6) * F.col("__c2") / F.col("__c1")).alias("__micro"),
+        F.floor(
+            F.lit(1e6) * F.col("__c2") / F.sum("__c2").over(w1sum)
+        ).alias("__micro"),
     )
     return bi, lm
 
