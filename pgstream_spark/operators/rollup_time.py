@@ -58,6 +58,13 @@ def time_rollup(
             F.max(value_col).alias("max_value"),
         )
     )
+    # Each tier feeds BOTH the union output and the next-coarser
+    # aggregation, and the branches share no exchange (plan-verified:
+    # 6 scans for 3 tiers, 0 ReusedExchange) — so without persists the
+    # "read the raw table once" contract silently became one scan per
+    # union branch.  Persist every tier (bucket-sized rows; lazy — the
+    # union materializes them in order).
+    tier = tier.persist()
     tiers = [tier.withColumn("resolution", F.lit(finest))]
 
     for res in ordered[1:]:
@@ -73,6 +80,7 @@ def time_rollup(
                 F.max("max_value").alias("max_value"),
             )
         )
+        tier = tier.persist()
         tiers.append(tier.withColumn("resolution", F.lit(res)))
 
     out = tiers[0]

@@ -65,9 +65,14 @@ def brute_force_top_k(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
+    # Spread the corpus before the cosine stage: a single-row-group
+    # input otherwise pins every query×corpus cosine to 1-2 scan tasks
+    # (the dedup `_spread` lesson); on a many-file table this is one
+    # exchange of compact (id, vector) rows.
+    nparts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
-    )
+    ).repartition(nparts, F.col("neighbor_id"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
