@@ -20,6 +20,32 @@ from pyspark.sql import functions as F
 
 __all__ = ["time_rollup", "gapfill_locf", "merge_rollups", "incremental_rollup"]
 
+# Cost-based reuse threshold: a multi-consumer aggregate tier is worth
+# persisting only when recomputing it (one extra RAW-INPUT scan per
+# consumer) costs more than the cache round-trip.  At bench scale the
+# cache jobs dominate (measured on t9: no-persist 0.87 s vs persist
+# 1.52 s over a 2 MB input); at warehouse scale the saved scans
+# dominate.  Same 256 MiB knee as dedup's transport="auto" gate.
+_PERSIST_MIN_BYTES = 256 << 20
+
+
+def _persist_if_large(
+    tier: DataFrame, src: DataFrame, min_bytes: int = _PERSIST_MIN_BYTES
+) -> DataFrame:
+    """Persist ``tier`` iff the raw input ``src`` is large.  Size comes
+    from Catalyst's optimized-plan stats (file bytes for a parquet scan,
+    propagated through projections — NO job runs; the dedup
+    ``transport="auto"`` estimator).  Missing stats (the LogicalRDD
+    Long.MaxValue sentinel) count as large — the conservative choice,
+    since only re-scans are at stake, never results."""
+    _NO_STATS = 1 << 60
+    est = int(
+        str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if est >= min_bytes or est >= _NO_STATS:
+        return tier.persist()
+    return tier
+
 _RES_SECONDS = {
     "minute": 60,
     "hour": 3600,
@@ -58,13 +84,16 @@ def time_rollup(
             F.max(value_col).alias("max_value"),
         )
     )
-    # Each tier feeds BOTH the union output and the next-coarser
+    # The finest tier feeds BOTH the union output and the next-coarser
     # aggregation, and the branches share no exchange (plan-verified:
-    # 6 scans for 3 tiers, 0 ReusedExchange) — so without persists the
+    # 6 scans for 3 tiers, 0 ReusedExchange) — without reuse the
     # "read the raw table once" contract silently became one scan per
-    # union branch.  Persist every tier (bucket-sized rows; lazy — the
-    # union materializes them in order).
-    tier = tier.persist()
+    # union branch.  ONLY the finest tier is a candidate (it is the
+    # sole raw-sized aggregation; coarser tiers re-aggregate bucket
+    # rows), and the persist is COST-BASED: below the knee the cache
+    # jobs cost more than the saved 2 MB scans (A/B: 0.87 s vs 1.52 s
+    # at sf0.1), above it each saved scan is corpus-sized.
+    tier = _persist_if_large(tier, df)
     tiers = [tier.withColumn("resolution", F.lit(finest))]
 
     for res in ordered[1:]:
@@ -80,7 +109,6 @@ def time_rollup(
                 F.max("max_value").alias("max_value"),
             )
         )
-        tier = tier.persist()
         tiers.append(tier.withColumn("resolution", F.lit(res)))
 
     out = tiers[0]
@@ -135,11 +163,11 @@ def gapfill_locf(
         )
     )
     # `agg` feeds the spine bounds AND the join-back, and the two
-    # branches do NOT share an exchange (plan-verified) — without a
-    # persist the raw-event aggregation scans the input twice.  The
-    # persisted tier is one row per (key, bucket): tiny at any scale;
-    # lazy, so the first consumer populates it inside its own job.
-    agg = agg.persist()
+    # branches do NOT share an exchange (plan-verified) — without reuse
+    # the raw-event aggregation scans the input twice.  Cost-based, as
+    # in time_rollup: persist only when the raw input outweighs the
+    # cache round-trip.
+    agg = _persist_if_large(agg, df)
     spine = (
         agg.groupBy(*keys)
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
