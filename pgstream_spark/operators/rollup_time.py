@@ -30,14 +30,18 @@ _PERSIST_MIN_BYTES = 256 << 20
 
 
 def _persist_if_large(
-    tier: DataFrame, src: DataFrame, min_bytes: int = _PERSIST_MIN_BYTES
+    tier: DataFrame, src: DataFrame, min_bytes: int | None = None
 ) -> DataFrame:
     """Persist ``tier`` iff the raw input ``src`` is large.  Size comes
     from Catalyst's optimized-plan stats (file bytes for a parquet scan,
     propagated through projections — NO job runs; the dedup
     ``transport="auto"`` estimator).  Missing stats (the LogicalRDD
     Long.MaxValue sentinel) count as large — the conservative choice,
-    since only re-scans are at stake, never results."""
+    since only re-scans are at stake, never results.  The threshold is
+    read at CALL time (module constant, test/deploy-overridable), not
+    bound as a default arg."""
+    if min_bytes is None:
+        min_bytes = _PERSIST_MIN_BYTES
     _NO_STATS = 1 << 60
     est = int(
         str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
