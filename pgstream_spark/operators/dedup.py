@@ -1608,6 +1608,13 @@ def prefix_filter_candidates(
             )
         ).alias("__pos", "__sh"),  # 0-based position in the rarity order
     )
+    # Eager persist: `pre` feeds BOTH self-join sides and the aliased
+    # branches share no exchange (plan-verified: the collect_list +
+    # sort_array per-doc build appeared twice, each re-joining sh⋈freq)
+    # — persist computes the prefix set once.  Rows are the compact
+    # (id, sz, pos, token) prefix tuples, ~t-fraction of the shingles.
+    pre = pre.persist()
+    pre.count()
     cand = (
         pre.alias("a")
         .join(pre.alias("b"), "__sh")
