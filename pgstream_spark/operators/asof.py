@@ -62,15 +62,24 @@ def _auto_skew_plan(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    tot = per_key.agg(
-        F.sum("__n").alias("t"), F.max("__n").alias("m")
-    ).collect()[0]
-    if not tot["t"]:
-        return None
-    fair = max(1, tot["t"] // sp)
-    if tot["m"] <= 4 * fair:
-        return None
-    hot = per_key.filter(F.col("__n") > 4 * fair).select(*keys).collect()
+    # The detection runs up to TWO actions over per_key (totals, then
+    # the hot-key list) — persist across them so the second never
+    # re-scans both inputs, and unpersist before returning (the
+    # drop_saturated_buckets across-actions-only discipline).  per_key
+    # is one compact row per distinct key.
+    per_key = per_key.persist()
+    try:
+        tot = per_key.agg(
+            F.sum("__n").alias("t"), F.max("__n").alias("m")
+        ).collect()[0]
+        if not tot["t"]:
+            return None
+        fair = max(1, tot["t"] // sp)
+        if tot["m"] <= 4 * fair:
+            return None
+        hot = per_key.filter(F.col("__n") > 4 * fair).select(*keys).collect()
+    finally:
+        per_key.unpersist()
     buckets = int(min(sp, -(-tot["m"] // fair)))
     return hot, max(2, buckets)
 
