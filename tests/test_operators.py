@@ -699,15 +699,19 @@ class TestAsofSalting:
         txt = explain_string(salted, "simple")
         assert "__salt" in txt  # the window exchange carries the salt
 
-    def test_auto_salt_engages_on_skew_and_matches_unsalted(self, spark):
+    def test_auto_salt_engages_on_skew_and_matches_unsalted(self, spark, monkeypatch):
         # salt_buckets="auto" (the default): the hot key must be detected
         # with no manual knob, routed through the salted plan, and the
-        # result must be bit-identical to the unsalted join.
+        # result must be bit-identical to the unsalted join.  The size
+        # gate is forced OPEN (knee=0) so the detection logic itself is
+        # what's under test; the knee's own behavior has its own test.
         import datetime as dt
 
-        from pgstream_spark.operators import asof_join
+        from pgstream_spark.operators import asof, asof_join
         from pgstream_spark.operators.asof import _auto_skew_plan
         from pgstream_spark.plans.explain import explain_string
+
+        monkeypatch.setattr(asof, "_AUTO_MIN_BYTES", 0)
 
         base = dt.datetime(2024, 1, 1)
         left = [
@@ -757,6 +761,62 @@ class TestAsofSalting:
         auto = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
         assert "__salt" not in explain_string(auto, "simple")
         assert auto.count() == 2000
+
+    def test_auto_salt_size_gate_skips_detection_below_knee(
+        self, spark, monkeypatch
+    ):
+        # The "auto" cost gate (VERDICT r11 items 1/3): below
+        # _AUTO_MIN_BYTES of combined input, asof_join must not run the
+        # per-key detection pass AT ALL — even over input that WOULD
+        # qualify as skewed — because the detection scan costs more than
+        # the worst-case single-task sort it could save.  Results are
+        # unaffected (salted == unsalted by construction).
+        import datetime as dt
+
+        from pgstream_spark.operators import asof, asof_join
+        from pgstream_spark.plans.explain import explain_string
+
+        def _boom(*a, **k):
+            raise AssertionError("detection ran below the size knee")
+
+        monkeypatch.setattr(asof, "_auto_skew_plan", _boom)
+
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (0 if i % 10 else i, base + dt.timedelta(seconds=i), i)
+            for i in range(2000)
+        ]  # key 0 holds 90% of rows — skewed, but tiny
+        right = [
+            (k, base + dt.timedelta(seconds=500), float(k))
+            for k in {r[0] for r in left}
+        ]
+        # parquet-backed inputs: Catalyst stats are real file bytes (a
+        # createDataFrame LocalRelation/LogicalRDD may carry the
+        # missing-stats sentinel, which deliberately counts as LARGE)
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="asof_knee_")
+        spark.createDataFrame(
+            left, "k long, ts timestamp_ntz, seq long"
+        ).write.mode("overwrite").parquet(f"{tmp}/l")
+        spark.createDataFrame(
+            right, "k long, r_ts timestamp_ntz, px double"
+        ).write.mode("overwrite").parquet(f"{tmp}/r")
+        ldf = spark.read.parquet(f"{tmp}/l")
+        rdf = spark.read.parquet(f"{tmp}/r")
+        assert (
+            asof._est_bytes(ldf) + asof._est_bytes(rdf) < asof._AUTO_MIN_BYTES
+        )
+
+        auto = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
+        assert "__salt" not in explain_string(auto, "simple")
+        assert auto.count() == 2000
+        # and the gate opens when the knee is lowered: detection runs
+        monkeypatch.setattr(asof, "_AUTO_MIN_BYTES", 0)
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="below the size knee"):
+            asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="r_ts")
 
 
 class TestMultimodalRealDecode:
