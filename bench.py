@@ -256,9 +256,18 @@ def main() -> None:
     # agree on the round number or the two trends drift apart).
     if not only:
         import glob as _glob
+        import re as _re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        this_round = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+        # round = max driver-record round + 1.  A plain file count breaks
+        # as soon as the driver writes auxiliary records (BENCH_r11_c8.json
+        # made the count 12 and mislabeled round 12 as 13).
+        _rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)", os.path.basename(p)))
+        ]
+        this_round = (max(_rounds) if _rounds else 0) + 1
         prev_rec: dict = {}
         try:
             with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:

@@ -38,6 +38,27 @@ from pgstream_spark.querybuilder import format_query
 from pgstream_spark.schema import assert_non_null, assert_schema
 from pgstream_spark.sources.parquet import register_views
 
+# Optimizer rules the engine excludes session-wide (rationale at the
+# connect() config site); user extra_conf lists are merged with this.
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _merge_excluded_rules(user_rules: str | None) -> str:
+    """Merge a user-supplied ``spark.sql.optimizer.excludedRules`` list
+    with the engine's, deduplicated, engine rules first.  An explicit
+    empty string opts out of the engine exclusions entirely (the
+    stored-array-explode escape hatch, ADVICE r11)."""
+    if user_rules is not None and user_rules.strip() == "":
+        return ""
+    merged = [
+        r.strip()
+        for r in (_EXCLUDED_RULES + "," + (user_rules or "")).split(",")
+        if r.strip()
+    ]
+    return ",".join(dict.fromkeys(merged))
+
 __all__ = ["Engine", "connect"]
 
 # Spark error classes that correspond to the reference's ConversionError
@@ -262,19 +283,32 @@ def connect(
         # (it already emits nothing for null/empty arrays), so results
         # are identical with the rule off — and the win grows with
         # corpus size (measured: l11 9.7 s -> 2.2 s at sf0.1).
-        # Scale-independent, so not parameterised; override via
-        # extra_conf if a stored-array explode ever wants the pushdown.
-        .config(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-        )
+        # Scale-independent, so not parameterised.  Tradeoff (ADVICE
+        # r11): for a STORED-array explode the inferred filters could
+        # enable scan pruning — a caller who wants them back passes
+        # spark.sql.optimizer.excludedRules="" (or their own list) in
+        # extra_conf; user lists are MERGED with this rule below, never
+        # silently clobbered in either direction.
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
         # ANSI stays at Spark's default (true in 4.x): closest to the
         # Postgres semantics the reference delegated to — overflow and bad
         # casts error instead of silently wrapping/nulling.
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    for k, v in (extra_conf or {}).items():
+    extra = dict(extra_conf or {})
+    # ADVICE r11 (engine.py:268): a user-supplied excludedRules list used
+    # to replace the engine's (or vice versa, by dict order).  Merge the
+    # two, deduplicated, preserving engine-rule-first order.  An explicit
+    # EMPTY string opts out of the engine exclusion entirely.
+    if "spark.sql.optimizer.excludedRules" in extra:
+        builder = builder.config(
+            "spark.sql.optimizer.excludedRules",
+            _merge_excluded_rules(
+                extra.pop("spark.sql.optimizer.excludedRules")
+            ),
+        )
+    for k, v in extra.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if sf_dir:

@@ -6366,14 +6366,31 @@ def l49(spark, sf_dir):
     from pgstream_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Edge build r12: per-order pair EXPANSION instead of the lineitem
+    # self-join — one exchange of the raw rows (partial-agg collect_set
+    # by order) + a map-side combination explode, vs shuffling lineitem
+    # onto both join sides at scale (broadcast only saved it locally).
+    # Orders hold ≤7 lineitems (TPC-H), so the per-group fan-out is
+    # bounded at C(7,2).  Result-identical: same distinct a<b pair set
+    # (collect_set dedups within an order exactly like the join's a<b
+    # filter + distinct; equi-join drops NULL orderkeys, so filter them).
+    # element_at is 1-based; array_sort makes every emitted pair a<b.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(__ps) - 1), "
+        "i -> transform(slice(__ps, i + 1, size(__ps) - i), "
+        "x -> struct(element_at(__ps, i) AS a, x AS b))))"
+    )
     edges = (
-        li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
         .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+            F.explode(F.when(F.size("__ps") >= 2, pair_expr)).alias("__e")
         )
-        .distinct()
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+        # no .distinct() here: triangle_count dedups its input as its
+        # first step — the r11 spelling paid two back-to-back
+        # exchange+agg passes over the full pair stream for nothing
     )
     return triangle_count(edges)
 

@@ -88,6 +88,20 @@ def pagerank_integer(
     return ranked
 
 
+# Broadcast knee for triangle_count's degree/adjacency attaches: below
+# this Catalyst-estimated size of the (cached) edge set, the degree
+# table and the out-neighbor adjacency (both O(m) or smaller) broadcast
+# safely and every attach is map-side over the edge cache — measured
+# r12 at sf0.1 (1.2M edges, 36.5 MiB): the two SMJ exchange+sort pairs
+# per attach dominated the query.  Above the knee the r11 shape is
+# kept: persist+materialize `oriented`, sort-merge the attaches —
+# broadcasting an O(m) adjacency at 100 TB is impossible (8 GB cap).
+# Missing stats count as LARGE (the safe, shuffle-based side).  Same
+# 256 MiB constant as the dedup transport / rollup persist / asof
+# detection knees.
+_TRI_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact triangle count by degree-ordered orientation + per-edge
     adjacency intersection (compact-forward / edge-iterator).
@@ -113,18 +127,38 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """
     # The distinct edge set feeds three plan branches (degree count, the
     # two ed orientation joins); upstream `edges` is typically an
-    # expensive generator (l49: a lineitem self-join + distinct).
+    # expensive generator (l49: per-order pair expansion + distinct).
     # Persist + eager materialization so it computes exactly once: lazy
     # persist alone still duplicates work when Spark launches a join's
     # two map stages concurrently (both sides racing to fill the cache).
     e = edges.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
     e = e.persist()
     e.count()
+    # Broadcast regime (r12): after the count the cache carries REAL
+    # stats; below the knee every attach becomes a map-side
+    # BroadcastHashJoin over the edge cache — the r11 plan paid two
+    # exchange+sort pairs per attach (4 shuffles of the full edge set)
+    # plus a second persist+count materialization, all job overhead at
+    # this size.  Results are identical in both regimes (same joins,
+    # same keys — only the physical strategy and caching points move).
+    est = int(
+        str(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    small = est < _TRI_BROADCAST_MAX_BYTES
     deg = (
         e.select(F.explode(F.array("x", "y")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
+    if small:
+        # deg feeds FOUR broadcast builds across the remaining jobs (two
+        # attaches × oriented evaluated in both the adj job and the
+        # final job); persist+materialize so each build scans |V| cached
+        # rows instead of re-aggregating the edge cache (measured r12:
+        # each rebuild was a full e-cache explode+agg pass).
+        deg = deg.persist()
+        deg.count()
+        deg = F.broadcast(deg)
     key = lambda dcol, ncol: F.struct(F.col(dcol).alias("d"), F.col(ncol).alias("n"))  # noqa: E731
     ed = (
         e.join(deg.select(F.col("n").alias("x"), F.col("d").alias("__dx")), "x")
@@ -137,16 +171,30 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(F.col("__kx") < F.col("__ky"), F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(F.col("__kx") < F.col("__ky"), F.col("y")).otherwise(F.col("x")).alias("dst"),
     )
-    # `oriented` feeds three branches (adjacency build + both sides of
-    # the edge⋈adjacency attach); materialize it once, then the edge
-    # cache can go — the returned plan references only `oriented`.
-    oriented = oriented.persist()
-    oriented.count()
-    e.unpersist()
+    if not small:
+        # Large regime (the r11 shape): `oriented` feeds three branches
+        # (adjacency build + both sides of the edge⋈adjacency attach);
+        # materialize it once, then the edge cache can go — the
+        # returned plan references only `oriented`.
+        oriented = oriented.persist()
+        oriented.count()
+        e.unpersist()
     # N⁺ arrays (order irrelevant — intersection is a set operation).
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("__nbrs"))
+    if small:
+        # adj feeds two broadcast builds; persist+materialize so the
+        # exchange+collect_list runs once (a broadcast build per side
+        # would otherwise race to fill a lazy cache and compute twice).
+        # `oriented` itself stays UNmaterialized — it is a map-side
+        # derivation over the edge cache (broadcast deg attaches), so
+        # re-evaluating it per consumer is one in-memory scan, cheaper
+        # than a third persist+count job.
+        adj = adj.persist()
+        adj.count()
     au = adj.select(F.col("src"), F.col("__nbrs").alias("__nu"))
     av = adj.select(F.col("src").alias("dst"), F.col("__nbrs").alias("__nv"))
+    if small:
+        au, av = F.broadcast(au), F.broadcast(av)
     # Inner joins are exact: (u,v) ∈ oriented ⇒ u has out-edges, and a
     # v with no out-edges has N⁺(v) = ∅ ⇒ contributes 0 triangles.
     return (

@@ -86,21 +86,50 @@ def gram_upper(
     )
 
     def _partial(batches):
+        import pyarrow.compute as pc
+
         acc = None
         d = None
+        bound = 0  # running Σ n·m² over accumulated batches
         for b in batches:
             col = b.column(0)
             n = len(col)
             if n == 0:
                 continue
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            if n * (len(flat) // n) != len(flat):
-                raise ValueError("gram_upper: ragged embedding lengths")
-            X = flat.reshape(n, -1).astype(np.int64, copy=False)
+            # ADVICE r11 (linalg.py:98): validate PER-ROW lengths from
+            # the Arrow offsets, not aggregate divisibility — mixed dims
+            # whose total divides evenly (63+65 over 2 rows) reshaped
+            # misaligned and summed silently wrong; null slots aliased
+            # into a passing check.  list_value_length is O(n) on the
+            # offsets buffer, no data pass.
+            if col.null_count:
+                raise ValueError("gram_upper: null embedding rows")
+            lens = pc.unique(pc.list_value_length(col)).to_pylist()
+            if len(lens) != 1:
+                raise ValueError(
+                    f"gram_upper: ragged embedding lengths {sorted(lens)[:8]}"
+                )
             if d is None:
-                d = X.shape[1]
-            elif X.shape[1] != d:
+                d = lens[0]
+            elif lens[0] != d:
                 raise ValueError("gram_upper: inconsistent embedding dims")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, d).astype(np.int64, copy=False)
+            # ADVICE r11 (linalg.py:104): the int64 matmul wraps silently
+            # on overflow where the old ANSI bigint sum raised.  Each
+            # partial cell is ≤ Σ n·m² (m = max |x| this batch); raise
+            # before the matmul when the accumulated bound could exceed
+            # int64.  At scale=10⁶ and unit-norm embeddings m ≈ 10⁶, so
+            # the guard admits ~9·10⁶ rows per TASK (tasks are ~128 MB
+            # splits ≪ that) and costs one vectorized abs().max() pass.
+            m = int(np.abs(X).max(initial=0))
+            bound += n * m * m
+            if bound > (1 << 63) - 1:
+                raise ValueError(
+                    "gram_upper: int64 overflow risk — per-task partial "
+                    f"bound {bound} exceeds 2^63-1; lower `scale` or "
+                    "split input into more partitions"
+                )
             g = X.T @ X
             acc = g if acc is None else acc + g
         if acc is None:

@@ -36,6 +36,14 @@ __all__ = [
     "zipf_fit",
 ]
 
+# Cost gate for _bigram_lm's shared-stream persist (VERDICT r11 item 8):
+# persist the exploded bigram stream only while the INPUT is below this
+# Catalyst-estimated size — above it the stream (a multiple of input
+# bytes) would thrash the LRU cache and the map-only recompute from the
+# already-split scan is the cheaper second pass.  Module constant so
+# tests/deployments can override; read at call time.
+_BIGRAM_PERSIST_MAX_BYTES = 16 << 30
+
 # Tiny public-knowledge stopword lexicons (top function words per language).
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -388,12 +396,24 @@ def _bigram_lm(
     tokenization or quantization fix can never silently diverge the
     two operators' pinned oracles.
 
-    The bigram stream feeds THREE consumers (both LM count aggregates
-    and the scoring join), so it is spread across all cores before the
+    The bigram stream feeds TWO consumers (the c2 aggregate and the
+    scoring join), so it is spread across all cores before the
     tokenize-heavy explode (a single-row-group input otherwise pins it
     to one task) and persisted so the explode computes once — the
     `minhash_signatures` lesson, measured again here (l96b 4.5 s →
-    ~1 s at sf0.1)."""
+    ~1 s at sf0.1).
+
+    The persist is COST-GATED on input size (VERDICT r11 item 8): below
+    ``_BIGRAM_PERSIST_MAX_BYTES`` of Catalyst-estimated input the cache
+    trivially fits and saves a full tokenize pass per extra consumer;
+    at corpus scale the exploded bigram stream is a multiple of the
+    input size, would mostly evict/spill under LRU (cache thrash), and
+    recomputing the map-only explode from the already-split scan is the
+    cheaper second pass (guide §5: cache only when recompute costs more
+    than the memory pressure).  Missing stats count as SMALL here —
+    computed lineage without stats is gate-scale in this codebase, and
+    the failure mode is only an oversized cache that LRU evicts, never
+    a wrong result."""
     n = F.col("__n")
     nparts = df.sparkSession.sparkContext.defaultParallelism
     # NO ``filter(n >= 2)``: predicate pushdown substitutes the alias
@@ -418,7 +438,13 @@ def _bigram_lm(
         *carry_cols,
         F.col("__bg.w1").alias("__w1"),
         F.col("__bg.w2").alias("__w2"),
-    ).persist()
+    )
+    _NO_STATS = 1 << 60
+    est = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if est < _BIGRAM_PERSIST_MAX_BYTES or est >= _NO_STATS:
+        bi = bi.persist()
     c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
     # c1 (the w1 marginal) is the exact per-__w1 SUM of c2 — derive it
     # with a window over the DISTINCT-bigram table instead of a second

@@ -82,6 +82,50 @@ def _canon_gid_lines(txt: str) -> str:
     return "\n".join(out)
 
 
+def _canon_numpartitions(txt: str) -> str:
+    """Neutralize partition COUNTS inside partitioning specs (VERDICT
+    r11 item 9): ``spark.sql.shuffle.partitions`` tracks
+    ``$SPARK_GRAFT_CPUS`` and ``_spread`` uses ``defaultParallelism``,
+    so every ``hashpartitioning(k#, 32)`` becomes ``(k#, 16)`` when the
+    driver re-benches at a lower core count — all 17 digest "changes"
+    in the r11 c8 run were exactly this.  The count is environment, not
+    plan shape; the KEY LIST still digests, so a real partitioning
+    change flips the digest.  Key lists can nest parens
+    (``coalesce(a#, b#)``), so the trailing count is located by
+    balanced-paren scan, not regex.
+    """
+    out = []
+    for line in txt.split("\n"):
+        for tok in ("hashpartitioning(", "rangepartitioning("):
+            pos = 0
+            while True:
+                i = line.find(tok, pos)
+                if i < 0:
+                    break
+                j = i + len(tok)
+                depth = 1
+                while j < len(line) and depth:
+                    if line[j] == "(":
+                        depth += 1
+                    elif line[j] == ")":
+                        depth -= 1
+                    j += 1
+                inner = line[i + len(tok) : j - 1]
+                canon = re.sub(r",\s*\d+$", ", _", inner)
+                line = line[: i + len(tok)] + canon + line[j - 1 :]
+                pos = i + len(tok) + len(canon) + 1
+        line = re.sub(
+            r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning(_)", line
+        )
+        # logical-plan spellings of the same count
+        line = re.sub(
+            r"(RepartitionByExpression \[[^\n]*\]), \d+$", r"\1, _", line
+        )
+        line = re.sub(r"\bRepartition \d+,", "Repartition _,", line)
+        out.append(line)
+    return "\n".join(out)
+
+
 def normalized_plan(df: DataFrame) -> str:
     """The digest's preimage, exposed for diffing two trees by eye."""
     qe = df._jdf.queryExecution()
@@ -95,7 +139,7 @@ def normalized_plan(df: DataFrame) -> str:
     txt = re.sub(r"\blambda (\w+?)_\d+#", r"lambda \1_#", txt)
     txt = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", txt)
     txt = re.sub(r"\[id=#?\d+\]", "[id=]", txt)
-    return _canon_gid_lines(txt)
+    return _canon_gid_lines(_canon_numpartitions(txt))
 
 
 def plan_digest(df: DataFrame) -> str:

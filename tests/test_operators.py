@@ -1681,6 +1681,35 @@ class TestBigramLmScore:
         )
         assert [r.doc_id for r in bigram_lm_scores(docs).collect()] == [2]
 
+    def test_bigram_persist_knee(self, spark, sf_dir, monkeypatch):
+        # VERDICT r11 item 8: the shared bigram-stream persist is
+        # cost-gated on INPUT size — persisted below the knee (recompute
+        # is a tokenize pass), skipped above it (a corpus-sized exploded
+        # stream thrashes the LRU cache at 100 TB).  Results identical
+        # on both sides.  A parquet scan carries real Catalyst stats;
+        # patching the knee to 0 forces the no-persist branch.
+        import pgstream_spark.operators.textstats as ts
+        from pgstream_spark.operators.textstats import bigram_lm_scores
+
+        spark.catalog.clearCache()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        with monkeypatch.context() as m:
+            m.setattr(ts, "_BIGRAM_PERSIST_MAX_BYTES", 0)
+            out_large = bigram_lm_scores(docs)
+            assert (
+                "InMemoryRelation"
+                not in out_large._jdf.queryExecution().optimizedPlan().toString()
+            )
+            rows_large = sorted(map(tuple, out_large.collect()))
+        # default knee (16 GiB) ≫ the sf fixture → persisted
+        out_small = bigram_lm_scores(docs)
+        assert (
+            "InMemoryRelation"
+            in out_small._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert sorted(map(tuple, out_small.collect())) == rows_large
+        spark.catalog.clearCache()
+
 
 class TestIncrementalDedup:
     def test_history_and_batch_dups_removed(self, spark):
@@ -3925,6 +3954,34 @@ class TestLinalg:
             for (i, j), v in got.items():
                 assert v == expected[i, j], (i, j)
 
+    def test_gram_rejects_ragged_and_null_rows(self, spark):
+        # ADVICE r11: per-row length validation from the Arrow offsets.
+        # Two rows of dims 63+65 flatten to 128 values — divisible by 2,
+        # so the old aggregate-divisibility check passed and the reshape
+        # silently misaligned.  Must now raise.
+        import pytest
+
+        from pgstream_spark.operators.linalg import gram_upper
+
+        # 32+32 rows: gram_upper round-robins over defaultParallelism
+        # (32) partitions, dealing one row of EACH length to every task,
+        # so the per-batch guard fires deterministically (with 2 rows
+        # the two lengths could land in different tasks and each batch
+        # would be internally consistent).
+        ragged = spark.createDataFrame(
+            [(i, [1.0] * 63) for i in range(32)]
+            + [(32 + i, [1.0] * 65) for i in range(32)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(Exception, match="ragged|inconsistent"):
+            gram_upper(ragged.coalesce(1)).collect()
+        nulled = spark.createDataFrame(
+            [(0, [1.0] * 4), (1, None)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(Exception, match="null embedding"):
+            gram_upper(nulled.coalesce(1)).collect()
+
     def test_pca_recovers_dominant_axis(self, spark):
         import numpy as np
 
@@ -4012,6 +4069,32 @@ class TestTriangleCount:
         path = [(i, i + 1) for i in range(20)]  # no triangles
         df = spark.createDataFrame(path, "a long, b long")
         assert triangle_count(df).collect()[0].n_triangles == 0
+
+    def test_broadcast_and_shuffle_regimes_agree(self, spark, monkeypatch):
+        # r12: below the knee every attach is a broadcast join over the
+        # edge cache; above it the r11 persist+SMJ shape.  Counts must
+        # be identical.  createDataFrame lineage has NO stats → counts
+        # as large, so the tests above already cover the shuffle
+        # regime; force the broadcast regime via the knee.
+        import random
+
+        import pgstream_spark.operators.graph as g
+
+        rng = random.Random(7)
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(40), 2))) for _ in range(200)}
+        )
+        df = spark.createDataFrame(edges, "a long, b long")
+        spark.catalog.clearCache()
+        large = g.triangle_count(df).collect()[0].n_triangles
+        spark.catalog.clearCache()
+        with monkeypatch.context() as m:
+            m.setattr(g, "_TRI_BROADCAST_MAX_BYTES", 1 << 70)
+            small_df = g.triangle_count(df)
+            plan = small_df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in plan
+            assert small_df.collect()[0].n_triangles == large
+        spark.catalog.clearCache()
 
 
 class TestSparseCosine:

@@ -1521,3 +1521,43 @@ def test_plan_digest_stable_across_construction_order(spark, sf_dir):
     # optimized away on a 1-row aggregate; project a new column instead)
     li = QUERIES["g3_count_distinct"](spark, sf_dir)
     assert plan_digest(li.selectExpr("*", "n_parts + 1 AS np1")) != d0
+
+
+def test_plan_digest_canon_numpartitions():
+    # VERDICT r11 item 9: partition COUNTS track $SPARK_GRAFT_CPUS /
+    # shuffle.partitions — environment, not plan shape.  The digest must
+    # neutralize them (all 17 "changes" in the driver's c8 run were
+    # hashpartitioning(..., 32) vs (..., 8)) while keeping the key list,
+    # including nested-paren keys, so a real partitioning change flips.
+    from pgstream_spark.plans.digest import _canon_numpartitions
+
+    a = "Exchange hashpartitioning(coalesce(a#, b#), doc_id#L, 32), X"
+    b = "Exchange hashpartitioning(coalesce(a#, b#), doc_id#L, 8), X"
+    assert _canon_numpartitions(a) == _canon_numpartitions(b)
+    # different KEYS must stay different
+    c = "Exchange hashpartitioning(coalesce(a#, c#), doc_id#L, 32), X"
+    assert _canon_numpartitions(c) != _canon_numpartitions(a)
+    # other numeric literals on the line are untouched
+    d = "Project [slice(arr#, 1, 3) AS s#]"
+    assert _canon_numpartitions(d) == d
+    assert (
+        _canon_numpartitions("Exchange RoundRobinPartitioning(32), Y")
+        == _canon_numpartitions("Exchange RoundRobinPartitioning(8), Y")
+    )
+    assert (
+        _canon_numpartitions("+- RepartitionByExpression [id#L], 32")
+        == _canon_numpartitions("+- RepartitionByExpression [id#L], 8")
+    )
+
+
+def test_engine_merges_excluded_rules():
+    # ADVICE r11 (engine.py:268): user extra_conf excludedRules must
+    # MERGE with the engine's, not clobber; empty string opts out.
+    from pgstream_spark.engine import _EXCLUDED_RULES, _merge_excluded_rules
+
+    assert _merge_excluded_rules(None) == _EXCLUDED_RULES
+    got = _merge_excluded_rules("org.example.MyRule")
+    assert got.split(",") == [_EXCLUDED_RULES, "org.example.MyRule"]
+    # duplicates collapse, engine rule stays first
+    assert _merge_excluded_rules(_EXCLUDED_RULES) == _EXCLUDED_RULES
+    assert _merge_excluded_rules("") == ""
