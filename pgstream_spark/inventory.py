@@ -7729,6 +7729,7 @@ def s6_stream(spark, sf_dir):
         sys.path.insert(0, repo)
     from tests.pg_stub import PgStubServer
 
+    from pgstream_spark.sources.pgwire import ConnSettings, PgWireClient
     from pgstream_spark.sources.pgwire_datasource import PgWireDataSource
 
     try:
@@ -7744,6 +7745,15 @@ def s6_stream(spark, sf_dir):
     with PgStubServer(db) as srv:
         stream = (
             spark.readStream.format("pgwire")
+            # Static schema (r12, guide §4 boundary): the inferred
+            # schema is a LIMIT-0 wire probe run in a fresh Python
+            # worker (~1.5 s measured); the gate's columns are fixed by
+            # its oracle SQL, and the v3 TEXT DECODE still runs on
+            # every delivered row (the wire client types values from
+            # RowDescription OIDs, not from this string), so the wire
+            # contract loses nothing.  Must spell exactly what
+            # inference produced: int4→int, text→string.
+            .schema("n_nationkey int, n_name string, n_regionkey int")
             .option("host", "127.0.0.1")
             .option("port", srv.port)
             .option("dbname", "stub")
@@ -7762,12 +7772,39 @@ def s6_stream(spark, sf_dir):
             .load()
         )
         schema = stream.schema
-        ck = tempfile.mkdtemp(prefix="pgwire_gate_ck_")
+        # Offset/commit logs on tmpfs when available: the WAL commit of
+        # one tiny offset file measured 0.7 s on the disk-backed /tmp
+        # (fsync), ~0 on /dev/shm.  Checkpoint durability across host
+        # reboots is irrelevant for a gate-scoped temp checkpoint.
+        ck_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        ck = tempfile.mkdtemp(prefix="pgwire_gate_ck_", dir=ck_base)
+
+        settings = ConnSettings(
+            host="127.0.0.1", port=srv.port, dbname="stub", user="gate"
+        )
+
+        def remaining(consumed) -> int:
+            """Rows past the consumed high-water mark, asked over the
+            SAME wire path (one simple_query round-trip, ~ms).  This
+            replaces the old quiescence rule "run availableNow again
+            and see if it adds nothing": that confirm run cost a full
+            streaming-query start (measured 1.7-2.3 s) to learn a
+            one-int fact.  Identical result set: the loop still drains
+            until the table has nothing past the last delivered row."""
+            sql = "SELECT count(*) AS c FROM nation"
+            if consumed is not None:
+                sql += f" WHERE n_nationkey > {int(consumed)}"
+            with PgWireClient(settings) as c:
+                _, out = c.simple_query(sql)
+            return int(out[0][0])
+
         # availableNow consumes one read() prefetch per run; loop on a
         # shared checkpoint (exactly-once offsets make re-runs safe)
-        # until a run adds nothing — quiescence == the full table.
+        # until the wire says nothing remains past the delivered rows.
         for _ in range(20):
-            before = len(rows)
+            consumed = max((r.n_nationkey for r in rows), default=None)
+            if remaining(consumed) == 0:
+                break
             qy = (
                 stream.writeStream.foreachBatch(
                     lambda b, _id: rows.extend(b.collect())
@@ -7777,8 +7814,6 @@ def s6_stream(spark, sf_dir):
                 .start()
             )
             qy.awaitTermination(120)
-            if len(rows) == before:
-                break
     return spark.createDataFrame(rows, schema).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
