@@ -604,6 +604,7 @@ def verify_candidate_pairs(
     measure: str = "jaccard",
     transport: str = "auto",
     dict_transport_min_bytes: int = 256 << 20,
+    shingles_exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Exact verification of candidate pairs (id_a, id_b).
 
@@ -667,7 +668,26 @@ def verify_candidate_pairs(
         transport = (
             "dict" if est >= dict_transport_min_bytes else "strings"
         )
+    # ``shingles_exploded`` (r12, guide §2.4 do-not-recompute): a caller
+    # that already materialized the EXPLODED distinct-shingle table
+    # ``(__id, __sh)`` — prefix_filter_candidates persists exactly that
+    # — passes it in, and the verify arrays are REBUILT from the cache
+    # by one collect_list instead of a second full tokenize+shingle
+    # pass over the corpus.  Exact: shingles_col ends in array_distinct
+    # and every doc yields ≥1 shingle row (empty/NULL text shingles to
+    # [""]), so grouping the exploded rows reconstructs the same
+    # distinct SET per doc; array order differs, but every consumer is
+    # set-based (array_intersect size + element counts).  The cache is
+    # hash(id)-partitioned (_spread), so the collect_list needs no
+    # exchange at matching shuffle.partitions.
     if transport == "strings":
+        if shingles_exploded is not None:
+            sh = (
+                shingles_exploded.groupBy("__id")
+                .agg(F.collect_list("__sh").alias("__vsh"))
+                .withColumnRenamed("__id", "__vid")
+            )
+            return _score_pairs(candidates, sh, measure, threshold)
         # _spread BEFORE the tokenize-heavy shingle build: a single-row-
         # group input otherwise pins the (interpreted-HOF) shingling to
         # one task — measured r11 at sf0.1: 5.8 s → 0.6 s for one build,
@@ -708,12 +728,19 @@ def verify_candidate_pairs(
     from pyspark.sql import Window
 
     NB = 4096
-    sh_rows = _spread(docs, id_col).select(
-        F.col(id_col).alias("__vid"),
-        F.explode(
-            shingles_col(tokens_col(F.col(text_col)), n)
-        ).alias("__vs"),
-    )
+    if shingles_exploded is not None:
+        # same reuse as the strings branch: the exploded table IS the
+        # sh_rows shape (one (doc, distinct shingle) row), renamed
+        sh_rows = shingles_exploded.select(
+            F.col("__id").alias("__vid"), F.col("__sh").alias("__vs")
+        )
+    else:
+        sh_rows = _spread(docs, id_col).select(
+            F.col(id_col).alias("__vid"),
+            F.explode(
+                shingles_col(tokens_col(F.col(text_col)), n)
+            ).alias("__vs"),
+        )
     shingle_ids = (
         sh_rows.select("__vs")
         .distinct()
@@ -1054,7 +1081,8 @@ def embedding_neardup_lsh(
     from pgstream_spark.operators.similarity import (
         _bucket_sql,
         _hyperplanes,
-        cosine_expr,
+        dot_sql,
+        norm_sql,
     )
 
     planes = _hyperplanes(dim, m_bits, tables, seed)
@@ -1096,12 +1124,31 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .distinct()  # a pair may collide in several tables — count it once
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # Exact re-rank (r12, guide §4.1/§1.2): norms are per-VECTOR facts —
+    # compute them once per id in the attach projections (N sqrt-folds)
+    # instead of once per candidate PAIR (the old cosine_expr spelling
+    # re-folded both norms for every pair), and evaluate the remaining
+    # per-pair dot as the unrolled generated-SQL form (dot_sql) instead
+    # of an interpreted-lambda aggregate(zip_with(...)).  Every double
+    # is produced by the same left-fold order as before, so scores (and
+    # the oracle hash) are bit-identical.
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm_sql(vec_col, dim).alias("__na"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm_sql(vec_col, dim).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("__cos", cosine_expr(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "__cos",
+            dot_sql("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )
@@ -1548,10 +1595,12 @@ def prefix_filter_pairs(
     ⌈·⌉ requirement — at most one extra prefix token per document, never
     a missed pair; verification restores exactness regardless.
     """
+    cand, sh = prefix_filter_candidates(
+        docs, id_col, text_col, n, threshold, return_shingles=True
+    )
     return verify_candidate_pairs(
-        prefix_filter_candidates(docs, id_col, text_col, n, threshold),
-        docs, id_col, text_col, n=n, threshold=threshold,
-        transport=transport,
+        cand, docs, id_col, text_col, n=n, threshold=threshold,
+        transport=transport, shingles_exploded=sh,
     )
 
 
@@ -1561,7 +1610,8 @@ def prefix_filter_candidates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-) -> DataFrame:
+    return_shingles: bool = False,
+):
     """Candidate-pair generation stage of :func:`prefix_filter_pairs`
     (the PPJoin prefix + length + positional filters), exposed so other
     consumers — :func:`dedup_threshold_sweep`, cluster splitting — can
@@ -1574,6 +1624,14 @@ def prefix_filter_candidates(
     qualifying one (floor prefix bound, integer-millionths length and
     positional bounds — see the inline comments).  Pairs BELOW the
     threshold may appear; every consumer must verify exactly.
+
+    ``return_shingles=True`` additionally returns the PERSISTED
+    exploded distinct-shingle table ``(__id, __sh)`` the candidate pass
+    already built, as ``(candidates, shingles)`` — callers that verify
+    next (:func:`prefix_filter_pairs`, :func:`dedup_threshold_sweep`)
+    pass it to :func:`verify_candidate_pairs` so the corpus is
+    tokenized+shingled ONCE per query instead of once per stage
+    (r12; guide §2.4).
     """
     tm = round(threshold * 1_000_000)
     sh = _spread(docs, id_col).select(
@@ -1648,6 +1706,8 @@ def prefix_filter_candidates(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+    if return_shingles:
+        return cand, sh
     return cand
 
 
@@ -1691,12 +1751,13 @@ def dedup_threshold_sweep(
             "cuts must be > 0: prefix filtering at threshold 0 degenerates "
             "to the all-pairs join this operator exists to avoid"
         )
-    cand = prefix_filter_candidates(
-        docs, id_col, text_col, n, threshold=min(tms) / 1_000_000
+    cand, sh = prefix_filter_candidates(
+        docs, id_col, text_col, n, threshold=min(tms) / 1_000_000,
+        return_shingles=True,
     )
     stats = verify_candidate_pairs(
         cand, docs, id_col, text_col, n=n, threshold=0.0,
-        measure="stats", transport=transport,
+        measure="stats", transport=transport, shingles_exploded=sh,
     )
     spark = docs.sparkSession
     cut_rows = F.broadcast(

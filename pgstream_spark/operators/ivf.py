@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgstream_spark.operators.similarity import cosine_expr
+from pgstream_spark.operators.similarity import dot_sql, norm_sql  # noqa: F401 — used via generated-SQL helpers
 from pgstream_spark.operators.topk import top_k_per_group
 
 __all__ = [
@@ -114,6 +114,20 @@ def _darr(values) -> str:
     return "array(" + ",".join(_dlit(x) for x in values) + ")"
 
 
+def _dot_lit_sql(vec_col: str, values) -> str:
+    """Unrolled ``vec · literal-array`` as generated SQL (r12): the old
+    ``aggregate(zip_with(vec, array(...), (a,b)->cast(a as double)*b),
+    0.0D, (acc,v)->acc+v)`` ran an interpreted lambda fold per row and
+    allocated the zipped array; the unrolled sum parses
+    left-associative, so every intermediate double is bit-identical to
+    that fold (same products, same add order, NULL on a short vector
+    either way)."""
+    return "0.0D+" + "+".join(
+        f"cast(`{vec_col}`[{j}] as double)*{_dlit(x)}"
+        for j, x in enumerate(values)
+    )
+
+
 def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     """Index of the max-dot-product centroid, as a JVM-side expression.
 
@@ -127,6 +141,13 @@ def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
     the plan is identical after parsing — same zip_with/aggregate/
     struct/array_max tree, same fold order, bit-identical buckets).
     """
+    # NOTE (r12): an unrolled-literal spelling (_dot_lit_sql) of these
+    # dots was tried and REVERTED — n_lists × dim terms land in ONE
+    # argmax projection and the A/B regressed 2-5× (l3d 1.7→8.8 s,
+    # l36 4.6→11.8 s isolated min-of-3: janino pays seconds compiling
+    # the ~1k-literal processNext, swamping the interpreted-fold
+    # saving).  The fold stays; the unroll only pays where term counts
+    # are small per expression (per-pair cosine, the m-term ADC sum).
     structs = ",".join(
         "named_struct('score',"
         f"aggregate(zip_with(`{vec_col}`,{_darr(c)},"
@@ -206,11 +227,20 @@ def ivf_top_k(
     ranking), candidates come from the equi-join on ``bucket``, exact
     cosine ranks them.  Returns (query_id, neighbor_id, cosine, rank).
     """
+    # Per-side norms + unrolled codegen dot (r12, guide §4.1): the old
+    # per-pair cosine_expr re-folded both norms for every candidate in
+    # an interpreted-lambda aggregate; norms are per-row facts computed
+    # once here (8 extra bytes through the exchange), and the pair dot
+    # is dot_sql — same left-fold order, bit-identical scores.
+    from pgstream_spark.operators.similarity import dot_sql, norm_sql
+
+    dim = int(centroids.shape[1])
     bucketed = assign_buckets(
         _spread_corpus(
             corpus.select(
                 F.col(corpus_id).alias("neighbor_id"),
                 F.col(corpus_vec).alias("__cv"),
+                norm_sql(corpus_vec, dim).alias("__cn"),
             )
         ),
         centroids,
@@ -233,16 +263,24 @@ def ivf_top_k(
 
     q = (
         queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            norm_sql(query_vec, dim).alias("__qn"),
         )
         .withColumn("__probe", F.explode(probes))
-        .select("query_id", "__qv", F.col("__probe")["idx"].alias("bucket"))
+        .select(
+            "query_id", "__qv", "__qn",
+            F.col("__probe")["idx"].alias("bucket"),
+        )
     )
 
     cand = (
         q.join(bucketed, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            dot_sql("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     return top_k_per_group(
         cand,
@@ -349,12 +387,20 @@ def ivf_query_index(
         ],
         f"query_id {id_type}, __qv array<float>, bucket int",
     )
+    from pgstream_spark.operators.similarity import dot_sql, norm_sql
+
+    dim = int(centroids.shape[1])
     cand = (
-        F.broadcast(qdf)
-        .join(vectors, on="bucket")
+        F.broadcast(qdf.withColumn("__qn", norm_sql("__qv", dim)))
+        .join(
+            vectors.withColumn("__cn", norm_sql("embedding", dim)),
+            on="bucket",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", cosine_expr(F.col("__qv"), F.col("embedding"))
+            "cosine",
+            dot_sql("__qv", "embedding", dim)
+            / (F.col("__qn") * F.col("__cn")),
         )
     )
     return top_k_per_group(
@@ -602,15 +648,18 @@ def ivf_adc_top_k(
         f"query_id {id_type}, __qv array<double>, __lut array<double>, bucket int",
     )
 
-    code_idx = F.zip_with(
-        F.col("codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, i: i * n_codes + c + 1,
-    )
-    adc = F.aggregate(
-        F.transform(code_idx, lambda ix: F.element_at("__lut", ix.cast("int"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # ADC distance as ONE unrolled generated-SQL sum (r12, guide §4.1):
+    # the zip_with + transform + aggregate spelling ran an interpreted
+    # lambda fold per CANDIDATE — the dominant per-row cost of the code
+    # scan.  The unrolled `0.0 + lut[c0+1] + lut[n+c1+1] + …` parses
+    # left-associative, so every intermediate double matches the old
+    # fold bit for bit.
+    adc = F.expr(
+        "CAST(0.0 AS DOUBLE)+"
+        + "+".join(
+            f"element_at(`__lut`, CAST({i * n_codes} + `codes`[{i}] + 1 AS INT))"
+            for i in range(m)
+        )
     )
     cand = (
         F.broadcast(qdf)
@@ -626,11 +675,18 @@ def ivf_adc_top_k(
         rank_col="__srank",
     ).select("query_id", "__qv", "neighbor_id")
 
+    from pgstream_spark.operators.similarity import dot_sql, norm_sql
+
+    dim = int(centroids.shape[1])
     vecs = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     )
+    # shortlist×|queries| rows only — unrolled codegen cosine, same
+    # left-fold bits as cosine_expr
     rer = short.join(vecs, "neighbor_id").withColumn(
-        "cosine", cosine_expr(F.col("__qv"), F.col("__cv"))
+        "cosine",
+        dot_sql("__qv", "__cv", dim)
+        / (norm_sql("__qv", dim) * norm_sql("__cv", dim)),
     )
     return top_k_per_group(
         rer,
@@ -831,15 +887,14 @@ def ivfpq_query_index(
     codes = spark.read.parquet(path + "/codes").filter(
         F.col("bucket").isin(sorted(probe_set))
     )
-    code_idx = F.zip_with(
-        F.col("codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, i: i * n_codes + c + 1,
-    )
-    adc = F.aggregate(
-        F.transform(code_idx, lambda ix: F.element_at("__lut", ix.cast("int"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # unrolled ADC + codegen re-rank cosine — same bit contract as the
+    # ivf_adc_top_k site above (left-fold order preserved)
+    adc = F.expr(
+        "CAST(0.0 AS DOUBLE)+"
+        + "+".join(
+            f"element_at(`__lut`, CAST({i * n_codes} + `codes`[{i}] + 1 AS INT))"
+            for i in range(m)
+        )
     )
     cand = (
         F.broadcast(qdf)
@@ -858,9 +913,16 @@ def ivfpq_query_index(
     vectors = spark.read.parquet(path + "/vectors").filter(
         F.col("bucket").isin(sorted(probe_set))
     )
+    from pgstream_spark.operators.similarity import dot_sql, norm_sql
+
+    dim = int(centroids.shape[1])
     rer = short.join(
         vectors.select("neighbor_id", "embedding"), "neighbor_id"
-    ).withColumn("cosine", cosine_expr(F.col("__qv"), F.col("embedding")))
+    ).withColumn(
+        "cosine",
+        dot_sql("__qv", "embedding", dim)
+        / (norm_sql("__qv", dim) * norm_sql("embedding", dim)),
+    )
     return top_k_per_group(
         rer,
         ["query_id"],

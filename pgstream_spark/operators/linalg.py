@@ -292,12 +292,15 @@ def random_projection(
         f"transform(`{vec_col}`, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * {float(scale)!r}D) AS BIGINT))"
     )
+    # r12: unrolled integer sum instead of the interpreted
+    # zip_with + aggregate fold — bigint adds in the same left-assoc
+    # order (exact integers regardless), still a pure map-only
+    # expression (test_map_only_plan keeps pinning zero Exchanges).
     comps = []
     for j in range(out_dim):
-        arr = "array(" + ",".join(f"{signs[i][j]}L" for i in range(d)) + ")"
         comps.append(
-            f"aggregate(zip_with(`__jlq`,{arr},(a,b)->a*b),"
-            "CAST(0 AS BIGINT),(acc,x)->acc+x)"
+            "CAST(0 AS BIGINT)+"
+            + "+".join(f"`__jlq`[{i}]*{signs[i][j]}L" for i in range(d))
         )
     # deliberately NO repartition here: the operator's contract is
     # scan-speed map-only (test_map_only_plan pins zero Exchanges) and

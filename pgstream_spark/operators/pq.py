@@ -187,6 +187,13 @@ def _sub_argmin_sql(vec_col: str, codebook: np.ndarray, offset: int) -> str:
     CONSTRUCTION the dominant cost of the PQ queries.  The parsed tree —
     slice/zip_with/aggregate fold order, (d, i) struct min — is
     identical, so codes are bit-identical (l35's oracle gate pins it)."""
+    # NOTE (r12): an unrolled-literal spelling (the dot_sql treatment)
+    # was tried and REVERTED — all m × n_codes × sub squared terms land
+    # in ONE encode projection (~2k literal terms × 2 casts each), and
+    # janino failed to compile the generated processNext(), killing the
+    # query instead of falling back (probed on l36 at sf0.001).  The
+    # fold stays here; the unroll lives where term counts are bounded
+    # (per-pair cosine dot_sql, the m-term ADC sum).
     structs = []
     for i, c in enumerate(codebook):
         arr = "array(" + ",".join(_dlit(x) for x in c) + ")"

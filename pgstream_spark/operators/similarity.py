@@ -47,6 +47,32 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def dot_sql(a: str, b: str, dim: int) -> Column:
+    """``dot_expr`` as ONE generated-SQL expression for a KNOWN ``dim``
+    (r12, guide §4.1 expression choice): ``aggregate(zip_with(...))`` is
+    an interpreted-lambda fold — no codegen, a zipped struct array
+    allocated per row — measured as the dominant re-rank cost on LSH
+    candidate streams.  The unrolled ``0.0 + a[0]*b[0] + a[1]*b[1] + …``
+    parses left-associative, so the fold ORDER (and therefore every
+    intermediate double) is bit-identical to ``dot_expr``'s
+    ``((0.0 + p₀) + p₁) + …`` — the cross-engine contract the oracles
+    pin.  Requires both arrays to hold exactly ``dim`` elements (an
+    out-of-range subscript NULLs the sum, where the HOF form would fold
+    the shorter common prefix) — callers in this codebase already
+    assume fixed-dim vectors (the plane literals index 0..dim-1).
+    """
+    terms = "+".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE)*CAST(`{b}`[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(f"CAST(0.0 AS DOUBLE)+{terms}")
+
+
+def norm_sql(a: str, dim: int) -> Column:
+    """``norm_expr`` in the :func:`dot_sql` form — same bit contract."""
+    return F.sqrt(dot_sql(a, a, dim))
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
     return df.withColumn(out, cosine_expr(F.col(a), F.col(b)))
 
@@ -59,9 +85,15 @@ def brute_force_top_k(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self-matches by
-    id are excluded).  Returns (query_id, neighbor_id, cosine, rank)."""
+    id are excluded).  Returns (query_id, neighbor_id, cosine, rank).
+
+    ``dim``: when the fixed vector dimension is known, the per-pair
+    cosine runs as the unrolled codegen form (:func:`dot_sql`) with
+    norms computed once per SIDE row instead of per pair — bit-identical
+    doubles (same left-fold order), much cheaper per candidate."""
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
@@ -73,11 +105,17 @@ def brute_force_top_k(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     ).repartition(nparts, F.col("neighbor_id"))
+    if dim is not None:
+        q = q.withColumn("__qn", norm_sql("__qv", dim))
+        c = c.withColumn("__cn", norm_sql("__cv", dim))
+        cos = dot_sql("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn"))
+    else:
+        cos = cosine_expr(F.col("__qv"), F.col("__cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", cos)
     )
     return top_k_per_group(
         scored,
@@ -113,6 +151,14 @@ def _bucket_sql(vec_col: str, planes: np.ndarray) -> str:
     zip_with double-product fold per plane, CASE sign bits, left-assoc
     sum, BIGINT cast — is identical to the old Column build, so buckets
     are bit-identical (the l3b/l3c oracle gates pin it)."""
+    # NOTE (r12): an unrolled-literal spelling of these dots (the
+    # dot_sql treatment) was tried and REVERTED — all `tables × m_bits`
+    # plane dots live in ONE bucket-array projection, and the resulting
+    # ~2300-literal expression made the broadcast-relation build fail
+    # with "Not enough memory to build and broadcast" at default driver
+    # memory (probed at sf0.001).  The zip_with fold stays for the
+    # bucket exprs; the per-CANDIDATE cosine (the row-count hot spot)
+    # is where the unroll pays, and it lives in dot_sql.
     bits = []
     for i, plane in enumerate(planes):
         arr = "array(" + ",".join(_dlit(w) for w in plane) + ")"
@@ -169,14 +215,60 @@ def lsh_bucketed_top_k(
     qb = bucketed(queries, query_id, query_vec, "query_id")
     cb = bucketed(corpus, corpus_id, corpus_vec, "neighbor_id")
 
-    cand = (
-        qb.join(cb, on=["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
-        .distinct()
-        .withColumn(
-            "cosine", cosine_expr(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+    # r12, two changes (scores bit-identical either way — same left-fold
+    # cosine, same candidate set):
+    #
+    # 1. The per-pair cosine runs as the unrolled codegen dot (dot_sql)
+    #    with norms computed once per SIDE row — the old cosine_expr
+    #    re-folded three interpreted HOF aggregates per candidate.
+    # 2. Above a 256 MiB corpus estimate the candidate join and distinct
+    #    carry IDS ONLY and vectors re-attach per distinct pair (guide
+    #    §2.3: the vectors-through form ships every vector `tables`×
+    #    through the (table, bucket) exchange and again through the
+    #    distinct — fatal at 100 TB).  Below the knee the
+    #    vectors-through form is kept: the two attach joins cost more
+    #    than the tiny payload saving (A/B at sf0.1: 2.2 s vs 2.8 s).
+    #    Missing stats count as large (the scale-safe side).
+    est = int(
+        str(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if est < (256 << 20):
+        cand = (
+            qb.withColumn("__qn", norm_sql("__query_id_v", dim))
+            .join(
+                cb.withColumn("__cn", norm_sql("__neighbor_id_v", dim)),
+                on=["table", "bucket"],
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                "__query_id_v", "__neighbor_id_v", "__qn", "__cn",
+            )
+            .distinct()
         )
+    else:
+        cand_ids = (
+            qb.drop("__query_id_v")
+            .join(cb.drop("__neighbor_id_v"), on=["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        qv = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__query_id_v"),
+            norm_sql(query_vec, dim).alias("__qn"),
+        )
+        cv = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__neighbor_id_v"),
+            norm_sql(corpus_vec, dim).alias("__cn"),
+        )
+        cand = cand_ids.join(qv, "query_id").join(cv, "neighbor_id")
+    cand = cand.withColumn(
+        "cosine",
+        dot_sql("__query_id_v", "__neighbor_id_v", dim)
+        / (F.col("__qn") * F.col("__cn")),
     )
     # ranking on the ROUNDED cosine makes the order reproducible across
     # engines whose float summation differs in the last ulp (oracle mode)

@@ -4553,6 +4553,37 @@ class TestPrefixFilterPairs:
         )
         assert a == b
 
+    def test_verify_shingle_reuse_both_transports(self, spark):
+        # r12: verify_candidate_pairs can rebuild its per-doc arrays
+        # from the exploded shingle table the candidate pass already
+        # persisted (one tokenize per query, not one per stage).  Both
+        # transports must score identically with and without the reuse.
+        from pgstream_spark.operators.dedup import (
+            prefix_filter_candidates,
+            verify_candidate_pairs,
+        )
+
+        d = self._docs(spark)
+        cand, sh = prefix_filter_candidates(
+            d, threshold=0.3, return_shingles=True
+        )
+        base = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in verify_candidate_pairs(
+                cand, d, threshold=0.3, transport="strings"
+            ).collect()
+        )
+        assert base  # non-vacuous: the fixture has near-dup pairs
+        for tr in ("strings", "dict"):
+            got = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in verify_candidate_pairs(
+                    cand, d, threshold=0.3, transport=tr,
+                    shingles_exploded=sh,
+                ).collect()
+            )
+            assert got == base, tr
+
     def test_prefix_smaller_than_docs(self, spark):
         import pyspark.sql.functions as F
         from pgstream_spark.operators.dedup import (
