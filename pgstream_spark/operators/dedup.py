@@ -391,6 +391,14 @@ def minhash_signatures(
     permutations.
 
     Returns ``(id, sig: array<bigint> length num_perm)``.
+
+    NOTE (r12): sharing this build's exploded shingle table with the
+    caller's verify/truth stage (the prefix-family discipline) was
+    tried and REVERTED — unlike prefix_filter_candidates, this pipeline
+    never persisted the exploded stream, so sharing INTRODUCED a
+    corpus-sized cache whose write+columnar round-trip cost more than
+    the one tokenize pass it saved (measured: l2b 3.17→3.45 s sf0.1,
+    l85 35.5→42.1 s at sf1).  Cache-vs-recompute knees cut both ways.
     """
     import random
 
@@ -829,6 +837,15 @@ def _score_pairs(
     return out
 
 
+# Broadcast knee for dedup_clusters' per-round label attach (r12): below
+# this Catalyst-estimated size of the (cached) edge set, the labels table
+# (≤ |V| rows, always ≤ the edge set) broadcasts and each propagation
+# round's join is map-side over the edge cache.  Same 256 MiB constant
+# as the triangle/transport/rollup/asof knees; module-level so tests can
+# force either regime.
+_CC_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -883,6 +900,20 @@ def dedup_clusters(
     # whole operator's cost at sf0.1 (bench round 3).
     edges.persist()
     edges.count()
+    # Broadcast regime (r12, the triangle_count discipline): below a
+    # 256 MiB edge-cache estimate the labels table (≤ |V| rows of two
+    # ids, always ≤ the edge set) broadcasts, making each propagation
+    # round's join MAP-SIDE over the edge cache — the r11 plan paid an
+    # exchange+sort pair of both sides per round.  Labels are persisted
+    # and materialized each round (the convergence check), so the
+    # broadcast build reads the fresh cache.  Above the knee (or with
+    # missing stats) the shuffle join stays — labels are O(|V|) and do
+    # not broadcast at 100 TB.  Results identical: min-label per src is
+    # join-strategy-independent.
+    _est = int(
+        str(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    _bcast_labels = _est < _CC_BROADCAST_MAX_BYTES
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -910,8 +941,9 @@ def dedup_clusters(
 
     prev_sum = _sum(labels) if sum_check else labels.count()  # materialize
     for _ in range(max_iterations):
+        _rhs = F.broadcast(labels) if _bcast_labels else labels
         new_labels = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(_rhs, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("label"))
         )
@@ -1004,6 +1036,10 @@ def simhash_signatures_md5(
     (partial aggregation makes it ``bits`` ints per doc per partition).
 
     Returns ``(id, simhash: bigint)`` with ``bits`` significant bits.
+
+    NOTE (r12): see minhash_signatures — the shared-exploded-shingle
+    variant was tried and reverted (a NEW corpus-sized cache cost more
+    than the tokenize pass it saved; l85 35.5→42.1 s at sf1).
     """
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),

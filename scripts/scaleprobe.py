@@ -541,6 +541,7 @@ def main() -> None:
     decade = "--decade" in sys.argv[1:]
     decade_ann = "--decade-ann" in sys.argv[1:]
     ann_rec = "--ann-recall" in sys.argv[1:]
+    corescale = "--corescale" in sys.argv[1:]
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not names:  # the suites COMPOSE in one invocation
         names = (DECADE_QUERIES if decade else []) + (
@@ -549,6 +550,19 @@ def main() -> None:
         if not names and not ann_rec and "--skipping" not in sys.argv[1:]:
             names = DEFAULT_QUERIES
     levels = [("sf0.1", SRC), ("sf1", DST)]
+    if corescale:
+        # VERDICT r11 item 6: the c8-vs-c32 scaling probe at sf0.1 is
+        # job-overhead-dominated (8 cores BEAT 32); the informative leg
+        # is sf1 at two core counts.  This mode times `names` at sf1
+        # ONLY, honoring $SPARK_GRAFT_CPUS — the caller runs it once per
+        # core count and compares.  The FULL sf1 table set (lineitem +
+        # dimensions too, for the TPC-H/funnel entries) comes from
+        # sf1diff's builder.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from sf1diff import generate_full
+
+        generate_full(spark)
+        levels = [("sf1", DST)]
     if decade:
         generate_sf10()
     if decade_ann or ann_rec:
@@ -575,11 +589,13 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     out: dict[str, object] = dict(result)
-    out["slope_vs_10x_data"] = {
-        n: round(result["sf1"][n] / result["sf0.1"][n], 2)
-        for n in names
-        if result["sf0.1"][n] > 0
-    }
+    if "sf0.1" in result:
+        out["slope_vs_10x_data"] = {
+            n: round(result["sf1"][n] / result["sf0.1"][n], 2)
+            for n in names
+            if result["sf0.1"][n] > 0
+        }
+    out["cpus"] = int(cpus)
     if decade or decade_ann:
         out["slope_sf1_to_sf10"] = {
             n: round(result["sf10"][n] / result["sf1"][n], 2)

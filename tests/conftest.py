@@ -16,8 +16,13 @@ SF_DIR = os.environ.get("PGSTREAM_TEST_SF_DIR", "/root/testdata/sf0.001")
 def engine():
     import pgstream_spark as pg
 
+    # local[16] (r12, VERDICT r11 item 7 — suite duration): the host has
+    # 32 cores and the suite is one session; 16 task slots roughly halve
+    # the wide scan/union stages of the oracle and property tiers.
+    # shuffle_partitions stays 8 so every shuffle-derived plan shape the
+    # tests pin is unchanged.
     eng = pg.connect(
-        master="local[8]",
+        master="local[16]",
         app_name="pgstream_spark-tests",
         sf_dir=SF_DIR,
         shuffle_partitions=8,

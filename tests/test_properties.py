@@ -19,6 +19,17 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+# r12 (VERDICT r11 item 7 — the driver's pytest window): tests whose
+# EXAMPLE is a multi-stage Spark pipeline cost 0.5-1.2 s per draw, and
+# at 25 draws the dozen heaviest of them alone were ~3.5 min of the
+# suite.  10 examples keeps the hypothesis search + shrink machinery
+# (these are invariant checks, not enumeration) at ~40 % of the cost.
+HEAVY_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
 scalars = st.one_of(
     st.none(),
     st.booleans(),
@@ -117,7 +128,7 @@ def _ev_df(spark, pts):
 
 
 @given(pts=_events)
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_ohlc_invariants(spark, pts):
     """open/close are the temporally first/last values; low <= o,c,avg <= high;
     bucket populations sum to the input count."""
@@ -138,7 +149,7 @@ def test_ohlc_invariants(spark, pts):
 
 
 @given(pts=_events)
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_ewma_bounded_by_frame_extremes(spark, pts):
     """EWMA is a convex combination: min(frame) <= ewma <= max(frame)."""
     from pgstream_spark.operators.decay import ewma_time_decay
@@ -158,7 +169,7 @@ def test_ewma_bounded_by_frame_extremes(spark, pts):
 
 
 @given(pts=_events, gap=st.integers(min_value=60, max_value=1800))
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_sessionize_gap_property(spark, pts, gap):
     """Events in one session are chained by gaps <= g; session boundaries
     have gaps > g; indexes are contiguous from 1."""
@@ -186,7 +197,7 @@ def test_sessionize_gap_property(spark, pts, gap):
         max_size=40,
     )
 )
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_rolling_corr_is_bounded(spark, pairs):
     """|r| <= 1 wherever defined; NULL exactly when a frame has zero
     variance on either side."""
@@ -212,7 +223,7 @@ def test_rolling_corr_is_bounded(spark, pairs):
 
 
 @given(pts=_events, factor=st.sampled_from([2, 3, 4, 6]))
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_ohlc_rollup_associativity(spark, pts, factor):
     """Rolling fine bars to a coarser tier must equal computing the
     coarse bars directly from ticks — for any tier ratio."""
@@ -281,7 +292,7 @@ def test_copy_row_framing_roundtrip(fields):
     m_bits=st.integers(min_value=2, max_value=10),
     seeds=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=3, unique=True),
 )
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(**HEAVY_SETTINGS)
 def test_bloom_prefilter_soundness_property(spark, dim_keys, m_bits, seeds):
     from pgstream_spark.operators.bloom import bloom_prefilter, keyset_buckets
 
@@ -334,7 +345,7 @@ intervals_strategy = st.lists(
 
 
 @given(ivs=intervals_strategy)
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_interval_coverage_matches_python_union(spark, ivs):
     """interval_coverage == a pure-Python interval-union sweep, and the
     covered length can never exceed max(end) − min(start)."""
@@ -366,7 +377,7 @@ def test_interval_coverage_matches_python_union(spark, ivs):
     ),
     shift=st.integers(min_value=0, max_value=500),
 )
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_cusum_shift_invariance(spark, xs, shift):
     """Adding a constant to every value leaves CUSUM untouched — the
     statistic depends only on deviations from the mean."""
@@ -389,7 +400,7 @@ def test_cusum_shift_invariance(spark, xs, shift):
 @given(
     seq=st.lists(st.sampled_from("abc"), min_size=2, max_size=40),
 )
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_transition_matrix_is_stochastic(spark, seq):
     """Counts equal transitions in the sequence; probabilities per prev
     state sum to 1 (within the rounding grain)."""
@@ -416,7 +427,7 @@ def test_transition_matrix_is_stochastic(spark, seq):
         st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
     )
 )
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_kmv_underfilled_is_exact_for_any_sets(spark, sets):
     """Whenever |union| < k the KMV estimates are EXACT set statistics."""
     from pgstream_spark.operators.sketch import kmv_pair_stats, kmv_sketch
@@ -438,7 +449,7 @@ def test_kmv_underfilled_is_exact_for_any_sets(spark, sets):
         min_size=1, max_size=10,
     )
 )
-@settings(**SETTINGS)
+@settings(**HEAVY_SETTINGS)
 def test_frequent_pairs_counts_match_python(spark, baskets):
     from itertools import combinations
 
