@@ -3,6 +3,20 @@
 Everything Spark SQL lacks a single primitive for, implemented as
 compositions of built-in operators (shuffle-aware, codegen-friendly) —
 never as driver-side loops.
+
+Cache-lifecycle policy (ADVICE r11): operators persist multi-consumer
+intermediates with the default MEMORY_AND_DISK level and, where the
+win is scale-dependent, behind a Catalyst-stats cost knee (the shared
+256 MiB constants: dedup transport, rollup tiers, asof detection,
+triangle/CC broadcast, bigram persist).  Persists whose last consumer
+runs INSIDE the operator are unpersisted there (asof detection,
+triangle_count's large-regime edge cache, dedup_clusters' per-round
+labels); persists referenced by the RETURNED plan cannot be released
+before the caller's action and are left to Spark's LRU eviction —
+MEMORY_AND_DISK entries are evictable, so a long-lived session
+degrades to recompute-on-miss, never to OOM.  Callers that need a hard
+release call ``spark.catalog.clearCache()`` between queries (bench.py
+and every gate/probe harness in this repo do).
 """
 
 from pgstream_spark.operators.asof import asof_join

@@ -676,6 +676,29 @@ def verify_candidate_pairs(
         transport = (
             "dict" if est >= dict_transport_min_bytes else "strings"
         )
+    if shingles_exploded is None:
+        # Pre-filter docs to the CANDIDATE ids before building verify
+        # arrays (r12, guide §3.2 reduce-the-big-side): the score join
+        # is INNER on id, so docs outside the candidate set never
+        # contribute — yet both transports tokenized+shingled the WHOLE
+        # corpus to build arrays a tiny candidate set then joined
+        # against.  Candidates ≪ corpus by construction (that is the
+        # point of LSH/banding), so the semi-join prunes the array
+        # build to candidate docs only; at worst (candidates ≈ corpus)
+        # it adds one cheap join.  `candidates` is eagerly persisted —
+        # it now feeds the id set AND the score join, and its generator
+        # (banding) must not re-execute per branch.  Result-identical:
+        # the same inner join decides membership either way.  (The
+        # shingles_exploded path skips this — its table is already
+        # built and cached by the candidate pass.)
+        candidates = candidates.persist()
+        candidates.count()
+        _ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(_ids, id_col, "leftsemi")
     # ``shingles_exploded`` (r12, guide §2.4 do-not-recompute): a caller
     # that already materialized the EXPLODED distinct-shingle table
     # ``(__id, __sh)`` — prefix_filter_candidates persists exactly that
