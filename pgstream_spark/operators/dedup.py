@@ -682,23 +682,31 @@ def verify_candidate_pairs(
         # is INNER on id, so docs outside the candidate set never
         # contribute — yet both transports tokenized+shingled the WHOLE
         # corpus to build arrays a tiny candidate set then joined
-        # against.  Candidates ≪ corpus by construction (that is the
-        # point of LSH/banding), so the semi-join prunes the array
-        # build to candidate docs only; at worst (candidates ≈ corpus)
-        # it adds one cheap join.  `candidates` is eagerly persisted —
-        # it now feeds the id set AND the score join, and its generator
-        # (banding) must not re-execute per branch.  Result-identical:
-        # the same inner join decides membership either way.  (The
+        # against.  `candidates` is eagerly persisted — it now feeds
+        # the id set AND the score join, and its generator (banding)
+        # must not re-execute per branch.  Result-identical: the same
+        # inner join decides membership either way.  (The
         # shingles_exploded path skips this — its table is already
         # built and cached by the candidate pass.)
+        #
+        # COST-GATED on selectivity: the filter only pays when the
+        # candidate ids cover a minority of docs.  On an everything-is-
+        # a-near-dup corpus (the sf1 fixture: 10-member families over
+        # every doc) the semi-join prunes nothing and its extra
+        # exchange of the text payload LOST 14% (l2b 12.5→14.3 s sf1
+        # min-of-2); at sf0.1 (≈300 candidate pairs over 5k docs) it
+        # wins.  n_cand is exact (the persist count); the doc count is
+        # a parquet-footer-speed count job.  ids ≤ 2·n_cand, so
+        # 4·n_cand < n_docs guarantees ≥ half the docs are pruned.
         candidates = candidates.persist()
-        candidates.count()
-        _ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        docs = docs.join(_ids, id_col, "leftsemi")
+        n_cand = candidates.count()
+        if 4 * n_cand < docs.count():
+            _ids = (
+                candidates.select(F.col("id_a").alias(id_col))
+                .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            docs = docs.join(_ids, id_col, "leftsemi")
     # ``shingles_exploded`` (r12, guide §2.4 do-not-recompute): a caller
     # that already materialized the EXPLODED distinct-shingle table
     # ``(__id, __sh)`` — prefix_filter_candidates persists exactly that
@@ -860,13 +868,18 @@ def _score_pairs(
     return out
 
 
-# Broadcast knee for dedup_clusters' per-round label attach (r12): below
-# this Catalyst-estimated size of the (cached) edge set, the labels table
-# (≤ |V| rows, always ≤ the edge set) broadcasts and each propagation
-# round's join is map-side over the edge cache.  Same 256 MiB constant
-# as the triangle/transport/rollup/asof knees; module-level so tests can
-# force either regime.
-_CC_BROADCAST_MAX_BYTES = 256 << 20
+# Broadcast knee for dedup_clusters' per-round label attach (r12):
+# below this EXACT edge count (free — the edge materialization already
+# counts), the labels table (≤ |V| rows ≤ 2·edges) broadcasts and each
+# propagation round's join is map-side over the edge cache.  The gate
+# is a ROW count, not bytes: the per-round cost of the broadcast path
+# is collecting+building+shipping the labels relation on the driver,
+# which scales with |V| — measured at sf1 (550k edges / 50k labels)
+# the broadcast rounds LOST 18% vs the shuffle join (l8 26.8→31.6 s
+# min-of-2), while at sf0.1 (≤10k edges) they win ~1.3× (l29
+# 5.33→3.78 s).  100k edges sits between the measured points on the
+# safe (shuffle) side.  Module-level so tests can force either regime.
+_CC_BROADCAST_MAX_EDGES = 100_000
 
 
 def dedup_clusters(
@@ -922,21 +935,18 @@ def dedup_clusters(
     # that would otherwise re-execute per round — measured as 3× the
     # whole operator's cost at sf0.1 (bench round 3).
     edges.persist()
-    edges.count()
-    # Broadcast regime (r12, the triangle_count discipline): below a
-    # 256 MiB edge-cache estimate the labels table (≤ |V| rows of two
-    # ids, always ≤ the edge set) broadcasts, making each propagation
-    # round's join MAP-SIDE over the edge cache — the r11 plan paid an
-    # exchange+sort pair of both sides per round.  Labels are persisted
-    # and materialized each round (the convergence check), so the
-    # broadcast build reads the fresh cache.  Above the knee (or with
-    # missing stats) the shuffle join stays — labels are O(|V|) and do
-    # not broadcast at 100 TB.  Results identical: min-label per src is
-    # join-strategy-independent.
-    _est = int(
-        str(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
-    _bcast_labels = _est < _CC_BROADCAST_MAX_BYTES
+    n_edges = edges.count()
+    # Broadcast regime (r12): below the edge-count knee the labels
+    # table broadcasts, making each propagation round's join MAP-SIDE
+    # over the edge cache — the shuffle plan paid an exchange+sort pair
+    # of both sides per round.  Labels are persisted and materialized
+    # each round (the convergence check), so the broadcast build reads
+    # the fresh cache.  Above the knee the shuffle join stays — the
+    # per-round driver collect+build of an O(|V|) relation loses past
+    # ~100k labels (measured, see the knee comment) and is impossible
+    # at 100 TB.  Results identical: min-label per src is
+    # join-strategy-independent (regimes pinned equal by test).
+    _bcast_labels = n_edges <= _CC_BROADCAST_MAX_EDGES
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))

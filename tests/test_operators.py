@@ -906,11 +906,11 @@ class TestDedupClusters:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
     def test_broadcast_and_shuffle_regimes_agree(self, spark, monkeypatch):
-        # r12: below the knee each propagation round broadcasts the
-        # labels table (map-side join over the edge cache); above it the
-        # shuffle join stays.  createDataFrame lineage has NO stats →
-        # large → the test above covers the shuffle regime; force the
-        # broadcast regime and require identical clusters.
+        # r12: at or below the edge-count knee each propagation round
+        # broadcasts the labels table (map-side join over the edge
+        # cache); above it the shuffle join stays.  This graph is under
+        # the default knee → broadcast regime; force the SHUFFLE regime
+        # via a zero knee and require identical clusters.
         import random
 
         import pgstream_spark.operators.dedup as dd
@@ -921,11 +921,11 @@ class TestDedupClusters:
             "id_a long, id_b long",
         )
         spark.catalog.clearCache()
-        large = {r.node: r.cluster for r in dd.dedup_clusters(pairs).collect()}
+        small = {r.node: r.cluster for r in dd.dedup_clusters(pairs).collect()}
         spark.catalog.clearCache()
         with monkeypatch.context() as m:
-            m.setattr(dd, "_CC_BROADCAST_MAX_BYTES", 1 << 70)
-            small = {
+            m.setattr(dd, "_CC_BROADCAST_MAX_EDGES", 0)
+            large = {
                 r.node: r.cluster for r in dd.dedup_clusters(pairs).collect()
             }
         assert small == large
