@@ -578,6 +578,23 @@ def drop_saturated_buckets(buckets: DataFrame, bucket_cap) -> DataFrame:
     )
 
 
+# Broadcast-attach knee for the verify score join (r12): when the
+# ESTIMATED strings-form shingle payload (`_estimate_shingle_bytes` —
+# the same scalar the transport gate reads) is at or below this, the
+# per-doc array table broadcasts into both attach joins.  Measured at
+# sf1 (est ≈ 53 MB, actual built relation ≈ 190 MB strings / 40 MB
+# dict, two build sides): verify 68 s → 12.2 s strings / 5.1 s dict,
+# and the 5.4 GB attach-shuffle spill disappears.  The est→actual
+# ratio is ≈3×, so the 128 MiB knee bounds the worst-case broadcast
+# pair at ≈800 MB in-heap — safe in the default 8 g driver and an
+# ordinary executor profile; above it the arrays are corpus-sized and
+# the shuffle attach is the only 100 TB-valid plan (the estimator has
+# no missing-stats hole: stat-less lineage falls back to an exact
+# text-length aggregation).  Module-level so tests can force either
+# regime.
+_VERIFY_BCAST_MAX_BYTES = 128 << 20
+
+
 def _estimate_shingle_bytes(docs: DataFrame, text_col: str) -> int:
     """Estimated bytes of the strings-form verify shuffle payload for
     ``docs`` — the scalar the ``transport="auto"`` gate compares against
@@ -671,11 +688,22 @@ def verify_candidate_pairs(
         raise ValueError(f"unknown measure: {measure!r}")
     if transport not in ("auto", "strings", "dict"):
         raise ValueError(f"unknown transport: {transport!r}")
+    est = _estimate_shingle_bytes(docs, text_col)
     if transport == "auto":
-        est = _estimate_shingle_bytes(docs, text_col)
         transport = (
             "dict" if est >= dict_transport_min_bytes else "strings"
         )
+    # Broadcast-attach regime (r12, guide §3.1/§2.4): below the knee the
+    # per-doc array table broadcasts into BOTH score-join attaches, so
+    # the candidate pairs never carry a shingle array through an
+    # exchange.  The shuffle-attach plan re-shuffled the pairs WITH the
+    # first side's array already attached — measured at sf1 (6.7M
+    # candidates): 1.5 GB shuffle read + 5.4 GB spill, 68 s wall, and
+    # FLAT 8→32-core scaling (memory-bandwidth-bound); broadcast-attach
+    # runs the verify as one codegen stage, 12.2 s strings / 5.1 s dict.
+    # Above the knee the arrays are corpus-sized (the broadcast would be
+    # O(corpus) — impossible at 100 TB), so the shuffle attach stays.
+    bcast = est <= _VERIFY_BCAST_MAX_BYTES
     if shingles_exploded is None:
         # Pre-filter docs to the CANDIDATE ids before building verify
         # arrays (r12, guide §3.2 reduce-the-big-side): the score join
@@ -726,7 +754,7 @@ def verify_candidate_pairs(
                 .agg(F.collect_list("__sh").alias("__vsh"))
                 .withColumnRenamed("__id", "__vid")
             )
-            return _score_pairs(candidates, sh, measure, threshold)
+            return _score_pairs(candidates, sh, measure, threshold, bcast)
         # _spread BEFORE the tokenize-heavy shingle build: a single-row-
         # group input otherwise pins the (interpreted-HOF) shingling to
         # one task — measured r11 at sf0.1: 5.8 s → 0.6 s for one build,
@@ -739,7 +767,7 @@ def verify_candidate_pairs(
                 F.array().cast("array<string>"),
             ).alias("__vsh"),
         )
-        return _score_pairs(candidates, sh, measure, threshold)
+        return _score_pairs(candidates, sh, measure, threshold, bcast)
     # transport == "dict": verify on int64 DICTIONARY IDS, not shingle
     # strings — each distinct shingle gets a unique id, and the candidate
     # join ships arrays of longs instead of ~25-byte strings — ~3× less
@@ -812,11 +840,15 @@ def verify_candidate_pairs(
             "__vsh", F.coalesce("__vsh", F.array().cast("array<bigint>"))
         )
     )
-    return _score_pairs(candidates, sh, measure, threshold)
+    return _score_pairs(candidates, sh, measure, threshold, bcast)
 
 
 def _score_pairs(
-    candidates: DataFrame, sh: DataFrame, measure: str, threshold: float
+    candidates: DataFrame,
+    sh: DataFrame,
+    measure: str,
+    threshold: float,
+    bcast: bool = False,
 ) -> DataFrame:
     """Attach ``__vsh`` arrays to both pair sides and score — shared by
     both verify transports so they cannot drift semantically.
@@ -828,6 +860,14 @@ def _score_pairs(
     full per-candidate hash-set build costing as much as the intersect
     (measured r11: ~20 % of verify wall).  Sizes ride as one int per
     side computed once per doc row, before the candidate fan-out.
+
+    ``bcast=True`` (decided by the caller's size knee) broadcasts the
+    array table into both attach joins: the candidate stream never
+    carries an array through an exchange, and the whole verify runs as
+    one codegen stage over the pair stream.  Results are identical in
+    both regimes — the joins, keys and score expressions are the same;
+    only the physical attach strategy moves (pinned by
+    ``test_verify_bcast_and_shuffle_regimes_agree``).
     """
     # ``sh`` feeds BOTH join branches; the rename makes the two exchanges
     # non-identical so Spark cannot reuse one — without a persist the
@@ -835,12 +875,18 @@ def _score_pairs(
     # vocabulary join + collect_list) executes twice.  MEMORY_AND_DISK
     # (persist default) so a 100 TB shard spills instead of recomputing —
     # the ngram_jaccard_pairs discipline; LRU eviction reclaims it.
+    # In the broadcast regime the persist serves the same purpose: the
+    # two broadcast-exchange builds share one array computation.
     sh = sh.withColumn("__vn", F.size("__vsh")).persist()
+    rhs_a = sh.withColumnRenamed("__vid", "id_a")
+    rhs_b = sh.withColumnRenamed("__vid", "id_b")
+    if bcast:
+        rhs_a, rhs_b = F.broadcast(rhs_a), F.broadcast(rhs_b)
     joined = (
-        candidates.join(sh.withColumnRenamed("__vid", "id_a"), "id_a")
+        candidates.join(rhs_a, "id_a")
         .withColumnRenamed("__vsh", "__sha")
         .withColumnRenamed("__vn", "__na")
-        .join(sh.withColumnRenamed("__vid", "id_b"), "id_b")
+        .join(rhs_b, "id_b")
         .withColumnRenamed("__vsh", "__shb")
         .withColumnRenamed("__vn", "__nb")
     )

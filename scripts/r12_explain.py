@@ -54,6 +54,13 @@ def main() -> None:
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.ui.enabled", "false")
+        # sf1 captures: a few operators run bounded plan-construction
+        # jobs (eager persist+count of shared tiers), which OOM the 1 g
+        # default heap on the 10x corpus
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -4610,6 +4610,48 @@ class TestPrefixFilterPairs:
             )
             assert got == base, tr
 
+    def test_verify_bcast_and_shuffle_regimes_agree(self, spark, monkeypatch):
+        # r12: below the size knee the verify score join broadcasts the
+        # per-doc array table into both attaches (pairs never carry an
+        # array through an exchange); above it the shuffle attach stays.
+        # The fixture sits under the knee → broadcast regime; force the
+        # SHUFFLE regime via a negative knee and require identical rows
+        # for both transports.
+        import pgstream_spark.operators.dedup as dd
+
+        d = self._docs(spark)
+        cand, sh = dd.prefix_filter_candidates(
+            d, threshold=0.3, return_shingles=True
+        )
+        for tr in ("strings", "dict"):
+            spark.catalog.clearCache()
+            small = dd.verify_candidate_pairs(
+                cand, d, threshold=0.3, transport=tr, shingles_exploded=sh
+            )
+            # broadcast regime really broadcasts: both array attaches
+            # plan as BroadcastHashJoin (the candidate subtree keeps its
+            # own join shapes — only the attach strategy is asserted)
+            plan = small._sc._jvm.PythonSQLUtils.explainString(
+                small._jdf.queryExecution(), "formatted"
+            )
+            assert plan.count("BroadcastHashJoin") >= 2, tr
+            rows_b = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 9)) for r in small.collect()
+            )
+            assert rows_b  # non-vacuous
+            spark.catalog.clearCache()
+            with monkeypatch.context() as m:
+                m.setattr(dd, "_VERIFY_BCAST_MAX_BYTES", -1)
+                rows_s = sorted(
+                    (r.id_a, r.id_b, round(r.jaccard, 9))
+                    for r in dd.verify_candidate_pairs(
+                        cand, d, threshold=0.3, transport=tr,
+                        shingles_exploded=sh,
+                    ).collect()
+                )
+            assert rows_b == rows_s, tr
+        spark.catalog.clearCache()
+
     def test_prefix_smaller_than_docs(self, spark):
         import pyspark.sql.functions as F
         from pgstream_spark.operators.dedup import (
